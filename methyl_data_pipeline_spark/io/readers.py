@@ -1,0 +1,161 @@
+"""Sources (reference S1-S6, SURVEY §2.1).
+
+The reference reads header-inferring CSVs, Excel exports, sectioned
+Illumina "FinalReport" text dumps, multi-file sample tables with junk
+preambles, and IDAT binaries (via the SeSAMe R library). The engine's
+internal currency is Parquet; these readers are the ingest boundary.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+# Header keywords used to detect the sample-table header line
+# (reference: preprocessing/data_parsing.py:38-59).
+SAMPLE_HEADER_KEYWORDS = {
+    "Index", "Sample ID", "Sentrix Barcode", "Sample Section", "Beadchip",
+    "Position", "EPIC.Run", "Experiment", "Genotype", "Tissue.Cell.type",
+}
+
+
+def read_beta_csv(spark: SparkSession, path: str, header: bool = True) -> DataFrame:
+    """Header-inferring CSV scan (reference S1: filter.py:9, main.py:137).
+
+    Schema inference costs an extra pass — acceptable at the ingest
+    boundary only; downstream everything is typed Parquet.
+    """
+    return spark.read.csv(path, header=header, inferSchema=True)
+
+
+def read_any(spark: SparkSession, path: str) -> DataFrame:
+    """Extension-dispatched reader (reference S2: filter.py:7-13 reads
+    .xls/.xlsx/.csv interchangeably).
+
+    Excel has no distributed Spark source; files of that shape are
+    driver-sized in the reference (~hundreds of columns × ~3e5 rows), so
+    a driver-side pandas read feeding the Arrow createDataFrame path is
+    the honest mapping. Everything else goes through native sources.
+    """
+    ext = os.path.splitext(path)[1].lower()
+    if ext in (".xls", ".xlsx"):
+        import pandas as pd
+
+        return spark.createDataFrame(pd.read_excel(path))
+    if ext == ".parquet":
+        return spark.read.parquet(path)
+    if ext in (".csv", ".txt"):
+        return spark.read.csv(path, header=True, inferSchema=True)
+    raise ValueError(f"unsupported extension: {ext}")
+
+
+def read_final_report(
+    spark: SparkSession, path: str, marker: str = "[Sample Methylation Profile]"
+) -> DataFrame:
+    """Sectioned Illumina FinalReport parser (reference S3:
+    preprocessing/data_parsing.py:7-33).
+
+    Fully distributed: read as text with line numbers, locate the marker
+    row, take the next line as the tab-separated header, parse the rest.
+    The marker scan is a cheap aggregate over the (single) file; no
+    driver-side line loop.
+    """
+    lines = (
+        spark.read.text(path)
+        .rdd.zipWithIndex()
+        .map(lambda r: (r[1], r[0].value))
+        .toDF(["line_no", "value"])
+    )
+    marker_row = lines.filter(F.col("value").startswith(marker)).agg(
+        F.min("line_no").alias("m")
+    ).collect()[0]["m"]
+    if marker_row is None:
+        raise ValueError(f"marker {marker!r} not found in {path}")
+
+    header_line = lines.filter(F.col("line_no") == marker_row + 1).collect()[0]["value"]
+    cols = header_line.split("\t")
+    data = lines.filter(F.col("line_no") > marker_row + 1)
+    split = data.select(F.split("value", "\t").alias("f"))
+    return split.select(*[F.col("f")[i].alias(c) for i, c in enumerate(cols)])
+
+
+def read_sample_tables(
+    spark: SparkSession, paths: list[str], run_numbers: list[str] | None = None
+) -> DataFrame:
+    """Multi-file sample-table parse (reference S4:
+    preprocessing/data_parsing.py:35-95): per file, find the header line
+    by keyword membership, parse rows, prefix ``Index`` with the run
+    number, concatenate.
+
+    Files are driver-enumerated (they are a handful of vendor exports)
+    but each file parses distributed; output is one DataFrame.
+    """
+    if run_numbers is None:
+        run_numbers = [str(i + 1) for i in range(len(paths))]
+    outs: list[DataFrame] = []
+    for path, run in zip(paths, run_numbers):
+        lines = (
+            spark.read.text(path)
+            .rdd.zipWithIndex()
+            .map(lambda r: (r[1], r[0].value))
+            .toDF(["line_no", "value"])
+        )
+        header = (
+            lines.filter(
+                " OR ".join(f"value LIKE '%{k}%'" for k in SAMPLE_HEADER_KEYWORDS)
+            )
+            .agg(F.min("line_no").alias("m"))
+            .collect()[0]["m"]
+        )
+        if header is None:
+            raise ValueError(f"no header line found in {path}")
+        header_line = lines.filter(F.col("line_no") == header).collect()[0]["value"]
+        cols = [c.strip() for c in header_line.split("\t")]
+        rows = lines.filter(F.col("line_no") > header)
+        split = rows.select(F.split("value", "\t").alias("f"))
+        df = split.select(*[F.col("f")[i].alias(c) for i, c in enumerate(cols)])
+        if "Index" in cols:
+            df = df.withColumn("Index", F.concat_ws("_", F.lit(run), F.col("Index")))
+        outs.append(df.withColumn("run", F.lit(run)))
+    from functools import reduce
+
+    return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), outs)
+
+
+def read_idat_dir(spark: SparkSession, path: str) -> DataFrame:
+    """IDAT binary discovery (reference S5/S6: idat.r:37-40,
+    health_check.py:41-106): recursive glob of ``*_Red.idat`` /
+    ``*_Grn.idat`` pairs as binary rows with basename + channel.
+
+    Decoding the Illumina IDAT format (public spec; SeSAMe/illuminaio
+    implement it) is a per-file pandas-UDF step; the decoder itself is
+    NOT implemented in this container (no idat test fixtures) — the
+    plumbing (binaryFile source, pairing, schema) is real, the decode
+    raises ``NotImplementedError`` per SURVEY §2.1 S5's ingest-boundary
+    decision.
+    """
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.idat")
+        .option("recursiveFileLookup", "true")
+        .load(path)
+    )
+    return files.select(
+        F.regexp_replace(
+            F.regexp_extract(F.col("path"), r"([^/]+)\.idat$", 1), r"_(Red|Grn)$", ""
+        ).alias("basename"),
+        F.regexp_extract(F.col("path"), r"_(Red|Grn)\.idat$", 1).alias("channel"),
+        F.col("length"),
+        F.col("content"),
+    )
+
+
+def decode_idat(df: DataFrame) -> DataFrame:
+    """IDAT binary -> (probe address, mean intensity) rows. Stub: the
+    binary layout is published but no IDAT fixtures exist in this
+    environment to validate against."""
+    raise NotImplementedError(
+        "IDAT decoding requires illuminaio-format fixtures; ingest boundary "
+        "is the extracted beta/detP table (SURVEY §2.1 S5)"
+    )

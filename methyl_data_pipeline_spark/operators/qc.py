@@ -1,0 +1,144 @@
+"""QC / filtering operators (reference P3-P15, SURVEY §2.2).
+
+Long-form semantics note (SURVEY §7.3 #3): in the reference the wide
+outer join encodes "probe missing in a run" as NaN cells
+(``filter.py:45-50``); in long form a missing cell is an *absent row*.
+Completeness filters therefore count per-probe observations against the
+expected number of samples, not just nulls.
+
+All filters are expressed as groupBy-agg + semi/anti join — shuffle on
+the grouping key only, map-side partial aggregation automatic, and the
+dimension side of every join is broadcastable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def drop_incomplete_probes(
+    meth: DataFrame,
+    n_samples: int | None = None,
+    value_col: str = "beta",
+) -> DataFrame:
+    """Keep probes observed non-null in *every* sample. Reference P3.
+
+    The wide-form ``df.na.drop("any")`` / ``complete.cases`` of
+    ``preprocessing/combat_norm.py:28-30`` and ``workflow.R:119-126``.
+    ``n_samples``: expected sample count; computed with a cheap
+    countDistinct pass when omitted.
+    """
+    if n_samples is None:
+        n_samples = meth.select("sample_id").distinct().count()
+    complete = (
+        meth.groupBy("probe_id")
+        .agg(F.count(F.col(value_col)).alias("_n_obs"))
+        .filter(F.col("_n_obs") == n_samples)
+        .select("probe_id")
+    )
+    return meth.join(complete, "probe_id", "left_semi")
+
+
+def drop_all_missing_probes(meth: DataFrame, value_col: str = "beta") -> DataFrame:
+    """Drop probes with zero non-null observations. Reference P4 (idat.r:80).
+
+    In long form, fully-absent probes usually have no rows at all; this
+    additionally drops probes whose every row carries a null value.
+    """
+    present = (
+        meth.groupBy("probe_id")
+        .agg(F.count(F.col(value_col)).alias("_n_obs"))
+        .filter(F.col("_n_obs") > 0)
+        .select("probe_id")
+    )
+    return meth.join(present, "probe_id", "left_semi")
+
+
+def filter_cg_probes(meth: DataFrame, probe_col: str = "probe_id") -> DataFrame:
+    """Keep only `cg`-prefixed probes (drop rs/ch controls). Reference P6
+    (workflow.R:59). A plain rlike predicate — pushes to the scan."""
+    return meth.filter(F.col(probe_col).rlike("^cg"))
+
+
+def drop_sex_chromosomes(meth: DataFrame, probes: DataFrame) -> DataFrame:
+    """Drop probes annotated chrX/chrY. Reference P7 (workflow.R:61-62).
+
+    Broadcast anti-join against the (small) probe dimension — no shuffle
+    of the fact table.
+    """
+    sex = probes.filter(F.col("chr").isin("chrX", "chrY")).select("probe_id")
+    return meth.join(F.broadcast(sex), "probe_id", "left_anti")
+
+
+def filter_samples_by_detp(
+    meth: DataFrame, threshold: float = 0.05, detp_col: str = "det_p"
+) -> DataFrame:
+    """Drop samples whose mean detection p >= threshold. Reference P8
+    (workflow.R:44-49)."""
+    good = (
+        meth.groupBy("sample_id")
+        .agg(F.avg(F.col(detp_col)).alias("_mean_detp"))
+        .filter(F.col("_mean_detp") < threshold)
+        .select("sample_id")
+    )
+    return meth.join(F.broadcast(good), "sample_id", "left_semi")
+
+
+def filter_probes_by_detp(
+    meth: DataFrame,
+    threshold: float = 0.05,
+    n_samples: int | None = None,
+    detp_col: str = "det_p",
+) -> DataFrame:
+    """Keep probes with det_p < threshold in ALL retained samples.
+    Reference P9 (workflow.R:51-53).
+
+    Counts failures AND presence: a probe missing from a sample fails
+    the "all samples pass" requirement just as a bad det_p does.
+    """
+    if n_samples is None:
+        n_samples = meth.select("sample_id").distinct().count()
+    good = (
+        meth.groupBy("probe_id")
+        .agg(
+            F.sum(F.when(F.col(detp_col) >= threshold, 1).otherwise(0)).alias("_n_fail"),
+            F.count(F.lit(1)).alias("_n_obs"),
+        )
+        .filter((F.col("_n_fail") == 0) & (F.col("_n_obs") == n_samples))
+        .select("probe_id")
+    )
+    return meth.join(good, "probe_id", "left_semi")
+
+
+def dedup_samples(samples: DataFrame, key: str = "basename") -> DataFrame:
+    """Drop duplicate sample-sheet rows by key. Reference P12
+    (workflow.R:32 ``targets[!duplicated(targets$Basename), ]``)."""
+    return samples.dropDuplicates([key])
+
+
+def audit_membership(
+    samples: DataFrame,
+    meth: DataFrame,
+    key: str = "sample_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Mismatch report: (in sheet but not in matrix, in matrix but not in
+    sheet). Reference P11/J6 (dataset.py:119-143). Anti-joins both ways."""
+    matrix_ids = meth.select(key).distinct()
+    sheet_only = samples.join(matrix_ids, key, "left_anti")
+    matrix_only = matrix_ids.join(samples.select(key).distinct(), key, "left_anti")
+    return sheet_only, matrix_only
+
+
+def scrub_nonfinite(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Replace NaN/±Inf with NULL in the given columns, then drop rows
+    that became all-null on those columns. Reference P15
+    (workflow.R:136-137, plots.R:113-120)."""
+    out = df
+    for c in cols:
+        out = out.withColumn(
+            c,
+            F.when(F.isnan(F.col(c)) | (F.abs(F.col(c)) == float("inf")), None).otherwise(
+                F.col(c)
+            ),
+        )
+    return out.na.drop("all", subset=cols)

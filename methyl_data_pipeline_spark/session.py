@@ -1,0 +1,62 @@
+"""SparkSession factory with engine defaults.
+
+The reference pipeline hand-manages parallelism (4..50 forked R workers,
+``workflow.R:22-23``, ``Mouse_Microarray_General_Workflow.R:18-19``) and
+materializes every step. Here a single lazy session replaces all of it:
+AQE re-plans at runtime (skew joins, partition coalescing), Arrow makes
+the pandas-UDF boundary cheap, and the UTC timezone pin keeps timestamp
+semantics identical to external oracles (DuckDB is UTC-naive).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Engine-wide defaults. ``shuffle.partitions`` is sized by the caller
+# (cores locally; ~2-3x total cores on a cluster). These are the knobs
+# that matter for the 100 TB target: AQE handles skew + post-shuffle
+# coalescing, maxPartitionBytes bounds scan-task memory.
+ENGINE_CONF = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.files.maxPartitionBytes": "128m",
+    "spark.sql.parquet.compression.codec": "snappy",
+    "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+}
+
+
+def get_session(
+    app_name: str = "methyl_data_pipeline_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine session.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, else ``*``)
+    for the test harness; on a real cluster the caller passes the
+    cluster master / relies on spark-submit.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        shuffle_partitions = int(cpus) if cpus and cpus.isdigit() else 32
+
+    builder = SparkSession.builder.appName(app_name).master(master)
+    for k, v in ENGINE_CONF.items():
+        builder = builder.config(k, v)
+    builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    builder = builder.config("spark.ui.enabled", "false")
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

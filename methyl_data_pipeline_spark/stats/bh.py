@@ -1,0 +1,43 @@
+"""Benjamini-Hochberg FDR adjustment as a pure window program.
+
+Reference A14/W2: ``p.adjust(p, method="BH")`` at ``plots.R:162``,
+``test.R:118``. Exact step-up rank arithmetic — no UDF:
+
+    rank_i   = row_number over p ascending
+    q_i      = p_i * N / rank_i
+    adj_i    = min(q_j : rank_j >= rank_i)  (running min from the right)
+    clipped to 1.
+
+Ties: the running min from the largest rank makes the result identical
+for any permutation of tied p-values (all tied entries receive the
+minimum of everything at-or-after them), matching R's ``p.adjust``.
+
+Scale note: BH is inherently a global-rank operator, so this is one of
+the few places a total order is required. The window uses a single
+ordering pass (range-partitioned sort at scale); N comes from a count
+aggregate, not a collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def bh_adjust(df: DataFrame, p_col: str = "p_value", out_col: str = "adj_p") -> DataFrame:
+    """Append BH-adjusted p-values. Null p-values are left null and are
+    excluded from N, matching R's na-handling."""
+    n = df.filter(F.col(p_col).isNotNull()).count()
+    w_rank = Window.orderBy(F.col(p_col).asc())
+    w_cummin = (
+        Window.orderBy(F.col(p_col).desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    nonnull = (
+        df.filter(F.col(p_col).isNotNull())
+        .withColumn("_rank", F.row_number().over(w_rank))
+        .withColumn("_q", F.col(p_col) * F.lit(float(n)) / F.col("_rank"))
+        .withColumn(out_col, F.least(F.min("_q").over(w_cummin), F.lit(1.0)))
+        .drop("_rank", "_q")
+    )
+    nulls = df.filter(F.col(p_col).isNull()).withColumn(out_col, F.lit(None).cast("double"))
+    return nonnull.unionByName(nulls)

@@ -1,0 +1,177 @@
+"""Parametric ComBat batch correction as a multi-pass DataFrame program.
+
+Reference M2: ``pycombat(beta_data, batch)``
+(``preprocessing/combat_norm.py:41-73``) and ``sva::ComBat`` on M-values
+(``workflow.R:132-145``). Implements Johnson, Li & Rabinovic (2007)
+parametric empirical Bayes, intercept-only model (no covariates), which
+is what the reference's variant A uses.
+
+Why this shape (SURVEY §7.3 #1): the EB hyperpriors pool across *all*
+probes within a batch, so a per-probe/per-batch grouped UDF cannot see
+them — the algorithm decomposes into:
+
+  pass 1  per-(probe, batch) moments  n, mean            (shuffle on probe)
+  pass 2  per-probe grand mean + pooled variance         (reuse pass-1 agg)
+  pass 3  standardize  Z = (x - grand_mean)/sqrt(var_pooled)
+  pass 4  per-(probe, batch) gamma_hat, delta_hat²  of Z
+  pass 5  per-batch hyperpriors over probes:
+            gamma_bar, t2  (normal prior on gamma)
+            a, b           (inverse-gamma prior on delta², via
+                            aprior/bprior moment formulas)
+  pass 6  per-(probe, batch) EB fixed point -> gamma*, delta*²
+          (vectorized Arrow pandas UDF; needs only row-local scalars
+           because  Σ(Z-γ*)² = (n-1)δ̂² + n(γ̂-γ*)²)
+  pass 7  adjust:  x* = sqrt(var_pooled)·(Z - γ*)/sqrt(δ*²) + grand_mean
+
+Every pass is a groupBy-agg or broadcast join on already-partitioned
+keys; the only Python is the 30-iteration scalar fixed point, Arrow
+batched, O(#probes × #batches) rows — trivially parallel.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def combat(
+    long_df: DataFrame,
+    value_col: str = "beta",
+    batch_col: str = "run",
+    key_col: str = "probe_id",
+    sample_col: str = "sample_id",
+    conv: float = 1e-4,
+    max_iter: int = 100,
+) -> DataFrame:
+    """Return the input with an added ``{value_col}_combat`` column.
+
+    Requires complete data (no nulls) for the probes processed — the
+    reference drops incomplete probes first
+    (``preprocessing/combat_norm.py:28-30``); compose with
+    ``operators.qc.drop_incomplete_probes``.
+    """
+    x = F.col(value_col)
+    df = long_df.select(key_col, sample_col, batch_col, value_col)
+
+    # pass 1: per-(probe, batch) n and mean
+    pb = df.groupBy(key_col, batch_col).agg(
+        F.count(x).alias("n_b"), F.avg(x).alias("mean_b")
+    )
+
+    # pass 2: per-probe grand mean (sample-size weighted, = OLS intercept
+    # of the batch-design model) — derived from pass 1, no second scan.
+    grand = pb.groupBy(key_col).agg(
+        (F.sum(F.col("n_b") * F.col("mean_b")) / F.sum("n_b")).alias("grand_mean"),
+        F.sum("n_b").alias("n_total"),
+    )
+
+    # pooled variance: (1/N) Σ_s (x - grand_mean)²  — one scan of facts.
+    with_grand = df.join(grand, key_col)
+    pooled = with_grand.groupBy(key_col).agg(
+        (F.sum(F.pow(x - F.col("grand_mean"), 2)) / F.first("n_total")).alias("var_pooled")
+    )
+
+    # pass 3: standardize
+    z = (
+        with_grand.join(pooled, key_col)
+        .withColumn("z", (x - F.col("grand_mean")) / F.sqrt("var_pooled"))
+    )
+
+    # pass 4: per-(probe, batch) moments of Z
+    zb = z.groupBy(key_col, batch_col).agg(
+        F.count("z").alias("n_b"),
+        F.avg("z").alias("gamma_hat"),
+        F.var_samp("z").alias("delta_hat_sq"),
+    )
+
+    # pass 5: per-batch hyperpriors pooled over probes. aprior/bprior are
+    # the standard sva moment formulas for the inverse-gamma prior.
+    hyper = zb.groupBy(batch_col).agg(
+        F.avg("gamma_hat").alias("gamma_bar"),
+        F.var_samp("gamma_hat").alias("t2"),
+        F.avg("delta_hat_sq").alias("_dm"),
+        F.var_samp("delta_hat_sq").alias("_ds2"),
+    ).withColumn(
+        "a_prior", (2.0 * F.col("_ds2") + F.pow(F.col("_dm"), 2)) / F.col("_ds2")
+    ).withColumn(
+        "b_prior",
+        (F.col("_dm") * F.col("_ds2") + F.pow(F.col("_dm"), 3)) / F.col("_ds2"),
+    ).drop("_dm", "_ds2")
+
+    # pass 6: EB fixed point, vectorized over (probe, batch) rows.
+    @pandas_udf("struct<gamma_star double, delta_star_sq double>")
+    def eb_fixed_point(
+        n: pd.Series, gamma_hat: pd.Series, delta_hat_sq: pd.Series,
+        gamma_bar: pd.Series, t2: pd.Series, a: pd.Series, b: pd.Series,
+    ) -> pd.DataFrame:
+        import numpy as np
+
+        n_ = n.to_numpy(dtype=float)
+        gh = gamma_hat.to_numpy(dtype=float)
+        dh2 = np.nan_to_num(delta_hat_sq.to_numpy(dtype=float), nan=1.0)
+        gb, t2_ = gamma_bar.to_numpy(float), t2.to_numpy(float)
+        a_, b_ = a.to_numpy(float), b.to_numpy(float)
+
+        g_old = gh.copy()
+        d_old = dh2.copy()
+        for _ in range(max_iter):
+            g_new = (t2_ * n_ * gh + d_old * gb) / (t2_ * n_ + d_old)
+            sum2 = (n_ - 1.0) * dh2 + n_ * (gh - g_new) ** 2
+            d_new = (0.5 * sum2 + b_) / (n_ / 2.0 + a_ - 1.0)
+            change = np.maximum(
+                np.abs(g_new - g_old) / np.maximum(np.abs(g_old), 1e-12),
+                np.abs(d_new - d_old) / np.maximum(np.abs(d_old), 1e-12),
+            )
+            g_old, d_old = g_new, d_new
+            if float(change.max(initial=0.0)) < conv:
+                break
+        return pd.DataFrame({"gamma_star": g_old, "delta_star_sq": d_old})
+
+    stars = (
+        zb.join(F.broadcast(hyper), batch_col)
+        .withColumn(
+            "_eb",
+            eb_fixed_point(
+                F.col("n_b"), F.col("gamma_hat"), F.col("delta_hat_sq"),
+                F.col("gamma_bar"), F.col("t2"), F.col("a_prior"), F.col("b_prior"),
+            ),
+        )
+        .select(key_col, batch_col, F.col("_eb.gamma_star").alias("gamma_star"),
+                F.col("_eb.delta_star_sq").alias("delta_star_sq"))
+    )
+
+    # pass 7: adjust. stars is (probes × batches) — same partitioning key
+    # as the fact table, so AQE plans a co-partitioned join.
+    out_col = f"{value_col}_combat"
+    return (
+        z.join(stars, [key_col, batch_col])
+        .withColumn(
+            out_col,
+            F.sqrt("var_pooled")
+            * (F.col("z") - F.col("gamma_star"))
+            / F.sqrt("delta_star_sq")
+            + F.col("grand_mean"),
+        )
+        .select(key_col, sample_col, batch_col, value_col, out_col)
+    )
+
+
+def batch_sd_reduction(
+    before: DataFrame, after: DataFrame, value_col: str, value_col_after: str,
+    batch_col: str = "run", key_col: str = "probe_id",
+) -> DataFrame:
+    """Oracle invariant from the reference's diagnostic script
+    (test.R:146-181): ComBat must shrink the cross-batch SD of per-batch
+    probe means. Returns per-probe before/after SDs for assertion."""
+    def cross_batch_sd(df: DataFrame, col: str, name: str) -> DataFrame:
+        return (
+            df.groupBy(key_col, batch_col)
+            .agg(F.avg(F.col(col)).alias("m"))
+            .groupBy(key_col)
+            .agg(F.stddev_samp("m").alias(name))
+        )
+
+    return cross_batch_sd(before, value_col, "sd_before").join(
+        cross_batch_sd(after, value_col_after, "sd_after"), key_col
+    )

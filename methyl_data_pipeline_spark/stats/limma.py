@@ -1,0 +1,141 @@
+"""Limma-style moderated two-group t-test as a multi-pass agg program.
+
+Reference A13/M5: ``lmFit + eBayes + topTable`` on M-values
+(``plots.R:130-139``, ``volcano.R:101-108``,
+``Mouse_Microarray_General_Workflow.R:124-147``). The empirical-Bayes
+variance shrinkage pools information ACROSS probes, so this cannot be a
+per-group UDF (SURVEY §2.11) — it is a three-phase DataFrame program:
+
+  1. per-(probe, group) aggregates: n, mean, var         (one shuffle)
+  2. global EB prior fit over per-probe pooled variances (tiny agg)
+  3. broadcast the 2-value prior back; closed-form moderated t
+
+EB prior (documented deviation from limma): limma fits an F-distribution
+to the s² (``fitFDist``, digamma inversion). We use the scaled-chi-square
+method-of-moments closed form — treating s² ~ s0²·χ²(d0)/d0 gives
+E[s²]=s0², Var[s²]=2·s0⁴/d0, hence::
+
+    s0² = mean(s²)          d0 = 2·mean(s²)² / var(s²)
+
+which is deterministic, SQL-expressible (oracle-checkable), and within
+a few percent of fitFDist on well-behaved data. Posterior variance and
+moderated t follow limma exactly given (d0, s0²)::
+
+    s̃²_g = (d0·s0² + df_g·s²_g) / (d0 + df_g)
+    t_g   = (mean1_g - mean2_g) / sqrt(s̃²_g · (1/n1_g + 1/n2_g))
+
+with moderated df = d0 + df_g. P-values (2-sided t survival) need the
+t CDF, which is not a Catalyst builtin — computed by an Arrow-batched
+pandas UDF only when requested.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def moderated_t_two_group(
+    long_df: DataFrame,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    value_col: str = "mval",
+    key_col: str = "probe_id",
+    with_p_values: bool = False,
+) -> DataFrame:
+    """Per-key moderated t between two groups of samples.
+
+    Input: long table (key_col, sample_id, value_col, group_col).
+    Output: one row per key with n/mean per group, logFC, pooled and
+    moderated variance, moderated t and df. Keys lacking >=2 samples in
+    either group are dropped (the reference's insufficient-sample guard,
+    plots.R:73-75).
+    """
+    a, b = F.lit(group_a), F.lit(group_b)
+    v = F.col(value_col)
+
+    # Phase 1 — per-(key, group) moments via conditional aggregation:
+    # a single shuffle on key_col, no pivot.
+    per_key = (
+        long_df.filter(F.col(group_col).isin(group_a, group_b))
+        .groupBy(key_col)
+        .agg(
+            F.count(F.when(F.col(group_col) == a, v)).alias("n1"),
+            F.avg(F.when(F.col(group_col) == a, v)).alias("mean1"),
+            F.var_samp(F.when(F.col(group_col) == a, v)).alias("var1"),
+            F.count(F.when(F.col(group_col) == b, v)).alias("n2"),
+            F.avg(F.when(F.col(group_col) == b, v)).alias("mean2"),
+            F.var_samp(F.when(F.col(group_col) == b, v)).alias("var2"),
+        )
+        .filter((F.col("n1") >= 2) & (F.col("n2") >= 2))
+        .withColumn("df", F.col("n1") + F.col("n2") - 2)
+        .withColumn(
+            "s2",
+            ((F.col("n1") - 1) * F.col("var1") + (F.col("n2") - 1) * F.col("var2"))
+            / F.col("df"),
+        )
+        .withColumn("logFC", F.col("mean1") - F.col("mean2"))
+    )
+
+    # Phase 2 — EB prior over all keys: a 1-row aggregate, broadcast by
+    # Catalyst as a scalar-subquery-like cross join.
+    prior = per_key.agg(
+        F.avg("s2").alias("s0_sq"),
+        (2.0 * F.pow(F.avg("s2"), 2) / F.var_samp("s2")).alias("d0"),
+    )
+
+    # Phase 3 — closed-form moderated statistics.
+    out = (
+        per_key.crossJoin(F.broadcast(prior))
+        .withColumn(
+            "s2_post",
+            (F.col("d0") * F.col("s0_sq") + F.col("df") * F.col("s2"))
+            / (F.col("d0") + F.col("df")),
+        )
+        .withColumn(
+            "t_mod",
+            F.col("logFC")
+            / F.sqrt(F.col("s2_post") * (1.0 / F.col("n1") + 1.0 / F.col("n2"))),
+        )
+        .withColumn("df_mod", F.col("d0") + F.col("df"))
+    )
+
+    if with_p_values:
+        out = out.withColumn("p_value", _t_sf_two_sided(F.col("t_mod"), F.col("df_mod")))
+    return out
+
+
+def _t_sf_two_sided(t_col, df_col):
+    """2·P(T_df > |t|) via an Arrow-batched pandas UDF (scipy)."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def t_sf(t: "pd.Series", df: "pd.Series") -> "pd.Series":
+        from scipy import stats
+
+        return pd.Series(2.0 * stats.t.sf(t.abs(), df))
+
+    return t_sf(t_col, df_col)
+
+
+def group_mean_deltas(
+    long_df: DataFrame,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    value_col: str = "beta",
+    key_col: str = "probe_id",
+) -> DataFrame:
+    """Per-key group means + delta (reference A2: delta_beta,
+    volcano.R:112-114) — conditional aggregation, single shuffle."""
+    v = F.col(value_col)
+    return (
+        long_df.filter(F.col(group_col).isin(group_a, group_b))
+        .groupBy(key_col)
+        .agg(
+            F.avg(F.when(F.col(group_col) == group_a, v)).alias("mean_a"),
+            F.avg(F.when(F.col(group_col) == group_b, v)).alias("mean_b"),
+        )
+        .withColumn("delta", F.col("mean_a") - F.col("mean_b"))
+    )

@@ -1,0 +1,117 @@
+"""Model converters + stats tier vs pandas/scipy oracles."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from methyl_data_pipeline_spark import model
+from methyl_data_pipeline_spark.operators.joins import combine_runs_long, combine_runs_wide
+from methyl_data_pipeline_spark.stats import (
+    bh_adjust,
+    group_mean_deltas,
+    moderated_t_two_group,
+    per_probe_variance,
+    top_k_variable_probes,
+)
+
+
+def test_melt_pivot_roundtrip(spark):
+    wide = spark.createDataFrame(
+        [("cg1", 0.1, 0.2), ("cg2", 0.3, None)], ["TargetID", "s1", "s2"]
+    )
+    long = model.melt(wide)
+    assert long.count() == 4
+    back = model.pivot_wide(long, sample_ids=["s1", "s2"])
+    rows = {r["probe_id"]: (r["s1"], r["s2"]) for r in back.collect()}
+    assert rows["cg1"] == (0.1, 0.2)
+    assert rows["cg2"][0] == 0.3 and rows["cg2"][1] is None
+
+
+def test_mvalue_roundtrip(spark):
+    df = spark.createDataFrame([(0.2,), (0.5,), (0.999,), (0.0,)], ["beta"])
+    out = df.select(
+        model.inv_mvalue(model.mvalue("beta")).alias("rt"), "beta"
+    ).collect()
+    for r in out:
+        expect = min(max(r["beta"], 0.001), 0.999)
+        assert abs(r["rt"] - expect) < 1e-12
+
+
+def test_combine_runs_wide_outer(spark):
+    a = spark.createDataFrame([("cg1", 0.1), ("cg2", 0.2)], ["TargetID", "s1"])
+    b = spark.createDataFrame([("cg2", 0.3), ("cg3", 0.4)], ["TargetID", "s2"])
+    out = combine_runs_wide([a, b])
+    assert out.count() == 3  # union of probe sets, NaN blocks as NULL
+    row = {r["TargetID"]: r for r in out.collect()}
+    assert row["cg1"]["s2"] is None and row["cg3"]["s1"] is None
+
+
+def test_variance_topk(meth, meth_pdf):
+    out = top_k_variable_probes(meth, k=10).toPandas()
+    want = (
+        meth_pdf.dropna(subset=["beta"]).groupby("probe_id")["beta"].var(ddof=1)
+        .sort_values(ascending=False)
+    )
+    np.testing.assert_allclose(
+        sorted(out["variance"]), sorted(want.head(10).values), rtol=1e-9
+    )
+
+
+def test_bh_adjust_matches_r_semantics(spark):
+    rng = np.random.RandomState(0)
+    p = rng.uniform(size=53)
+    p[:5] = p[:5] / 1000
+    pdf = pd.DataFrame({"probe_id": [f"cg{i}" for i in range(53)], "p_value": p})
+    out = bh_adjust(spark.createDataFrame(pdf)).toPandas().set_index("probe_id")
+
+    # R p.adjust(method="BH") oracle
+    n = len(p)
+    order = np.argsort(p)[::-1]  # descending
+    ranked = p[order] * n / np.arange(n, 0, -1)
+    adj = np.minimum.accumulate(ranked)
+    adj = np.minimum(adj, 1.0)
+    want = np.empty(n)
+    want[order] = adj
+    np.testing.assert_allclose(
+        out.loc[pdf["probe_id"], "adj_p"].values, want, rtol=1e-12
+    )
+
+
+def test_moderated_t_vs_numpy(spark):
+    rng = np.random.RandomState(1)
+    rows = []
+    for pi in range(60):
+        shift = 3.0 if pi < 10 else 0.0
+        for si in range(5):
+            rows.append((f"cg{pi:04d}", f"a{si}", "A", float(rng.normal(0, 1))))
+            rows.append((f"cg{pi:04d}", f"b{si}", "B", float(rng.normal(shift, 1))))
+    df = spark.createDataFrame(rows, ["probe_id", "sample_id", "grp", "mval"])
+    out = moderated_t_two_group(df, "grp", "A", "B", value_col="mval").toPandas()
+    assert len(out) == 60
+
+    pdf = pd.DataFrame(rows, columns=["probe_id", "sample_id", "grp", "mval"])
+    g = pdf.groupby(["probe_id", "grp"])["mval"].agg(["count", "mean", "var"]).unstack()
+    n1, n2 = g[("count", "A")], g[("count", "B")]
+    s2 = ((n1 - 1) * g[("var", "A")] + (n2 - 1) * g[("var", "B")]) / (n1 + n2 - 2)
+    s0 = s2.mean()
+    d0 = 2 * s0**2 / s2.var(ddof=1)
+    df_ = n1 + n2 - 2
+    s2p = (d0 * s0 + df_ * s2) / (d0 + df_)
+    t = (g[("mean", "A")] - g[("mean", "B")]) / np.sqrt(s2p * (1 / n1 + 1 / n2))
+    got = out.set_index("probe_id")["t_mod"]
+    np.testing.assert_allclose(got[t.index].values, t.values, rtol=1e-9)
+    # planted effects should rank first by |t|
+    top = out.reindex(out["t_mod"].abs().sort_values(ascending=False).index).head(10)
+    assert sum(int(p[2:]) < 10 for p in top["probe_id"]) >= 8
+
+
+def test_group_mean_deltas(spark):
+    df = spark.createDataFrame(
+        [("cg1", "s1", "A", 0.9), ("cg1", "s2", "A", 0.7), ("cg1", "s3", "B", 0.2)],
+        ["probe_id", "sample_id", "grp", "beta"],
+    )
+    out = group_mean_deltas(df, "grp", "A", "B").collect()[0]
+    assert abs(out["delta"] - (0.8 - 0.2)) < 1e-12

@@ -1,0 +1,86 @@
+"""QC operator tests (P3-P15) against pandas oracles on the F2 fixture."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from methyl_data_pipeline_spark.operators import qc
+
+
+def test_drop_incomplete_probes(meth, meth_pdf):
+    n_samples = meth_pdf["sample_id"].nunique()
+    got = sorted(
+        r["probe_id"]
+        for r in qc.drop_incomplete_probes(meth, n_samples)
+        .select("probe_id").distinct().collect()
+    )
+    counts = meth_pdf.dropna(subset=["beta"]).groupby("probe_id")["sample_id"].count()
+    want = sorted(counts[counts == n_samples].index)
+    assert got == want
+    assert 0 < len(want) < meth_pdf["probe_id"].nunique()
+
+
+def test_drop_all_missing_probes(spark, meth):
+    # add a probe whose only rows are null-valued
+    extra = spark.createDataFrame(
+        [("cgALLNULL", "TB1_1", "1", None, 0.01)], schema=meth.schema
+    )
+    df = meth.unionByName(extra)
+    out = qc.drop_all_missing_probes(df)
+    assert out.filter(F.col("probe_id") == "cgALLNULL").count() == 0
+    assert out.select("probe_id").distinct().count() == meth.select("probe_id").distinct().count()
+
+
+def test_filter_cg_probes(meth, meth_pdf):
+    out = qc.filter_cg_probes(meth)
+    assert out.filter(~F.col("probe_id").startswith("cg")).count() == 0
+    want = meth_pdf[meth_pdf.probe_id.str.startswith("cg")].shape[0]
+    assert out.count() == want
+
+
+def test_drop_sex_chromosomes(meth, probes):
+    out = qc.drop_sex_chromosomes(meth, probes)
+    sex_probes = {r["probe_id"] for r in probes.filter(F.col("chr").isin("chrX", "chrY")).collect()}
+    remaining = {r["probe_id"] for r in out.select("probe_id").distinct().collect()}
+    assert not (remaining & sex_probes)
+
+
+def test_filter_samples_by_detp(meth, meth_pdf):
+    out = qc.filter_samples_by_detp(meth, 0.05)
+    kept = {r["sample_id"] for r in out.select("sample_id").distinct().collect()}
+    means = meth_pdf.groupby("sample_id")["det_p"].mean()
+    want = set(means[means < 0.05].index)
+    assert kept == want
+    assert "TB12_2" not in kept  # the planted bad sample
+
+
+def test_filter_probes_by_detp(meth, meth_pdf):
+    n_samples = meth_pdf["sample_id"].nunique()
+    out = qc.filter_probes_by_detp(meth, 0.05, n_samples)
+    kept = {r["probe_id"] for r in out.select("probe_id").distinct().collect()}
+    g = meth_pdf.groupby("probe_id")
+    want = set(
+        pid
+        for pid, grp in g
+        if len(grp) == n_samples and (grp["det_p"] < 0.05).all()
+    )
+    assert kept == want
+
+
+def test_scrub_nonfinite(spark):
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, float("nan")), (3, float("inf")), (4, -float("inf"))],
+        ["id", "v"],
+    )
+    out = qc.scrub_nonfinite(df, ["v"]).collect()
+    assert [r["id"] for r in out] == [1]
+
+
+def test_audit_membership(spark, meth):
+    samples = spark.createDataFrame(
+        [("TB1_1",), ("TB2_1",), ("TB_GHOST",)], ["sample_id"]
+    )
+    sheet_only, matrix_only = qc.audit_membership(samples, meth)
+    assert [r["sample_id"] for r in sheet_only.collect()] == ["TB_GHOST"]
+    assert matrix_only.count() == meth.select("sample_id").distinct().count() - 2
