@@ -59,7 +59,7 @@ def _fit_beta3(values: np.ndarray, nfit: int, seed: int, n_iter: int, tol: float
     resp[(v > q[0]) & (v <= q[1]), 1] = 1.0
     resp[v > q[1], 2] = 1.0
 
-    from scipy import stats
+    from methyl_data_pipeline_spark.stats import special
 
     a = np.ones(3)
     b = np.ones(3)
@@ -81,7 +81,7 @@ def _fit_beta3(values: np.ndarray, nfit: int, seed: int, n_iter: int, tol: float
             b[k] = max((1 - m) * common, 1e-3)
         w = resp.mean(axis=0)
         # E-step
-        dens = np.stack([w[k] * stats.beta.pdf(v, a[k], b[k]) for k in range(3)], axis=1)
+        dens = np.stack([w[k] * special.beta_pdf(v, a[k], b[k]) for k in range(3)], axis=1)
         tot = dens.sum(axis=1, keepdims=True)
         tot[tot <= 0] = 1e-300
         resp = dens / tot
@@ -100,7 +100,7 @@ def _bmiq_sample(
 ):
     """Normalize one sample's Type II betas onto its Type I mixture.
     Returns (normalized betas, ok_flag)."""
-    from scipy import stats
+    from methyl_data_pipeline_spark.stats import special
 
     out = beta.copy()
     t1 = (design == 1) & ~np.isnan(beta)
@@ -117,7 +117,7 @@ def _bmiq_sample(
 
     b2v = np.clip(beta[t2], 1e-6, 1 - 1e-6)
     # hard class assignment for type II probes by posterior
-    dens = np.stack([w2[k] * stats.beta.pdf(b2v, a2[k], b2[k]) for k in range(3)], axis=1)
+    dens = np.stack([w2[k] * special.beta_pdf(b2v, a2[k], b2[k]) for k in range(3)], axis=1)
     cls = dens.argmax(axis=1)
     if min(np.bincount(cls, minlength=3)) < min_class:
         return out, False
@@ -125,12 +125,12 @@ def _bmiq_sample(
     norm = b2v.copy()
     # U class: quantile transfer onto the Type I U component
     u = cls == 0
-    p = stats.beta.cdf(b2v[u], a2[0], b2[0])
-    norm[u] = stats.beta.ppf(np.clip(p, 1e-12, 1 - 1e-12), a1[0], b1[0])
+    p = special.beta_cdf(b2v[u], a2[0], b2[0])
+    norm[u] = special.beta_ppf(np.clip(p, 1e-12, 1 - 1e-12), a1[0], b1[0])
     # M class: mirrored quantile transfer
     m = cls == 2
-    p = stats.beta.sf(b2v[m], a2[2], b2[2])
-    norm[m] = stats.beta.isf(np.clip(p, 1e-12, 1 - 1e-12), a1[2], b1[2])
+    p = special.beta_sf(b2v[m], a2[2], b2[2])
+    norm[m] = special.beta_isf(np.clip(p, 1e-12, 1 - 1e-12), a1[2], b1[2])
     # H class: conformal shift + dilation into the [max(U*), min(M*)] gap
     h = cls == 1
     if h.any():
@@ -162,9 +162,12 @@ def bmiq_normalize(
 
     nfit/tol defaults mirror BMIQ_1.4.R:39 (nfit=10000, tol=1e-3);
     min_class=50 mirrors DoBMIQ.R's >=50-points-per-class guard.
-    Per-sample seeds are ``seed + hash(sample) % 2^20`` — deterministic
-    across runs and partitionings.
+    Per-sample seeds are ``seed + crc32(sample) % 2^20`` — deterministic
+    across runs, partitionings, and executor placement.
     """
+    from methyl_data_pipeline_spark.deploy import ensure_importable
+
+    ensure_importable(meth.sparkSession)
     joined = meth.join(
         F.broadcast(probes.select("probe_id", "design_type")), "probe_id", "left"
     )
@@ -175,8 +178,12 @@ def bmiq_normalize(
     )
 
     def per_sample(pdf: pd.DataFrame) -> pd.DataFrame:
+        import zlib
+
         sid = str(pdf["sample_id"].iloc[0])
-        local_seed = (seed + (hash(sid) % (1 << 20))) % (1 << 31)
+        # crc32, not hash(): Python's hash is per-process salted, which
+        # would make results depend on executor placement.
+        local_seed = (seed + (zlib.crc32(sid.encode()) % (1 << 20))) % (1 << 31)
         beta = pdf[value_col].to_numpy(dtype=float)
         design = pdf["design_type"].fillna(2).to_numpy(dtype=int)
         normed, ok = _bmiq_sample(beta, design, nfit, local_seed, n_iter, tol, min_class)

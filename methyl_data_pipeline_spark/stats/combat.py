@@ -51,6 +51,9 @@ def combat(
     (``preprocessing/combat_norm.py:28-30``); compose with
     ``operators.qc.drop_incomplete_probes``.
     """
+    from methyl_data_pipeline_spark.deploy import ensure_importable
+
+    ensure_importable(long_df.sparkSession)
     x = F.col(value_col)
     df = long_df.select(key_col, sample_col, batch_col, value_col)
 

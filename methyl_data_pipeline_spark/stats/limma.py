@@ -31,6 +31,7 @@ pandas UDF only when requested.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -101,20 +102,24 @@ def moderated_t_two_group(
     )
 
     if with_p_values:
+        from methyl_data_pipeline_spark.deploy import ensure_importable
+
+        ensure_importable(long_df.sparkSession)
         out = out.withColumn("p_value", _t_sf_two_sided(F.col("t_mod"), F.col("df_mod")))
     return out
 
 
 def _t_sf_two_sided(t_col, df_col):
-    """2·P(T_df > |t|) via an Arrow-batched pandas UDF (scipy)."""
-    import pandas as pd  # noqa: F401
+    """2·P(T_df > |t|) via an Arrow-batched pandas UDF (pure NumPy)."""
     from pyspark.sql.functions import pandas_udf
 
+    # NOTE: pandas must be importable from module globals — pandas_udf
+    # resolves the (PEP 563 stringified) hints via get_type_hints.
     @pandas_udf("double")
-    def t_sf(t: "pd.Series", df: "pd.Series") -> "pd.Series":
-        from scipy import stats
+    def t_sf(t: pd.Series, df: pd.Series) -> pd.Series:
+        from methyl_data_pipeline_spark.stats.special import t_sf as _sf
 
-        return pd.Series(2.0 * stats.t.sf(t.abs(), df))
+        return pd.Series(2.0 * _sf(t.abs().to_numpy(), df.to_numpy()))
 
     return t_sf(t_col, df_col)
 

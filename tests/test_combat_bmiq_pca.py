@@ -1,0 +1,155 @@
+"""Heavy stats tier: ComBat vs a NumPy reference EB implementation,
+BMIQ invariants (FIXTURES.md F7), PCA vs numpy SVD."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from methyl_data_pipeline_spark.stats.bmiq import bmiq_normalize
+from methyl_data_pipeline_spark.stats.combat import batch_sd_reduction, combat
+from methyl_data_pipeline_spark.stats.pca import pca_scores
+
+
+def _combat_numpy(x: np.ndarray, batches: np.ndarray, conv=1e-4, max_iter=100):
+    """Reference parametric ComBat (Johnson 2007), intercept-only,
+    matrix form: x is genes × samples."""
+    uniq = np.unique(batches)
+    n = x.shape[1]
+    n_b = {b: int((batches == b).sum()) for b in uniq}
+    bhat = {b: x[:, batches == b].mean(axis=1) for b in uniq}
+    grand = sum(n_b[b] * bhat[b] for b in uniq) / n
+    var_pooled = ((x - grand[:, None]) ** 2).sum(axis=1) / n
+    z = (x - grand[:, None]) / np.sqrt(var_pooled)[:, None]
+    out = np.empty_like(x)
+    for b in uniq:
+        zb = z[:, batches == b]
+        nb = n_b[b]
+        gh = zb.mean(axis=1)
+        dh2 = zb.var(axis=1, ddof=1)
+        gbar, t2 = gh.mean(), gh.var(ddof=1)
+        dm, ds2 = dh2.mean(), dh2.var(ddof=1)
+        a = (2 * ds2 + dm**2) / ds2
+        bb = (dm * ds2 + dm**3) / ds2
+        g_old, d_old = gh.copy(), dh2.copy()
+        for _ in range(max_iter):
+            g_new = (t2 * nb * gh + d_old * gbar) / (t2 * nb + d_old)
+            sum2 = (nb - 1) * dh2 + nb * (gh - g_new) ** 2
+            d_new = (0.5 * sum2 + bb) / (nb / 2.0 + a - 1)
+            change = max(
+                np.max(np.abs(g_new - g_old) / np.maximum(np.abs(g_old), 1e-12)),
+                np.max(np.abs(d_new - d_old) / np.maximum(np.abs(d_old), 1e-12)),
+            )
+            g_old, d_old = g_new, d_new
+            if change < conv:
+                break
+        out[:, batches == b] = (
+            (zb - g_old[:, None]) / np.sqrt(d_old)[:, None]
+        ) * np.sqrt(var_pooled)[:, None] + grand[:, None]
+    return out
+
+
+@pytest.fixture(scope="module")
+def batch_data():
+    rng = np.random.RandomState(3)
+    n_probes, n1, n2 = 80, 6, 8
+    base = rng.normal(0, 1, size=(n_probes, n1 + n2))
+    # batch 2 has additive + multiplicative batch effect
+    base[:, n1:] = base[:, n1:] * 1.6 + 0.9
+    batches = np.array(["1"] * n1 + ["2"] * n2)
+    return base, batches
+
+
+def test_combat_matches_reference_numpy(spark, batch_data):
+    x, batches = batch_data
+    n_probes, n_samp = x.shape
+    rows = [
+        (f"cg{p:05d}", f"s{s}", str(batches[s]), float(x[p, s]))
+        for p in range(n_probes)
+        for s in range(n_samp)
+    ]
+    df = spark.createDataFrame(rows, ["probe_id", "sample_id", "run", "beta"])
+    got = combat(df).toPandas().pivot_table(
+        index="probe_id", columns="sample_id", values="beta_combat"
+    )
+    want = _combat_numpy(x, batches)
+    probe_ids = [f"cg{p:05d}" for p in range(n_probes)]
+    sample_ids = [f"s{s}" for s in range(n_samp)]
+    np.testing.assert_allclose(
+        got.loc[probe_ids, sample_ids].values, want, rtol=1e-6, atol=1e-8
+    )
+
+
+def test_combat_reduces_batch_sd(spark, batch_data):
+    """The reference's diagnostic invariant (test.R:171-180): cross-batch
+    SD of per-batch means must shrink substantially."""
+    x, batches = batch_data
+    rows = [
+        (f"cg{p:05d}", f"s{s}", str(batches[s]), float(x[p, s]))
+        for p in range(x.shape[0])
+        for s in range(x.shape[1])
+    ]
+    df = spark.createDataFrame(rows, ["probe_id", "sample_id", "run", "beta"])
+    adjusted = combat(df)
+    sds = batch_sd_reduction(df, adjusted, "beta", "beta_combat").agg(
+        F.avg("sd_before").alias("b"), F.avg("sd_after").alias("a")
+    ).collect()[0]
+    assert sds["a"] < sds["b"] / 2  # >2x reduction per SURVEY §5
+
+
+def test_bmiq_invariants(spark, probes):
+    """BMIQ_1.4.R invariants: Type I betas unchanged, output in [0,1]."""
+    rng = np.random.RandomState(11)
+    probe_rows = probes.select("probe_id", "design_type").toPandas()
+    rows = []
+    for sid in ["TBa_1", "TBb_1"]:
+        for _, pr in probe_rows.iterrows():
+            mix = rng.rand()
+            if pr["design_type"] == 1:
+                b = rng.beta(0.4, 6) if mix < 0.45 else (rng.beta(6, 0.4) if mix < 0.9 else rng.beta(3, 3))
+            else:
+                # type II: compressed toward the middle (the bias BMIQ fixes)
+                b = rng.beta(1.2, 5) if mix < 0.45 else (rng.beta(5, 1.2) if mix < 0.9 else rng.beta(3, 3))
+            rows.append((pr["probe_id"], sid, "1", float(b), 0.01))
+    meth = spark.createDataFrame(rows, ["probe_id", "sample_id", "run", "beta", "det_p"])
+    out = bmiq_normalize(meth, probes, min_class=10).toPandas()
+    ok = out[out["bmiq_ok"]]
+    assert len(ok) > 0
+    t1 = ok[ok["design_type"] == 1]
+    np.testing.assert_allclose(t1["beta_bmiq"], t1["beta"], rtol=1e-12)
+    assert (ok["beta_bmiq"] >= 0).all() and (ok["beta_bmiq"] <= 1).all()
+    # determinism: same input -> same output
+    out2 = bmiq_normalize(meth, probes, min_class=10).toPandas()
+    m1 = out.sort_values(["probe_id", "sample_id"])["beta_bmiq"].to_numpy()
+    m2 = out2.sort_values(["probe_id", "sample_id"])["beta_bmiq"].to_numpy()
+    np.testing.assert_array_equal(m1, m2)
+
+
+def test_pca_scores_match_numpy(spark):
+    rng = np.random.RandomState(5)
+    n_probes, n_samples = 50, 8
+    x = rng.normal(0, 1, size=(n_probes, n_samples))
+    x[:10, : n_samples // 2] += 2.0  # structure
+    rows = [
+        (f"cg{p:05d}", f"s{s:02d}", float(x[p, s]))
+        for p in range(n_probes)
+        for s in range(n_samples)
+    ]
+    df = spark.createDataFrame(rows, ["probe_id", "sample_id", "mval"])
+    scores, ev = pca_scores(df, k=2, value_col="mval", scale=False)
+    got = scores.toPandas().set_index("sample_id").sort_index()
+
+    # numpy oracle: prcomp(t(x), center=TRUE, scale.=FALSE)
+    xt = x.T - x.T.mean(axis=0)
+    u, s, vt = np.linalg.svd(xt, full_matrices=False)
+    pcs = u * s
+    # sign is arbitrary per component — compare up to sign
+    for i in range(2):
+        col = got[f"PC{i+1}"].values
+        ref = pcs[:, i]
+        assert min(
+            np.max(np.abs(col - ref)), np.max(np.abs(col + ref))
+        ) < 1e-6
+    assert ev[0] > ev[1] > 0
