@@ -1,38 +1,1020 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is a Spark DataFrame program exercising one or
+more operators from SURVEY.md §2 (IDs cited per query); the matching
+``oracle_sql()`` entry is ANSI SQL that DuckDB runs over the same
+parquet tables. Column names and float rounding are aligned on both
+sides so the driver's order-insensitive value-hash matches.
+
+Determinism notes:
+- money sums go through DECIMAL(18,4) (exact) then cast to double;
+- derived float stats are rounded (5-6 dp) on BOTH sides, far above
+  fp-reassociation noise (~1e-12) and far below data resolution;
+- every hash-based operator (fingerprint/minhash/simhash) uses
+  md5-derived 60-bit ints, identical in Spark
+  (``conv(substring(md5(x),1,15),16,10)``) and DuckDB
+  (``('0x'||substr(md5(x),1,15))::BIGINT``).
+
+The synthetic ``meth`` view (a long methylation-style fact table
+derived from lineitem) lets the methylation operators (SURVEY §2.2,
+§2.4, §2.10) be oracle-checked on the driver's star schema: probe =
+part, sample = supplier, run = supplier mod 4, beta = scaled discount.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Window
 
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events table with the nanosecond-precision parquet timestamp
+    normalized to Spark TimestampType (micros). The testdata stores
+    TIMESTAMP(NANOS) which Spark rejects by default; read it as long
+    and truncate to micros (what DuckDB does implicitly)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+
+
+def _r(col, digits: int = 6):
+    """Cross-engine reproducible rounding: +1e-9 nudges values that sit
+    exactly on a decimal half-boundary (common here: the synthetic data
+    lives on decimal grids) off the tie, where Spark's string-based
+    HALF_UP and DuckDB's numeric rounding disagree."""
+    return F.round(col + F.lit(1e-9), digits)
+
+
+# --------------------------------------------------------------------------
+# Shared derived views
+# --------------------------------------------------------------------------
+
+def _meth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long methylation-style fact table derived from lineitem
+    (model.METH_SCHEMA shape). Mirrors the SQL CTE ``METH_CTE``."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            F.concat(F.lit("cg"), F.lpad(F.col("l_partkey").cast("string"), 8, "0")).alias(
+                "probe_id"
+            ),
+            F.concat(F.lit("S"), (F.col("l_suppkey") % 8).cast("string")).alias("sample_id"),
+            F.concat(F.lit("R"), (F.col("l_suppkey") % 2).cast("string")).alias("run"),
+            (F.col("l_discount") * 9 + 0.05).alias("b"),
+            (
+                F.col("l_tax") / 10
+                + F.when(F.col("l_suppkey") % 8 == 7, 0.05).otherwise(0.0)
+            ).alias("d"),
+        )
+        .groupBy("probe_id", "sample_id", "run")
+        .agg(F.avg("b").alias("beta"), F.avg("d").alias("det_p"))
+    )
+
+
+METH_CTE = """
+meth AS (
+  SELECT 'cg' || lpad(CAST(l_partkey AS VARCHAR), 8, '0') AS probe_id,
+         'S' || CAST(l_suppkey % 8 AS VARCHAR)             AS sample_id,
+         'R' || CAST(l_suppkey % 2 AS VARCHAR)             AS run,
+         avg(l_discount * 9 + 0.05)                        AS beta,
+         avg(l_tax / 10 + CASE WHEN l_suppkey % 8 = 7 THEN 0.05 ELSE 0.0 END)
+                                                           AS det_p
+  FROM lineitem
+  GROUP BY 1, 2, 3
+)
+"""
+
+
+def _dec_sum(col, alias):
+    """Exact money sum: decimal aggregation, double output."""
+    return F.sum(col.cast("decimal(18,4)")).cast("double").alias(alias)
+
+
+# --------------------------------------------------------------------------
+# Relational core (SURVEY §2.1-2.9 over the star schema)
+# --------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped agg: A2/A4/A5, F8, sorts O1. One shuffle, all
+    aggregates map-side partial."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum(F.col("l_quantity"), "sum_qty"),
+            _dec_sum(F.col("l_extendedprice"), "sum_base_price"),
+            _dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "sum_disc_price"
+            ),
+            F.count("*").alias("count_order"),
+            _r(F.avg("l_quantity")).alias("avg_qty"),
+            _r(F.avg("l_discount")).alias("avg_disc"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)      AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+                                                                   AS sum_disc_price,
+       COUNT(*)                                                    AS count_order,
+       ROUND(AVG(l_quantity) + 1e-9, 6)                                   AS avg_qty,
+       ROUND(AVG(l_discount) + 1e-9, 6)                                   AS avg_disc
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join (J3 broadcast dims) + agg + deterministic top-k (O1)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            _dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+SQL_TOP_REVENUE = """
+SELECT o_orderkey, o_orderdate,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+         AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-way full-outer combine (J1) — the reference's run-matrix merge
+    shape: per-status order counts outer-joined on customer."""
+    orders = _t(spark, sf_dir, "orders")
+
+    def side(status: str, alias: str) -> DataFrame:
+        return (
+            orders.filter(F.col("o_orderstatus") == status)
+            .groupBy("o_custkey")
+            .agg(F.count("*").alias(alias))
+        )
+
+    a = side("O", "n_open")
+    b = side("F", "n_finished")
+    return a.join(b, "o_custkey", "full_outer").orderBy("o_custkey")
+
+
+SQL_JOIN_FULL_OUTER = """
+WITH a AS (SELECT o_custkey, COUNT(*) AS n_open     FROM orders WHERE o_orderstatus = 'O' GROUP BY 1),
+     b AS (SELECT o_custkey, COUNT(*) AS n_finished FROM orders WHERE o_orderstatus = 'F' GROUP BY 1)
+SELECT COALESCE(a.o_custkey, b.o_custkey) AS o_custkey, n_open, n_finished
+FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+ORDER BY o_custkey
+"""
+
+
+def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti membership (P10/P11/J6): customers with vs without
+    orders, per market segment."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    with_orders = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+    without = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+    return (
+        with_orders.groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_with"))
+        .join(
+            without.groupBy("c_mktsegment").agg(F.count("*").alias("n_without")),
+            "c_mktsegment",
+            "full_outer",
+        )
+        .select(
+            "c_mktsegment",
+            F.coalesce("n_with", F.lit(0)).alias("n_with"),
+            F.coalesce("n_without", F.lit(0)).alias("n_without"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+SQL_SEMI_ANTI = """
+WITH w AS (SELECT c_mktsegment, COUNT(*) AS n_with
+           FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
+           GROUP BY 1),
+     wo AS (SELECT c_mktsegment, COUNT(*) AS n_without
+            FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+            GROUP BY 1)
+SELECT COALESCE(w.c_mktsegment, wo.c_mktsegment) AS c_mktsegment,
+       COALESCE(n_with, 0) AS n_with, COALESCE(n_without, 0) AS n_without
+FROM w FULL OUTER JOIN wo ON w.c_mktsegment = wo.c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators (T1-T3): nations with customers vs with suppliers."""
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    both = cust.intersect(supp).withColumn("which", F.lit("both"))
+    cust_only = cust.distinct().exceptAll(supp.distinct()).withColumn(
+        "which", F.lit("customer_only")
+    )
+    return both.unionByName(cust_only).orderBy("which", "nationkey")
+
+
+SQL_SET_OPS = """
+SELECT nationkey, 'both' AS which FROM
+  (SELECT c_nationkey AS nationkey FROM customer
+   INTERSECT
+   SELECT s_nationkey FROM supplier)
+UNION ALL
+SELECT nationkey, 'customer_only' AS which FROM
+  (SELECT DISTINCT c_nationkey AS nationkey FROM customer
+   EXCEPT
+   SELECT DISTINCT s_nationkey FROM supplier)
+ORDER BY which, nationkey
+"""
+
+
+def q_dedup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row dedup (P12): distinct projection."""
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        cust.select("c_nationkey", "c_mktsegment")
+        .distinct()
+        .orderBy("c_nationkey", "c_mktsegment")
+    )
+
+
+SQL_DEDUP_DISTINCT = """
+SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
+ORDER BY c_nationkey, c_mktsegment
+"""
+
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide pivot (R3) with explicit value list (no discovery pass)."""
+    ev = _events(spark, sf_dir)
+    kinds = ["click", "view", "purchase", "error"]
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.round(F.avg("value") + 1e-9, 6))
+    )
+    return out.orderBy("user_id")
+
+
+SQL_PIVOT = """
+SELECT user_id,
+       ROUND(AVG(CASE WHEN event_type = 'click'    THEN value END) + 1e-9, 6) AS click,
+       ROUND(AVG(CASE WHEN event_type = 'view'     THEN value END) + 1e-9, 6) AS view,
+       ROUND(AVG(CASE WHEN event_type = 'purchase' THEN value END) + 1e-9, 6) AS purchase,
+       ROUND(AVG(CASE WHEN event_type = 'error'    THEN value END) + 1e-9, 6) AS error
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (R2)."""
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.select(
+            "p_partkey",
+            F.col("p_size").cast("double").alias("p_size"),
+            F.col("p_retailprice").cast("double").alias("p_retailprice"),
+        )
+        .unpivot(
+            ids=["p_partkey"],
+            values=["p_size", "p_retailprice"],
+            variableColumnName="attr",
+            valueColumnName="val",
+        )
+        .orderBy("p_partkey", "attr")
+    )
+
+
+SQL_MELT = """
+SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+UNION ALL
+SELECT p_partkey, 'p_retailprice' AS attr, p_retailprice AS val FROM part
+ORDER BY p_partkey, attr
+"""
+
+
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string functions (F1-F8): extract/split/concat/case/cast."""
+    cust = _t(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.regexp_extract(F.col("c_name"), r"(\d+)", 1).cast("long").alias("name_num"),
+        F.split(F.col("c_name"), "#")[0].alias("name_prefix"),
+        F.concat_ws("_", F.col("c_mktsegment"), F.col("c_nationkey").cast("string")).alias(
+            "seg_key"
+        ),
+        F.lower(F.trim(F.col("c_mktsegment"))).alias("seg_lower"),
+        F.substring(F.col("c_name"), -3, 3).alias("name_tail"),
+    ).orderBy("c_custkey")
+
+
+SQL_STRING_FUNCS = """
+SELECT c_custkey,
+       CAST(regexp_extract(c_name, '(\\d+)', 1) AS BIGINT) AS name_num,
+       string_split(c_name, '#')[1]                         AS name_prefix,
+       c_mktsegment || '_' || CAST(c_nationkey AS VARCHAR)  AS seg_key,
+       lower(trim(c_mktsegment))                            AS seg_lower,
+       CASE WHEN length(c_name) >= 3
+            THEN substr(c_name, length(c_name) - 2, 3) ELSE c_name END AS name_tail
+FROM customer ORDER BY c_custkey
+"""
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped top-k via row_number window (W1 grouped)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("o_orderpriority", "rank", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderpriority", "rank")
+    )
+
+
+SQL_TOPK_PER_GROUP = """
+SELECT o_orderpriority, rank, o_orderkey, o_totalprice FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+  FROM orders) t
+WHERE rank <= 5 ORDER BY o_orderpriority, rank
+"""
+
+
+def q_running_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-user cumulative sum over event time (window frame)."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        ev.withColumn("running_value", _r(F.sum("value").over(w)))
+        .select("event_id", "user_id", "running_value")
+        .orderBy("event_id")
+    )
+
+
+SQL_RUNNING_WINDOW = """
+SELECT event_id, user_id,
+       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1e-9, 6)
+         AS running_value
+FROM events ORDER BY event_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Methylation operator suite over the derived meth view
+# --------------------------------------------------------------------------
+
+def q_meth_qc_detp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detection-p QC (P8 sample filter + P9 probe filter): per-run
+    surviving probe/row counts."""
+    from methyl_data_pipeline_spark.operators import qc
+
+    meth = _meth(spark, sf_dir)
+    good_samples = qc.filter_samples_by_detp(meth, threshold=0.02)
+    n_samples = good_samples.select("sample_id").distinct().count()
+    good = qc.filter_probes_by_detp(good_samples, 0.006, n_samples)
+    return (
+        good.groupBy("run")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("probe_id").alias("n_probes"),
+        )
+        .orderBy("run")
+    )
+
+
+SQL_METH_QC_DETP = f"""
+WITH {METH_CTE},
+good_samples AS (
+  SELECT sample_id FROM meth GROUP BY sample_id HAVING avg(det_p) < 0.02
+),
+filtered AS (
+  SELECT m.* FROM meth m JOIN good_samples g ON m.sample_id = g.sample_id
+),
+n AS (SELECT COUNT(*) AS n_samples FROM good_samples),
+good_probes AS (
+  SELECT probe_id FROM filtered GROUP BY probe_id
+  HAVING SUM(CASE WHEN det_p >= 0.006 THEN 1 ELSE 0 END) = 0
+     AND COUNT(*) = (SELECT n_samples FROM n)
+)
+SELECT run, COUNT(*) AS n_rows, COUNT(DISTINCT probe_id) AS n_probes
+FROM filtered WHERE probe_id IN (SELECT probe_id FROM good_probes)
+GROUP BY run ORDER BY run
+"""
+
+
+def q_meth_complete_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop-any-missing completeness (P3): probes observed in every
+    sample — count-vs-expected semantics, not null-scan."""
+    from methyl_data_pipeline_spark.operators import qc
+
+    meth = _meth(spark, sf_dir)
+    n_samples = meth.select("sample_id").distinct().count()
+    return (
+        qc.drop_incomplete_probes(meth, n_samples)
+        .select("probe_id")
+        .distinct()
+        .orderBy("probe_id")
+    )
+
+
+SQL_METH_COMPLETE = f"""
+WITH {METH_CTE},
+n AS (SELECT COUNT(DISTINCT sample_id) AS n_samples FROM meth)
+SELECT probe_id FROM meth GROUP BY probe_id
+HAVING COUNT(beta) = (SELECT n_samples FROM n)
+ORDER BY probe_id
+"""
+
+
+def q_meth_variance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-probe M-value variance + deterministic top-k (A1, W1/O1,
+    F9/P13)."""
+    from methyl_data_pipeline_spark import model
+    from methyl_data_pipeline_spark.stats.feature_selection import per_probe_variance
+
+    meth = _meth(spark, sf_dir).withColumn("mval", model.mvalue("beta"))
+    var = per_probe_variance(meth, "mval")
+    return (
+        var.withColumn("variance", _r(F.col("variance")))
+        .orderBy(F.col("variance").desc(), F.col("probe_id").asc())
+        .limit(100)
+    )
+
+
+SQL_METH_VARIANCE_TOPK = f"""
+WITH {METH_CTE},
+m AS (
+  SELECT probe_id,
+         log2(least(greatest(beta, 0.001), 0.999)
+              / (1 - least(greatest(beta, 0.001), 0.999))) AS mval
+  FROM meth
+)
+SELECT probe_id, ROUND(var_samp(mval) + 1e-9, 6) AS variance
+FROM m GROUP BY probe_id
+ORDER BY variance DESC, probe_id ASC LIMIT 100
+"""
+
+
+def q_meth_group_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group mean betas + delta (A2/A11): run group R0 vs R1."""
+    from methyl_data_pipeline_spark.stats.limma import group_mean_deltas
+
+    meth = _meth(spark, sf_dir)
+    out = group_mean_deltas(meth, "run", "R0", "R1", value_col="beta")
+    return out.select(
+        "probe_id",
+        _r(F.col("mean_a")).alias("mean_a"),
+        _r(F.col("mean_b")).alias("mean_b"),
+        _r(F.col("delta")).alias("delta"),
+    ).orderBy("probe_id")
+
+
+SQL_METH_GROUP_DELTA = f"""
+WITH {METH_CTE}
+SELECT probe_id,
+       ROUND(AVG(CASE WHEN run = 'R0' THEN beta END) + 1e-9, 6) AS mean_a,
+       ROUND(AVG(CASE WHEN run = 'R1' THEN beta END) + 1e-9, 6) AS mean_b,
+       ROUND(AVG(CASE WHEN run = 'R0' THEN beta END)
+             - AVG(CASE WHEN run = 'R1' THEN beta END) + 1e-9, 6) AS delta
+FROM meth WHERE run IN ('R0', 'R1') GROUP BY probe_id
+ORDER BY probe_id
+"""
+
+
+def q_meth_moderated_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Limma-style moderated t (A13/M5): closed-form EB, fully
+    SQL-checkable. The flagship stats query."""
+    from methyl_data_pipeline_spark import model
+    from methyl_data_pipeline_spark.stats.limma import moderated_t_two_group
+
+    meth = _meth(spark, sf_dir).withColumn("mval", model.mvalue("beta"))
+    out = moderated_t_two_group(meth, "run", "R0", "R1", value_col="mval")
+    return out.select(
+        "probe_id",
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        _r(F.col("logFC"), 5).alias("logfc"),
+        _r(F.col("t_mod"), 4).alias("t_mod"),
+    ).orderBy("probe_id")
+
+
+SQL_METH_MODERATED_T = f"""
+WITH {METH_CTE},
+m AS (
+  SELECT probe_id, run,
+         log2(least(greatest(beta, 0.001), 0.999)
+              / (1 - least(greatest(beta, 0.001), 0.999))) AS mval
+  FROM meth WHERE run IN ('R0', 'R1')
+),
+per_key AS (
+  SELECT probe_id,
+         COUNT(CASE WHEN run = 'R0' THEN mval END)    AS n1,
+         AVG(CASE WHEN run = 'R0' THEN mval END)      AS mean1,
+         VAR_SAMP(CASE WHEN run = 'R0' THEN mval END) AS var1,
+         COUNT(CASE WHEN run = 'R1' THEN mval END)    AS n2,
+         AVG(CASE WHEN run = 'R1' THEN mval END)      AS mean2,
+         VAR_SAMP(CASE WHEN run = 'R1' THEN mval END) AS var2
+  FROM m GROUP BY probe_id
+  HAVING n1 >= 2 AND n2 >= 2
+),
+stats AS (
+  SELECT *, n1 + n2 - 2 AS df,
+         ((n1 - 1) * var1 + (n2 - 1) * var2) / (n1 + n2 - 2) AS s2,
+         mean1 - mean2 AS logfc
+  FROM per_key
+),
+prior AS (
+  SELECT AVG(s2) AS s0_sq,
+         2.0 * AVG(s2) * AVG(s2) / VAR_SAMP(s2) AS d0
+  FROM stats
+)
+SELECT probe_id, n1, n2, ROUND(logfc + 1e-9, 5) AS logfc,
+       ROUND(logfc / sqrt(((d0 * s0_sq + df * s2) / (d0 + df))
+                          * (1.0 / n1 + 1.0 / n2)) + 1e-9, 4) AS t_mod
+FROM stats, prior ORDER BY probe_id
+"""
+
+
+def q_bh_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BH FDR step-up (A14/W2) over per-probe pseudo p-values."""
+    from methyl_data_pipeline_spark.stats.bh import bh_adjust
+
+    meth = _meth(spark, sf_dir)
+    pseudo = meth.groupBy("probe_id").agg(
+        F.round(F.avg("beta") * 0.9 + 0.05 + 1e-9, 6).alias("p_value")
+    )
+    out = bh_adjust(pseudo, "p_value", "adj_p")
+    return out.select(
+        "probe_id", "p_value", _r(F.col("adj_p"), 8).alias("adj_p")
+    ).orderBy("probe_id")
+
+
+SQL_BH_ADJUST = f"""
+WITH {METH_CTE},
+p AS (
+  SELECT probe_id, ROUND(AVG(beta) * 0.9 + 0.05 + 1e-9, 6) AS p_value
+  FROM meth GROUP BY probe_id
+),
+ranked AS (
+  SELECT probe_id, p_value,
+         ROW_NUMBER() OVER (ORDER BY p_value ASC) AS rk,
+         COUNT(*) OVER () AS n
+  FROM p
+),
+q AS (
+  SELECT probe_id, p_value,
+         p_value * n / rk AS q_raw,
+         MIN(p_value * n / rk) OVER (ORDER BY rk DESC
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS cummin
+  FROM ranked
+)
+SELECT probe_id, p_value, ROUND(LEAST(cummin, 1.0) + 1e-9, 8) AS adj_p
+FROM q ORDER BY probe_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Extension suite (dedup / similarity / text / multimodal / streaming twin)
+# --------------------------------------------------------------------------
+
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (text analysis): whitespace + 4-chars/token
+    estimate."""
+    from methyl_data_pipeline_spark.ext.text import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        tokenize(docs)
+        .select("doc_id", "n_tokens", "n_tokens_est", F.length(F.trim("text")).alias("n_chars_t"))
+        .orderBy("doc_id")
+    )
+
+
+SQL_TEXT_TOKENS = r"""
+SELECT doc_id,
+       len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_tokens,
+       CAST(ceil(length(trim(text)) / 4.0) AS BIGINT)       AS n_tokens_est,
+       length(trim(text))                                   AS n_chars_t
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: punctuation/stopword/word-length ratios."""
+    from methyl_data_pipeline_spark.ext.text import text_quality
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        text_quality(docs)
+        .select(
+            "doc_id",
+            "n_words",
+            _r(F.col("mean_word_len")).alias("mean_word_len"),
+            _r(F.col("punct_ratio")).alias("punct_ratio"),
+            _r(F.col("stopword_ratio")).alias("stopword_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_TEXT_QUALITY = r"""
+WITH t AS (
+  SELECT doc_id, trim(text) AS txt,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+  FROM documents
+)
+SELECT doc_id,
+       len(ws) AS n_words,
+       ROUND(length(regexp_replace(txt, '\s+', '', 'g')) * 1.0 / len(ws) + 1e-9, 6)
+         AS mean_word_len,
+       ROUND((length(txt) - length(regexp_replace(txt, '[^\w\s]', '', 'g')))
+             * 1.0 / length(txt) + 1e-9, 6) AS punct_ratio,
+       ROUND(len(list_filter(ws, w -> list_contains(
+               ['the','and','of','to','a','in','is','that','it','for'], w)))
+             * 1.0 / len(ws) + 1e-9, 6) AS stopword_ratio
+FROM t ORDER BY doc_id
+"""
+
+
+def q_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by md5 fingerprint of normalized text, min-id winner."""
+    from methyl_data_pipeline_spark.ext.dedup import dedup_exact
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_exact(docs).select("doc_id").orderBy("doc_id")
+
+
+SQL_FINGERPRINT_DEDUP = r"""
+WITH keyed AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')),
+                         1, 15))::BIGINT AS fp
+  FROM documents
+)
+SELECT k.doc_id FROM keyed k
+JOIN (SELECT fp, MIN(doc_id) AS m FROM keyed GROUP BY fp) w
+  ON k.fp = w.fp AND k.doc_id = w.m
+ORDER BY k.doc_id
+"""
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (8 salted hash mins over 3-word shingles)."""
+    from methyl_data_pipeline_spark.ext.dedup import minhash_signatures
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_signatures(docs, num_hashes=8).orderBy("doc_id")
+
+
+def _sql_minhash_sigs() -> str:
+    shingle_cte = r"""
+WITH w AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= 3
+              THEN list_transform(generate_series(0, len(ws) - 3),
+                                  i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])
+              ELSE [array_to_string(ws, ' ')] END AS shingles
+  FROM w
+)
+"""
+    mins = ",\n       ".join(
+        f"list_min(list_transform(shingles, s -> ('0x' || substr(md5('mh{i}|' || s), 1, 15))::BIGINT)) AS mh_{i}"
+        for i in range(8)
+    )
+    return f"{shingle_cte}\nSELECT doc_id,\n       {mins}\nFROM sh ORDER BY doc_id"
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding candidate pairs (8 hashes, 4 bands)."""
+    from methyl_data_pipeline_spark.ext.dedup import minhash_candidate_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_candidate_pairs(docs, num_hashes=8, bands=4).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def _sql_minhash_pairs() -> str:
+    base = _sql_minhash_sigs().rsplit("SELECT doc_id", 1)[0]
+    mins = ",\n       ".join(
+        f"list_min(list_transform(shingles, s -> ('0x' || substr(md5('mh{i}|' || s), 1, 15))::BIGINT)) AS mh_{i}"
+        for i in range(8)
+    )
+    bands = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band_idx, md5(CAST(mh_{2*b} AS VARCHAR) || '_' || CAST(mh_{2*b+1} AS VARCHAR)) AS band_hash FROM sigs"
+        for b in range(4)
+    )
+    return f"""{base}, sigs AS (SELECT doc_id, {mins} FROM sh),
+banded AS ({bands})
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM banded a JOIN banded b
+  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+ORDER BY id_a, id_b"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document."""
+    from methyl_data_pipeline_spark.ext.dedup import simhash
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash(docs, bits=32).orderBy("doc_id")
+
+
+def _sql_simhash() -> str:
+    terms = " + ".join(
+        f"(CASE WHEN SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) >= 0 THEN {2**b} ELSE 0 END)"
+        for b in range(32)
+    )
+    return rf"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS word
+  FROM documents
+),
+h AS (SELECT doc_id, ('0x' || substr(md5(word), 1, 15))::BIGINT AS h FROM w)
+SELECT doc_id, CAST({terms} AS BIGINT) AS simhash
+FROM h GROUP BY doc_id ORDER BY doc_id"""
+
+
+def q_embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for the first 20 vectors."""
+    from methyl_data_pipeline_spark.ext.similarity import cosine_topk_bruteforce
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    out = cosine_topk_bruteforce(emb, queries, k=5)
+    return out.select(
+        "query_id", "rank", "neighbor_id", _r(F.col("cosine")).alias("cosine")
+    ).orderBy("query_id", "rank")
+
+
+SQL_EMBEDDING_COSINE = """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 20),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+pairs AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_sum(list_transform(generate_series(1, len(q.qv)),
+                                 i -> q.qv[i] * e.ev[i]))
+           / (sqrt(list_sum(list_transform(q.qv, x -> x * x)))
+              * sqrt(list_sum(list_transform(e.ev, x -> x * x)))) AS cos_raw
+  FROM q CROSS JOIN e WHERE e.vec_id != q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_raw,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
+  FROM pairs
+)
+SELECT query_id, rank, neighbor_id, ROUND(cos_raw + 1e-9, 6) AS cosine
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window event aggregation — batch twin of the streaming
+    operator (identical semantics minus watermark)."""
+    from methyl_data_pipeline_spark.streaming.events import windowed_event_counts_batch
+
+    ev = _events(spark, sf_dir)
+    out = windowed_event_counts_batch(ev, "1 hour")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        _r(F.col("sum_value")).alias("sum_value"),
+    ).orderBy("window_start", "event_type")
+
+
+SQL_EVENTS_WINDOWED = """
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, COUNT(*) AS n_events, ROUND(SUM(value) + 1e-9, 6) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (lag + running sum of breaks)."""
+    from methyl_data_pipeline_spark.streaming.events import sessionize_batch
+
+    ev = _events(spark, sf_dir)
+    out = sessionize_batch(ev, gap_minutes=30)
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+            _r(F.sum("sum_value")).alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_SESSIONIZE = """
+WITH marked AS (
+  SELECT user_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessions AS (
+  SELECT user_id, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY rn
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_seq
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+        FROM (SELECT user_id, value, ts,
+                     CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                               OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events) x) y
+),
+agg AS (
+  SELECT user_id, session_seq, COUNT(*) AS n_events, SUM(value) AS sum_value
+  FROM sessions GROUP BY user_id, session_seq
+)
+SELECT user_id, COUNT(*) AS n_sessions, MAX(n_events) AS max_session_events,
+       ROUND(SUM(sum_value) + 1e-9, 6) AS total_value
+FROM agg GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary wrap → mapInPandas batch feature
+    extraction (digest-stub decode)."""
+    from methyl_data_pipeline_spark.ext.multimodal import attach_binary, decode_features
+
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_binary(docs)
+    out = decode_features(media)
+    return out.select(F.col("id").alias("doc_id"), "n_bytes", "digest").orderBy("doc_id")
+
+
+SQL_MULTIMODAL = """
+SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+       md5(text) AS digest
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-argmax language ID."""
+    from methyl_data_pipeline_spark.ext.text import language_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return language_id(docs).select("doc_id", "lang_pred").orderBy("doc_id")
+
+
+def _sql_lang_id() -> str:
+    from methyl_data_pipeline_spark.ext.text import STOPWORDS
+
+    score_exprs = ",\n       ".join(
+        "len(list_filter(ws, w -> list_contains(["
+        + ", ".join(f"'{s}'" for s in sl)
+        + f"], w))) AS score_{lg}"
+        for lg, sl in STOPWORDS.items()
+    )
+    langs = list(STOPWORDS)
+    greatest = "greatest(" + ", ".join(f"score_{lg}" for lg in langs) + ")"
+    case = "CASE "
+    for lg in langs:
+        case += f"WHEN score_{lg} = {greatest} AND {greatest} > 0 THEN '{lg}' "
+    case += "ELSE 'und' END"
+    return rf"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+  FROM documents
+),
+scored AS (SELECT doc_id, {score_exprs} FROM t)
+SELECT doc_id, {case} AS lang_pred FROM scored ORDER BY doc_id"""
+
+
+# --------------------------------------------------------------------------
+# Contract
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the moderated-t DMP query over the derived meth view at
+    sf0.001 (exercises scan → derive → groupBy agg → EB prior →
+    closed-form stats)."""
+    return q_meth_moderated_t(spark, SF_SMOKE)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational core
+        "pricing_summary": q_pricing_summary,
+        "top_revenue_orders": q_top_revenue_orders,
+        "join_full_outer": q_join_full_outer,
+        "semi_anti_membership": q_semi_anti,
+        "set_ops": q_set_ops,
+        "dedup_distinct": q_dedup_distinct,
+        "pivot_events": q_pivot,
+        "melt_part": q_melt,
+        "string_funcs": q_string_funcs,
+        "topk_per_group": q_topk_per_group,
+        "running_window": q_running_window,
+        # methylation suite
+        "meth_qc_detp": q_meth_qc_detp,
+        "meth_complete_probes": q_meth_complete_probes,
+        "meth_variance_topk": q_meth_variance_topk,
+        "meth_group_delta": q_meth_group_delta,
+        "meth_moderated_t": q_meth_moderated_t,
+        "bh_adjust": q_bh_adjust,
+        # extensions
+        "text_tokens": q_text_tokens,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "fingerprint_dedup": q_fingerprint_dedup,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash": q_simhash,
+        "embedding_cosine_topk": q_embedding_cosine_topk,
+        "events_windowed": q_events_windowed,
+        "sessionize": q_sessionize,
+        "multimodal_features": q_multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": SQL_PRICING,
+        "top_revenue_orders": SQL_TOP_REVENUE,
+        "join_full_outer": SQL_JOIN_FULL_OUTER,
+        "semi_anti_membership": SQL_SEMI_ANTI,
+        "set_ops": SQL_SET_OPS,
+        "dedup_distinct": SQL_DEDUP_DISTINCT,
+        "pivot_events": SQL_PIVOT,
+        "melt_part": SQL_MELT,
+        "string_funcs": SQL_STRING_FUNCS,
+        "topk_per_group": SQL_TOPK_PER_GROUP,
+        "running_window": SQL_RUNNING_WINDOW,
+        "meth_qc_detp": SQL_METH_QC_DETP,
+        "meth_complete_probes": SQL_METH_COMPLETE,
+        "meth_variance_topk": SQL_METH_VARIANCE_TOPK,
+        "meth_group_delta": SQL_METH_GROUP_DELTA,
+        "meth_moderated_t": SQL_METH_MODERATED_T,
+        "bh_adjust": SQL_BH_ADJUST,
+        "text_tokens": SQL_TEXT_TOKENS,
+        "text_quality": SQL_TEXT_QUALITY,
+        "lang_id": _sql_lang_id(),
+        "fingerprint_dedup": SQL_FINGERPRINT_DEDUP,
+        "minhash_signatures": _sql_minhash_sigs(),
+        "minhash_pairs": _sql_minhash_pairs(),
+        "simhash": _sql_simhash(),
+        "embedding_cosine_topk": SQL_EMBEDDING_COSINE,
+        "events_windowed": SQL_EVENTS_WINDOWED,
+        "sessionize": SQL_SESSIONIZE,
+        "multimodal_features": SQL_MULTIMODAL,
+    }

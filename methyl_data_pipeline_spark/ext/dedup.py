@@ -1,0 +1,201 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design: exact dedup is a hash-groupBy (one shuffle). Near-dup is
+the classic shingle → minhash → band → bucket-join pipeline — candidate
+generation never compares all pairs; only documents sharing a band
+bucket meet in the join, so cost tracks the duplicate rate, not n².
+All hashing is md5-derived (see ``text.md5_long``) so the DuckDB oracle
+reproduces signatures bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from methyl_data_pipeline_spark.ext.text import md5_long
+
+
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Repartition compute-heavy inputs that arrive under-parallelized
+    (a single parquet file reads as ONE partition locally — the md5
+    shingle pipeline would run on one core). The tiny shuffle is repaid
+    immediately; also lets Spark reuse the exchange when the result
+    self-joins (both sides of the LSH join share the subplan)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, key)
+    return df
+
+
+def dedup_exact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup on normalized text, keeping the smallest id per
+    group (deterministic, unlike dropDuplicates' arbitrary winner).
+
+    One shuffle on the 60-bit fingerprint; at 100 TB the min-id winner
+    is a cheap min-agg + semi-join rather than a full sort.
+    """
+    normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    keyed = df.withColumn("_fp", md5_long(normalized))
+    winners = keyed.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+    return keyed.join(winners, ["_fp", id_col], "left_semi").drop("_fp")
+
+
+def shingles(text_col: str, n: int = 3) -> Column:
+    """Word n-gram shingles of lowercased, whitespace-normalized text.
+    Documents shorter than n words yield the whole text as one shingle
+    (so they still participate in dedup)."""
+    ws = F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
+    ngrams = F.transform(
+        F.sequence(F.lit(0), F.size(ws) - n),
+        lambda i: F.concat_ws(" ", F.slice(ws, i + 1, n)),
+    )
+    return F.when(F.size(ws) >= n, ngrams).otherwise(
+        F.array(F.concat_ws(" ", ws))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-document MinHash signature: for each of ``num_hashes`` salted
+    hash functions, the min over shingle hashes.
+
+    Entirely JVM-side (`transform` + `array_min` over the shingle
+    array) — no UDF, no shuffle; a pure map over the corpus.
+    """
+    df = _spread(df, id_col)
+    sh = shingles(text_col, shingle_n)
+
+    # NB: factory function, not a default-arg lambda — Spark infers HOF
+    # lambda arity from the signature, and `lambda s, i=i` reads as the
+    # 2-ary (element, index) form, silently binding i to the index col.
+    def salted_min(i: int):
+        salt = f"mh{i}|"
+        return F.array_min(
+            F.transform(
+                sh,
+                lambda s: F.conv(
+                    F.substring(F.md5(F.concat(F.lit(salt), s)), 1, 15), 16, 10
+                ).cast("long"),
+            )
+        )
+
+    sig_cols = [salted_min(i).alias(f"mh_{i}") for i in range(num_hashes)]
+    return df.select(F.col(id_col), *sig_cols)
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH banding: split the signature into ``bands`` bands, hash each
+    band, self-join on (band_idx, band_hash) → candidate near-dup pairs
+    (id_a < id_b, deduped across bands).
+
+    The self-join key is the band bucket, so shuffle volume is
+    O(docs × bands), and only same-bucket docs pair up.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "_", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+            )
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = sigs.select(F.col(id_col), *band_cols)
+    melted = banded.unpivot(
+        ids=[id_col],
+        values=[f"band_{b}" for b in range(bands)],
+        variableColumnName="band_idx",
+        valueColumnName="band_hash",
+    )
+    a = melted.select(
+        F.col("band_idx"), F.col("band_hash"), F.col(id_col).alias("id_a")
+    )
+    b = melted.select(
+        F.col("band_idx"), F.col("band_hash"), F.col(id_col).alias("id_b")
+    )
+    return (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with exact n-gram Jaccard similarity, verified on
+    LSH candidates only (two-stage: cheap banding prunes, exact Jaccard
+    confirms — the standard scale pattern)."""
+    cands = minhash_candidate_pairs(df, text_col, id_col, num_hashes, bands, shingle_n)
+    sh = df.select(
+        F.col(id_col), F.array_distinct(shingles(text_col, shingle_n)).alias("_sh")
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b"))
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
+    union = F.size(F.array_union("_sh_a", "_sh_b"))
+    return (
+        cands.join(a, "id_a").join(b, "id_b")
+        .withColumn("jaccard", (inter / union).cast("double"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
+) -> DataFrame:
+    """Per-document SimHash: sign of the per-bit sum of ±1 votes from
+    word hashes. Near-dups have small Hamming distance.
+
+    Expressed as ``bits`` conditional aggregates over the word-hash
+    array — verbose but fully JVM-side and oracle-reproducible.
+    """
+    df = _spread(df, id_col)
+    ws = F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
+    hashes = F.transform(
+        ws, lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long")
+    )
+    def bit_vote(b: int):
+        # factory (not default-arg lambda): aggregate's merge fn must be
+        # exactly 2-ary or Spark rejects/misreads it
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    bit_terms = []
+    for bit in range(bits):
+        bit_terms.append(
+            F.when(bit_vote(bit) >= 0, F.lit(2 ** bit).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    sim = bit_terms[0]
+    for t in bit_terms[1:]:
+        sim = sim + t
+    return df.select(F.col(id_col), sim.alias("simhash"))

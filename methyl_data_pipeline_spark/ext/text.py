@@ -1,0 +1,109 @@
+"""Text analysis operators over the ``documents`` table.
+
+All JVM-side Catalyst expressions (no Python in the hot path): token
+counting, quality scoring, n-gram-free stopword language ID, and
+md5-based document fingerprinting. Each is deterministic and
+SQL-expressible so the DuckDB oracle can replay it exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Tiny per-language stopword sets for the heuristic language scorer.
+# Deliberately small + hard-coded: the scorer is a deterministic
+# hit-count argmax, not a trained model.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "von"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "pour", "dans", "que"],
+    "es": ["el", "la", "los", "de", "y", "es", "un", "una", "por", "para"],
+}
+
+
+def words(text: Column | str) -> Column:
+    """Whitespace tokenization of trimmed, lowercased text."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.lower(F.trim(c)), r"\s+")
+
+
+def tokenize(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add ``tokens`` (array) and ``n_tokens``. Whitespace tokens plus a
+    BPE-ish subword proxy count (4 chars ≈ 1 token, the common rule of
+    thumb) as ``n_tokens_est``."""
+    return (
+        df.withColumn("tokens", words(text_col))
+        .withColumn("n_tokens", F.size("tokens"))
+        .withColumn(
+            "n_tokens_est",
+            F.ceil(F.length(F.trim(F.col(text_col))) / F.lit(4.0)).cast("long"),
+        )
+    )
+
+
+def text_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring features: length, word count, mean word length,
+    punctuation ratio, stopword ratio, uppercase ratio.
+
+    Pure column expressions — a 100 TB scan stays in whole-stage
+    codegen with the parquet reader pruning to one column.
+    """
+    t = F.trim(F.col(text_col))
+    n_chars = F.length(t)
+    ws = words(text_col)
+    n_words = F.size(ws)
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    n_upper = n_chars - F.length(F.regexp_replace(t, r"[A-Z]", ""))
+    en = F.array([F.lit(w) for w in STOPWORDS["en"]])
+    n_stop = F.size(F.filter(ws, lambda w: F.array_contains(en, w)))
+    return (
+        df.withColumn("n_chars_q", n_chars)
+        .withColumn("n_words", n_words)
+        .withColumn(
+            "mean_word_len",
+            (F.length(F.regexp_replace(t, r"\s+", "")) / n_words).cast("double"),
+        )
+        .withColumn("punct_ratio", (n_punct / n_chars).cast("double"))
+        .withColumn("stopword_ratio", (n_stop / n_words).cast("double"))
+        .withColumn("upper_ratio", (n_upper / n_chars).cast("double"))
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: argmax of stopword hit counts, ``und``
+    (undetermined) when no stopword matches. Deterministic tie-break by
+    language code order."""
+    ws = words(text_col)
+
+    def stop_count(stoplist: list[str]):
+        arr = F.array(*[F.lit(s) for s in stoplist])
+        return F.size(F.filter(ws, lambda w: F.array_contains(arr, w)))
+
+    scores = [
+        stop_count(sl).alias(f"_score_{lang}") for lang, sl in STOPWORDS.items()
+    ]
+    out = df.select("*", *scores)
+    langs = list(STOPWORDS)
+    best = F.greatest(*[F.col(f"_score_{lg}") for lg in langs])
+    expr = F.lit("und")
+    for lg in reversed(langs):  # earlier langs win ties
+        expr = F.when((F.col(f"_score_{lg}") == best) & (best > 0), F.lit(lg)).otherwise(expr)
+    return out.withColumn("lang_pred", expr).drop(*[f"_score_{lg}" for lg in langs])
+
+
+def md5_long(col: Column, salt: str | None = None) -> Column:
+    """Deterministic 60-bit integer hash via md5 — chosen because both
+    Spark (`conv(substring(md5(x),1,15),16,10)`) and DuckDB
+    (`('0x'||substr(md5(x),1,15))::BIGINT`) compute the identical value,
+    making every hash-based operator oracle-checkable."""
+    if salt is not None:
+        col = F.concat(F.lit(salt), F.lit("|"), col)
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: 60-bit hash of whitespace-normalized,
+    lowercased text — the exact-dedup key that survives formatting
+    noise."""
+    normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return df.withColumn("fingerprint", md5_long(normalized))

@@ -1,0 +1,123 @@
+"""End-to-end methylation pipeline — the ``workflow.R`` equivalent.
+
+Reference lifecycle (SURVEY §3.2): IDAT ingest → metadata align →
+per-run QC → per-sample BMIQ → combine → ComBat → top-k variance →
+PCA → DMP testing. In the reference each step materializes a full
+matrix and crosses a process/file boundary; here the whole thing is a
+single lazy composition with exactly three persistence points — the
+reuse nodes the reference itself re-reads from disk (post-QC,
+post-BMIQ, post-ComBat; workflow.R:80,108,150) — and one shuffle per
+keyed stage.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, functions as F
+
+from methyl_data_pipeline_spark import model
+from methyl_data_pipeline_spark.operators import qc
+from methyl_data_pipeline_spark.stats.bh import bh_adjust
+from methyl_data_pipeline_spark.stats.bmiq import bmiq_normalize
+from methyl_data_pipeline_spark.stats.combat import combat
+from methyl_data_pipeline_spark.stats.feature_selection import (
+    select_probes,
+    top_k_variable_probes,
+)
+from methyl_data_pipeline_spark.stats.limma import moderated_t_two_group
+from methyl_data_pipeline_spark.stats.pca import pca_scores
+
+
+@dataclass
+class PipelineResult:
+    qc_meth: DataFrame
+    normalized: DataFrame
+    top_k: DataFrame
+    pca: DataFrame | None
+    explained_variance: list[float] = field(default_factory=list)
+    dmp: DataFrame | None = None
+
+
+def run_methylation_pipeline(
+    meth: DataFrame,
+    probes: DataFrame,
+    samples: DataFrame | None = None,
+    detp_sample_threshold: float = 0.05,
+    detp_probe_threshold: float = 0.05,
+    top_k: int = 10_000,
+    pca_k: int = 3,
+    run_bmiq: bool = True,
+    run_combat: bool = True,
+    dmp_groups: tuple[str, str, str] | None = None,
+) -> PipelineResult:
+    """Compose the full reference pipeline over a long meth table.
+
+    ``dmp_groups``: (group_col, group_a, group_b) on the samples
+    dimension to run the limma-style DMP stage (requires ``samples``).
+    """
+    # --- QC stage (workflow.R:43-75): sample filter -> probe filters.
+    stage = qc.filter_samples_by_detp(meth, detp_sample_threshold)
+    n_samples = stage.select("sample_id").distinct().count()
+    stage = qc.filter_probes_by_detp(stage, detp_probe_threshold, n_samples)
+    stage = qc.filter_cg_probes(stage)
+    stage = qc.drop_sex_chromosomes(stage, probes)
+    qc_meth = stage.persist()  # reuse point 1 (workflow.R:80)
+
+    # --- Normalization: per-sample BMIQ then cross-batch ComBat
+    # (workflow.R:84-150).
+    value_col = "beta"
+    normalized = qc_meth
+    if run_bmiq:
+        normalized = bmiq_normalize(qc_meth, probes).withColumnRenamed(
+            "beta_bmiq", "beta_norm"
+        )
+        value_col = "beta_norm"
+    if run_combat:
+        complete = qc.drop_incomplete_probes(normalized, n_samples, value_col)
+        # ComBat on M-values (workflow.R:135), back-transform + clamp
+        # (workflow.R:147-149).
+        mvals = complete.withColumn("_m", model.mvalue(value_col))
+        adjusted = combat(mvals, value_col="_m")
+        normalized = adjusted.withColumn(
+            "beta_final", model.clamp(model.inv_mvalue("_m_combat"), 0.0, 1.0)
+        ).select("probe_id", "sample_id", "run", "beta_final")
+        value_col = "beta_final"
+    elif value_col != "beta":
+        normalized = normalized.withColumnRenamed(value_col, "beta_final")
+        value_col = "beta_final"
+    else:
+        normalized = normalized.withColumn("beta_final", F.col("beta"))
+        value_col = "beta_final"
+    normalized = normalized.persist()  # reuse point 2/3
+
+    # --- Feature selection (workflow.R:155-194).
+    top = top_k_variable_probes(normalized, top_k, value_col)
+    selected = select_probes(normalized, top)
+
+    # --- PCA on M-values of selected probes (workflow.R:218).
+    pca_df, ev = (None, [])
+    if pca_k:
+        with_m = selected.withColumn("mval", model.mvalue(value_col))
+        pca_df, ev = pca_scores(with_m, k=pca_k, value_col="mval")
+
+    # --- DMP stage (plots.R:71-176).
+    dmp = None
+    if dmp_groups is not None and samples is not None:
+        group_col, ga, gb = dmp_groups
+        labeled = normalized.join(
+            F.broadcast(samples.select("sample_id", group_col)), "sample_id"
+        ).withColumn("mval", model.mvalue(value_col))
+        dmp = moderated_t_two_group(
+            labeled, group_col, ga, gb, value_col="mval", with_p_values=True
+        )
+        dmp = bh_adjust(dmp, "p_value", "adj_p")
+
+    return PipelineResult(
+        qc_meth=qc_meth,
+        normalized=normalized,
+        top_k=top,
+        pca=pca_df,
+        explained_variance=ev,
+        dmp=dmp,
+    )

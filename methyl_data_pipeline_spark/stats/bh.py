@@ -28,8 +28,11 @@ def bh_adjust(df: DataFrame, p_col: str = "p_value", out_col: str = "adj_p") -> 
     excluded from N, matching R's na-handling."""
     n = df.filter(F.col(p_col).isNotNull()).count()
     w_rank = Window.orderBy(F.col(p_col).asc())
+    # cummin MUST run over rank desc, not p desc: under tied p-values a
+    # p-ordered window can visit equal-p rows in either order and the
+    # higher-ranked twin would miss its partner's smaller q.
     w_cummin = (
-        Window.orderBy(F.col(p_col).desc())
+        Window.orderBy(F.col("_rank").desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     nonnull = (

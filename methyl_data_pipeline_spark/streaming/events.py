@@ -1,0 +1,113 @@
+"""Event-stream operators: windowed aggregation + sessionization.
+
+The reference has no streaming surface (SURVEY §2.12); these are
+engine-native extensions over the ``events`` table shape
+(event_id, ts, user_id, event_type, value, props). Every streaming
+transform has a batch twin with identical semantics so the DuckDB
+oracle can check the logic (`F.window` over a static frame ==
+`time_bucket` in SQL), and the streaming variant adds only the
+watermark/trigger mechanics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def windowed_event_counts_batch(
+    events: DataFrame, window: str = "1 hour", ts_col: str = "ts"
+) -> DataFrame:
+    """Tumbling-window counts/sums per event type — batch twin of the
+    streaming agg (identical plan minus watermark)."""
+    return (
+        events.groupBy(
+            F.window(F.col(ts_col), window).alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def windowed_event_counts(
+    stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming tumbling-window agg with late-data watermark."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionize_batch(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Batch sessionization: session = maximal run of a user's events
+    with inter-event gap <= gap. Window lag + running sum of
+    gap-breaks — one shuffle on user, no UDF. (Streaming twin:
+    ``session_window(ts, gap)``.)"""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    gap_s = gap_minutes * 60
+    with_break = (
+        events.withColumn("_prev", F.lag(ts_col).over(w))
+        .withColumn(
+            "_new_session",
+            F.when(
+                F.col("_prev").isNull()
+                | (
+                    F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp("_prev")
+                    > gap_s
+                ),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("session_seq", F.sum("_new_session").over(w))
+    )
+    return (
+        with_break.groupBy(user_col, "session_seq")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+    )
+
+
+def stream_events_from_parquet(
+    spark: SparkSession, path: str, schema=None
+) -> DataFrame:
+    """File-source stream over a parquet directory (smoke/testing; a
+    production deployment points readStream at Kafka instead)."""
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+    import os
+
+    src = path if os.path.isdir(path) else os.path.dirname(path)
+    glob = None if os.path.isdir(path) else os.path.basename(path)
+    reader = spark.readStream.schema(schema).format("parquet")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(src)
