@@ -941,6 +941,114 @@ SELECT doc_id, {case} AS lang_pred FROM scored ORDER BY doc_id"""
 
 
 # --------------------------------------------------------------------------
+# Non-SQL-expressible operators (rows-only checks: iterative EB, EM
+# fits, eigendecomposition — no DuckDB oracle exists; the driver
+# records the weaker rows-only result, unit tests carry the numeric
+# verification against NumPy reference implementations)
+# --------------------------------------------------------------------------
+
+def _probes_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic probe annotation over the meth view's probe universe:
+    ~20% Infinium Type I (partkey % 5 == 0), like the real array mix."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        F.concat(F.lit("cg"), F.lpad(F.col("p_partkey").cast("string"), 8, "0")).alias(
+            "probe_id"
+        ),
+        F.when(F.col("p_partkey") % 5 == 0, 1).otherwise(2).alias("design_type"),
+        F.concat(F.lit("chr"), ((F.col("p_partkey") % 19) + 1).cast("string")).alias("chr"),
+    )
+
+
+def q_combat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ComBat batch correction (M2): 7-pass agg + EB fixed point.
+    Iterative EB → rows-only check (numeric parity vs the NumPy
+    reference implementation lives in tests/test_combat_bmiq_pca.py)."""
+    from methyl_data_pipeline_spark.operators import qc
+    from methyl_data_pipeline_spark.stats.combat import combat
+
+    meth = _meth(spark, sf_dir)
+    n_samples = meth.select("sample_id").distinct().count()
+    complete = qc.drop_incomplete_probes(meth, n_samples)
+    out = combat(complete, value_col="beta", batch_col="run")
+    return out.select(
+        "probe_id", "sample_id", "run",
+        F.round("beta", 6).alias("beta"),
+        F.round("beta_combat", 6).alias("beta_combat"),
+    ).orderBy("probe_id", "sample_id")
+
+
+def q_bmiq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BMIQ per-sample normalization (M3): applyInPandas beta-mixture
+    EM. Rows-only (seeded EM; invariants unit-tested)."""
+    from methyl_data_pipeline_spark.stats.bmiq import bmiq_normalize
+
+    meth = _meth(spark, sf_dir)
+    probes = _probes_dim(spark, sf_dir)
+    out = bmiq_normalize(meth, probes, min_class=20)
+    return out.select(
+        "probe_id", "sample_id", "design_type",
+        F.round("beta", 6).alias("beta"),
+        F.round("beta_bmiq", 6).alias("beta_bmiq"),
+        "bmiq_ok",
+    ).orderBy("probe_id", "sample_id")
+
+
+def q_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA sample scores (M1): vector assembly + ml.feature.PCA.
+    Rows-only (eigenvector sign is implementation-defined)."""
+    from methyl_data_pipeline_spark import model
+    from methyl_data_pipeline_spark.stats.pca import pca_scores
+
+    meth = _meth(spark, sf_dir).withColumn("mval", model.mvalue("beta"))
+    scores, _ = pca_scores(meth, k=3, value_col="mval")
+    return scores.select(
+        "sample_id",
+        F.round("PC1", 4).alias("pc1"),
+        F.round("PC2", 4).alias("pc2"),
+        F.round("PC3", 4).alias("pc3"),
+    ).orderBy("sample_id")
+
+
+def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN via random-hyperplane LSH buckets (scale path of
+    embedding_cosine_topk). Rows-only: bucket recall is probabilistic
+    by design; the exact brute-force twin is the oracle-checked one."""
+    from methyl_data_pipeline_spark.ext.similarity import lsh_bucketed_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 20)
+    out = lsh_bucketed_topk(emb, queries_df, k=5, n_planes=6)
+    return out.select(
+        "query_id", "rank", "neighbor_id", F.round("cosine", 6).alias("cosine")
+    ).orderBy("query_id", "rank")
+
+
+def q_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full reference pipeline (SURVEY §3.2): QC → BMIQ → ComBat →
+    top-k → DMP, composed lazily. Rows-only smoke of the composition."""
+    from methyl_data_pipeline_spark.plans.pipeline import run_methylation_pipeline
+
+    meth = _meth(spark, sf_dir)
+    probes = _probes_dim(spark, sf_dir)
+    samples = meth.select("sample_id", "run").distinct()
+    res = run_methylation_pipeline(
+        meth, probes, samples,
+        detp_sample_threshold=0.02, detp_probe_threshold=0.006,
+        top_k=500, pca_k=0, run_bmiq=False, run_combat=True,
+        dmp_groups=("run", "R0", "R1"),
+    )
+    dmp = res.dmp
+    return dmp.select(
+        "probe_id",
+        F.round("logFC", 4).alias("logfc"),
+        F.round("t_mod", 3).alias("t_mod"),
+        F.round("p_value", 4).alias("p_value"),
+        F.round("adj_p", 4).alias("adj_p"),
+    ).orderBy("probe_id")
+
+
+# --------------------------------------------------------------------------
 # Contract
 # --------------------------------------------------------------------------
 
@@ -984,6 +1092,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed": q_events_windowed,
         "sessionize": q_sessionize,
         "multimodal_features": q_multimodal_features,
+        # non-SQL-expressible (rows-only; see each docstring)
+        "combat_correction": q_combat,
+        "bmiq_normalize": q_bmiq,
+        "pca_scores": q_pca,
+        "similarity_lsh": q_similarity_lsh,
+        "pipeline_end_to_end": q_pipeline_end_to_end,
     }
 
 

@@ -105,9 +105,13 @@ def run_methylation_pipeline(
     dmp = None
     if dmp_groups is not None and samples is not None:
         group_col, ga, gb = dmp_groups
-        labeled = normalized.join(
-            F.broadcast(samples.select("sample_id", group_col)), "sample_id"
-        ).withColumn("mval", model.mvalue(value_col))
+        if group_col in normalized.columns:
+            labeled = normalized
+        else:
+            labeled = normalized.join(
+                F.broadcast(samples.select("sample_id", group_col)), "sample_id"
+            )
+        labeled = labeled.withColumn("mval", model.mvalue(value_col))
         dmp = moderated_t_two_group(
             labeled, group_col, ga, gb, value_col="mval", with_p_values=True
         )

@@ -1,0 +1,140 @@
+"""Extension operators: dedup family, similarity, text analysis."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from methyl_data_pipeline_spark.ext.dedup import (
+    dedup_exact,
+    minhash_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from methyl_data_pipeline_spark.ext.similarity import (
+    cosine_topk_bruteforce,
+    lsh_bucketed_topk,
+)
+from methyl_data_pipeline_spark.ext.text import (
+    fingerprint,
+    language_id,
+    text_quality,
+    tokenize,
+)
+
+
+def _docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, "The  Quick   brown fox jumps over the lazy dog again and again today"),  # ws/case dup
+        (3, base.replace("today", "tomorrow")),  # near dup
+        (4, "der hund läuft und das ist nicht ein problem für die katze"),
+        (5, "completely different text about spark engines and shuffles here"),
+        (6, "le chat est dans la maison et il est pour le moment content"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_dedup_exact_normalizes_ws_and_case(spark):
+    out = dedup_exact(_docs(spark))
+    kept = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    # 0,1,2 collapse to 0 (min id); others unique
+    assert kept == [0, 3, 4, 5, 6]
+
+
+def test_minhash_finds_near_dups(spark):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_candidate_pairs(_docs(spark), num_hashes=16, bands=8).collect()
+    }
+    assert (0, 1) in pairs and (0, 2) in pairs
+    assert (0, 3) in pairs  # 1-word-different near dup shares bands
+    assert (4, 5) not in pairs
+
+
+def test_ngram_jaccard_confirms(spark):
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            _docs(spark), threshold=0.5, num_hashes=16, bands=8
+        ).collect()
+    }
+    assert out[(0, 1)] == 1.0
+    assert 0.5 <= out[(0, 3)] < 1.0
+
+
+def test_simhash_hamming_close_for_near_dups(spark):
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(_docs(spark)).collect()}
+    assert sh[0] == sh[1] == sh[2]
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    assert ham(sh[0], sh[3]) < ham(sh[0], sh[5])
+
+
+def test_cosine_topk_matches_numpy(spark):
+    rng = np.random.RandomState(9)
+    vecs = rng.normal(size=(30, 16))
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(30)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = cosine_topk_bruteforce(df, df.filter(F.col("vec_id") < 3), k=4).toPandas()
+
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    for q in range(3):
+        order = [
+            i for i in np.argsort(-sims[q]) if i != q
+        ][:4]
+        got = out[out.query_id == q].sort_values("rank")["neighbor_id"].tolist()
+        assert got == order
+        np.testing.assert_allclose(
+            out[out.query_id == q].sort_values("rank")["cosine"].values,
+            sims[q][order],
+            rtol=1e-9,
+        )
+
+
+def test_lsh_topk_subset_of_bruteforce_space(spark):
+    rng = np.random.RandomState(10)
+    vecs = rng.normal(size=(100, 16))
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(100)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = lsh_bucketed_topk(df, df.filter(F.col("vec_id") < 5), k=3, n_planes=4).toPandas()
+    # approximate: every returned neighbor must share the query's bucket,
+    # cosine values must be correct for the pairs returned
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    for _, r in out.iterrows():
+        want = float(norm[int(r.query_id)] @ norm[int(r.neighbor_id)])
+        assert abs(r.cosine - want) < 1e-9
+
+
+def test_tokenize_and_quality(spark):
+    df = spark.createDataFrame(
+        [(0, "  Hello, World! This is a test.  "), (1, "one two three")],
+        ["doc_id", "text"],
+    )
+    tok = {r["doc_id"]: r for r in tokenize(df).collect()}
+    assert tok[0]["n_tokens"] == 6
+    assert tok[1]["n_tokens"] == 3
+    q = {r["doc_id"]: r for r in text_quality(df).collect()}
+    assert q[0]["punct_ratio"] > 0
+    assert q[1]["punct_ratio"] == 0.0
+    assert q[0]["stopword_ratio"] > 0  # 'a', 'is'
+
+
+def test_language_id(spark):
+    out = {r["doc_id"]: r["lang_pred"] for r in language_id(_docs(spark)).collect()}
+    assert out[0] == "en"
+    assert out[4] == "de"
+    assert out[6] == "fr"
+
+
+def test_fingerprint_stable(spark):
+    df = spark.createDataFrame(
+        [(0, "A  b\tc"), (1, "a b c"), (2, "something else")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r["fingerprint"] for r in fingerprint(df).collect()}
+    assert out[0] == out[1] != out[2]

@@ -1,0 +1,150 @@
+"""Streaming (real readStream smoke) + IO parsers (FinalReport, sample
+tables) + multimodal plumbing."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from methyl_data_pipeline_spark.ext.multimodal import attach_binary, decode_features
+from methyl_data_pipeline_spark.io.readers import read_final_report, read_sample_tables
+from methyl_data_pipeline_spark.streaming.events import (
+    sessionize_batch,
+    stream_events_from_parquet,
+    windowed_event_counts,
+    windowed_event_counts_batch,
+)
+
+
+def test_final_report_parser(spark, tmp_path):
+    p = tmp_path / "final_report.txt"
+    p.write_text(
+        "[Header]\n"
+        "Junk line 1\n"
+        "Junk\tline\t2\n"
+        "[Sample Methylation Profile]\n"
+        "TargetID\tTB1.AVG_Beta\tTB2.AVG_Beta\n"
+        "cg0001\t0.1\t0.9\n"
+        "cg0002\t0.5\t0.4\n"
+    )
+    df = read_final_report(spark, str(p))
+    assert df.columns == ["TargetID", "TB1.AVG_Beta", "TB2.AVG_Beta"]
+    rows = {r["TargetID"]: r for r in df.collect()}
+    assert rows["cg0001"]["TB1.AVG_Beta"] == "0.1"
+    assert len(rows) == 2
+
+
+def test_final_report_missing_marker_raises(spark, tmp_path):
+    p = tmp_path / "bad.txt"
+    p.write_text("no marker here\njust lines\n")
+    with pytest.raises(ValueError, match="marker"):
+        read_final_report(spark, str(p))
+
+
+def test_sample_tables_parser(spark, tmp_path):
+    for i, run in enumerate(["1", "2"]):
+        p = tmp_path / f"run{run}.txt"
+        p.write_text(
+            "garbage preamble\n"
+            "more garbage\n"
+            "Index\tSample ID\tGenotype\n"
+            f"1\t10{i}\tWT\n"
+            f"2\t20{i}\tKO\n"
+        )
+    df = read_sample_tables(
+        spark, [str(tmp_path / "run1.txt"), str(tmp_path / "run2.txt")]
+    )
+    rows = df.collect()
+    assert len(rows) == 4
+    idx = sorted(r["Index"] for r in rows)
+    assert idx == ["1_1", "1_2", "2_1", "2_2"]  # run-prefixed (main.py:140 shape)
+    assert {r["run"] for r in rows} == {"1", "2"}
+
+
+def test_windowed_counts_batch(spark):
+    rows = [
+        (1, "2024-01-01 00:10:00", 1, "click", 1.0),
+        (2, "2024-01-01 00:50:00", 1, "click", 2.0),
+        (3, "2024-01-01 01:10:00", 2, "view", 3.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in windowed_event_counts_batch(ev, "1 hour").collect()
+    }
+    assert out[("2024-01-01 00:00:00", "click")] == (2, 3.0)
+    assert out[("2024-01-01 01:00:00", "view")] == (1, 3.0)
+
+
+def test_streaming_windowed_counts_memory_sink(spark, tmp_path):
+    # drive a REAL streaming query (readStream -> memory sink) over a
+    # parquet directory; complete mode so the single batch emits results
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:10:00", "2024-01-01 00:50:00", "2024-01-01 01:10:00"]
+            ),
+            "user_id": [1, 1, 2],
+            "event_type": ["click", "click", "view"],
+            "value": [1.0, 2.0, 3.0],
+        }
+    )
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src, exist_ok=True)
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(src)
+
+    stream = stream_events_from_parquet(spark, src)
+    agg = windowed_event_counts(stream, "1 hour", "10 minutes")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("win_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (str(r["window_start"]), r["event_type"]): r["n_events"]
+            for r in spark.sql("SELECT * FROM win_test").collect()
+        }
+    finally:
+        q.stop()
+    assert got[("2024-01-01 00:00:00", "click")] == 2
+    assert got[("2024-01-01 01:00:00", "view")] == 1
+
+
+def test_sessionize(spark):
+    rows = [
+        (1, "2024-01-01 00:00:00", 7, "click", 1.0),
+        (2, "2024-01-01 00:10:00", 7, "click", 1.0),  # same session (10 min gap)
+        (3, "2024-01-01 02:00:00", 7, "click", 1.0),  # new session
+        (4, "2024-01-01 00:00:00", 8, "view", 1.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = sessionize_batch(ev, gap_minutes=30).collect()
+    per_user = {}
+    for r in out:
+        per_user.setdefault(r["user_id"], []).append(r["n_events"])
+    assert sorted(per_user[7]) == [1, 2]
+    assert per_user[8] == [1]
+
+
+def test_multimodal_plumbing(spark):
+    docs = spark.createDataFrame([(0, "hello"), (1, "world")], ["doc_id", "text"])
+    media = attach_binary(docs)
+    assert media.schema["content"].dataType.typeName() == "binary"
+    out = {r["id"]: r for r in decode_features(media).collect()}
+    import hashlib
+
+    assert out[0]["digest"] == hashlib.md5(b"hello").hexdigest()
+    assert out[0]["n_bytes"] == 5
+    assert len(out[0]["features"]) == 8
+    assert all(0 <= f <= 1 for f in out[0]["features"])
