@@ -41,8 +41,8 @@ def combat(
     batch_col: str = "run",
     key_col: str = "probe_id",
     sample_col: str = "sample_id",
-    conv: float = 1e-4,
-    max_iter: int = 100,
+    conv: float = 1e-13,
+    max_iter: int = 200,
 ) -> DataFrame:
     """Return the input with an added ``{value_col}_combat`` column.
 
@@ -75,11 +75,13 @@ def combat(
         (F.sum(F.pow(x - F.col("grand_mean"), 2)) / F.first("n_total")).alias("var_pooled")
     )
 
-    # pass 3: standardize
+    # pass 3: standardize. Persisted: z feeds both the per-(probe,batch)
+    # moment pass and the final adjustment join — without the cache the
+    # full fact-table lineage (2 scans + 2 shuffles) runs twice.
     z = (
         with_grand.join(pooled, key_col)
         .withColumn("z", (x - F.col("grand_mean")) / F.sqrt("var_pooled"))
-    )
+    ).persist()
 
     # pass 4: per-(probe, batch) moments of Z
     zb = z.groupBy(key_col, batch_col).agg(
@@ -103,6 +105,11 @@ def combat(
     ).drop("_dm", "_ds2")
 
     # pass 6: EB fixed point, vectorized over (probe, batch) rows.
+    # conv defaults to machine level (1e-13): the loop's early exit is
+    # batch-global, and Arrow batch boundaries depend on partitioning —
+    # a loose tolerance would make results vary with the physical plan.
+    # At machine convergence every row is at its fixed point, so batch
+    # composition cannot matter.
     @pandas_udf("struct<gamma_star double, delta_star_sq double>")
     def eb_fixed_point(
         n: pd.Series, gamma_hat: pd.Series, delta_hat_sq: pd.Series,

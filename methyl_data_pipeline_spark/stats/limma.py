@@ -43,6 +43,7 @@ def moderated_t_two_group(
     value_col: str = "mval",
     key_col: str = "probe_id",
     with_p_values: bool = False,
+    persist_intermediate: bool = True,
 ) -> DataFrame:
     """Per-key moderated t between two groups of samples.
 
@@ -51,6 +52,12 @@ def moderated_t_two_group(
     moderated variance, moderated t and df. Keys lacking >=2 samples in
     either group are dropped (the reference's insufficient-sample guard,
     plots.R:73-75).
+
+    ``persist_intermediate``: the EB prior (phase 2) and the final join
+    (phase 3) both consume the phase-1 aggregate; without caching,
+    Catalyst re-derives it — i.e. scans the fact table twice. per_key is
+    post-aggregation (one row per key), so caching it trades a little
+    memory/disk for halving the dominant scan.
     """
     a, b = F.lit(group_a), F.lit(group_b)
     v = F.col(value_col)
@@ -77,6 +84,8 @@ def moderated_t_two_group(
         )
         .withColumn("logFC", F.col("mean1") - F.col("mean2"))
     )
+    if persist_intermediate:
+        per_key = per_key.persist()
 
     # Phase 2 — EB prior over all keys: a 1-row aggregate, broadcast by
     # Catalyst as a scalar-subquery-like cross join.

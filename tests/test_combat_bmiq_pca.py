@@ -13,7 +13,7 @@ from methyl_data_pipeline_spark.stats.combat import batch_sd_reduction, combat
 from methyl_data_pipeline_spark.stats.pca import pca_scores
 
 
-def _combat_numpy(x: np.ndarray, batches: np.ndarray, conv=1e-4, max_iter=100):
+def _combat_numpy(x: np.ndarray, batches: np.ndarray, conv=1e-13, max_iter=200):
     """Reference parametric ComBat (Johnson 2007), intercept-only,
     matrix form: x is genes × samples."""
     uniq = np.unique(batches)
