@@ -941,6 +941,237 @@ SELECT doc_id, {case} AS lang_pred FROM scored ORDER BY doc_id"""
 
 
 # --------------------------------------------------------------------------
+# Second coverage batch: remaining §2 aggregate/window/scalar operators
+# --------------------------------------------------------------------------
+
+def q_agg_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min/max/range/stddev aggregates (A6/A7) per market segment."""
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_mktsegment")
+        .agg(
+            _r(F.min("c_acctbal")).alias("min_bal"),
+            _r(F.max("c_acctbal")).alias("max_bal"),
+            _r(F.max("c_acctbal") - F.min("c_acctbal")).alias("range_bal"),
+            _r(F.stddev_samp("c_acctbal")).alias("sd_bal"),
+            F.countDistinct("c_nationkey").alias("n_nations"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+SQL_AGG_MINMAX = """
+SELECT c_mktsegment,
+       ROUND(MIN(c_acctbal) + 1e-9, 6) AS min_bal,
+       ROUND(MAX(c_acctbal) + 1e-9, 6) AS max_bal,
+       ROUND(MAX(c_acctbal) - MIN(c_acctbal) + 1e-9, 6) AS range_bal,
+       ROUND(STDDEV_SAMP(c_acctbal) + 1e-9, 6) AS sd_bal,
+       COUNT(DISTINCT c_nationkey) AS n_nations
+FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def q_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list per group (A8: the reference's run→samples map,
+    main.py:147) — emitted as a sorted joined string so the comparison
+    is representation-independent."""
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        supp.groupBy("s_nationkey")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_list("s_name"))).alias("suppliers"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+SQL_COLLECT_LIST = """
+SELECT s_nationkey,
+       array_to_string(list_sort(list(s_name)), ',') AS suppliers,
+       COUNT(*) AS n
+FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
+"""
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bound histogram (A12: the density/mode estimation shape)
+    via identical bucket arithmetic on both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    bucket = F.least(
+        F.greatest(
+            F.floor((F.col("l_extendedprice") - 900.0) / (105000.0 - 900.0) * 20).cast("long"),
+            F.lit(0).cast("long"),
+        ),
+        F.lit(19).cast("long"),
+    )
+    return (
+        li.groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("bucket")
+    )
+
+
+SQL_HISTOGRAM = """
+SELECT LEAST(GREATEST(CAST(FLOOR((l_extendedprice - 900.0) / (105000.0 - 900.0) * 20)
+                           AS BIGINT), 0), 19) AS bucket,
+       COUNT(*) AS n
+FROM lineitem GROUP BY 1 ORDER BY bucket
+"""
+
+
+def q_ecdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical CDF via percent_rank (W3: pOOBAH/quantile-mapping
+    shape), per market segment."""
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        cust.withColumn("ecdf", _r(F.percent_rank().over(w)))
+        .select("c_custkey", "c_mktsegment", "ecdf")
+        .orderBy("c_custkey")
+    )
+
+
+SQL_ECDF = """
+SELECT c_custkey, c_mktsegment,
+       ROUND(PERCENT_RANK() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY c_acctbal, c_custkey) + 1e-9, 6) AS ecdf
+FROM customer ORDER BY c_custkey
+"""
+
+
+def q_rename_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lookup-join identity rewrite (J4: the reference's
+    barcode→sample-id column rename as a value rewrite)."""
+    from methyl_data_pipeline_spark.operators.joins import rename_samples_by_lookup
+
+    meth = _meth(spark, sf_dir)
+    mapping = spark.createDataFrame(
+        [("S0", "CTRL_0"), ("S1", "CTRL_1"), ("S2", "CASE_2"), ("S3", "CASE_3")],
+        ["raw_id", "sample_id"],
+    )
+    out = rename_samples_by_lookup(meth, mapping)
+    return (
+        out.groupBy("sample_id")
+        .agg(F.count("*").alias("n_rows"), _r(F.avg("beta")).alias("mean_beta"))
+        .orderBy("sample_id")
+    )
+
+
+SQL_RENAME_LOOKUP = f"""
+WITH {METH_CTE},
+mapping(raw_id, new_id) AS (
+  VALUES ('S0', 'CTRL_0'), ('S1', 'CTRL_1'), ('S2', 'CASE_2'), ('S3', 'CASE_3')
+),
+renamed AS (
+  SELECT COALESCE(mp.new_id, m.sample_id) AS sample_id, m.beta
+  FROM meth m LEFT JOIN mapping mp ON m.sample_id = mp.raw_id
+)
+SELECT sample_id, COUNT(*) AS n_rows, ROUND(AVG(beta) + 1e-9, 6) AS mean_beta
+FROM renamed GROUP BY sample_id ORDER BY sample_id
+"""
+
+
+def q_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar functions (F9-F13): log2/log10/abs/pow/clamp and the
+    M-value round trip (F10)."""
+    from methyl_data_pipeline_spark import model
+
+    meth = _meth(spark, sf_dir)
+    return meth.select(
+        "probe_id",
+        "sample_id",
+        _r(F.log2("beta")).alias("log2_b"),
+        _r(-F.log10("beta")).alias("neg_log10_b"),
+        _r(F.abs(F.col("beta") - 0.5)).alias("abs_centered"),
+        _r(F.pow(F.col("beta"), 2)).alias("beta_sq"),
+        _r(model.clamp(F.col("beta") * 1.5, 0.0, 1.0)).alias("clamped"),
+        _r(model.inv_mvalue(model.mvalue("beta"))).alias("m_roundtrip"),
+    ).orderBy("probe_id", "sample_id")
+
+
+SQL_SCALAR_MATH = f"""
+WITH {METH_CTE}
+SELECT probe_id, sample_id,
+       ROUND(log2(beta) + 1e-9, 6) AS log2_b,
+       ROUND(-log10(beta) + 1e-9, 6) AS neg_log10_b,
+       ROUND(abs(beta - 0.5) + 1e-9, 6) AS abs_centered,
+       ROUND(pow(beta, 2) + 1e-9, 6) AS beta_sq,
+       ROUND(LEAST(GREATEST(beta * 1.5, 0.0), 1.0) + 1e-9, 6) AS clamped,
+       ROUND(pow(2.0, log2(least(greatest(beta, 0.001), 0.999)
+                           / (1 - least(greatest(beta, 0.001), 0.999))))
+             / (1.0 + pow(2.0, log2(least(greatest(beta, 0.001), 0.999)
+                                    / (1 - least(greatest(beta, 0.001), 0.999)))))
+             + 1e-9, 6) AS m_roundtrip
+FROM meth ORDER BY probe_id, sample_id
+"""
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup grouping sets (engine-native extension; the reference has
+    none — SURVEY §2.4 note)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), _dec_sum(F.col("l_quantity"), "sum_qty"))
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_ROLLUP = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_union_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-wise union + distinct (T4/T5: rbind/cbind recombination)."""
+    cust = _t(spark, sf_dir, "customer")
+    lo = cust.filter(F.col("c_custkey") % 2 == 0).select("c_custkey", "c_mktsegment")
+    hi = cust.filter(F.col("c_custkey") % 2 == 1).select("c_custkey", "c_mktsegment")
+    overlap = cust.filter(F.col("c_custkey") < 100).select("c_custkey", "c_mktsegment")
+    return lo.unionByName(hi).unionByName(overlap).distinct().orderBy("c_custkey")
+
+
+SQL_UNION_HALVES = """
+SELECT DISTINCT c_custkey, c_mktsegment FROM (
+  SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 2 = 0
+  UNION ALL
+  SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 2 = 1
+  UNION ALL
+  SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey < 100
+) ORDER BY c_custkey
+"""
+
+
+def q_sample_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-pattern + list projection (P1/P2) in long form: selecting
+    matrix columns becomes a key predicate (rlike + isin)."""
+    meth = _meth(spark, sf_dir)
+    return (
+        meth.filter(
+            F.col("sample_id").rlike("^S[0-9]$")
+            & F.col("sample_id").isin("S0", "S2", "S4", "S6")
+        )
+        .groupBy("sample_id")
+        .agg(F.count("*").alias("n_rows"), _r(F.avg("det_p")).alias("mean_detp"))
+        .orderBy("sample_id")
+    )
+
+
+SQL_SAMPLE_PROJECTION = f"""
+WITH {METH_CTE}
+SELECT sample_id, COUNT(*) AS n_rows, ROUND(AVG(det_p) + 1e-9, 6) AS mean_detp
+FROM meth
+WHERE regexp_matches(sample_id, '^S[0-9]$')
+  AND sample_id IN ('S0', 'S2', 'S4', 'S6')
+GROUP BY sample_id ORDER BY sample_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Non-SQL-expressible operators (rows-only checks: iterative EB, EM
 # fits, eigendecomposition — no DuckDB oracle exists; the driver
 # records the weaker rows-only result, unit tests carry the numeric
@@ -1092,6 +1323,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed": q_events_windowed,
         "sessionize": q_sessionize,
         "multimodal_features": q_multimodal_features,
+        # second coverage batch
+        "agg_minmax": q_agg_minmax,
+        "collect_list": q_collect_list,
+        "histogram": q_histogram,
+        "ecdf_percent_rank": q_ecdf,
+        "rename_lookup": q_rename_lookup,
+        "scalar_math": q_scalar_math,
+        "rollup_counts": q_rollup,
+        "union_halves": q_union_halves,
+        "sample_projection": q_sample_projection,
         # non-SQL-expressible (rows-only; see each docstring)
         "combat_correction": q_combat,
         "bmiq_normalize": q_bmiq,
@@ -1131,4 +1372,13 @@ def oracle_sql() -> dict[str, str]:
         "events_windowed": SQL_EVENTS_WINDOWED,
         "sessionize": SQL_SESSIONIZE,
         "multimodal_features": SQL_MULTIMODAL,
+        "agg_minmax": SQL_AGG_MINMAX,
+        "collect_list": SQL_COLLECT_LIST,
+        "histogram": SQL_HISTOGRAM,
+        "ecdf_percent_rank": SQL_ECDF,
+        "rename_lookup": SQL_RENAME_LOOKUP,
+        "scalar_math": SQL_SCALAR_MATH,
+        "rollup_counts": SQL_ROLLUP,
+        "union_halves": SQL_UNION_HALVES,
+        "sample_projection": SQL_SAMPLE_PROJECTION,
     }
