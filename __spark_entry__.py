@@ -578,6 +578,86 @@ FROM stats, prior ORDER BY probe_id
 """
 
 
+def q_meth_contrasts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-group pairwise moderated contrasts with shared pooled
+    variance (M6/A13: limma's makeContrasts model,
+    Mouse_Microarray_General_Workflow.R:125-143)."""
+    from methyl_data_pipeline_spark import model
+    from methyl_data_pipeline_spark.stats.limma import moderated_t_contrasts
+
+    meth = _meth(spark, sf_dir).withColumn("mval", model.mvalue("beta"))
+    grouped = meth.withColumn(
+        "grp",
+        F.concat(
+            F.lit("G"),
+            (F.substring("sample_id", 2, 10).cast("int") % 4).cast("string"),
+        ),
+    )
+    out = moderated_t_contrasts(
+        grouped, "grp", [("G0", "G1"), ("G0", "G2"), ("G1", "G3")]
+    )
+    return out.select(
+        "probe_id",
+        "contrast",
+        _r(F.col("logFC"), 5).alias("logfc"),
+        _r(F.col("t_mod"), 4).alias("t_mod"),
+    ).orderBy("probe_id", "contrast")
+
+
+def _sql_meth_contrasts() -> str:
+    stats = ",\n         ".join(
+        f"COUNT(CASE WHEN grp = 'G{g}' THEN mval END) AS n_{g},\n"
+        f"         AVG(CASE WHEN grp = 'G{g}' THEN mval END) AS mean_{g},\n"
+        f"         VAR_SAMP(CASE WHEN grp = 'G{g}' THEN mval END) AS var_{g}"
+        for g in range(4)
+    )
+    # NULLIF(n,0)-style presence: a group with <2 samples is dropped
+    # from the probe's stats entirely (matching the Spark n>=2 filter)
+    presence = " + ".join(f"(CASE WHEN n_{g} >= 2 THEN 1 ELSE 0 END)" for g in range(4))
+    n_tot = " + ".join(f"(CASE WHEN n_{g} >= 2 THEN n_{g} ELSE 0 END)" for g in range(4))
+    ss = " + ".join(
+        f"(CASE WHEN n_{g} >= 2 THEN (n_{g} - 1) * var_{g} ELSE 0 END)" for g in range(4)
+    )
+    pair_sel = "\nUNION ALL\n".join(
+        f"""SELECT probe_id, 'G{a}_vs_G{b}' AS contrast,
+       ROUND(mean_{a} - mean_{b} + 1e-9, 5) AS logfc,
+       ROUND((mean_{a} - mean_{b})
+             / sqrt(s2_post * (1.0 / n_{a} + 1.0 / n_{b})) + 1e-9, 4) AS t_mod
+FROM based WHERE n_{a} >= 2 AND n_{b} >= 2"""
+        for a, b in [(0, 1), (0, 2), (1, 3)]
+    )
+    return f"""
+WITH {METH_CTE},
+m AS (
+  SELECT probe_id,
+         'G' || CAST(CAST(substr(sample_id, 2, 10) AS INT) % 4 AS VARCHAR) AS grp,
+         log2(least(greatest(beta, 0.001), 0.999)
+              / (1 - least(greatest(beta, 0.001), 0.999))) AS mval
+  FROM meth
+),
+per_key AS (
+  SELECT probe_id,
+         {stats}
+  FROM m GROUP BY probe_id
+),
+with_df AS (
+  SELECT *, ({n_tot}) - ({presence}) AS df, ({ss}) AS ss
+  FROM per_key
+),
+keyed AS (
+  SELECT *, ss / df AS s2 FROM with_df WHERE df >= 1
+),
+prior AS (
+  SELECT AVG(s2) AS s0_sq, 2.0 * AVG(s2) * AVG(s2) / VAR_SAMP(s2) AS d0 FROM keyed
+),
+based AS (
+  SELECT k.*, (d0 * s0_sq + df * s2) / (d0 + df) AS s2_post
+  FROM keyed k, prior
+)
+{pair_sel}
+ORDER BY probe_id, contrast"""
+
+
 def q_bh_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BH FDR step-up (A14/W2) over per-probe pseudo p-values."""
     from methyl_data_pipeline_spark.stats.bh import bh_adjust
@@ -1310,6 +1390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "meth_variance_topk": q_meth_variance_topk,
         "meth_group_delta": q_meth_group_delta,
         "meth_moderated_t": q_meth_moderated_t,
+        "meth_contrasts": q_meth_contrasts,
         "bh_adjust": q_bh_adjust,
         # extensions
         "text_tokens": q_text_tokens,
@@ -1360,6 +1441,7 @@ def oracle_sql() -> dict[str, str]:
         "meth_variance_topk": SQL_METH_VARIANCE_TOPK,
         "meth_group_delta": SQL_METH_GROUP_DELTA,
         "meth_moderated_t": SQL_METH_MODERATED_T,
+        "meth_contrasts": _sql_meth_contrasts(),
         "bh_adjust": SQL_BH_ADJUST,
         "text_tokens": SQL_TEXT_TOKENS,
         "text_quality": SQL_TEXT_QUALITY,

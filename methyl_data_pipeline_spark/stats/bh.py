@@ -25,9 +25,14 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 def bh_adjust(df: DataFrame, p_col: str = "p_value", out_col: str = "adj_p") -> DataFrame:
     """Append BH-adjusted p-values. Null p-values are left null and are
-    excluded from N, matching R's na-handling."""
-    n = df.filter(F.col(p_col).isNotNull()).count()
+    excluded from N, matching R's na-handling.
+
+    N comes from a window count over the same (already single-partition)
+    global ordering — not an eager ``count()`` action, which would run
+    the entire upstream plan twice.
+    """
     w_rank = Window.orderBy(F.col(p_col).asc())
+    w_all = Window.partitionBy()
     # cummin MUST run over rank desc, not p desc: under tied p-values a
     # p-ordered window can visit equal-p rows in either order and the
     # higher-ranked twin would miss its partner's smaller q.
@@ -38,9 +43,10 @@ def bh_adjust(df: DataFrame, p_col: str = "p_value", out_col: str = "adj_p") -> 
     nonnull = (
         df.filter(F.col(p_col).isNotNull())
         .withColumn("_rank", F.row_number().over(w_rank))
-        .withColumn("_q", F.col(p_col) * F.lit(float(n)) / F.col("_rank"))
+        .withColumn("_n", F.count(F.lit(1)).over(w_all))
+        .withColumn("_q", F.col(p_col) * F.col("_n") / F.col("_rank"))
         .withColumn(out_col, F.least(F.min("_q").over(w_cummin), F.lit(1.0)))
-        .drop("_rank", "_q")
+        .drop("_rank", "_q", "_n")
     )
     nulls = df.filter(F.col(p_col).isNull()).withColumn(out_col, F.lit(None).cast("double"))
     return nonnull.unionByName(nulls)

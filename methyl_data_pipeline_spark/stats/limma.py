@@ -133,6 +133,109 @@ def _t_sf_two_sided(t_col, df_col):
     return t_sf(t_col, df_col)
 
 
+def moderated_t_contrasts(
+    long_df: DataFrame,
+    group_col: str,
+    pairs: list[tuple[str, str]],
+    value_col: str = "mval",
+    key_col: str = "probe_id",
+    persist_intermediate: bool = True,
+) -> DataFrame:
+    """All-pairwise moderated contrasts with a SHARED residual variance —
+    the actual limma model (M6: ``makeContrasts`` pairwise diffs,
+    Mouse_Microarray_General_Workflow.R:125-143).
+
+    Unlike per-pair two-sample tests, limma fits ONE linear model per
+    probe (group-means design): the residual variance pools across all
+    k groups (s² = Σ(n_g-1)·var_g / (N-k), df = N-k), the EB prior is
+    fit once over those s², and every contrast reuses the same
+    moderated s̃². Output: one row per (probe, contrast).
+
+    Plan shape: one groupBy(key, group) pass → per-key pivot-free
+    conditional collect via a second groupBy(key) → tiny prior agg →
+    per-pair selects unioned (column arithmetic only, no extra
+    shuffles).
+    """
+    groups = sorted({g for p in pairs for g in p})
+    v = F.col(value_col)
+
+    per_group = (
+        long_df.filter(F.col(group_col).isin(groups))
+        .groupBy(key_col, group_col)
+        .agg(F.count(v).alias("n"), F.avg(v).alias("mean"), F.var_samp(v).alias("var"))
+        .filter(F.col("n") >= 2)
+    )
+
+    # wide per-key stats via conditional aggregation (k is small — the
+    # group dimension, not the data dimension)
+    aggs = []
+    for g in groups:
+        cond = F.col(group_col) == g
+        aggs += [
+            F.sum(F.when(cond, F.col("n"))).alias(f"n_{g}"),
+            F.sum(F.when(cond, F.col("mean"))).alias(f"mean_{g}"),
+            F.sum(F.when(cond, F.col("var"))).alias(f"var_{g}"),
+        ]
+    per_key = per_group.groupBy(key_col).agg(*aggs)
+
+    # pooled residual variance over all groups present for the probe
+    n_terms = [F.coalesce(F.col(f"n_{g}"), F.lit(0)) for g in groups]
+    ss_terms = [
+        F.when(
+            F.col(f"n_{g}").isNotNull(),
+            (F.col(f"n_{g}") - 1) * F.col(f"var_{g}"),
+        ).otherwise(0.0)
+        for g in groups
+    ]
+    k_present = sum(
+        (F.when(F.col(f"n_{g}").isNotNull(), 1).otherwise(0) for g in groups),
+        F.lit(0),
+    )
+    n_total = sum(n_terms[1:], n_terms[0])
+    ss = sum(ss_terms[1:], ss_terms[0])
+    per_key = (
+        per_key.withColumn("df", n_total - k_present)
+        .filter(F.col("df") >= 1)
+        .withColumn("s2", ss / F.col("df"))
+    )
+    if persist_intermediate:
+        per_key = per_key.persist()
+
+    prior = per_key.agg(
+        F.avg("s2").alias("s0_sq"),
+        (2.0 * F.pow(F.avg("s2"), 2) / F.var_samp("s2")).alias("d0"),
+    )
+    based = per_key.crossJoin(F.broadcast(prior)).withColumn(
+        "s2_post",
+        (F.col("d0") * F.col("s0_sq") + F.col("df") * F.col("s2"))
+        / (F.col("d0") + F.col("df")),
+    )
+
+    outs = []
+    for ga, gb in pairs:
+        pair = (
+            based.filter(F.col(f"n_{ga}").isNotNull() & F.col(f"n_{gb}").isNotNull())
+            .select(
+                key_col,
+                F.lit(f"{ga}_vs_{gb}").alias("contrast"),
+                (F.col(f"mean_{ga}") - F.col(f"mean_{gb}")).alias("logFC"),
+                (
+                    (F.col(f"mean_{ga}") - F.col(f"mean_{gb}"))
+                    / F.sqrt(
+                        F.col("s2_post")
+                        * (1.0 / F.col(f"n_{ga}") + 1.0 / F.col(f"n_{gb}"))
+                    )
+                ).alias("t_mod"),
+                (F.col("d0") + F.col("df")).alias("df_mod"),
+            )
+        )
+        outs.append(pair)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
 def group_mean_deltas(
     long_df: DataFrame,
     group_col: str,
