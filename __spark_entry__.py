@@ -658,6 +658,88 @@ based AS (
 ORDER BY probe_id, contrast"""
 
 
+def q_poobah_ecdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pOOBAH-style empirical detection p (M4): per-sample ECDF of a
+    background set via a single RANGE-framed window pass. Background =
+    every 5th probe (deterministic stand-in for OOB controls)."""
+    from methyl_data_pipeline_spark.stats.detection import ecdf_detection_p
+
+    meth = _meth(spark, sf_dir).withColumn(
+        "is_oob", F.substring("probe_id", 3, 10).cast("int") % 5 == 0
+    )
+    out = ecdf_detection_p(meth, value_col="beta", oob_col="is_oob")
+    return out.select(
+        "probe_id", "sample_id", _r(F.col("det_p_emp")).alias("det_p_emp")
+    ).orderBy("probe_id", "sample_id")
+
+
+SQL_POOBAH = f"""
+WITH {METH_CTE},
+t AS (
+  SELECT probe_id, sample_id, beta,
+         CASE WHEN CAST(substr(probe_id, 3, 10) AS INT) % 5 = 0 THEN 1 ELSE 0 END AS oob
+  FROM meth
+),
+w AS (
+  SELECT probe_id, sample_id,
+         SUM(oob) OVER (PARTITION BY sample_id ORDER BY beta
+                        RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS oob_le,
+         SUM(oob) OVER (PARTITION BY sample_id) AS oob_n
+  FROM t
+)
+SELECT probe_id, sample_id,
+       ROUND(CASE WHEN oob_n > 0 THEN 1.0 - oob_le * 1.0 / oob_n END + 1e-9, 6)
+         AS det_p_emp
+FROM w ORDER BY probe_id, sample_id
+"""
+
+
+def q_join_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped 6-table join chain: revenue per nation for one
+    region, customer and supplier in the same nation (broadcast dims +
+    one fact shuffle)."""
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            _dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+SQL_JOIN_CHAIN = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+         AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
 def q_bh_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BH FDR step-up (A14/W2) over per-probe pseudo p-values."""
     from methyl_data_pipeline_spark.stats.bh import bh_adjust
@@ -1305,6 +1387,32 @@ def q_bmiq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("probe_id", "sample_id")
 
 
+def q_combat_covariates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ComBat variant B (M2): covariate-protected batch correction —
+    per-probe OLS via applyInPandas + the shared EB agg machinery.
+    Rows-only (iterative EB; invariants in tests/test_combat_covariates)."""
+    from methyl_data_pipeline_spark import model
+    from methyl_data_pipeline_spark.operators import qc
+    from methyl_data_pipeline_spark.stats.combat import combat_with_covariates
+
+    meth = _meth(spark, sf_dir)
+    n_samples = meth.select("sample_id").distinct().count()
+    complete = qc.drop_incomplete_probes(meth, n_samples)
+    with_cov = complete.withColumn(
+        "tissue",
+        F.when(F.substring("sample_id", 2, 10).cast("int") % 2 == 0, "thymus")
+        .otherwise("tcell"),
+    ).withColumn("mval", model.mvalue("beta"))
+    out = combat_with_covariates(
+        with_cov, value_col="mval", batch_col="run", covariate_cols=["tissue"]
+    )
+    return out.select(
+        "probe_id", "sample_id", "run",
+        F.round("mval", 6).alias("mval"),
+        F.round("mval_combat", 6).alias("mval_combat"),
+    ).orderBy("probe_id", "sample_id")
+
+
 def q_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA sample scores (M1): vector assembly + ml.feature.PCA.
     Rows-only (eigenvector sign is implementation-defined)."""
@@ -1391,6 +1499,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "meth_group_delta": q_meth_group_delta,
         "meth_moderated_t": q_meth_moderated_t,
         "meth_contrasts": q_meth_contrasts,
+        "poobah_ecdf": q_poobah_ecdf,
+        "join_chain": q_join_chain,
         "bh_adjust": q_bh_adjust,
         # extensions
         "text_tokens": q_text_tokens,
@@ -1416,6 +1526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_projection": q_sample_projection,
         # non-SQL-expressible (rows-only; see each docstring)
         "combat_correction": q_combat,
+        "combat_covariates": q_combat_covariates,
         "bmiq_normalize": q_bmiq,
         "pca_scores": q_pca,
         "similarity_lsh": q_similarity_lsh,
@@ -1442,6 +1553,8 @@ def oracle_sql() -> dict[str, str]:
         "meth_group_delta": SQL_METH_GROUP_DELTA,
         "meth_moderated_t": SQL_METH_MODERATED_T,
         "meth_contrasts": _sql_meth_contrasts(),
+        "poobah_ecdf": SQL_POOBAH,
+        "join_chain": SQL_JOIN_CHAIN,
         "bh_adjust": SQL_BH_ADJUST,
         "text_tokens": SQL_TEXT_TOKENS,
         "text_quality": SQL_TEXT_QUALITY,

@@ -167,6 +167,168 @@ def combat(
     )
 
 
+def combat_with_covariates(
+    long_df: DataFrame,
+    value_col: str = "mval",
+    batch_col: str = "run",
+    covariate_cols: list[str] | None = None,
+    key_col: str = "probe_id",
+    sample_col: str = "sample_id",
+    conv: float = 1e-13,
+    max_iter: int = 200,
+) -> DataFrame:
+    """ComBat variant B: covariate-protected batch correction
+    (reference ``workflow.R:132-145``: ``ComBat(mvals, batch,
+    mod=model.matrix(~Tissue.Cell.type))``).
+
+    The biological covariates are included in the per-probe linear
+    model so their effect is preserved (removed before standardization,
+    added back after adjustment). Decomposition:
+
+      1. per-probe OLS of value ~ batch + covariates — probes are
+         independent, so this IS a grouped operation:
+         ``applyInPandas`` per probe, lstsq on the small (n_samples ×
+         n_params) design, emitting Z and the protected stand_mean;
+      2. EB hyperpriors + fixed point + adjustment — identical agg
+         machinery to the no-covariate path (pools ACROSS probes, so
+         it stays outside the grouped UDF).
+
+    The covariate design is built driver-side from the distinct
+    (batch, covariate) levels — a dimension-sized lookup, broadcast
+    into the UDF closure.
+    """
+    import numpy as np
+
+    from methyl_data_pipeline_spark.deploy import ensure_importable
+
+    ensure_importable(long_df.sparkSession)
+    covariate_cols = covariate_cols or []
+    cols = [key_col, sample_col, batch_col, value_col, *covariate_cols]
+    df = long_df.select(*cols)
+
+    batches = [r[0] for r in df.select(batch_col).distinct().orderBy(batch_col).collect()]
+    cov_levels = {
+        c: [r[0] for r in df.select(c).distinct().orderBy(c).collect()]
+        for c in covariate_cols
+    }
+    n_batch = len(batches)
+
+    out_schema = (
+        f"{key_col} string, {sample_col} string, {batch_col} string, "
+        f"{value_col} double, z double, stand_mean double, var_pooled double"
+    )
+
+    def fit_probe(pdf: pd.DataFrame) -> pd.DataFrame:
+        y = pdf[value_col].to_numpy(dtype=float)
+        n = len(y)
+        # full-rank design: batch one-hot (all levels, sum-to-count
+        # parametrization as in sva) + covariate dummies (drop-first)
+        blocks = [
+            np.column_stack([
+                (pdf[batch_col] == b).to_numpy(dtype=float) for b in batches
+            ])
+        ]
+        for c in covariate_cols:
+            lv = cov_levels[c][1:]
+            if lv:
+                blocks.append(
+                    np.column_stack([
+                        (pdf[c] == v).to_numpy(dtype=float) for v in lv
+                    ])
+                )
+        X = np.hstack(blocks)
+        beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+        # grand mean over batches weighted by batch size (sva's
+        # grand.mean), covariate part protected in stand_mean
+        counts = np.array([(pdf[batch_col] == b).sum() for b in batches], dtype=float)
+        grand = float(np.dot(counts / n, beta[:n_batch]))
+        stand_mean = np.full(n, grand)
+        if X.shape[1] > n_batch:
+            stand_mean = stand_mean + X[:, n_batch:] @ beta[n_batch:]
+        resid = y - X @ beta
+        var_pooled = float(np.dot(resid, resid) / n) or 1e-12
+        # sva standardizes against stand_mean (covariate-protected)
+        z = (y - stand_mean) / np.sqrt(var_pooled)
+        out = pdf[[key_col, sample_col, batch_col]].copy()
+        out[value_col] = y
+        out["z"] = z
+        out["stand_mean"] = stand_mean
+        out["var_pooled"] = var_pooled
+        return out
+
+    z = df.groupBy(key_col).applyInPandas(fit_probe, out_schema).persist()
+
+    # EB machinery over Z — identical to the intercept-only path.
+    zb = z.groupBy(key_col, batch_col).agg(
+        F.count("z").alias("n_b"),
+        F.avg("z").alias("gamma_hat"),
+        F.var_samp("z").alias("delta_hat_sq"),
+    )
+    hyper = zb.groupBy(batch_col).agg(
+        F.avg("gamma_hat").alias("gamma_bar"),
+        F.var_samp("gamma_hat").alias("t2"),
+        F.avg("delta_hat_sq").alias("_dm"),
+        F.var_samp("delta_hat_sq").alias("_ds2"),
+    ).withColumn(
+        "a_prior", (2.0 * F.col("_ds2") + F.pow(F.col("_dm"), 2)) / F.col("_ds2")
+    ).withColumn(
+        "b_prior",
+        (F.col("_dm") * F.col("_ds2") + F.pow(F.col("_dm"), 3)) / F.col("_ds2"),
+    ).drop("_dm", "_ds2")
+
+    @pandas_udf("struct<gamma_star double, delta_star_sq double>")
+    def eb_fixed_point(
+        n: pd.Series, gamma_hat: pd.Series, delta_hat_sq: pd.Series,
+        gamma_bar: pd.Series, t2: pd.Series, a: pd.Series, b: pd.Series,
+    ) -> pd.DataFrame:
+        import numpy as np
+
+        n_ = n.to_numpy(dtype=float)
+        gh = gamma_hat.to_numpy(dtype=float)
+        dh2 = np.nan_to_num(delta_hat_sq.to_numpy(dtype=float), nan=1.0)
+        gb, t2_ = gamma_bar.to_numpy(float), t2.to_numpy(float)
+        a_, b_ = a.to_numpy(float), b.to_numpy(float)
+        g_old, d_old = gh.copy(), dh2.copy()
+        for _ in range(max_iter):
+            g_new = (t2_ * n_ * gh + d_old * gb) / (t2_ * n_ + d_old)
+            sum2 = (n_ - 1.0) * dh2 + n_ * (gh - g_new) ** 2
+            d_new = (0.5 * sum2 + b_) / (n_ / 2.0 + a_ - 1.0)
+            change = np.maximum(
+                np.abs(g_new - g_old) / np.maximum(np.abs(g_old), 1e-12),
+                np.abs(d_new - d_old) / np.maximum(np.abs(d_old), 1e-12),
+            )
+            g_old, d_old = g_new, d_new
+            if float(change.max(initial=0.0)) < conv:
+                break
+        return pd.DataFrame({"gamma_star": g_old, "delta_star_sq": d_old})
+
+    stars = (
+        zb.join(F.broadcast(hyper), batch_col)
+        .withColumn(
+            "_eb",
+            eb_fixed_point(
+                F.col("n_b"), F.col("gamma_hat"), F.col("delta_hat_sq"),
+                F.col("gamma_bar"), F.col("t2"), F.col("a_prior"), F.col("b_prior"),
+            ),
+        )
+        .select(key_col, batch_col, F.col("_eb.gamma_star").alias("gamma_star"),
+                F.col("_eb.delta_star_sq").alias("delta_star_sq"))
+    )
+
+    out_col = f"{value_col}_combat"
+    return (
+        z.join(stars, [key_col, batch_col])
+        .withColumn(
+            out_col,
+            F.sqrt("var_pooled")
+            * (F.col("z") - F.col("gamma_star"))
+            / F.sqrt("delta_star_sq")
+            + F.col("stand_mean"),
+        )
+        .select(key_col, sample_col, batch_col, value_col, out_col)
+    )
+
+
 def batch_sd_reduction(
     before: DataFrame, after: DataFrame, value_col: str, value_col_after: str,
     batch_col: str = "run", key_col: str = "probe_id",
