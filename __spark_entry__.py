@@ -658,6 +658,31 @@ based AS (
 ORDER BY probe_id, contrast"""
 
 
+def q_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grand health metrics in one agg pass (A10: health_check.py)."""
+    from methyl_data_pipeline_spark.operators.qc import health_report
+
+    meth = _meth(spark, sf_dir)
+    out = health_report(meth)
+    return out.select(
+        "n_rows", "n_null_values", "n_probes", "n_samples",
+        _r(F.col("min_value")).alias("min_value"),
+        _r(F.col("max_value")).alias("max_value"),
+    )
+
+
+SQL_HEALTH = f"""
+WITH {METH_CTE}
+SELECT COUNT(*) AS n_rows,
+       SUM(CASE WHEN beta IS NULL THEN 1 ELSE 0 END) AS n_null_values,
+       COUNT(DISTINCT probe_id) AS n_probes,
+       COUNT(DISTINCT sample_id) AS n_samples,
+       ROUND(MIN(beta) + 1e-9, 6) AS min_value,
+       ROUND(MAX(beta) + 1e-9, 6) AS max_value
+FROM meth
+"""
+
+
 def q_poobah_ecdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pOOBAH-style empirical detection p (M4): per-sample ECDF of a
     background set via a single RANGE-framed window pass. Background =
@@ -1501,6 +1526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "meth_contrasts": q_meth_contrasts,
         "poobah_ecdf": q_poobah_ecdf,
         "join_chain": q_join_chain,
+        "health_report": q_health_report,
         "bh_adjust": q_bh_adjust,
         # extensions
         "text_tokens": q_text_tokens,
@@ -1555,6 +1581,7 @@ def oracle_sql() -> dict[str, str]:
         "meth_contrasts": _sql_meth_contrasts(),
         "poobah_ecdf": SQL_POOBAH,
         "join_chain": SQL_JOIN_CHAIN,
+        "health_report": SQL_HEALTH,
         "bh_adjust": SQL_BH_ADJUST,
         "text_tokens": SQL_TEXT_TOKENS,
         "text_quality": SQL_TEXT_QUALITY,

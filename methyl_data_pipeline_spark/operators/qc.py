@@ -129,6 +129,20 @@ def audit_membership(
     return sheet_only, matrix_only
 
 
+def health_report(meth: DataFrame, value_col: str = "beta") -> DataFrame:
+    """Grand health metrics in ONE pass (reference A10:
+    health_check.py:19-22 — cell count, empty cells, distincts). A
+    single agg, no per-metric scans."""
+    return meth.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.isnull(F.col(value_col)).cast("int")).alias("n_null_values"),
+        F.countDistinct("probe_id").alias("n_probes"),
+        F.countDistinct("sample_id").alias("n_samples"),
+        F.min(value_col).alias("min_value"),
+        F.max(value_col).alias("max_value"),
+    )
+
+
 def scrub_nonfinite(df: DataFrame, cols: list[str]) -> DataFrame:
     """Replace NaN/±Inf with NULL in the given columns, then drop rows
     that became all-null on those columns. Reference P15

@@ -1,0 +1,84 @@
+"""Scale patterns: skew salting, bucketed layout, co-located joins.
+
+These are the knobs the 100 TB deployment turns that local tests can't
+show the need for (SURVEY §4.2-4.3): a handful of hot probes/samples
+(control probes appear in every run; a mega-batch dwarfs others) skew
+the shuffle, and repeated probe-keyed joins deserve a bucketed layout
+so they co-locate without re-shuffling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def salted_aggregate(
+    df: DataFrame,
+    key_cols: list[str],
+    sum_cols: list[str] | None = None,
+    count: bool = True,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-stage aggregation for skewed keys.
+
+    Stage 1 groups by (key, salt) — the hot key's rows spread over
+    ``salt_buckets`` reducers; stage 2 combines the partials by key.
+    Only algebraic aggregates (sum/count, and means derived from them)
+    decompose this way; use AQE skew-join handling for the rest.
+    """
+    sum_cols = sum_cols or []
+    salted = df.withColumn(
+        "_salt", (F.rand(seed=0) * salt_buckets).cast("int")
+    )
+    partial_aggs = [F.sum(c).alias(f"_sum_{c}") for c in sum_cols]
+    if count:
+        partial_aggs.append(F.count(F.lit(1)).alias("_cnt"))
+    partial = salted.groupBy(*key_cols, "_salt").agg(*partial_aggs)
+
+    final_aggs = [F.sum(f"_sum_{c}").alias(f"sum_{c}") for c in sum_cols]
+    if count:
+        final_aggs.append(F.sum("_cnt").alias("n"))
+    return partial.groupBy(*key_cols).agg(*final_aggs)
+
+
+def salted_mean(
+    df: DataFrame, key_cols: list[str], value_col: str, salt_buckets: int = 16
+) -> DataFrame:
+    """Skew-safe mean via salted sum/count."""
+    agg = salted_aggregate(df, key_cols, [value_col], count=True, salt_buckets=salt_buckets)
+    return agg.select(
+        *key_cols, (F.col(f"sum_{value_col}") / F.col("n")).alias(f"mean_{value_col}")
+    )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist with a bucketed layout so later joins/aggs on the bucket
+    key co-locate without a shuffle (SURVEY §4.3 decision (a): bucket
+    the long fact table by probe_id after first write)."""
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(table_name)
+
+
+def with_salted_key(df: DataFrame, key_col: str, hot_keys: list[str], salt_buckets: int = 8) -> DataFrame:
+    """Explicit hot-key salting for joins: append `#salt` to known hot
+    keys (the replicated small side must be exploded to match). AQE's
+    skewJoin handles most cases; this is the manual override for
+    catastrophic skew."""
+    return df.withColumn(
+        key_col,
+        F.when(
+            F.col(key_col).isin(hot_keys),
+            F.concat(
+                F.col(key_col), F.lit("#"), (F.rand(seed=1) * salt_buckets).cast("int")
+            ),
+        ).otherwise(F.col(key_col)),
+    )

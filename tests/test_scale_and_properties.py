@@ -1,0 +1,108 @@
+"""Scale patterns (salting equivalence, partition pruning, bucketing)
++ hypothesis property tests (SURVEY §5 plan item 3)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from methyl_data_pipeline_spark import model
+from methyl_data_pipeline_spark.io.writers import write_parquet_by_run
+from methyl_data_pipeline_spark.operators.scale import salted_aggregate, salted_mean
+from methyl_data_pipeline_spark.stats.bh import bh_adjust
+
+
+def test_salted_aggregate_equals_plain(spark):
+    rng = np.random.RandomState(0)
+    # skewed: key 'hot' holds 80% of rows
+    keys = ["hot"] * 8000 + [f"k{i}" for i in rng.randint(0, 50, 2000)]
+    vals = rng.rand(len(keys))
+    df = spark.createDataFrame(pd.DataFrame({"k": keys, "v": vals}))
+    got = {
+        r["k"]: (r["sum_v"], r["n"])
+        for r in salted_aggregate(df, ["k"], ["v"], salt_buckets=8).collect()
+    }
+    want = {
+        r["k"]: (r["s"], r["c"])
+        for r in df.groupBy("k").agg(F.sum("v").alias("s"), F.count("*").alias("c")).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][1] == want[k][1]
+        assert abs(got[k][0] - want[k][0]) < 1e-9
+
+    m = {r["k"]: r["mean_v"] for r in salted_mean(df, ["k"], "v").collect()}
+    wm = {r["k"]: r["m"] for r in df.groupBy("k").agg(F.avg("v").alias("m")).collect()}
+    for k in wm:
+        assert abs(m[k] - wm[k]) < 1e-9
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(f"cg{i}", f"S{i % 4}", str(i % 3), 0.5, 0.01) for i in range(300)],
+        ["probe_id", "sample_id", "run", "beta", "det_p"],
+    )
+    out = str(tmp_path / "by_run")
+    write_parquet_by_run(df, out)
+    back = spark.read.parquet(out).filter(F.col("run") == "1")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(run" in plan or "run#" in plan
+    # pruned read touches only the run=1 directory
+    files = back.select(F.input_file_name()).distinct().collect()
+    assert all("run=1" in r[0] for r in files)
+    assert back.count() == 100
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(st.floats(min_value=0.0, max_value=1.0, allow_nan=False), min_size=1, max_size=40)
+)
+def test_property_clamp_and_mvalue_finite(spark, betas):
+    df = spark.createDataFrame([(float(b),) for b in betas], ["beta"])
+    out = df.select(
+        model.clamp("beta").alias("c"), model.mvalue("beta").alias("m")
+    ).collect()
+    for r in out:
+        assert 0.0 <= r["c"] <= 1.0
+        assert np.isfinite(r["m"])
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=1e-12, max_value=1.0, allow_nan=False),
+        min_size=2,
+        max_size=30,
+        unique=True,
+    )
+)
+def test_property_bh_monotone_and_bounded(spark, ps):
+    df = spark.createDataFrame(
+        [(f"k{i}", float(p)) for i, p in enumerate(ps)], ["k", "p_value"]
+    )
+    out = bh_adjust(df).toPandas().sort_values("p_value")
+    # adjusted values are in [p, 1] and monotone in p
+    assert (out["adj_p"] <= 1.0 + 1e-12).all()
+    assert (out["adj_p"].values >= out["p_value"].values - 1e-12).all()
+    assert (np.diff(out["adj_p"].values) >= -1e-12).all()
+
+
+def test_property_outer_join_rowcount(spark):
+    from methyl_data_pipeline_spark.operators.joins import combine_runs_wide
+
+    a = spark.createDataFrame([(f"cg{i}", 0.1) for i in range(10)], ["TargetID", "s1"])
+    b = spark.createDataFrame([(f"cg{i}", 0.2) for i in range(5, 20)], ["TargetID", "s2"])
+    out = combine_runs_wide([a, b])
+    assert out.count() == 20  # |union of keys| >= max input (filter.py:45-50)
+
+
+def test_health_report(spark, meth, meth_pdf):
+    from methyl_data_pipeline_spark.operators.qc import health_report
+
+    r = health_report(meth).collect()[0]
+    assert r["n_rows"] == len(meth_pdf)
+    assert r["n_null_values"] == int(meth_pdf["beta"].isna().sum())
+    assert r["n_probes"] == meth_pdf["probe_id"].nunique()
+    assert r["n_samples"] == meth_pdf["sample_id"].nunique()
