@@ -1482,6 +1482,13 @@ def q_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         top_k=500, pca_k=0, run_bmiq=False, run_combat=True,
         dmp_groups=("run", "R0", "R1"),
     )
+    # volcano-table shape (P14/F11: plots.R:165, volcano.R:166) — the
+    # tidy result the reference renders; significance flag + -log10.
+    from methyl_data_pipeline_spark.functions.scalar import (
+        neg_log10,
+        significance_flag,
+    )
+
     dmp = res.dmp
     return dmp.select(
         "probe_id",
@@ -1489,6 +1496,8 @@ def q_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("t_mod", 3).alias("t_mod"),
         F.round("p_value", 4).alias("p_value"),
         F.round("adj_p", 4).alias("adj_p"),
+        F.round(neg_log10("adj_p"), 4).alias("neg_log10_fdr"),
+        significance_flag("adj_p", "logFC").alias("significant"),
     ).orderBy("probe_id")
 
 

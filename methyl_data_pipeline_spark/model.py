@@ -84,8 +84,16 @@ def melt(
     """
     if value_cols is None:
         value_cols = [c for c in wide.columns if c != id_col]
+    # vendor sample columns contain dots (`TB1_1.AVG_Beta`) — backtick-
+    # quote so they resolve as whole names, not struct paths
+    def bq(c: str) -> Column:
+        return F.col("`" + c.replace("`", "``") + "`")
+
     out = wide.unpivot(
-        ids=[id_col], values=value_cols, variableColumnName=var_name, valueColumnName=value_name
+        ids=[bq(id_col)],
+        values=[bq(c) for c in value_cols],
+        variableColumnName=var_name,
+        valueColumnName=value_name,
     )
     return out.withColumnRenamed(id_col, "probe_id")
 

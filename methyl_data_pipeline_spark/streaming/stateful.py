@@ -1,0 +1,82 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``.
+
+Engine-native extension (the reference is batch-only): a per-user
+running aggregate that survives across micro-batches — the canonical
+shape for anomaly detection / rate limiting / incremental QC on an
+event stream. State is a single (count, sum, sum_sq) triple per key, so
+memory is O(keys), and the operator emits one updated summary row per
+key per batch.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+STATE_SCHEMA = "n long, total double, total_sq double"
+OUTPUT_SCHEMA = (
+    "user_id long, n long, mean double, m2 double, is_anomalous boolean"
+)
+
+
+def running_user_stats(
+    stream: DataFrame,
+    z_threshold: float = 3.0,
+    user_col: str = "user_id",
+    value_col: str = "value",
+    idle_timeout_ms: int | None = None,
+) -> DataFrame:
+    """Streaming per-user running mean/variance with an anomaly flag
+    when the batch mean deviates > ``z_threshold`` sigma from the
+    running mean. Update-mode output.
+
+    ``idle_timeout_ms``: evict state for keys idle longer than this
+    (production setting so abandoned keys don't leak state). When
+    enabled the engine schedules continuous timeout-evaluation batches,
+    so ``processAllAvailable()`` never drains — tests and one-shot
+    replays should leave it off."""
+
+    def update(key, pdfs, state: GroupState):
+        n0, s0, ss0 = (state.get if state.exists else (0, 0.0, 0.0))
+        batch_n, batch_s, batch_ss = 0, 0.0, 0.0
+        for pdf in pdfs:
+            v = pdf[value_col].astype(float)
+            batch_n += int(v.count())
+            batch_s += float(v.sum())
+            batch_ss += float((v * v).sum())
+        n = n0 + batch_n
+        s = s0 + batch_s
+        ss = ss0 + batch_ss
+        state.update((n, s, ss))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        mean = s / n if n else 0.0
+        m2 = ss / n - mean * mean if n else 0.0
+        anomalous = False
+        if n0 > 1 and batch_n > 0:
+            prev_mean = s0 / n0
+            prev_var = max(ss0 / n0 - prev_mean * prev_mean, 1e-12)
+            batch_mean = batch_s / batch_n
+            anomalous = abs(batch_mean - prev_mean) > z_threshold * (prev_var ** 0.5)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n": [n],
+                "mean": [mean],
+                "m2": [m2],
+                "is_anomalous": [anomalous],
+            }
+        )
+
+    return stream.groupBy(user_col).applyInPandasWithState(
+        update,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if idle_timeout_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
