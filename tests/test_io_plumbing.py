@@ -1,0 +1,60 @@
+"""IO plumbing: IDAT binary discovery, Excel boundary, plan-shape
+regression guards (pushdown/broadcast stay in the plan)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from methyl_data_pipeline_spark.io.readers import decode_idat, read_any, read_idat_dir
+
+
+def test_idat_discovery_pairs(spark, tmp_path):
+    d = tmp_path / "idats" / "run1"
+    os.makedirs(d)
+    for base in ["203866588039_R01C01", "203866588039_R02C01"]:
+        for ch in ["Red", "Grn"]:
+            (d / f"{base}_{ch}.idat").write_bytes(b"IDAT" + b"\x00" * 16)
+    (d / "notes.txt").write_text("ignored")  # glob must skip non-idat
+
+    out = read_idat_dir(spark, str(tmp_path / "idats")).collect()
+    assert len(out) == 4
+    pairs = {(r["basename"], r["channel"]) for r in out}
+    assert ("203866588039_R01C01", "Red") in pairs
+    assert ("203866588039_R01C01", "Grn") in pairs
+    assert all(r["length"] == 20 for r in out)
+    with pytest.raises(NotImplementedError, match="IDAT"):
+        decode_idat(None)
+
+
+def test_read_any_excel_boundary(spark, tmp_path):
+    pytest.importorskip("openpyxl")
+    import pandas as pd
+
+    p = str(tmp_path / "x.xlsx")
+    pd.DataFrame({"TargetID": ["cg1"], "TB1_1.AVG_Beta": [0.4]}).to_excel(p, index=False)
+    df = read_any(spark, p)
+    assert df.count() == 1
+
+
+def test_plan_pushdown_regression(spark):
+    """Filter + projection must reach the parquet scan (SURVEY §4.1)."""
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    q = li.filter(F.col("l_shipdate") <= "1995-01-01").select("l_orderkey", "l_quantity")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    assert "l_extendedprice" not in plan  # column pruning held
+
+
+def test_plan_broadcast_regression(spark):
+    """Small-dimension joins must plan as broadcast, not sort-merge."""
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    supp = spark.read.parquet("/root/testdata/sf0.001/supplier.parquet")
+    q = li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey).groupBy(
+        "s_name"
+    ).count()
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
