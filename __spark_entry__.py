@@ -1456,16 +1456,54 @@ def q_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN via random-hyperplane LSH buckets (scale path of
-    embedding_cosine_topk). Rows-only: bucket recall is probabilistic
-    by design; the exact brute-force twin is the oracle-checked one."""
+    embedding_cosine_topk). The hyperplanes are seeded and deterministic,
+    so even the *approximate* result is exactly reproducible — the
+    DuckDB oracle replays the same planes (embedded as SQL literals)."""
     from methyl_data_pipeline_spark.ext.similarity import lsh_bucketed_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 20)
     out = lsh_bucketed_topk(emb, queries_df, k=5, n_planes=6)
     return out.select(
-        "query_id", "rank", "neighbor_id", F.round("cosine", 6).alias("cosine")
+        "query_id", "rank", "neighbor_id", _r(F.col("cosine")).alias("cosine")
     ).orderBy("query_id", "rank")
+
+
+def _sql_similarity_lsh(dim: int = 64, n_planes: int = 6, seed: int = 42) -> str:
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(n_planes, dim))
+
+    def bucket_expr(vec: str) -> str:
+        bits = []
+        for p in range(n_planes):
+            terms = " + ".join(
+                f"{vec}[{i + 1}] * ({planes[p][i]!r})" for i in range(dim)
+            )
+            bits.append(f"(CASE WHEN {terms} >= 0 THEN '1' ELSE '0' END)")
+        return " || ".join(bits)
+
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT vec_id, v, {bucket_expr('v')} AS bucket FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 20),
+pairs AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         list_sum(list_transform(generate_series(1, len(q.qv)),
+                                 i -> q.qv[i] * c.v[i]))
+           / (sqrt(list_sum(list_transform(q.qv, x -> x * x)))
+              * sqrt(list_sum(list_transform(c.v, x -> x * x)))) AS cos_raw
+  FROM q JOIN b c ON q.bucket = c.bucket AND c.vec_id != q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_raw,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
+  FROM pairs
+)
+SELECT query_id, rank, neighbor_id, ROUND(cos_raw + 1e-9, 6) AS cosine
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
 
 
 def q_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1603,6 +1641,7 @@ def oracle_sql() -> dict[str, str]:
         "events_windowed": SQL_EVENTS_WINDOWED,
         "sessionize": SQL_SESSIONIZE,
         "multimodal_features": SQL_MULTIMODAL,
+        "similarity_lsh": _sql_similarity_lsh(),
         "agg_minmax": SQL_AGG_MINMAX,
         "collect_list": SQL_COLLECT_LIST,
         "histogram": SQL_HISTOGRAM,

@@ -119,6 +119,47 @@ def test_streaming_windowed_counts_memory_sink(spark, tmp_path):
     assert got[("2024-01-01 01:00:00", "view")] == 1
 
 
+def test_streaming_watermark_drops_late_data(spark, tmp_path):
+    """Append-mode windowed agg: a window only emits once the watermark
+    passes it, and events later than the watermark are dropped."""
+    src = str(tmp_path / "late_src")
+    os.makedirs(src, exist_ok=True)
+
+    def batch(rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(src)
+
+    batch([(1, "2024-01-01 00:10:00", 1, "click", 1.0),
+           (2, "2024-01-01 00:20:00", 1, "click", 1.0)])
+
+    stream = stream_events_from_parquet(spark, src)
+    agg = windowed_event_counts(stream, "1 hour", "10 minutes")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory").queryName("late_test").start()
+    )
+    try:
+        q.processAllAvailable()
+        # watermark still inside hour 0 -> nothing finalized yet
+        assert spark.sql("SELECT * FROM late_test").count() == 0
+
+        # advance event time past hour 0 + watermark, plus one LATE event
+        batch([(3, "2024-01-01 02:00:00", 1, "click", 1.0)])
+        q.processAllAvailable()
+        batch([(4, "2024-01-01 00:30:00", 1, "click", 99.0),  # too late
+               (5, "2024-01-01 02:05:00", 1, "click", 1.0)])
+        q.processAllAvailable()
+        rows = {str(r["window_start"]): r for r in spark.sql("SELECT * FROM late_test").collect()}
+        # hour-0 window finalized WITHOUT the late event (n=2, not 3)
+        assert rows["2024-01-01 00:00:00"]["n_events"] == 2
+        assert rows["2024-01-01 00:00:00"]["sum_value"] == 2.0
+    finally:
+        q.stop()
+
+
 def test_sessionize(spark):
     rows = [
         (1, "2024-01-01 00:00:00", 7, "click", 1.0),
