@@ -1358,6 +1358,65 @@ GROUP BY sample_id ORDER BY sample_id
 """
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (custom operator Spark lacks): each purchase event
+    enriched with the user's most recent at-or-before click value, via
+    the window-carry implementation (one shuffle, no range explosion)."""
+    from methyl_data_pipeline_spark.operators.asof import asof_join_prior
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value")
+    )
+    out = asof_join_prior(
+        purchases, clicks, on="ts", by="user_id", right_value_cols=["click_value"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        _r(F.col("value")).alias("purchase_value"),
+        _r(F.col("click_value_asof")).alias("last_click_value"),
+    ).orderBy("event_id")
+
+
+SQL_ASOF = """
+WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts, value AS click_value FROM events WHERE event_type = 'click')
+SELECT p.event_id, p.user_id,
+       ROUND(p.value + 1e-9, 6) AS purchase_value,
+       ROUND(c.click_value + 1e-9, 6) AS last_click_value
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY p.event_id
+"""
+
+
+def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont`, both type-7 linear interpolation)."""
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_mktsegment")
+        .agg(
+            _r(F.expr("percentile(c_acctbal, 0.25)")).alias("q25"),
+            _r(F.expr("percentile(c_acctbal, 0.5)")).alias("median"),
+            _r(F.expr("percentile(c_acctbal, 0.75)")).alias("q75"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+SQL_QUANTILES = """
+SELECT c_mktsegment,
+       ROUND(quantile_cont(c_acctbal, 0.25) + 1e-9, 6) AS q25,
+       ROUND(quantile_cont(c_acctbal, 0.5) + 1e-9, 6)  AS median,
+       ROUND(quantile_cont(c_acctbal, 0.75) + 1e-9, 6) AS q75
+FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 # --------------------------------------------------------------------------
 # Non-SQL-expressible operators (rows-only checks: iterative EB, EM
 # fits, eigendecomposition — no DuckDB oracle exists; the driver
@@ -1597,6 +1656,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_counts": q_rollup,
         "union_halves": q_union_halves,
         "sample_projection": q_sample_projection,
+        "asof_join": q_asof_join,
+        "quantiles": q_quantiles,
         # non-SQL-expressible (rows-only; see each docstring)
         "combat_correction": q_combat,
         "combat_covariates": q_combat_covariates,
@@ -1651,4 +1712,6 @@ def oracle_sql() -> dict[str, str]:
         "rollup_counts": SQL_ROLLUP,
         "union_halves": SQL_UNION_HALVES,
         "sample_projection": SQL_SAMPLE_PROJECTION,
+        "asof_join": SQL_ASOF,
+        "quantiles": SQL_QUANTILES,
     }

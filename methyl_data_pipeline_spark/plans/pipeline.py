@@ -115,7 +115,10 @@ def run_methylation_pipeline(
         dmp = moderated_t_two_group(
             labeled, group_col, ga, gb, value_col="mval", with_p_values=True
         )
-        dmp = bh_adjust(dmp, "p_value", "adj_p")
+        # p_value comes from the t-sf UDF and is never null; skipping the
+        # null split keeps the UDF out of join conditions (one eval, no
+        # forced plan rewrite)
+        dmp = bh_adjust(dmp, "p_value", "adj_p", assume_no_nulls=True)
 
     return PipelineResult(
         qc_meth=qc_meth,

@@ -23,13 +23,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
-def bh_adjust(df: DataFrame, p_col: str = "p_value", out_col: str = "adj_p") -> DataFrame:
+def bh_adjust(
+    df: DataFrame, p_col: str = "p_value", out_col: str = "adj_p",
+    assume_no_nulls: bool = False,
+) -> DataFrame:
     """Append BH-adjusted p-values. Null p-values are left null and are
     excluded from N, matching R's na-handling.
 
     N comes from a window count over the same (already single-partition)
     global ordering — not an eager ``count()`` action, which would run
     the entire upstream plan twice.
+
+    ``assume_no_nulls``: skip the null-branch split. Matters when p_col
+    is a Python-UDF column — the isNull/isNotNull filters otherwise get
+    pushed into upstream joins (forcing a plan rewrite) and compute the
+    UDF once per branch.
     """
     w_rank = Window.orderBy(F.col(p_col).asc())
     w_all = Window.partitionBy()
@@ -40,13 +48,15 @@ def bh_adjust(df: DataFrame, p_col: str = "p_value", out_col: str = "adj_p") -> 
         Window.orderBy(F.col("_rank").desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    base = df if assume_no_nulls else df.filter(F.col(p_col).isNotNull())
     nonnull = (
-        df.filter(F.col(p_col).isNotNull())
-        .withColumn("_rank", F.row_number().over(w_rank))
+        base.withColumn("_rank", F.row_number().over(w_rank))
         .withColumn("_n", F.count(F.lit(1)).over(w_all))
         .withColumn("_q", F.col(p_col) * F.col("_n") / F.col("_rank"))
         .withColumn(out_col, F.least(F.min("_q").over(w_cummin), F.lit(1.0)))
         .drop("_rank", "_q", "_n")
     )
+    if assume_no_nulls:
+        return nonnull
     nulls = df.filter(F.col(p_col).isNull()).withColumn(out_col, F.lit(None).cast("double"))
     return nonnull.unionByName(nulls)
