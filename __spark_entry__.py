@@ -867,6 +867,42 @@ FROM t ORDER BY doc_id
 """
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 terms by smoothed TF-IDF."""
+    from methyl_data_pipeline_spark.ext.text import tfidf_top_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tfidf_top_terms(docs, k=3)
+    return out.select(
+        "doc_id", "rank", "term", _r(F.col("tfidf")).alias("tfidf")
+    ).orderBy("doc_id", "rank")
+
+
+SQL_TFIDF = r"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY doc_id, term),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * (ln((n.n + 1.0) / (dfreq.df + 1.0)) + 1.0) AS tfidf
+  FROM tf JOIN dfreq USING (term), n
+),
+ranked AS (
+  SELECT doc_id, term, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, rank, term, ROUND(tfidf + 1e-9, 6) AS tfidf
+FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
+"""
+
+
 def q_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by md5 fingerprint of normalized text, min-id winner."""
     from methyl_data_pipeline_spark.ext.dedup import dedup_exact
@@ -1638,6 +1674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "fingerprint_dedup": q_fingerprint_dedup,
         "minhash_signatures": q_minhash_signatures,
         "minhash_pairs": q_minhash_pairs,
@@ -1694,6 +1731,7 @@ def oracle_sql() -> dict[str, str]:
         "text_tokens": SQL_TEXT_TOKENS,
         "text_quality": SQL_TEXT_QUALITY,
         "lang_id": _sql_lang_id(),
+        "tfidf_top_terms": SQL_TFIDF,
         "fingerprint_dedup": SQL_FINGERPRINT_DEDUP,
         "minhash_signatures": _sql_minhash_sigs(),
         "minhash_pairs": _sql_minhash_pairs(),

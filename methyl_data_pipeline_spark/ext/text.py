@@ -91,6 +91,40 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("lang_pred", expr).drop(*[f"_score_{lg}" for lg in langs])
 
 
+def tfidf_top_terms(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Top-k terms per document by TF-IDF.
+
+    Classic two-pass shape, all JVM-side: explode words → per-(doc,
+    term) counts (one shuffle) → document frequencies (agg over the
+    same keys) → idf = ln((N+1)/(df+1)) + 1 (smoothed) → per-doc top-k
+    window. The corpus-size N is a broadcast scalar aggregate.
+    """
+    from pyspark.sql import Window
+
+    w = df.select(F.col(id_col), F.explode(words(text_col)).alias("term"))
+    tf = w.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.countDistinct(id_col).alias("n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf") * (F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+        )
+    )
+    win = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", "term", "tfidf")
+    )
+
+
 def md5_long(col: Column, salt: str | None = None) -> Column:
     """Deterministic 60-bit integer hash via md5 — chosen because both
     Spark (`conv(substring(md5(x),1,15),16,10)`) and DuckDB

@@ -55,6 +55,34 @@ def test_partitioned_write_prunes(spark, tmp_path):
     assert back.count() == 100
 
 
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Bucketed layout: joining two tables bucketed on the same key
+    must not shuffle either side (SURVEY §4.3 decision (a))."""
+    from methyl_data_pipeline_spark.operators.scale import write_bucketed
+
+    # warehouse dir is a static conf; tables land in ./spark-warehouse
+    # (gitignored) and are dropped below
+    df = spark.createDataFrame(
+        [(f"cg{i % 50:04d}", f"S{i % 4}", float(i)) for i in range(1000)],
+        ["probe_id", "sample_id", "beta"],
+    )
+    write_bucketed(df, "t_bucketed_a", ["probe_id"], n_buckets=8)
+    write_bucketed(df, "t_bucketed_b", ["probe_id"], n_buckets=8)
+    a = spark.table("t_bucketed_a").groupBy("probe_id").count()
+    joined = spark.table("t_bucketed_a").join(
+        spark.table("t_bucketed_b").groupBy("probe_id").agg(F.avg("beta").alias("m")),
+        "probe_id",
+    )
+    agg_plan = a._jdf.queryExecution().executedPlan().toString()
+    join_plan = joined._jdf.queryExecution().executedPlan().toString()
+    # neither the agg nor the join needs an Exchange on the bucket key
+    assert "Exchange hashpartitioning(probe_id" not in agg_plan
+    assert "Exchange hashpartitioning(probe_id" not in join_plan
+    assert joined.count() == 1000 * 1  # 1000 rows x 1 agg row per key
+    spark.sql("DROP TABLE t_bucketed_a")
+    spark.sql("DROP TABLE t_bucketed_b")
+
+
 @settings(max_examples=25, deadline=None)
 @given(
     st.lists(st.floats(min_value=0.0, max_value=1.0, allow_nan=False), min_size=1, max_size=40)
