@@ -18,7 +18,8 @@ Determinism notes:
 The synthetic ``meth`` view (a long methylation-style fact table
 derived from lineitem) lets the methylation operators (SURVEY §2.2,
 §2.4, §2.10) be oracle-checked on the driver's star schema: probe =
-part, sample = supplier, run = supplier mod 4, beta = scaled discount.
+part, sample = supplier mod 8 (with one planted bad-detP sample), run =
+supplier mod 2, beta = scaled discount.
 """
 
 from __future__ import annotations
@@ -1549,6 +1550,33 @@ def q_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("sample_id")
 
 
+def q_heatmap_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heatmap prep (M7): per-probe z-scores (oracle-checkable part;
+    the clustering assignment is covered by tests — eigen/kmeans isn't
+    SQL)."""
+    from methyl_data_pipeline_spark.stats.cluster import zscore_rows
+
+    meth = _meth(spark, sf_dir)
+    out = zscore_rows(meth)
+    return out.select(
+        "probe_id", "sample_id", _r(F.col("z")).alias("z")
+    ).orderBy("probe_id", "sample_id")
+
+
+SQL_HEATMAP_PREP = f"""
+WITH {METH_CTE},
+stats AS (
+  SELECT probe_id, AVG(beta) AS m, STDDEV_SAMP(beta) AS sd
+  FROM meth GROUP BY probe_id
+)
+SELECT m2.probe_id, m2.sample_id,
+       ROUND(CASE WHEN s.sd > 0 THEN (m2.beta - s.m) / s.sd ELSE 0.0 END + 1e-9, 6)
+         AS z
+FROM meth m2 JOIN stats s ON m2.probe_id = s.probe_id
+ORDER BY m2.probe_id, m2.sample_id
+"""
+
+
 def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN via random-hyperplane LSH buckets (scale path of
     embedding_cosine_topk). The hyperplanes are seeded and deterministic,
@@ -1694,6 +1722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_halves": q_union_halves,
         "sample_projection": q_sample_projection,
         "asof_join": q_asof_join,
+        "heatmap_prep": q_heatmap_prep,
         "quantiles": q_quantiles,
         # non-SQL-expressible (rows-only; see each docstring)
         "combat_correction": q_combat,
@@ -1751,5 +1780,6 @@ def oracle_sql() -> dict[str, str]:
         "union_halves": SQL_UNION_HALVES,
         "sample_projection": SQL_SAMPLE_PROJECTION,
         "asof_join": SQL_ASOF,
+        "heatmap_prep": SQL_HEATMAP_PREP,
         "quantiles": SQL_QUANTILES,
     }
