@@ -2,20 +2,22 @@
 
 The reference transposes the wide matrix and runs ``prcomp(t(mvals))``
 (``workflow.R:218`` ×6) or sklearn PCA after StandardScaler
-(``analysis/pca_analysis.py:37-48``). A pivot to 285k+ columns is not
-viable (SURVEY §7.3 #2); instead each sample becomes a dense feature
-*vector* over an explicit probe index:
+(``analysis/pca_analysis.py:37-48``): samples are observations (n =
+10²-10³), probes are features (d = 10⁵-10⁶). That shape dictates the
+algorithm at scale:
 
-  1. dense probe index: ``row_number`` over the (usually top-k) probe
-     set — a dimension-sized window, not a fact-table one;
-  2. per-sample vector assembly: ``groupBy(sample).agg(array_sort(
-     collect_list(struct(idx, val))))`` → ``array_to_vector`` — one
-     shuffle on sample_id, JVM-side throughout;
-  3. ``ml.feature.StandardScaler`` (withMean=centering always, withStd
-     only for the sklearn-parity variant) + ``ml.feature.PCA``.
+- a pivot to d columns is infeasible (SURVEY §7.3 #2);
+- ``ml.feature.PCA`` materializes the d×d covariance (16k probes ⇒
+  2 GB dense + an O(d³) eigensolve — found the hard way at sf0.1);
+- the **n×n Gram trick** is exact and d-scalable: center per probe,
+  K[s1,s2] = Σ_probes v_c(s1)·v_c(s2) — ONE self-join + groupBy
+  shuffle keyed on probe, output n² cells; eigendecompose the tiny K
+  driver-side. From X_c = U S Vᵀ, K = U S² Uᵀ, so sample scores
+  U·S come straight from K's eigenvectors — identical to prcomp's
+  ``$x`` up to component sign.
 
-Variants (SURVEY M1): A = scaled (sklearn parity), B = centered-only
-(prcomp parity), C = top-1000-variance MDS approximation.
+``assemble_sample_vectors`` remains for operators that genuinely need
+per-sample vectors (clustering, small-d models).
 """
 
 from __future__ import annotations
@@ -60,37 +62,87 @@ def assemble_sample_vectors(
     )
 
 
+def _centered(long_df: DataFrame, value_col: str, key_col: str, sample_col: str,
+              scale: bool) -> DataFrame:
+    """Complete-cases restriction + per-probe centering (and optional
+    scaling): the distributed half of prcomp/StandardScaler."""
+    n_samples = long_df.select(sample_col).distinct().count()
+    stats = (
+        long_df.filter(F.col(value_col).isNotNull())
+        .groupBy(key_col)
+        .agg(
+            F.count(value_col).alias("_n"),
+            F.avg(value_col).alias("_m"),
+            F.stddev_samp(value_col).alias("_sd"),
+        )
+        .filter(F.col("_n") == n_samples)
+    )
+    if scale:
+        stats = stats.filter(F.col("_sd") > 0)
+    out = long_df.join(stats, key_col).withColumn(
+        "_vc", F.col(value_col) - F.col("_m")
+    )
+    if scale:
+        out = out.withColumn("_vc", F.col("_vc") / F.col("_sd"))
+    return out.select(key_col, sample_col, "_vc")
+
+
 def pca_scores(
     long_df: DataFrame,
     k: int = 3,
     value_col: str = "mval",
     scale: bool = False,
+    key_col: str = "probe_id",
     sample_col: str = "sample_id",
 ) -> tuple[DataFrame, list[float]]:
-    """Per-sample PCA scores (PC1..PCk) + explained-variance ratios.
+    """Per-sample PCA scores (PC1..PCk) + explained-variance ratios via
+    the n×n Gram trick.
 
     ``scale=False`` = prcomp parity (center only, workflow.R:218);
     ``scale=True`` = sklearn/StandardScaler parity
-    (analysis/pca_analysis.py:37-41).
+    (analysis/pca_analysis.py:37-41). Component sign is normalized so
+    the lexicographically-smallest sample has a non-negative score —
+    deterministic across partitionings and BLAS builds.
     """
-    from pyspark.ml.feature import PCA as MLPCA, StandardScaler
+    import numpy as np
 
-    vecs = assemble_sample_vectors(long_df, value_col=value_col, sample_col=sample_col)
-    scaler = StandardScaler(
-        inputCol="features", outputCol="scaled", withMean=True, withStd=scale
+    centered = _centered(long_df, value_col, key_col, sample_col, scale)
+    a = centered.select(key_col, F.col(sample_col).alias("_s1"), F.col("_vc").alias("_v1"))
+    b = centered.select(key_col, F.col(sample_col).alias("_s2"), F.col("_vc").alias("_v2"))
+    # Gram matrix: one shuffle on the probe key; n² output cells.
+    gram_rows = (
+        a.join(b, key_col)
+        .groupBy("_s1", "_s2")
+        .agg(F.sum(F.col("_v1") * F.col("_v2")).alias("_g"))
+        .collect()
     )
-    model = scaler.fit(vecs)
-    scaled = model.transform(vecs)
+    samples = sorted({r["_s1"] for r in gram_rows})
+    n = len(samples)
+    sidx = {s: i for i, s in enumerate(samples)}
+    kmat = np.zeros((n, n))
+    for r in gram_rows:
+        kmat[sidx[r["_s1"]], sidx[r["_s2"]]] = r["_g"]
 
-    pca = MLPCA(k=k, inputCol="scaled", outputCol="pcs")
-    pmodel = pca.fit(scaled)
-    scores = pmodel.transform(scaled)
+    eigvals, eigvecs = np.linalg.eigh(kmat)  # ascending
+    order = np.argsort(eigvals)[::-1]
+    eigvals = np.clip(eigvals[order], 0.0, None)
+    eigvecs = eigvecs[:, order]
+    k_eff = min(k, n - 1 if n > 1 else 1)
+    scores = eigvecs[:, :k_eff] * np.sqrt(eigvals[:k_eff])
+    # sign normalization: first sample's score non-negative per PC
+    for j in range(k_eff):
+        col = scores[:, j]
+        pivot = next((x for x in col if abs(x) > 1e-12), 1.0)
+        if pivot < 0:
+            scores[:, j] = -col
+    total_var = float(eigvals.sum()) or 1.0
+    ev = [float(v) / total_var for v in eigvals[:k_eff]]
 
-    from pyspark.ml.functions import vector_to_array
-
-    arr = scores.withColumn("_a", vector_to_array("pcs"))
-    out = arr.select(
-        sample_col, *[F.col("_a")[i].alias(f"PC{i + 1}") for i in range(k)]
+    spark = long_df.sparkSession
+    rows = [
+        (s, *[float(scores[i, j]) for j in range(k_eff)]) for i, s in enumerate(samples)
+    ]
+    out = spark.createDataFrame(
+        rows, [sample_col] + [f"PC{j + 1}" for j in range(k_eff)]
     )
-    ev = pmodel.explainedVariance.toArray().tolist()
     return out, ev
