@@ -52,8 +52,11 @@ def _r(col, digits: int = 6):
     """Cross-engine reproducible rounding: +1e-9 nudges values that sit
     exactly on a decimal half-boundary (common here: the synthetic data
     lives on decimal grids) off the tie, where Spark's string-based
-    HALF_UP and DuckDB's numeric rounding disagree."""
-    return F.round(col + F.lit(1e-9), digits)
+    HALF_UP and DuckDB's numeric rounding disagree. The trailing +0.0
+    folds -0.0 (DuckDB's numeric round of tiny negatives) into +0.0;
+    the SQL side gets the same treatment in ``oracle_sql`` via
+    ``_normalize_round_sql``."""
+    return F.round(col + F.lit(1e-9), digits) + F.lit(0.0)
 
 
 # --------------------------------------------------------------------------
@@ -78,7 +81,15 @@ def _meth(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("d"),
         )
         .groupBy("probe_id", "sample_id", "run")
-        .agg(F.avg("b").alias("beta"), F.avg("d").alias("det_p"))
+        # 9-dp rounding makes the aggregated values BIT-IDENTICAL across
+        # engines (summation order shifts doubles by ~1e-16, which flips
+        # downstream threshold comparisons and ECDF tie groups; the
+        # decimal-grid data cannot land on a 9-dp half-boundary, so both
+        # engines' round implementations agree)
+        .agg(
+            F.round(F.avg("b"), 9).alias("beta"),
+            F.round(F.avg("d"), 9).alias("det_p"),
+        )
     )
 
 
@@ -87,8 +98,8 @@ meth AS (
   SELECT 'cg' || lpad(CAST(l_partkey AS VARCHAR), 8, '0') AS probe_id,
          'S' || CAST(l_suppkey % 8 AS VARCHAR)             AS sample_id,
          'R' || CAST(l_suppkey % 2 AS VARCHAR)             AS run,
-         avg(l_discount * 9 + 0.05)                        AS beta,
-         avg(l_tax / 10 + CASE WHEN l_suppkey % 8 = 7 THEN 0.05 ELSE 0.0 END)
+         ROUND(avg(l_discount * 9 + 0.05), 9)              AS beta,
+         ROUND(avg(l_tax / 10 + CASE WHEN l_suppkey % 8 = 7 THEN 0.05 ELSE 0.0 END), 9)
                                                            AS det_p
   FROM lineitem
   GROUP BY 1, 2, 3
@@ -1734,8 +1745,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _normalize_round_sql(sql: str) -> str:
+    """Append ``+ 0.0`` after every balanced ROUND(...) call so DuckDB's
+    -0.0 (numeric rounding of tiny negatives) hashes like Spark's
+    unsigned BigDecimal zero."""
+    out = []
+    i = 0
+    while True:
+        j = sql.find("ROUND(", i)
+        if j < 0:
+            out.append(sql[i:])
+            break
+        depth = 0
+        k = j + 5  # index of '('
+        while True:
+            ch = sql[k]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            k += 1
+        out.append(sql[i : k + 1])
+        out.append(" + 0.0")
+        i = k + 1
+    return "".join(out)
+
+
 def oracle_sql() -> dict[str, str]:
-    return {
+    raw = {
         "pricing_summary": SQL_PRICING,
         "top_revenue_orders": SQL_TOP_REVENUE,
         "join_full_outer": SQL_JOIN_FULL_OUTER,
@@ -1783,3 +1822,4 @@ def oracle_sql() -> dict[str, str]:
         "heatmap_prep": SQL_HEATMAP_PREP,
         "quantiles": SQL_QUANTILES,
     }
+    return {k: _normalize_round_sql(v) for k, v in raw.items()}
