@@ -1,0 +1,244 @@
+"""Illumina IDAT binary decoder — a real implementation of SURVEY §2.1 S5.
+
+The reference delegates IDAT parsing to the SeSAMe R library
+(`idat.r:67` ``openSesame``); the binary layout itself is public
+knowledge, documented in the illuminaio paper (Smith et al.,
+"illuminaio: An open source IDAT parsing tool for Illumina
+microarrays", Bioinformatics 2013) and re-implemented by several
+open-source readers (illuminaio R, methylprep Python).  This module is
+a from-scratch pure-Python/NumPy reader of that published layout:
+
+    "IDAT" magic | int64 version (3) | int32 nFields
+    nFields x (uint16 field_code, int64 byte_offset)
+    ... field payloads at their offsets (all little-endian) ...
+
+Field codes used here (others are skipped):
+    1000 -> int32 n (probe count)
+    102  -> n x int32   IlluminaID (bead address)
+    103  -> n x uint16  SD
+    104  -> n x uint16  Mean intensity
+    107  -> n x uint8   NBeads
+    400  -> int32       RedGreen
+    402  -> string      Barcode        (strings: 7-bit varint length
+    403  -> string      ChipType       prefix, then UTF-8 bytes)
+    404  -> string      Position
+
+Spark integration: ``decode_idat`` maps the ``binaryFile`` rows
+produced by ``readers.read_idat_dir`` through an Arrow-batched
+``mapInPandas`` decoder into long (basename, channel, address_id,
+mean, sd, n_beads) rows — one task per file split, no driver-side
+loop, so a 10k-sample ingest parallelizes across executors exactly
+like the reference's 50-worker ``MulticoreParam`` fork
+(`Mouse_Microarray_General_Workflow.R:18-19`) but without process
+forks or temp files.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# field codes from the published layout
+_N_PROBES = 1000
+_ILLUMINA_ID = 102
+_SD = 103
+_MEAN = 104
+_NBEADS = 107
+_RED_GREEN = 400
+_BARCODE = 402
+_CHIP_TYPE = 403
+_POSITION = 404
+
+_STRING_FIELDS = {_BARCODE: "barcode", _CHIP_TYPE: "chip_type", _POSITION: "position"}
+
+
+def _read_7bit_length(buf: bytes, pos: int) -> tuple[int, int]:
+    """Decode the varint string-length prefix: 7 data bits per byte,
+    high bit = continuation."""
+    n = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        n |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return n, pos
+        shift += 7
+
+
+def _read_string(buf: bytes, pos: int) -> str:
+    n, pos = _read_7bit_length(buf, pos)
+    return buf[pos : pos + n].decode("utf-8", errors="replace")
+
+
+def parse_idat(buf: bytes) -> dict:
+    """Parse one IDAT v3 binary blob into a dict of numpy arrays and
+    metadata strings. Pure function; raises ValueError on bad magic."""
+    if buf[:4] != b"IDAT":
+        raise ValueError("not an IDAT file (bad magic)")
+    (version,) = struct.unpack_from("<q", buf, 4)
+    if version != 3:
+        raise ValueError(f"unsupported IDAT version {version}")
+    (n_fields,) = struct.unpack_from("<i", buf, 12)
+    fields: dict[int, int] = {}
+    pos = 16
+    for _ in range(n_fields):
+        code, offset = struct.unpack_from("<Hq", buf, pos)
+        fields[code] = offset
+        pos += 10
+
+    if _N_PROBES not in fields:
+        raise ValueError("IDAT missing probe-count field (1000)")
+    (n,) = struct.unpack_from("<i", buf, fields[_N_PROBES])
+
+    def arr(code: int, dtype: str, itemsize: int) -> np.ndarray | None:
+        if code not in fields:
+            return None
+        off = fields[code]
+        return np.frombuffer(buf, dtype=dtype, count=n, offset=off)
+
+    out: dict = {
+        "n": n,
+        "address_id": arr(_ILLUMINA_ID, "<i4", 4),
+        "mean": arr(_MEAN, "<u2", 2),
+        "sd": arr(_SD, "<u2", 2),
+        "n_beads": arr(_NBEADS, "u1", 1),
+    }
+    if _RED_GREEN in fields:
+        (out["red_green"],) = struct.unpack_from("<i", buf, fields[_RED_GREEN])
+    for code, name in _STRING_FIELDS.items():
+        if code in fields:
+            out[name] = _read_string(buf, fields[code])
+    return out
+
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("basename", StringType(), False),
+        StructField("channel", StringType(), False),
+        StructField("address_id", LongType(), False),
+        StructField("mean", IntegerType(), True),
+        StructField("sd", IntegerType(), True),
+        StructField("n_beads", IntegerType(), True),
+        StructField("barcode", StringType(), True),
+        StructField("position", StringType(), True),
+    ]
+)
+
+
+def decode_idat(df: DataFrame) -> DataFrame:
+    """binaryFile rows (basename, channel, content) -> long intensity
+    rows, one per bead address. Arrow-batched mapInPandas: each input
+    row (one IDAT file) explodes into n_probes output rows inside the
+    executor — the decode never touches the driver."""
+    from methyl_data_pipeline_spark import deploy
+
+    deploy.ensure_importable(df.sparkSession)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                d = parse_idat(bytes(row["content"]))
+                n = d["n"]
+                yield pd.DataFrame(
+                    {
+                        "basename": np.repeat(row["basename"], n),
+                        "channel": np.repeat(row["channel"], n),
+                        "address_id": d["address_id"].astype("int64"),
+                        "mean": d["mean"].astype("int32")
+                        if d["mean"] is not None
+                        else np.full(n, None),
+                        "sd": d["sd"].astype("int32")
+                        if d["sd"] is not None
+                        else np.full(n, None),
+                        "n_beads": d["n_beads"].astype("int32")
+                        if d["n_beads"] is not None
+                        else np.full(n, None),
+                        "barcode": np.repeat(d.get("barcode"), n),
+                        "position": np.repeat(d.get("position"), n),
+                    }
+                )
+
+    return df.select("basename", "channel", "content").mapInPandas(
+        extract, DECODED_SCHEMA
+    )
+
+
+def betas_from_intensities(
+    decoded: DataFrame, manifest: DataFrame, offset: float = 100.0
+) -> DataFrame:
+    """Two-channel intensities + probe manifest -> beta values
+    (public Infinium chemistry, as in minfi/SeSAMe ``getBeta``:
+    beta = M / (M + U + offset)).
+
+    ``manifest`` (broadcast dimension, SURVEY J7): one row per probe —
+      probe_id, design_type ('I'|'II'), color ('Red'|'Grn', Type I
+      only), address_m, address_u (Type II: address_u == address_m,
+      methylated = Grn channel, unmethylated = Red channel at the same
+      address; Type I: both addresses read in the probe's color).
+
+    Output: (basename, probe_id, beta DOUBLE) long rows — the engine's
+    canonical ingest product, matching ``idat.r:76-77``'s beta matrix
+    semantics without materializing a wide matrix.
+    """
+    inten = decoded.select("basename", "channel", "address_id", "mean")
+    m = F.broadcast(manifest)
+
+    # Type II: one address; Grn mean = methylated, Red = unmethylated.
+    t2 = (
+        inten.join(
+            m.filter(F.col("design_type") == "II").select(
+                "probe_id", F.col("address_m").alias("address_id")
+            ),
+            "address_id",
+        )
+        .groupBy("basename", "probe_id")
+        .agg(
+            F.max(F.when(F.col("channel") == "Grn", F.col("mean"))).alias("m_int"),
+            F.max(F.when(F.col("channel") == "Red", F.col("mean"))).alias("u_int"),
+        )
+    )
+
+    # Type I: two addresses, both read in the probe's declared color.
+    t1m = m.filter(F.col("design_type") == "I").select(
+        "probe_id", F.col("color"), F.col("address_m").alias("addr"),
+        F.lit("M").alias("which"),
+    )
+    t1u = m.filter(F.col("design_type") == "I").select(
+        "probe_id", F.col("color"), F.col("address_u").alias("addr"),
+        F.lit("U").alias("which"),
+    )
+    t1 = (
+        inten.join(
+            F.broadcast(t1m.unionByName(t1u)),
+            (F.col("address_id") == F.col("addr"))
+            & (F.col("channel") == F.col("color")),
+            "inner",
+        )
+        .groupBy("basename", "probe_id")
+        .agg(
+            F.max(F.when(F.col("which") == "M", F.col("mean"))).alias("m_int"),
+            F.max(F.when(F.col("which") == "U", F.col("mean"))).alias("u_int"),
+        )
+    )
+
+    both = t2.unionByName(t1)
+    return both.select(
+        "basename",
+        "probe_id",
+        (
+            F.col("m_int")
+            / (F.col("m_int") + F.col("u_int") + F.lit(float(offset)))
+        ).alias("beta"),
+    )

@@ -128,12 +128,9 @@ def read_idat_dir(spark: SparkSession, path: str) -> DataFrame:
     health_check.py:41-106): recursive glob of ``*_Red.idat`` /
     ``*_Grn.idat`` pairs as binary rows with basename + channel.
 
-    Decoding the Illumina IDAT format (public spec; SeSAMe/illuminaio
-    implement it) is a per-file pandas-UDF step; the decoder itself is
-    NOT implemented in this container (no idat test fixtures) — the
-    plumbing (binaryFile source, pairing, schema) is real, the decode
-    raises ``NotImplementedError`` per SURVEY §2.1 S5's ingest-boundary
-    decision.
+    Decoding is the real pure-Python parser in ``io.idat`` (published
+    illuminaio layout) applied via ``mapInPandas`` — see
+    ``io.idat.decode_idat``.
     """
     files = (
         spark.read.format("binaryFile")
@@ -152,10 +149,8 @@ def read_idat_dir(spark: SparkSession, path: str) -> DataFrame:
 
 
 def decode_idat(df: DataFrame) -> DataFrame:
-    """IDAT binary -> (probe address, mean intensity) rows. Stub: the
-    binary layout is published but no IDAT fixtures exist in this
-    environment to validate against."""
-    raise NotImplementedError(
-        "IDAT decoding requires illuminaio-format fixtures; ingest boundary "
-        "is the extracted beta/detP table (SURVEY §2.1 S5)"
-    )
+    """IDAT binary -> (probe address, mean intensity) rows — real
+    decoder; see ``io.idat`` for the format notes."""
+    from methyl_data_pipeline_spark.io.idat import decode_idat as _decode
+
+    return _decode(df)

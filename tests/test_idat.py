@@ -1,0 +1,181 @@
+"""Round-trip tests for the real IDAT binary decoder (SURVEY S5).
+
+The encoder below writes the published IDAT v3 layout (illuminaio
+paper) so the decoder is validated against independently-constructed
+binaries, not against itself.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from methyl_data_pipeline_spark.io.idat import (
+    betas_from_intensities,
+    decode_idat,
+    parse_idat,
+)
+from methyl_data_pipeline_spark.io.readers import read_idat_dir
+
+
+def _7bit(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _string(s: str) -> bytes:
+    raw = s.encode("utf-8")
+    return _7bit(len(raw)) + raw
+
+
+def make_idat(
+    addresses: np.ndarray,
+    means: np.ndarray,
+    sds: np.ndarray | None = None,
+    n_beads: np.ndarray | None = None,
+    barcode: str = "204375590015",
+    position: str = "R01C01",
+) -> bytes:
+    """Encode an IDAT v3 blob: header, field directory, payloads."""
+    n = len(addresses)
+    if sds is None:
+        sds = np.full(n, 7, dtype="<u2")
+    if n_beads is None:
+        n_beads = np.full(n, 12, dtype="u1")
+    payloads = [
+        (1000, struct.pack("<i", n)),
+        (102, addresses.astype("<i4").tobytes()),
+        (103, sds.astype("<u2").tobytes()),
+        (104, means.astype("<u2").tobytes()),
+        (107, n_beads.astype("u1").tobytes()),
+        (400, struct.pack("<i", 1)),
+        (402, _string(barcode)),
+        (403, _string("BeadChip 8x5")),
+        (404, _string(position)),
+    ]
+    header_size = 4 + 8 + 4 + 10 * len(payloads)
+    body = bytearray()
+    directory = bytearray()
+    off = header_size
+    for code, blob in payloads:
+        directory += struct.pack("<Hq", code, off)
+        body += blob
+        off += len(blob)
+    return b"IDAT" + struct.pack("<q", 3) + struct.pack("<i", len(payloads)) + bytes(
+        directory
+    ) + bytes(body)
+
+
+@pytest.fixture(scope="module")
+def idat_dir(tmp_path_factory):
+    rng = np.random.default_rng(7)
+    root = tmp_path_factory.mktemp("idat")
+    addresses = np.arange(100, 100 + 50, dtype="<i4")
+    files = {}
+    for base in ["204375590015_R01C01", "204375590015_R02C01"]:
+        for channel in ["Grn", "Red"]:
+            means = rng.integers(50, 5000, size=50).astype("<u2")
+            blob = make_idat(addresses, means, position=base.split("_")[1])
+            (root / f"{base}_{channel}.idat").write_bytes(blob)
+            files[(base, channel)] = means
+    return root, addresses, files
+
+
+def test_parse_idat_roundtrip():
+    addresses = np.array([10, 20, 30], dtype="<i4")
+    means = np.array([100, 2000, 65535], dtype="<u2")
+    d = parse_idat(make_idat(addresses, means, barcode="B123", position="R09C02"))
+    assert d["n"] == 3
+    np.testing.assert_array_equal(d["address_id"], addresses)
+    np.testing.assert_array_equal(d["mean"], means)
+    assert d["barcode"] == "B123"
+    assert d["position"] == "R09C02"
+    assert d["red_green"] == 1
+
+
+def test_parse_idat_rejects_garbage():
+    with pytest.raises(ValueError):
+        parse_idat(b"NOPE" + b"\x00" * 100)
+
+
+def test_7bit_string_lengths():
+    # force a >127-byte string so the varint continuation path is hit
+    long = "x" * 300
+    d = parse_idat(
+        make_idat(
+            np.array([1], dtype="<i4"), np.array([5], dtype="<u2"), barcode=long
+        )
+    )
+    assert d["barcode"] == long
+
+
+def test_decode_idat_spark(spark, idat_dir):
+    root, addresses, files = idat_dir
+    df = decode_idat(read_idat_dir(spark, str(root)))
+    rows = df.collect()
+    # 4 files x 50 probes
+    assert len(rows) == 200
+    by_key = {}
+    for r in rows:
+        by_key.setdefault((r.basename, r.channel), []).append(r)
+    assert set(by_key) == set(files)
+    for key, recs in by_key.items():
+        recs = sorted(recs, key=lambda r: r.address_id)
+        np.testing.assert_array_equal(
+            np.array([r.address_id for r in recs]), addresses.astype("int64")
+        )
+        np.testing.assert_array_equal(
+            np.array([r.mean for r in recs]), files[key].astype("int32")
+        )
+    assert rows[0].barcode == "204375590015"
+
+
+def test_betas_from_intensities(spark, idat_dir):
+    root, addresses, files = idat_dir
+    decoded = decode_idat(read_idat_dir(spark, str(root)))
+    # manifest: first 10 addresses = Type II probes; next 20 paired into
+    # 10 Type I Grn probes (address_m, address_u)
+    t2 = [
+        ("cg%08d" % i, "II", None, int(addresses[i]), int(addresses[i]))
+        for i in range(10)
+    ]
+    t1 = [
+        (
+            "cg%08d" % (100 + i),
+            "I",
+            "Grn",
+            int(addresses[10 + 2 * i]),
+            int(addresses[11 + 2 * i]),
+        )
+        for i in range(10)
+    ]
+    manifest = spark.createDataFrame(
+        t2 + t1, "probe_id string, design_type string, color string, "
+        "address_m long, address_u long"
+    )
+    out = betas_from_intensities(decoded, manifest).collect()
+    # 2 samples x 20 probes
+    assert len(out) == 40
+    got = {(r.basename, r.probe_id): r.beta for r in out}
+    for base in ["204375590015_R01C01", "204375590015_R02C01"]:
+        grn = files[(base, "Grn")]
+        red = files[(base, "Red")]
+        for i in range(10):
+            m, u = float(grn[i]), float(red[i])
+            assert got[(base, "cg%08d" % i)] == pytest.approx(m / (m + u + 100.0))
+        for i in range(10):
+            m, u = float(grn[10 + 2 * i]), float(grn[11 + 2 * i])
+            assert got[(base, "cg%08d" % (100 + i))] == pytest.approx(
+                m / (m + u + 100.0)
+            )
+    vals = [r.beta for r in out]
+    assert all(0.0 <= v <= 1.0 for v in vals)
