@@ -1561,6 +1561,23 @@ def q_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("sample_id")
 
 
+def q_mds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA variant C (M1: Mouse_Microarray_General_Workflow.R:69-73 —
+    limma plotMDS on top-1000-variance probes): classical MDS via one
+    probe-keyed self-join producing the n×n distance matrix.
+    Rows-only (eigendecomposition isn't SQL-expressible)."""
+    from methyl_data_pipeline_spark import model
+    from methyl_data_pipeline_spark.stats.pca import mds_coords
+
+    meth = _meth(spark, sf_dir).withColumn("mval", model.mvalue("beta"))
+    coords = mds_coords(meth, k=2, ntop=1000, value_col="mval")
+    return coords.select(
+        "sample_id",
+        F.round("MDS1", 4).alias("mds1"),
+        F.round("MDS2", 4).alias("mds2"),
+    ).orderBy("sample_id")
+
+
 def q_heatmap_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heatmap prep (M7): per-probe z-scores (oracle-checkable part;
     the clustering assignment is covered by tests — eigen/kmeans isn't
@@ -1740,6 +1757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "combat_covariates": q_combat_covariates,
         "bmiq_normalize": q_bmiq,
         "pca_scores": q_pca,
+        "mds_coords": q_mds,
         "similarity_lsh": q_similarity_lsh,
         "pipeline_end_to_end": q_pipeline_end_to_end,
     }

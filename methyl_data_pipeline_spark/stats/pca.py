@@ -146,3 +146,75 @@ def pca_scores(
         rows, [sample_col] + [f"PC{j + 1}" for j in range(k_eff)]
     )
     return out, ev
+
+
+def mds_coords(
+    long_df: DataFrame,
+    k: int = 2,
+    ntop: int = 1000,
+    value_col: str = "mval",
+    key_col: str = "probe_id",
+    sample_col: str = "sample_id",
+) -> DataFrame:
+    """PCA variant C (reference M1: ``Mouse_Microarray_General_Workflow
+    .R:69-73`` — limma ``plotMDS`` on the top-``ntop``-variance probes,
+    gene.selection="common"): classical (Torgerson) multidimensional
+    scaling of pairwise sample Euclidean distances.
+
+    Distributed part: variance top-k (A1+W1) restricted to complete
+    probes, then ONE probe-keyed self-join + groupBy producing the n²
+    pairwise squared distances — same shuffle shape as the Gram trick
+    above, so it scales in d (probes) and only the tiny n×n matrix is
+    driver-side double-centered and eigendecomposed.
+    """
+    import numpy as np
+
+    n_samples = long_df.select(sample_col).distinct().count()
+    var_top = (
+        long_df.filter(F.col(value_col).isNotNull())
+        .groupBy(key_col)
+        .agg(F.count(value_col).alias("_n"), F.var_samp(value_col).alias("_var"))
+        .filter(F.col("_n") == n_samples)
+        .orderBy(F.desc("_var"), key_col)
+        .limit(ntop)
+        .select(key_col)
+    )
+    sub = long_df.join(F.broadcast(var_top), key_col)
+    a = sub.select(key_col, F.col(sample_col).alias("_s1"), F.col(value_col).alias("_v1"))
+    b = sub.select(key_col, F.col(sample_col).alias("_s2"), F.col(value_col).alias("_v2"))
+    d2_rows = (
+        a.join(b, key_col)
+        .groupBy("_s1", "_s2")
+        .agg(F.sum(F.pow(F.col("_v1") - F.col("_v2"), 2)).alias("_d2"))
+        .collect()
+    )
+    samples = sorted({r["_s1"] for r in d2_rows})
+    n = len(samples)
+    sidx = {s: i for i, s in enumerate(samples)}
+    d2 = np.zeros((n, n))
+    for r in d2_rows:
+        d2[sidx[r["_s1"]], sidx[r["_s2"]]] = r["_d2"]
+
+    # Torgerson double-centering: B = -1/2 · J D² J, J = I - 11ᵀ/n
+    j = np.eye(n) - np.full((n, n), 1.0 / n)
+    bmat = -0.5 * j @ d2 @ j
+    eigvals, eigvecs = np.linalg.eigh(bmat)
+    order = np.argsort(eigvals)[::-1]
+    eigvals = np.clip(eigvals[order], 0.0, None)
+    eigvecs = eigvecs[:, order]
+    k_eff = min(k, n - 1 if n > 1 else 1)
+    coords = eigvecs[:, :k_eff] * np.sqrt(eigvals[:k_eff])
+    for col_j in range(k_eff):
+        col = coords[:, col_j]
+        pivot = next((x for x in col if abs(x) > 1e-12), 1.0)
+        if pivot < 0:
+            coords[:, col_j] = -col
+
+    spark = long_df.sparkSession
+    rows = [
+        (s, *[float(coords[i, jj]) for jj in range(k_eff)])
+        for i, s in enumerate(samples)
+    ]
+    return spark.createDataFrame(
+        rows, [sample_col] + [f"MDS{jj + 1}" for jj in range(k_eff)]
+    )

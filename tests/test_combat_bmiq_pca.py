@@ -153,3 +153,54 @@ def test_pca_scores_match_numpy(spark):
             np.max(np.abs(col - ref)), np.max(np.abs(col + ref))
         ) < 1e-6
     assert ev[0] > ev[1] > 0
+
+
+def test_mds_coords_match_numpy(spark):
+    from methyl_data_pipeline_spark.stats.pca import mds_coords
+
+    rng = np.random.RandomState(11)
+    n_probes, n_samples = 60, 6
+    x = rng.normal(0, 1, size=(n_probes, n_samples))
+    x[:15, :3] += 1.5
+    rows = [
+        (f"cg{p:05d}", f"s{s:02d}", float(x[p, s]))
+        for p in range(n_probes)
+        for s in range(n_samples)
+    ]
+    df = spark.createDataFrame(rows, ["probe_id", "sample_id", "mval"])
+
+    # ntop limits to the 20 highest-variance probes — replicate that
+    # selection in numpy (ties broken identically: variance desc, id asc)
+    variances = x.var(axis=1, ddof=1)
+    order = sorted(range(n_probes), key=lambda p: (-variances[p], f"cg{p:05d}"))
+    keep = sorted(order[:20])
+    xs = x[keep, :]
+
+    got = (
+        mds_coords(df, k=2, ntop=20, value_col="mval")
+        .toPandas()
+        .set_index("sample_id")
+        .sort_index()
+    )
+
+    # numpy oracle: classical MDS on pairwise Euclidean distances
+    d2 = ((xs.T[:, None, :] - xs.T[None, :, :]) ** 2).sum(axis=2)
+    n = n_samples
+    j = np.eye(n) - np.full((n, n), 1.0 / n)
+    b = -0.5 * j @ d2 @ j
+    w, v = np.linalg.eigh(b)
+    o = np.argsort(w)[::-1]
+    coords = v[:, o[:2]] * np.sqrt(np.clip(w[o[:2]], 0, None))
+    for i in range(2):
+        col = got[f"MDS{i+1}"].values
+        ref = coords[:, i]
+        assert min(np.max(np.abs(col - ref)), np.max(np.abs(col + ref))) < 1e-6
+
+    # classical MDS of Euclidean distances == centered PCA scores (up to sign)
+    xt = xs.T - xs.T.mean(axis=0)
+    u, s, vt = np.linalg.svd(xt, full_matrices=False)
+    pcs = u * s
+    for i in range(2):
+        col = got[f"MDS{i+1}"].values
+        ref = pcs[:, i]
+        assert min(np.max(np.abs(col - ref)), np.max(np.abs(col + ref))) < 1e-6
