@@ -1055,6 +1055,125 @@ FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
 """
 
 
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage near-dup dedup: MinHash-LSH band candidates verified
+    with exact word-3-gram Jaccard >= 0.8 (ext.dedup.ngram_jaccard_pairs)."""
+    from methyl_data_pipeline_spark.ext.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    out = ngram_jaccard_pairs(docs, num_hashes=8, bands=4, threshold=0.8)
+    return out.select(
+        "id_a", "id_b", _r(F.col("jaccard")).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+def _sql_ngram_jaccard() -> str:
+    base = _sql_minhash_pairs().rsplit("SELECT DISTINCT", 1)[0]
+    return f"""{base},
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+shd AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh),
+verified AS (
+  SELECT c.id_a, c.id_b,
+         CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+           / len(list_distinct(list_concat(sa.s, sb.s))) AS j
+  FROM cands c
+  JOIN shd sa ON sa.doc_id = c.id_a
+  JOIN shd sb ON sb.doc_id = c.id_b
+)
+SELECT id_a, id_b, ROUND(j + 1e-9, 6) AS jaccard
+FROM verified WHERE j >= 0.8 ORDER BY id_a, id_b"""
+
+
+_NEARDUP_PLANES = 6
+# embeddings are unit-norm: a +0.1 shift on one component gives
+# cosine ~= 1 - 0.005 = 0.995 — above threshold with stable margin
+_NEARDUP_PERTURB = 0.1
+_NEARDUP_THRESHOLD = 0.98
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via md5-derived-hyperplane LSH
+    buckets + exact cosine verify (ext.similarity.cosine_neardup_pairs).
+    The synthetic embeddings are mutually far (max cosine ~0.51), so the
+    query plants near-dups: vectors with id < 50 re-enter the corpus as
+    id+100000 with the first component shifted by +0.25 — an identical,
+    engine-neutral construction on the oracle side."""
+    from methyl_data_pipeline_spark.ext.similarity import cosine_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    perturbed = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.col("embedding")[0] + F.lit(_NEARDUP_PERTURB)),
+            F.expr("slice(embedding, 2, size(embedding) - 1)"),
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(perturbed)
+    out = cosine_neardup_pairs(
+        corpus, threshold=_NEARDUP_THRESHOLD, n_planes=_NEARDUP_PLANES
+    )
+    return out.select(
+        "id_a", "id_b", _r(F.col("cosine")).alias("cosine")
+    ).orderBy("id_a", "id_b")
+
+
+def _sql_embedding_neardup() -> str:
+    from methyl_data_pipeline_spark.ext.similarity import md5_planes
+
+    planes = md5_planes(_NEARDUP_PLANES, 64)
+    bits = " || ".join(
+        "(CASE WHEN list_sum(list_transform(generate_series(1, len(v)), "
+        f"i -> v[i] * ([{', '.join(repr(x) for x in p)}])[i])) >= 0 "
+        "THEN '1' ELSE '0' END)"
+        for p in planes
+    )
+    return f"""
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+corpus AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + 100000,
+         list_concat([v[1] + {_NEARDUP_PERTURB!r}], v[2:]) FROM base
+  WHERE vec_id < 50
+),
+keyed AS (SELECT vec_id, v, {bits} AS bucket FROM corpus),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_sum(list_transform(generate_series(1, len(a.v)),
+                                 i -> a.v[i] * b.v[i]))
+           / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+              * sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS c
+  FROM keyed a JOIN keyed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, ROUND(c + 1e-9, 6) AS cosine
+FROM pairs WHERE c >= {_NEARDUP_THRESHOLD!r} ORDER BY id_a, id_b"""
+
+
+def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (ext.similarity.ivf_topk): seeded-KMeans coarse
+    quantizer, cell-keyed search join, exact cosine rerank. Run with
+    n_probe == n_centroids, where IVF provably degrades to exact brute
+    force — so the DuckDB brute-force oracle checks the whole IVF
+    machinery (cell assignment, probe ranking, rerank) bit-for-bit.
+    The approximate path (n_probe < n_centroids) is recall-tested in
+    tests/test_ext.py."""
+    from methyl_data_pipeline_spark.ext.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    out = ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=8)
+    return out.select(
+        "query_id", "rank", "neighbor_id", _r(F.col("cosine")).alias("cosine")
+    ).orderBy("query_id", "rank")
+
+
 def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window event aggregation — batch twin of the streaming
     operator (identical semantics minus watermark)."""
@@ -1756,6 +1875,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "combat_correction": q_combat,
         "combat_covariates": q_combat_covariates,
         "bmiq_normalize": q_bmiq,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embedding_neardup": q_embedding_neardup,
+        "ivf_ann": q_ivf_ann,
         "pca_scores": q_pca,
         "mds_coords": q_mds,
         "similarity_lsh": q_similarity_lsh,
@@ -1823,6 +1945,10 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": _sql_minhash_pairs(),
         "simhash": _sql_simhash(),
         "embedding_cosine_topk": SQL_EMBEDDING_COSINE,
+        "ngram_jaccard": _sql_ngram_jaccard(),
+        "embedding_neardup": _sql_embedding_neardup(),
+        # n_probe == n_centroids makes IVF exact — brute force IS the oracle
+        "ivf_ann": SQL_EMBEDDING_COSINE,
         "events_windowed": SQL_EVENTS_WINDOWED,
         "sessionize": SQL_SESSIONIZE,
         "multimodal_features": SQL_MULTIMODAL,

@@ -64,6 +64,167 @@ def cosine_topk_bruteforce(
     )
 
 
+def md5_planes(n_planes: int, dim: int, salt: str = "pl") -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes derived from md5 — the
+    same floats are computable in ANY engine (`('0x'||substr(md5(..)
+    ,1,15))::BIGINT` in DuckDB), so LSH bucket boundaries are
+    bit-reproducible across Spark and external oracles, unlike
+    numpy-seeded planes. Components are uniform on [-1, 1] via
+    ``(md5_60bit % 2001 - 1000) / 1000``."""
+    import hashlib
+
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for i in range(dim):
+            h = int(hashlib.md5(f"{salt}{p}|{i}".encode()).hexdigest()[:15], 16)
+            row.append((h % 2001 - 1000) / 1000.0)
+        planes.append(row)
+    return planes
+
+
+def cosine_neardup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.98,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs at scale: random-hyperplane
+    LSH buckets prune the O(n²) pair space to same-bucket pairs, then
+    exact cosine confirms (two-stage prune+verify, same shape as the
+    MinHash→Jaccard text pipeline in ``ext.dedup``).
+
+    Shuffle volume is one hash-join on the bucket key; only same-bucket
+    vectors ever pair. A vector and its near-duplicate agree on every
+    plane sign with probability ≈ 1 - distance/π per plane, so
+    high-threshold near-dups are rarely split across buckets.
+    Hyperplanes come from :func:`md5_planes` → external oracles
+    reproduce bucket membership exactly.
+    """
+    dim = len(vectors.select(vec_col).first()[0])
+    planes = md5_planes(n_planes, dim)
+
+    def bucket(vc: Column) -> Column:
+        bits = [
+            F.when(
+                F.aggregate(
+                    F.zip_with(
+                        vc,
+                        F.array(*[F.lit(float(x)) for x in planes[p]]),
+                        lambda a, b: a * b,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                >= 0,
+                F.lit("1"),
+            ).otherwise(F.lit("0"))
+            for p in range(n_planes)
+        ]
+        return F.concat(*bits)
+
+    vec_d = F.col(vec_col).cast("array<double>")
+    keyed = vectors.select(
+        F.col(id_col), vec_d.alias("_v"), bucket(vec_d).alias("_bucket")
+    )
+    a = keyed.select(
+        F.col("_bucket"), F.col(id_col).alias("id_a"), F.col("_v").alias("_va")
+    )
+    b = keyed.select(
+        F.col("_bucket"), F.col(id_col).alias("id_b"), F.col("_v").alias("_vb")
+    )
+    return (
+        a.join(b, "_bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine(F.col("_va"), F.col("_vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate nearest neighbors: a seeded
+    KMeans coarse quantizer partitions the corpus into ``n_centroids``
+    cells; each query exactly reranks only its ``n_probe`` nearest
+    cells. ``n_probe == n_centroids`` degrades gracefully to exact
+    brute force (asserted in tests).
+
+    Scale shape: the corpus is scanned once to assign cells (broadcast
+    centroid literals, JVM-side argmin — no UDF), the search join is
+    keyed on the cell id, so each query touches ~``n_probe/n_centroids``
+    of the corpus. Centroids are tiny (n_centroids × dim floats) —
+    KMeans fit samples the corpus; assignment is a pure map.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    vec_d = F.col(vec_col).cast("array<double>")
+    corpus = vectors.select(F.col(id_col), vec_d.alias("_v"))
+    km_in = corpus.withColumn("features", array_to_vector(F.col("_v")))
+    model = KMeans(k=n_centroids, seed=seed, maxIter=20).fit(km_in)
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+
+    def dist2(vc: Column, cent: list[float]) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                vc,
+                F.array(*[F.lit(x) for x in cent]),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    # cell assignment: argmin over centroid distances, JVM-side
+    dists = F.array(*[dist2(F.col("_v"), c) for c in centroids])
+    cell = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    assigned = corpus.withColumn("_cell", cell)
+
+    # each query probes its n_probe nearest cells: rank the centroid
+    # distance array and explode the winning cell ids
+    qd = queries.select(F.col(id_col).alias("query_id"), vec_d.alias("_qv"))
+    q_dists = F.array(*[dist2(F.col("_qv"), c) for c in centroids])
+    probe_cells = F.slice(
+        F.expr(
+            "transform(array_sort(arrays_zip(_qd, _ci), "
+            "(l, r) -> case when l._qd < r._qd then -1 "
+            "when l._qd > r._qd then 1 else 0 end), p -> p._ci)"
+        ),
+        1,
+        n_probe,
+    )
+    probes = (
+        qd.withColumn("_qd", q_dists)
+        .withColumn("_ci", F.array(*[F.lit(i) for i in range(len(centroids))]))
+        .withColumn("_cell", F.explode(probe_cells))
+        .select("query_id", "_qv", "_cell")
+    )
+
+    pairs = (
+        assigned.join(probes, "_cell")
+        .filter(F.col("query_id") != F.col(id_col))
+        .withColumn("cosine", cosine(F.col("_qv"), F.col("_v")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "cosine", "rank")
+    )
+
+
 def lsh_bucketed_topk(
     vectors: DataFrame,
     queries: DataFrame,

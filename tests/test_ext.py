@@ -138,3 +138,78 @@ def test_fingerprint_stable(spark):
     )
     out = {r["doc_id"]: r["fingerprint"] for r in fingerprint(df).collect()}
     assert out[0] == out[1] != out[2]
+
+
+def _unit_vecs(rng, n, dim):
+    x = rng.normal(size=(n, dim))
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+def test_ivf_full_probe_equals_bruteforce(spark):
+    from methyl_data_pipeline_spark.ext.similarity import (
+        cosine_topk_bruteforce,
+        ivf_topk,
+    )
+
+    rng = np.random.RandomState(9)
+    vecs = _unit_vecs(rng, 80, 16)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in vecs[i]]) for i in range(80)],
+        "vec_id long, embedding array<double>",
+    )
+    q = df.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in cosine_topk_bruteforce(df, q, k=3).collect()
+    }
+    ivf = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in ivf_topk(df, q, k=3, n_centroids=4, n_probe=4).collect()
+    }
+    assert ivf == exact
+
+
+def test_ivf_partial_probe_recall(spark):
+    from methyl_data_pipeline_spark.ext.similarity import (
+        cosine_topk_bruteforce,
+        ivf_topk,
+    )
+
+    rng = np.random.RandomState(10)
+    # clustered corpus: IVF's favorable regime
+    centers = _unit_vecs(rng, 4, 16) * 3
+    pts = np.vstack([c + rng.normal(scale=0.3, size=(25, 16)) for c in centers])
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in pts[i]]) for i in range(100)],
+        "vec_id long, embedding array<double>",
+    )
+    q = df.filter(F.col("vec_id") % 25 == 0)
+    exact = {}
+    for r in cosine_topk_bruteforce(df, q, k=5).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx = {}
+    for r in ivf_topk(df, q, k=5, n_centroids=4, n_probe=2).collect():
+        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(exact[k] & approx.get(k, set())) for k in exact)
+    total = sum(len(v) for v in exact.values())
+    assert hits / total >= 0.8, f"recall {hits}/{total}"
+
+
+def test_cosine_neardup_finds_planted_pair(spark):
+    from methyl_data_pipeline_spark.ext.similarity import cosine_neardup_pairs
+
+    rng = np.random.RandomState(11)
+    vecs = _unit_vecs(rng, 30, 16)
+    rows = [(i, [float(v) for v in vecs[i]]) for i in range(30)]
+    # plant: 1000+i = tiny rotation of i  (cosine ~0.995)
+    for i in range(3):
+        w = vecs[i].copy()
+        w[0] += 0.1
+        rows.append((1000 + i, [float(v) for v in w]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = cosine_neardup_pairs(df, threshold=0.98, n_planes=4).collect()
+    pairs = {(r.id_a, r.id_b) for r in got}
+    # planted pairs recovered (tiny perturbation stays in-bucket for
+    # these fixed md5 planes), no false positives among random vectors
+    assert pairs == {(i, 1000 + i) for i in range(3)}
+    assert all(r.cosine >= 0.98 for r in got)
