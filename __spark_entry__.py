@@ -828,7 +828,10 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return (
         tokenize(docs)
-        .select("doc_id", "n_tokens", "n_tokens_est", F.length(F.trim("text")).alias("n_chars_t"))
+        .select(
+            "doc_id", "n_tokens", "n_tokens_est", "n_tokens_bpe",
+            F.length(F.trim("text")).alias("n_chars_t"),
+        )
         .orderBy("doc_id")
     )
 
@@ -837,6 +840,9 @@ SQL_TEXT_TOKENS = r"""
 SELECT doc_id,
        len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_tokens,
        CAST(ceil(length(trim(text)) / 4.0) AS BIGINT)       AS n_tokens_est,
+       CAST(len(regexp_extract_all(trim(text),
+            '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+')) AS BIGINT)
+                                                            AS n_tokens_bpe,
        length(trim(text))                                   AS n_chars_t
 FROM documents ORDER BY doc_id
 """

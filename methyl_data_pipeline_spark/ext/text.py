@@ -27,16 +27,30 @@ def words(text: Column | str) -> Column:
     return F.split(F.lower(F.trim(c)), r"\s+")
 
 
+# GPT-2-style pre-tokenizer pattern (public: the regex published with
+# the GPT-2 BPE), restricted to ASCII classes so Java-regex (Spark) and
+# RE2 (external engines) agree on every boundary: contraction suffixes,
+# space-prefixed letter runs, digit runs, punctuation runs, whitespace.
+BPE_SPLIT_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
 def tokenize(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Add ``tokens`` (array) and ``n_tokens``. Whitespace tokens plus a
-    BPE-ish subword proxy count (4 chars ≈ 1 token, the common rule of
-    thumb) as ``n_tokens_est``."""
+    """Add ``tokens`` (array) and three token counts: ``n_tokens``
+    (whitespace), ``n_tokens_est`` (4 chars ≈ 1 token rule of thumb),
+    and ``n_tokens_bpe`` (matches of the BPE-ish pre-tokenizer regex —
+    what a GPT-2-family tokenizer would split before merges)."""
     return (
         df.withColumn("tokens", words(text_col))
         .withColumn("n_tokens", F.size("tokens"))
         .withColumn(
             "n_tokens_est",
             F.ceil(F.length(F.trim(F.col(text_col))) / F.lit(4.0)).cast("long"),
+        )
+        .withColumn(
+            "n_tokens_bpe",
+            F.regexp_count(F.trim(F.col(text_col)), F.lit(BPE_SPLIT_PATTERN)).cast(
+                "long"
+            ),
         )
     )
 

@@ -213,3 +213,15 @@ def test_cosine_neardup_finds_planted_pair(spark):
     # these fixed md5 planes), no false positives among random vectors
     assert pairs == {(i, 1000 + i) for i in range(3)}
     assert all(r.cosine >= 0.98 for r in got)
+
+
+def test_bpe_token_count(spark):
+    from methyl_data_pipeline_spark.ext.text import tokenize
+
+    df = spark.createDataFrame(
+        [(1, "don't stop me now"), (2, "a1b2"), (3, "  hi!  ")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.n_tokens_bpe for r in tokenize(df).collect()}
+    # don|'t| stop| me| now = 5; a|1|b|2 = 4; hi|! = 2
+    assert got == {1: 5, 2: 4, 3: 2}
