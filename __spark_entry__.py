@@ -951,6 +951,15 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signatures(docs, num_hashes=8).orderBy("doc_id")
 
 
+def _minhash_mins_sql(num_hashes: int = 8) -> str:
+    from methyl_data_pipeline_spark.ext.dedup import minhash_mix_params
+
+    return ",\n       ".join(
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % 2147483647)) AS mh_{i}"
+        for i, (a, b) in enumerate(minhash_mix_params(num_hashes))
+    )
+
+
 def _sql_minhash_sigs() -> str:
     shingle_cte = r"""
 WITH w AS (
@@ -965,13 +974,15 @@ sh AS (
                                   i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])
               ELSE [array_to_string(ws, ' ')] END AS shingles
   FROM w
+),
+hsh AS (
+  SELECT doc_id, shingles,
+         list_transform(shingles,
+                        s -> (('0x' || substr(md5(s), 1, 15))::BIGINT) % 1073741824) AS hs
+  FROM sh
 )
 """
-    mins = ",\n       ".join(
-        f"list_min(list_transform(shingles, s -> ('0x' || substr(md5('mh{i}|' || s), 1, 15))::BIGINT)) AS mh_{i}"
-        for i in range(8)
-    )
-    return f"{shingle_cte}\nSELECT doc_id,\n       {mins}\nFROM sh ORDER BY doc_id"
+    return f"{shingle_cte}\nSELECT doc_id,\n       {_minhash_mins_sql(8)}\nFROM hsh ORDER BY doc_id"
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -986,15 +997,11 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_minhash_pairs() -> str:
     base = _sql_minhash_sigs().rsplit("SELECT doc_id", 1)[0]
-    mins = ",\n       ".join(
-        f"list_min(list_transform(shingles, s -> ('0x' || substr(md5('mh{i}|' || s), 1, 15))::BIGINT)) AS mh_{i}"
-        for i in range(8)
-    )
     bands = "\nUNION ALL\n".join(
         f"SELECT doc_id, {b} AS band_idx, md5(CAST(mh_{2*b} AS VARCHAR) || '_' || CAST(mh_{2*b+1} AS VARCHAR)) AS band_hash FROM sigs"
         for b in range(4)
     )
-    return f"""{base}, sigs AS (SELECT doc_id, {mins} FROM sh),
+    return f"""{base}, sigs AS (SELECT doc_id, {_minhash_mins_sql(8)} FROM hsh),
 banded AS ({bands})
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM banded a JOIN banded b

@@ -56,6 +56,22 @@ def shingles(text_col: str, n: int = 3) -> Column:
     )
 
 
+# universal-hash mixing constants: one md5 per shingle, then
+# h_i = (a_i * (h mod 2^30) + b_i) mod (2^31 - 1) per hash function —
+# 8-16x fewer md5 evaluations than salting the digest per function,
+# with products bounded at 2^60 so ANSI-mode bigint arithmetic never
+# overflows (also reproducible verbatim in any engine with 64-bit ints)
+_MIX_MOD = (1 << 31) - 1
+_H_MOD = 1 << 30
+
+
+def minhash_mix_params(num_hashes: int) -> list[tuple[int, int]]:
+    return [
+        ((((i + 1) * 2654435761) % _H_MOD) | 1, ((i + 7) * 40503) % _H_MOD)
+        for i in range(num_hashes)
+    ]
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -63,31 +79,40 @@ def minhash_signatures(
     num_hashes: int = 16,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Per-document MinHash signature: for each of ``num_hashes`` salted
-    hash functions, the min over shingle hashes.
+    """Per-document MinHash signature: one 60-bit md5 per shingle,
+    ``num_hashes`` universal-hash mixes of it, min per function.
 
     Entirely JVM-side (`transform` + `array_min` over the shingle
-    array) — no UDF, no shuffle; a pure map over the corpus.
+    array) — no UDF, no shuffle; a pure map over the corpus. md5 runs
+    ONCE per shingle (the dominant cost); the per-function variants are
+    two integer ops each.
     """
     df = _spread(df, id_col)
-    sh = shingles(text_col, shingle_n)
+    hashed = df.withColumn(
+        "_hs",
+        F.transform(
+            shingles(text_col, shingle_n),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+            % F.lit(_H_MOD),
+        ),
+    )
 
     # NB: factory function, not a default-arg lambda — Spark infers HOF
-    # lambda arity from the signature, and `lambda s, i=i` reads as the
+    # lambda arity from the signature, and `lambda h, i=i` reads as the
     # 2-ary (element, index) form, silently binding i to the index col.
-    def salted_min(i: int):
-        salt = f"mh{i}|"
+    def mixed_min(a: int, b: int):
         return F.array_min(
             F.transform(
-                sh,
-                lambda s: F.conv(
-                    F.substring(F.md5(F.concat(F.lit(salt), s)), 1, 15), 16, 10
-                ).cast("long"),
+                F.col("_hs"),
+                lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_MIX_MOD),
             )
         )
 
-    sig_cols = [salted_min(i).alias(f"mh_{i}") for i in range(num_hashes)]
-    return df.select(F.col(id_col), *sig_cols)
+    sig_cols = [
+        mixed_min(a, b).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(minhash_mix_params(num_hashes))
+    ]
+    return hashed.select(F.col(id_col), *sig_cols)
 
 
 def minhash_candidate_pairs(
@@ -103,7 +128,11 @@ def minhash_candidate_pairs(
     (id_a < id_b, deduped across bands).
 
     The self-join key is the band bucket, so shuffle volume is
-    O(docs × bands), and only same-bucket docs pair up.
+    O(docs × bands), and only same-bucket docs pair up. The banded
+    table is persisted before the self-join: the two join sides are
+    the same subplan, but one becomes a BroadcastExchange so Catalyst
+    cannot reuse the shuffle — without the cache every shingle would be
+    hashed twice.
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
@@ -121,7 +150,7 @@ def minhash_candidate_pairs(
         values=[f"band_{b}" for b in range(bands)],
         variableColumnName="band_idx",
         valueColumnName="band_hash",
-    )
+    ).persist()
     a = melted.select(
         F.col("band_idx"), F.col("band_hash"), F.col(id_col).alias("id_a")
     )
