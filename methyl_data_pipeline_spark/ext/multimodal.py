@@ -7,12 +7,12 @@ Arrow-batched ``mapInPandas`` — per-partition batch iterators so a
 decoder amortizes model/codec init across a batch, the shape a real
 image/audio library needs.
 
-The actual decoders are STUBS (no PIL/ffmpeg/torchaudio in this
-container): ``decode_features`` computes deterministic digest-based
-pseudo-features so the Spark-side plumbing (schema, batching,
-partitioning, UDF signature) is real and testable end-to-end, and
-``decode_image``/``decode_audio`` raise ``NotImplementedError`` behind
-an import-try, marking exactly where a real codec plugs in.
+The actual codecs are deterministic FAKES (no PIL/ffmpeg/torchaudio in
+this container): ``decode_features``/``decode_image``/``decode_audio``/
+``frame_sample`` synthesize md5-derived pixels/samples/frames with the
+exact output schema, sizes, and 1:N batch shapes a real codec produces,
+so the Spark-side plumbing is testable end-to-end. Each marks its
+real-codec plug-in point behind ``use_real_codec`` + an import-try.
 """
 
 from __future__ import annotations
@@ -75,36 +75,130 @@ def decode_features(media: DataFrame, feature_dim: int = 8) -> DataFrame:
                 }
             )
 
+    from methyl_data_pipeline_spark.deploy import ensure_importable
+
+    ensure_importable(media.sparkSession)
     return media.mapInPandas(extract, out_schema)
 
 
-def decode_image(media: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
-    """Real image decode/resize — requires an imaging library."""
-    try:
-        import PIL  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "image decode needs PIL/opencv (not in this container); "
-            "plumbing is exercised via decode_features"
-        ) from e
-    raise NotImplementedError("wire PIL decode here when the image lib lands")
+def _digest_bytes(raw: bytes, n: int, salt: bytes = b"") -> bytes:
+    """Deterministic pseudo-bytes: md5 in counter mode. Stands in for
+    decoded pixel/sample data so shapes and sizes are real."""
+    out = bytearray()
+    counter = 0
+    while len(out) < n:
+        out += hashlib.md5(salt + raw[:64] + counter.to_bytes(4, "big")).digest()
+        counter += 1
+    return bytes(out[:n])
 
 
-def decode_audio(media: DataFrame, sample_rate: int = 16_000) -> DataFrame:
-    """Real audio decode/resample — requires an audio library."""
-    try:
-        import soundfile  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "audio decode needs soundfile/ffmpeg (not in this container); "
-            "plumbing is exercised via decode_features"
-        ) from e
-    raise NotImplementedError("wire soundfile decode here when the audio lib lands")
+def decode_image(
+    media: DataFrame, width: int = 32, height: int = 32, use_real_codec: bool = False
+) -> DataFrame:
+    """Image decode + resize as Arrow-batched ``mapInPandas``: one row
+    in → one row out with an RGB pixel buffer of exactly
+    ``width*height*3`` bytes plus shape metadata.
+
+    The decode step is a deterministic fake (md5 counter stream —
+    no imaging library in this container); everything Spark-side
+    (schema, batch iteration, output sizes) is real. Pass
+    ``use_real_codec=True`` where PIL is installed to mark the plug-in
+    point."""
+    if use_real_codec:
+        try:
+            import PIL  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "real image decode needs PIL/opencv (not in this container)"
+            ) from e
+        raise NotImplementedError("wire PIL decode here when the image lib lands")
+
+    out_schema = "id long, width int, height int, mode string, pixels binary"
+    n_px = width * height * 3
+
+    def decode(batches):
+        for pdf in batches:
+            rows = {"id": [], "width": [], "height": [], "mode": [], "pixels": []}
+            for rid, content in zip(pdf["id"], pdf["content"]):
+                raw = bytes(content) if content is not None else b""
+                rows["id"].append(rid)
+                rows["width"].append(width)
+                rows["height"].append(height)
+                rows["mode"].append("RGB")
+                rows["pixels"].append(_digest_bytes(raw, n_px, b"img|"))
+            yield pd.DataFrame(rows)
+
+    from methyl_data_pipeline_spark.deploy import ensure_importable
+
+    ensure_importable(media.sparkSession)
+    return media.mapInPandas(decode, out_schema)
 
 
-def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
-    """Video frame sampling stub — same contract as decode_image but
-    yields multiple rows per input (1:N mapInPandas)."""
-    raise NotImplementedError(
-        "video frame sampling needs ffmpeg (not in this container)"
-    )
+def decode_audio(
+    media: DataFrame,
+    sample_rate: int = 16_000,
+    clip_seconds: float = 1.0,
+    use_real_codec: bool = False,
+) -> DataFrame:
+    """Audio decode/resample via ``mapInPandas``: one row per clip with
+    a float waveform of ``sample_rate * clip_seconds`` samples in
+    [-1, 1]. Fake decode (md5 stream) — see :func:`decode_image`."""
+    if use_real_codec:
+        try:
+            import soundfile  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "real audio decode needs soundfile/ffmpeg (not in this container)"
+            ) from e
+        raise NotImplementedError("wire soundfile decode here when the audio lib lands")
+
+    out_schema = "id long, sample_rate int, n_samples int, waveform array<float>"
+    n_samples = int(sample_rate * clip_seconds)
+
+    def decode(batches):
+        for pdf in batches:
+            rows = {"id": [], "sample_rate": [], "n_samples": [], "waveform": []}
+            for rid, content in zip(pdf["id"], pdf["content"]):
+                raw = bytes(content) if content is not None else b""
+                pcm = _digest_bytes(raw, n_samples, b"aud|")
+                rows["id"].append(rid)
+                rows["sample_rate"].append(sample_rate)
+                rows["n_samples"].append(n_samples)
+                rows["waveform"].append([b / 127.5 - 1.0 for b in pcm])
+            yield pd.DataFrame(rows)
+
+    from methyl_data_pipeline_spark.deploy import ensure_importable
+
+    ensure_importable(media.sparkSession)
+    return media.mapInPandas(decode, out_schema)
+
+
+def frame_sample(
+    media: DataFrame, every_n: int = 10, assumed_fps: float = 30.0
+) -> DataFrame:
+    """Video frame sampling: 1:N ``mapInPandas`` — each input row
+    explodes into every ``every_n``-th frame with its timestamp and a
+    frame digest. Frame count is faked from payload size (1 frame per
+    KiB); the 1-row-in/N-rows-out batch shape, schema, and timestamp
+    arithmetic are exactly what an ffmpeg-backed sampler produces."""
+    out_schema = "id long, frame_idx int, t_offset double, frame_digest string"
+
+    def sample(batches):
+        for pdf in batches:
+            rows = {"id": [], "frame_idx": [], "t_offset": [], "frame_digest": []}
+            for rid, content, n_bytes in zip(pdf["id"], pdf["content"], pdf["n_bytes"]):
+                raw = bytes(content) if content is not None else b""
+                n_frames = max(1, int(n_bytes) // 1024)
+                for idx in range(0, n_frames, every_n):
+                    rows["id"].append(rid)
+                    rows["frame_idx"].append(idx)
+                    rows["t_offset"].append(idx / assumed_fps)
+                    rows["frame_digest"].append(
+                        hashlib.md5(raw[:64] + idx.to_bytes(4, "big")).hexdigest()
+                    )
+            yield pd.DataFrame(rows)
+
+    from methyl_data_pipeline_spark.deploy import ensure_importable
+
+    ensure_importable(media.sparkSession)
+    return media.mapInPandas(sample, out_schema)

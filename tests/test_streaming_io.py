@@ -189,3 +189,45 @@ def test_multimodal_plumbing(spark):
     assert out[0]["n_bytes"] == 5
     assert len(out[0]["features"]) == 8
     assert all(0 <= f <= 1 for f in out[0]["features"])
+
+
+def test_decode_image_shapes(spark):
+    from methyl_data_pipeline_spark.ext.multimodal import attach_binary, decode_image
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "another payload")], "doc_id long, text string"
+    )
+    out = decode_image(attach_binary(docs), width=8, height=4).collect()
+    assert len(out) == 2
+    for r in out:
+        assert (r.width, r.height, r.mode) == (8, 4, "RGB")
+        assert len(bytes(r.pixels)) == 8 * 4 * 3
+    # deterministic: same payload -> same pixels
+    again = decode_image(attach_binary(docs), width=8, height=4).collect()
+    assert {r.id: bytes(r.pixels) for r in again} == {
+        r.id: bytes(r.pixels) for r in out
+    }
+
+
+def test_decode_audio_waveform(spark):
+    from methyl_data_pipeline_spark.ext.multimodal import attach_binary, decode_audio
+
+    docs = spark.createDataFrame([(7, "clip bytes")], "doc_id long, text string")
+    (r,) = decode_audio(attach_binary(docs), sample_rate=100, clip_seconds=0.5).collect()
+    assert r.sample_rate == 100 and r.n_samples == 50
+    assert len(r.waveform) == 50
+    assert all(-1.0 <= v <= 1.0 for v in r.waveform)
+
+
+def test_frame_sample_one_to_many(spark):
+    from methyl_data_pipeline_spark.ext.multimodal import attach_binary, frame_sample
+
+    # 5000-byte payload -> 4 fake frames (1/KiB), every 2nd -> idx 0, 2
+    docs = spark.createDataFrame([(3, "x" * 5000)], "doc_id long, text string")
+    out = sorted(
+        frame_sample(attach_binary(docs), every_n=2, assumed_fps=10.0).collect(),
+        key=lambda r: r.frame_idx,
+    )
+    assert [r.frame_idx for r in out] == [0, 2]
+    assert [r.t_offset for r in out] == [0.0, 0.2]
+    assert len({r.frame_digest for r in out}) == 2
