@@ -921,6 +921,37 @@ FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
 """
 
 
+def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash fingerprints by winnowing (MOSS): min hash per
+    sliding window over char-8-gram hashes, window 4."""
+    from methyl_data_pipeline_spark.ext.text import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, k=8, window=4).orderBy("doc_id", "fingerprint")
+
+
+SQL_WINNOWING = r"""
+WITH t AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(length(s) - 8 + 1, 1)),
+                        i -> ('0x' || substr(md5(substr(s, i, 8)), 1, 15))::BIGINT) AS hs
+  FROM t
+),
+w AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, greatest(len(hs) - 4 + 1, 1)),
+                                      j -> list_min(hs[j:j+3]))) AS fps
+  FROM h
+)
+SELECT doc_id, unnest(fps) AS fingerprint
+FROM w ORDER BY doc_id, fingerprint
+"""
+
+
 def q_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by md5 fingerprint of normalized text, min-id winner."""
     from methyl_data_pipeline_spark.ext.dedup import dedup_exact
@@ -1864,6 +1895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "tfidf_top_terms": q_tfidf_top_terms,
         "fingerprint_dedup": q_fingerprint_dedup,
+        "winnowing": q_winnowing,
         "minhash_signatures": q_minhash_signatures,
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
@@ -1954,6 +1986,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _sql_lang_id(),
         "tfidf_top_terms": SQL_TFIDF,
         "fingerprint_dedup": SQL_FINGERPRINT_DEDUP,
+        "winnowing": SQL_WINNOWING,
         "minhash_signatures": _sql_minhash_sigs(),
         "minhash_pairs": _sql_minhash_pairs(),
         "simhash": _sql_simhash(),

@@ -225,3 +225,25 @@ def test_bpe_token_count(spark):
     got = {r.doc_id: r.n_tokens_bpe for r in tokenize(df).collect()}
     # don|'t| stop| me| now = 5; a|1|b|2 = 4; hi|! = 2
     assert got == {1: 5, 2: 4, 3: 2}
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    from methyl_data_pipeline_spark.ext.text import winnow_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog near the river bank"
+    docs = spark.createDataFrame(
+        [
+            (1, "AAAA zzqx " + shared + " qqq111"),
+            (2, "BBBB mmty " + shared + " vvv222"),
+            (3, "totally unrelated content with no overlap whatsoever here"),
+        ],
+        "doc_id long, text string",
+    )
+    # k=8, window=4: any shared substring of len >= 8+4-1 is detected
+    fps = winnow_fingerprints(docs, k=8, window=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert by_doc[1] & by_doc[2], "shared substring must share fingerprints"
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])

@@ -25,8 +25,10 @@ def test_idat_discovery_pairs(spark, tmp_path):
     assert ("203866588039_R01C01", "Red") in pairs
     assert ("203866588039_R01C01", "Grn") in pairs
     assert all(r["length"] == 20 for r in out)
-    with pytest.raises(NotImplementedError, match="IDAT"):
-        decode_idat(None)
+    # decode is real now (io.idat); garbage bytes must fail loudly, not
+    # silently produce rows
+    with pytest.raises(Exception, match="IDAT|idat"):
+        decode_idat(read_idat_dir(spark, str(tmp_path / "idats"))).collect()
 
 
 def test_read_any_excel_boundary(spark, tmp_path):
