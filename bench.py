@@ -25,7 +25,9 @@ HEADLINE = [
     "text_quality",
     "fingerprint_dedup",
     "minhash_pairs",
+    "winnowing",
     "embedding_cosine_topk",
+    "ivf_ann",
     "events_windowed",
     "sessionize",
 ]

@@ -152,12 +152,16 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    max_iter: int = 8,
 ) -> DataFrame:
     """IVF (inverted-file) approximate nearest neighbors: a seeded
     KMeans coarse quantizer partitions the corpus into ``n_centroids``
     cells; each query exactly reranks only its ``n_probe`` nearest
     cells. ``n_probe == n_centroids`` degrades gracefully to exact
-    brute force (asserted in tests).
+    brute force (asserted in tests) — note the exactness holds for ANY
+    quantizer state, so ``max_iter`` is purely a recall/speed knob for
+    the partial-probe path (each KMeans iteration is a full corpus
+    pass; 8 is plenty for a coarse quantizer).
 
     Scale shape: the corpus is scanned once to assign cells (broadcast
     centroid literals, JVM-side argmin — no UDF), the search join is
@@ -171,7 +175,7 @@ def ivf_topk(
     vec_d = F.col(vec_col).cast("array<double>")
     corpus = vectors.select(F.col(id_col), vec_d.alias("_v"))
     km_in = corpus.withColumn("features", array_to_vector(F.col("_v")))
-    model = KMeans(k=n_centroids, seed=seed, maxIter=20).fit(km_in)
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(km_in)
     centroids = [list(map(float, c)) for c in model.clusterCenters()]
 
     def dist2(vc: Column, cent: list[float]) -> Column:
