@@ -791,6 +791,22 @@ def q_bh_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("probe_id")
 
 
+def q_bh_adjust_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BH FDR, distributed formulation (no single global window):
+    range-partitioned sort + per-partition windows + O(num_partitions)
+    scalar exchanges. Same math, same oracle as bh_adjust."""
+    from methyl_data_pipeline_spark.stats.bh import bh_adjust_scalable
+
+    meth = _meth(spark, sf_dir)
+    pseudo = meth.groupBy("probe_id").agg(
+        F.round(F.avg("beta") * 0.9 + 0.05 + 1e-9, 6).alias("p_value")
+    )
+    out = bh_adjust_scalable(pseudo, "p_value", "adj_p", num_partitions=8)
+    return out.select(
+        "probe_id", "p_value", _r(F.col("adj_p"), 8).alias("adj_p")
+    ).orderBy("probe_id")
+
+
 SQL_BH_ADJUST = f"""
 WITH {METH_CTE},
 p AS (
@@ -1889,6 +1905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_chain": q_join_chain,
         "health_report": q_health_report,
         "bh_adjust": q_bh_adjust,
+        "bh_adjust_scalable": q_bh_adjust_scalable,
         # extensions
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
@@ -1981,6 +1998,7 @@ def oracle_sql() -> dict[str, str]:
         "join_chain": SQL_JOIN_CHAIN,
         "health_report": SQL_HEALTH,
         "bh_adjust": SQL_BH_ADJUST,
+        "bh_adjust_scalable": SQL_BH_ADJUST,
         "text_tokens": SQL_TEXT_TOKENS,
         "text_quality": SQL_TEXT_QUALITY,
         "lang_id": _sql_lang_id(),

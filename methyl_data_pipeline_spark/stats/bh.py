@@ -60,3 +60,96 @@ def bh_adjust(
         return nonnull
     nulls = df.filter(F.col(p_col).isNull()).withColumn(out_col, F.lit(None).cast("double"))
     return nonnull.unionByName(nulls)
+
+
+def bh_adjust_scalable(
+    df: DataFrame,
+    p_col: str = "p_value",
+    out_col: str = "adj_p",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """BH without the single global window — the 100-TB path.
+
+    :func:`bh_adjust` is exact but funnels every row through ONE
+    window partition (Spark's global-order limitation); at 10⁹ probes
+    that partition is the job. This variant keeps the data distributed:
+
+    1. ``repartitionByRange`` on p — rows are globally ordered ACROSS
+       partitions, each partition sorts locally (parallel).
+    2. Global rank = local ``row_number`` + a per-partition row-count
+       prefix sum. The counts are one tiny aggregate (num_partitions
+       rows) collected and broadcast back as a literal map.
+    3. The right-to-left running min of q decomposes the same way:
+       a parallel per-partition suffix min + the suffix min over later
+       partitions' q-minima (same tiny aggregate, scanned driver-side).
+
+    Two driver round-trips of O(num_partitions) scalars replace the
+    all-data shuffle to one task. Results are bit-identical to
+    :func:`bh_adjust` (ties included: tied p-values may straddle a
+    partition boundary, but the suffix-min from the right sees across
+    it exactly like the single window does).
+    """
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
+
+    nonnull = df.filter(F.col(p_col).isNotNull())
+    ranged = nonnull.repartitionByRange(num_partitions, F.col(p_col).asc()).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("_pid").orderBy(F.col(p_col).asc())
+    # persisted: the two scalar collects below + the caller's action
+    # would otherwise re-derive the range sort three times (and a
+    # nondeterministic upstream could diverge between passes)
+    local = ranged.withColumn("_lrank", F.row_number().over(w_local)).persist()
+
+    # tiny aggregate: per-partition row counts -> rank offsets
+    stats = (
+        local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt")).orderBy("_pid")
+    ).collect()
+    n_total = sum(r["_cnt"] for r in stats)
+    offsets: dict[int, int] = {}
+    acc = 0
+    for r in stats:
+        offsets[r["_pid"]] = acc
+        acc += r["_cnt"]
+    off_map = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+
+    q = local.withColumn(
+        "_q",
+        F.col(p_col) * F.lit(float(n_total)) / (F.col("_lrank") + off_map[F.col("_pid")]),
+    )
+
+    # parallel per-partition suffix min of q (from the high-p side)
+    w_suffix = (
+        Window.partitionBy("_pid")
+        .orderBy(F.col("_lrank").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    q = q.withColumn("_smin", F.min("_q").over(w_suffix))
+
+    # tiny aggregate #2: per-partition q minima -> suffix over LATER
+    # partitions, broadcast back as a map
+    qmins = {r["_pid"]: r["_m"] for r in q.groupBy("_pid").agg(F.min("_q").alias("_m")).collect()}
+    later_min: dict[int, float] = {}
+    running = float("inf")
+    for pid in sorted(qmins, reverse=True):
+        later_min[pid] = running
+        running = min(running, qmins[pid])
+    later_map = F.create_map(
+        *[F.lit(x) for kv in later_min.items() for x in kv]
+    )
+
+    out = q.withColumn(
+        out_col,
+        F.least(
+            F.least(F.col("_smin"), F.coalesce(later_map[F.col("_pid")], F.lit(float("inf")))),
+            F.lit(1.0),
+        ),
+    ).drop("_pid", "_lrank", "_q", "_smin")
+    nulls = df.filter(F.col(p_col).isNull()).withColumn(
+        out_col, F.lit(None).cast("double")
+    )
+    return out.unionByName(nulls)

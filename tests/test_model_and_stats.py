@@ -115,3 +115,34 @@ def test_group_mean_deltas(spark):
     )
     out = group_mean_deltas(df, "grp", "A", "B").collect()[0]
     assert abs(out["delta"] - (0.8 - 0.2)) < 1e-12
+
+
+def test_bh_scalable_matches_window_version(spark):
+    import numpy as np
+
+    from methyl_data_pipeline_spark.stats.bh import bh_adjust, bh_adjust_scalable
+
+    rng = np.random.RandomState(21)
+    ps = np.concatenate(
+        [
+            rng.uniform(0, 1, 400),
+            np.repeat(0.03, 17),  # heavy ties
+            np.repeat(0.5, 9),
+            [0.0, 1.0],
+        ]
+    )
+    rows = [(f"p{i:04d}", float(p)) for i, p in enumerate(ps)]
+    rows += [("pnull1", None), ("pnull2", None)]
+    df = spark.createDataFrame(rows, "probe_id string, p_value double")
+
+    ref = {r.probe_id: r.adj_p for r in bh_adjust(df).collect()}
+    got = {
+        r.probe_id: r.adj_p
+        for r in bh_adjust_scalable(df, num_partitions=7).collect()
+    }
+    assert set(got) == set(ref)
+    for k in ref:
+        if ref[k] is None:
+            assert got[k] is None
+        else:
+            assert got[k] == ref[k], (k, got[k], ref[k])
