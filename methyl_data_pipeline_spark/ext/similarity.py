@@ -153,6 +153,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     seed: int = 42,
     max_iter: int = 8,
+    fit_fraction: float = 1.0,
 ) -> DataFrame:
     """IVF (inverted-file) approximate nearest neighbors: a seeded
     KMeans coarse quantizer partitions the corpus into ``n_centroids``
@@ -175,6 +176,11 @@ def ivf_topk(
     vec_d = F.col(vec_col).cast("array<double>")
     corpus = vectors.select(F.col(id_col), vec_d.alias("_v"))
     km_in = corpus.withColumn("features", array_to_vector(F.col("_v")))
+    # at corpus scale the quantizer fits on a seeded sample — each
+    # KMeans iteration is otherwise a full corpus pass; centroid
+    # quality needs only enough points per cell, not every point
+    if fit_fraction < 1.0:
+        km_in = km_in.sample(fraction=fit_fraction, seed=seed)
     model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(km_in)
     centroids = [list(map(float, c)) for c in model.clusterCenters()]
 

@@ -111,3 +111,23 @@ def stream_events_from_parquet(
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     return reader.load(src)
+
+
+def stream_dedup(
+    stream: DataFrame,
+    key_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup with bounded state: ``dropDuplicates``
+    keyed on ``key_cols``, state expired by the event-time watermark —
+    a duplicate arriving later than the watermark lag is not caught,
+    which is the standard state/recall trade (without the watermark the
+    key-set state grows without bound at 100-TB stream volumes).
+
+    The batch twin is ``ext.dedup.dedup_exact``; this is the
+    Structured Streaming path for continuous ingest.
+    """
+    if key_cols is None:
+        key_cols = ["event_id"]
+    return stream.withWatermark(ts_col, watermark).dropDuplicates(key_cols)

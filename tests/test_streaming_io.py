@@ -231,3 +231,48 @@ def test_frame_sample_one_to_many(spark):
     assert [r.frame_idx for r in out] == [0, 2]
     assert [r.t_offset for r in out] == [0.0, 0.2]
     assert len({r.frame_digest for r in out}) == 2
+
+
+def test_streaming_dedup_drops_in_watermark_duplicates(spark, tmp_path):
+    from methyl_data_pipeline_spark.streaming.events import (
+        stream_dedup,
+        stream_events_from_parquet,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1, 1, 2, 2, 3],  # dup event_ids within one batch
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01 00:10:00",
+                    "2024-01-01 00:11:00",
+                    "2024-01-01 00:20:00",
+                    "2024-01-01 00:21:00",
+                    "2024-01-01 00:30:00",
+                ]
+            ),
+            "user_id": [1, 1, 2, 2, 3],
+            "event_type": ["click"] * 5,
+            "value": [1.0, 1.0, 2.0, 2.0, 3.0],
+        }
+    )
+    src = str(tmp_path / "dedup_src")
+    os.makedirs(src, exist_ok=True)
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(src)
+
+    stream = stream_events_from_parquet(spark, src)
+    q = (
+        stream_dedup(stream, ["event_id"], watermark="1 hour")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        ids = sorted(
+            r["event_id"] for r in spark.sql("SELECT * FROM dedup_test").collect()
+        )
+    finally:
+        q.stop()
+    assert ids == [1, 2, 3]
