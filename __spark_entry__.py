@@ -968,6 +968,37 @@ FROM w ORDER BY doc_id, fingerprint
 """
 
 
+def q_kde_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaussian KDE of beta values on a 101-point grid (A12: the
+    density() estimator behind QC plots and BMIQ mode-finding)."""
+    from methyl_data_pipeline_spark.stats.density import kde_density
+
+    meth = _meth(spark, sf_dir)
+    out = kde_density(meth, "beta", bandwidth=0.05, grid_points=101)
+    return out.select(
+        _r(F.col("x")).alias("x"), _r(F.col("density"), 5).alias("density")
+    ).orderBy("x")
+
+
+SQL_KDE_DENSITY = f"""
+WITH {METH_CTE},
+grid AS (
+  SELECT 0.0 + i * (1.0 / 100) AS x
+  FROM (SELECT unnest(generate_series(0, 100)) AS i)
+),
+kern AS (
+  SELECT g.x,
+         AVG(exp(-0.5 * pow((g.x - m.beta) / 0.05, 2))) AS avg_k
+  FROM grid g CROSS JOIN meth m
+  WHERE m.beta IS NOT NULL
+  GROUP BY g.x
+)
+SELECT ROUND(x + 1e-9, 6) AS x,
+       ROUND(avg_k / (0.05 * sqrt(2 * pi())) + 1e-9, 5) AS density
+FROM kern ORDER BY x
+"""
+
+
 def q_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by md5 fingerprint of normalized text, min-id winner."""
     from methyl_data_pipeline_spark.ext.dedup import dedup_exact
@@ -1924,6 +1955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_minmax": q_agg_minmax,
         "collect_list": q_collect_list,
         "histogram": q_histogram,
+        "kde_density": q_kde_density,
         "ecdf_percent_rank": q_ecdf,
         "rename_lookup": q_rename_lookup,
         "scalar_math": q_scalar_math,
@@ -2020,6 +2052,7 @@ def oracle_sql() -> dict[str, str]:
         "agg_minmax": SQL_AGG_MINMAX,
         "collect_list": SQL_COLLECT_LIST,
         "histogram": SQL_HISTOGRAM,
+        "kde_density": SQL_KDE_DENSITY,
         "ecdf_percent_rank": SQL_ECDF,
         "rename_lookup": SQL_RENAME_LOOKUP,
         "scalar_math": SQL_SCALAR_MATH,

@@ -146,3 +146,40 @@ def test_bh_scalable_matches_window_version(spark):
             assert got[k] is None
         else:
             assert got[k] == ref[k], (k, got[k], ref[k])
+
+
+def test_kde_density_matches_numpy(spark):
+    import numpy as np
+
+    from methyl_data_pipeline_spark.stats.density import kde_density
+
+    rng = np.random.RandomState(4)
+    vals = np.clip(rng.beta(2, 5, 300), 0, 1)
+    df = spark.createDataFrame([(float(v),) for v in vals], "beta double")
+    got = kde_density(df, "beta", bandwidth=0.1, grid_points=21).toPandas()
+
+    h = 0.1
+    xs = np.linspace(0, 1, 21)
+    ref = np.array(
+        [np.mean(np.exp(-0.5 * ((x - vals) / h) ** 2)) for x in xs]
+    ) / (h * np.sqrt(2 * np.pi))
+    np.testing.assert_allclose(np.sort(got["x"].values), xs, atol=1e-12)
+    got_sorted = got.sort_values("x")["density"].values
+    np.testing.assert_allclose(got_sorted, ref, rtol=1e-10)
+    # density integrates to ~1 over the support
+    assert abs(np.trapz(got_sorted, xs) - 1.0) < 0.15
+
+
+def test_kde_density_grouped(spark):
+    from methyl_data_pipeline_spark.stats.density import kde_density
+
+    df = spark.createDataFrame(
+        [("s1", 0.2), ("s1", 0.25), ("s2", 0.8), ("s2", 0.85)],
+        "sample_id string, beta double",
+    )
+    out = kde_density(df, "beta", bandwidth=0.05, grid_points=11, group_col="sample_id").toPandas()
+    assert set(out["sample_id"]) == {"s1", "s2"}
+    s1 = out[out.sample_id == "s1"].set_index("x")["density"]
+    s2 = out[out.sample_id == "s2"].set_index("x")["density"]
+    # each sample's curve peaks near its own data
+    assert s1.idxmax() < 0.5 < s2.idxmax()
