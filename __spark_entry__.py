@@ -73,7 +73,7 @@ _METH_CACHE: dict = {}
 def _meth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Long methylation-style fact table derived from lineitem
     (model.METH_SCHEMA shape). Mirrors the SQL CTE ``METH_CTE``."""
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     cached = _METH_CACHE.get(key)
     if cached is not None:
         return cached

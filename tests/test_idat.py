@@ -179,3 +179,39 @@ def test_betas_from_intensities(spark, idat_dir):
             )
     vals = [r.beta for r in out]
     assert all(0.0 <= v <= 1.0 for v in vals)
+
+
+def test_idat_to_qc_pipeline(spark, idat_dir):
+    """Entry-point-B shape (workflow.R: IDAT -> betas -> detP QC):
+    decode real IDAT binaries, build betas from a manifest, then run
+    the engine's QC operators on the resulting long table."""
+    from pyspark.sql import functions as F
+
+    from methyl_data_pipeline_spark.operators.qc import drop_incomplete_probes
+
+    root, addresses, files = idat_dir
+    decoded = decode_idat(read_idat_dir(spark, str(root)))
+    manifest = spark.createDataFrame(
+        [
+            ("cg%08d" % i, "II", None, int(addresses[i]), int(addresses[i]))
+            for i in range(20)
+        ],
+        "probe_id string, design_type string, color string, "
+        "address_m long, address_u long",
+    )
+    betas = betas_from_intensities(decoded, manifest).withColumnRenamed(
+        "basename", "sample_id"
+    )
+    # all probes observed in both samples -> survive completeness QC
+    complete = drop_incomplete_probes(betas, value_col="beta")
+    assert complete.count() == 40
+    # betas are valid methylation fractions
+    mm = complete.agg(F.min("beta"), F.max("beta")).first()
+    assert 0.0 <= mm[0] <= mm[1] <= 1.0
+    # knocking out one sample's rows for a probe drops that probe
+    holey = betas.filter(
+        ~((F.col("probe_id") == "cg00000003") & F.col("sample_id").endswith("R01C01"))
+    )
+    kept = drop_incomplete_probes(holey, value_col="beta")
+    assert kept.filter(F.col("probe_id") == "cg00000003").count() == 0
+    assert kept.count() == 38
