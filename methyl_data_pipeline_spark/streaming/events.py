@@ -131,3 +131,20 @@ def stream_dedup(
     if key_cols is None:
         key_cols = ["event_id"]
     return stream.withWatermark(ts_col, watermark).dropDuplicates(key_cols)
+
+
+def stream_enrich(
+    stream: DataFrame,
+    dimension: DataFrame,
+    on: str = "user_id",
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static join: enrich a stream with a (small) dimension
+    table. The static side broadcasts — each micro-batch is a map-side
+    hash join, no stateful shuffle, no watermark needed (static side is
+    re-read per batch, so slowly-changing dimensions pick up updates).
+    The batch twin is ``operators.joins.enrich_with_samples``.
+    """
+    from pyspark.sql import functions as F
+
+    return stream.join(F.broadcast(dimension), on, how)

@@ -134,3 +134,44 @@ def test_health_report(spark, meth, meth_pdf):
     assert r["n_null_values"] == int(meth_pdf["beta"].isna().sum())
     assert r["n_probes"] == meth_pdf["probe_id"].nunique()
     assert r["n_samples"] == meth_pdf["sample_id"].nunique()
+
+
+def test_winnowing_partitioning_invariant(spark):
+    """Fingerprint sets must not depend on the physical partitioning —
+    the 100-TB guarantee that a repartition can't change results."""
+    from methyl_data_pipeline_spark.ext.text import winnow_fingerprints
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with some shared phrasing and payload {i%7}")
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    base = {
+        (r.doc_id, r.fingerprint)
+        for r in winnow_fingerprints(docs).collect()
+    }
+    for parts in (1, 3, 17):
+        got = {
+            (r.doc_id, r.fingerprint)
+            for r in winnow_fingerprints(docs.repartition(parts)).collect()
+        }
+        assert got == base, f"differs at {parts} partitions"
+
+
+def test_bh_scalable_partitioning_invariant(spark):
+    import numpy as np
+
+    from methyl_data_pipeline_spark.stats.bh import bh_adjust_scalable
+
+    rng = np.random.RandomState(33)
+    df = spark.createDataFrame(
+        [(f"p{i}", float(p)) for i, p in enumerate(rng.uniform(0, 1, 300))],
+        "probe_id string, p_value double",
+    )
+    base = {r.probe_id: r.adj_p for r in bh_adjust_scalable(df, num_partitions=4).collect()}
+    for parts in (1, 11):
+        got = {
+            r.probe_id: r.adj_p
+            for r in bh_adjust_scalable(df.repartition(5), num_partitions=parts).collect()
+        }
+        assert got == base

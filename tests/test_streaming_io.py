@@ -276,3 +276,42 @@ def test_streaming_dedup_drops_in_watermark_duplicates(spark, tmp_path):
     finally:
         q.stop()
     assert ids == [1, 2, 3]
+
+
+def test_stream_static_enrich(spark, tmp_path):
+    from methyl_data_pipeline_spark.streaming.events import (
+        stream_enrich,
+        stream_events_from_parquet,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1, 2],
+            "ts": pd.to_datetime(["2024-01-01 00:10:00", "2024-01-01 00:20:00"]),
+            "user_id": [1, 2],
+            "event_type": ["click", "view"],
+            "value": [1.0, 2.0],
+        }
+    )
+    src = str(tmp_path / "enrich_src")
+    os.makedirs(src, exist_ok=True)
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(src)
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "user_id long, tier string"
+    )
+    q = (
+        stream_enrich(stream_events_from_parquet(spark, src), dim)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("enrich_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["event_id"]: r["tier"]
+            for r in spark.sql("SELECT * FROM enrich_test").collect()
+        }
+    finally:
+        q.stop()
+    assert got == {1: "gold", 2: "silver"}
