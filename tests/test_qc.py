@@ -84,3 +84,33 @@ def test_audit_membership(spark, meth):
     sheet_only, matrix_only = qc.audit_membership(samples, meth)
     assert [r["sample_id"] for r in sheet_only.collect()] == ["TB_GHOST"]
     assert matrix_only.count() == meth.select("sample_id").distinct().count() - 2
+
+
+def test_approx_quantiles_near_exact(spark):
+    import numpy as np
+
+    from methyl_data_pipeline_spark.operators.topk import approx_quantiles_per_group
+
+    rng = np.random.RandomState(8)
+    rows = [
+        (("A" if i % 2 else "B"), float(v))
+        for i, v in enumerate(rng.normal(100, 15, 4000))
+    ]
+    df = spark.createDataFrame(rows, "grp string, val double")
+    approx = {
+        r.grp: (r.q25, r.q50, r.q75)
+        for r in approx_quantiles_per_group(df, "val", ["grp"]).collect()
+    }
+    exact = {
+        r.grp: (r.e25, r.e50, r.e75)
+        for r in df.groupBy("grp")
+        .agg(
+            F.expr("percentile(val, 0.25)").alias("e25"),
+            F.expr("percentile(val, 0.5)").alias("e50"),
+            F.expr("percentile(val, 0.75)").alias("e75"),
+        )
+        .collect()
+    }
+    for g in exact:
+        for a, e in zip(approx[g], exact[g]):
+            assert abs(a - e) < 1.0, (g, a, e)  # ~0.07 sigma at n=2000
