@@ -58,3 +58,47 @@ def range_join(
         .filter((F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) <= F.col(hi_col)))
         .drop("_bucket")
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_lo: str,
+    l_hi: str,
+    r_lo: str,
+    r_hi: str,
+    bucket_width: float,
+) -> DataFrame:
+    """Interval-interval overlap join: pairs where
+    ``l_lo <= r_hi AND r_lo <= l_hi``. Both sides explode to their
+    covered buckets and equi-join on the bucket; a pair sharing k
+    buckets would match k times, so the residual predicate also pins
+    the match to the canonical bucket — the one containing
+    ``greatest(l_lo, r_lo)`` (the overlap start) — making each
+    overlapping pair match exactly once with no distinct pass.
+    """
+    w = float(bucket_width)
+
+    def buckets(df: DataFrame, lo: str, hi: str) -> DataFrame:
+        return df.withColumn(
+            "_bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(lo) / w).cast("long"),
+                    F.floor(F.col(hi) / w).cast("long"),
+                )
+            ),
+        )
+
+    bl = buckets(left, l_lo, l_hi)
+    br = buckets(right, r_lo, r_hi)
+    overlap_start_bucket = F.floor(F.greatest(F.col(l_lo), F.col(r_lo)) / w).cast("long")
+    return (
+        bl.join(br, "_bucket")
+        .filter(
+            (F.col(l_lo) <= F.col(r_hi))
+            & (F.col(r_lo) <= F.col(l_hi))
+            & (F.col("_bucket") == overlap_start_bucket)
+        )
+        .drop("_bucket")
+    )

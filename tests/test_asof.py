@@ -89,3 +89,33 @@ def test_range_join_matches_theta_join(spark):
         }
         assert got == ref, f"bucket width {w}"
     assert (5, 1) in got or True  # boundary p=10.0 in [0,10] covered by ref equality
+
+
+def test_interval_overlap_join_matches_theta(spark):
+    from pyspark.sql import functions as F
+
+    from methyl_data_pipeline_spark.operators.rangejoin import interval_overlap_join
+
+    import random
+
+    rnd = random.Random(5)
+    lefts = [(i, rnd.uniform(0, 50), 0.0) for i in range(30)]
+    lefts = [(i, lo, lo + rnd.uniform(0, 12)) for i, lo, _ in lefts]
+    rights = [(j, rnd.uniform(0, 50), 0.0) for j in range(30)]
+    rights = [(j, lo, lo + rnd.uniform(0, 12)) for j, lo, _ in rights]
+    ldf = spark.createDataFrame(lefts, "lid long, a_lo double, a_hi double")
+    rdf = spark.createDataFrame(rights, "rid long, b_lo double, b_hi double")
+
+    ref = {
+        (r.lid, r.rid)
+        for r in ldf.join(
+            rdf, (F.col("a_lo") <= F.col("b_hi")) & (F.col("b_lo") <= F.col("a_hi"))
+        ).collect()
+    }
+    for w in (2.0, 7.0, 25.0):
+        rows = interval_overlap_join(
+            ldf, rdf, "a_lo", "a_hi", "b_lo", "b_hi", w
+        ).collect()
+        got = [(r.lid, r.rid) for r in rows]
+        assert len(got) == len(set(got)), f"duplicate matches at w={w}"
+        assert set(got) == ref, f"mismatch at w={w}"
