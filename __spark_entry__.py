@@ -1317,6 +1317,20 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def q_ivf_ann_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN, approximate path (n_probe=2 of 8 cells): each query
+    reranks ~1/4 of the corpus. Rows-only (recall-vs-exact is asserted
+    in tests/test_ext.py); the oracle-exact twin is ivf_ann."""
+    from methyl_data_pipeline_spark.ext.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    out = ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=2)
+    return out.select(
+        "query_id", "rank", "neighbor_id", _r(F.col("cosine")).alias("cosine")
+    ).orderBy("query_id", "rank")
+
+
 def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window event aggregation — batch twin of the streaming
     operator (identical semantics minus watermark)."""
@@ -2025,6 +2039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_neardup": q_embedding_neardup,
         "ivf_ann": q_ivf_ann,
+        "ivf_ann_approx": q_ivf_ann_approx,
         "pca_scores": q_pca,
         "mds_coords": q_mds,
         "similarity_lsh": q_similarity_lsh,

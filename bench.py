@@ -27,7 +27,7 @@ HEADLINE = [
     "minhash_pairs",
     "winnowing",
     "embedding_cosine_topk",
-    "ivf_ann",
+    "ivf_ann_approx",
     "events_windowed",
     "sessionize",
 ]

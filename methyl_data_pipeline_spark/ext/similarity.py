@@ -45,7 +45,9 @@ def cosine_topk_bruteforce(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("_qv"),
     )
-    c = vectors.select(
+    from methyl_data_pipeline_spark.ext.dedup import _spread
+
+    c = _spread(vectors, id_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("_cv"),
     )
@@ -124,8 +126,10 @@ def cosine_neardup_pairs(
         ]
         return F.concat(*bits)
 
+    from methyl_data_pipeline_spark.ext.dedup import _spread
+
     vec_d = F.col(vec_col).cast("array<double>")
-    keyed = vectors.select(
+    keyed = _spread(vectors, id_col).select(
         F.col(id_col), vec_d.alias("_v"), bucket(vec_d).alias("_bucket")
     )
     a = keyed.select(
@@ -167,22 +171,46 @@ def ivf_topk(
     Scale shape: the corpus is scanned once to assign cells (broadcast
     centroid literals, JVM-side argmin — no UDF), the search join is
     keyed on the cell id, so each query touches ~``n_probe/n_centroids``
-    of the corpus. Centroids are tiny (n_centroids × dim floats) —
-    KMeans fit samples the corpus; assignment is a pure map.
+    of the corpus. The quantizer trains FAISS-style on a bounded
+    driver-side sample (Lloyd's on ≤``max_fit_rows`` points — a coarse
+    quantizer needs enough points per cell, not the corpus): one Spark
+    job to collect the sample instead of 2 jobs per MLlib iteration,
+    and the training cost is independent of corpus size.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    import numpy as np
+
+    from methyl_data_pipeline_spark.ext.dedup import _spread
 
     vec_d = F.col(vec_col).cast("array<double>")
-    corpus = vectors.select(F.col(id_col), vec_d.alias("_v"))
-    km_in = corpus.withColumn("features", array_to_vector(F.col("_v")))
-    # at corpus scale the quantizer fits on a seeded sample — each
-    # KMeans iteration is otherwise a full corpus pass; centroid
-    # quality needs only enough points per cell, not every point
+    corpus = _spread(vectors, id_col).select(F.col(id_col), vec_d.alias("_v"))
+
+    max_fit_rows = 10_000
+    fit_src = corpus.select("_v")
     if fit_fraction < 1.0:
-        km_in = km_in.sample(fraction=fit_fraction, seed=seed)
-    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(km_in)
-    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+        fit_src = fit_src.sample(fraction=fit_fraction, seed=seed)
+    pts = np.array([r[0] for r in fit_src.limit(max_fit_rows).collect()])
+
+    # Lloyd's iterations, deterministic seeded init (k-means++ light:
+    # distinct random picks). Empty cells re-seed from the farthest
+    # point so k centroids always survive.
+    rng = np.random.RandomState(seed)
+    cents = pts[rng.choice(len(pts), size=min(n_centroids, len(pts)), replace=False)]
+    for _ in range(max_iter):
+        d2 = ((pts[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        new = np.array(
+            [
+                pts[assign == c].mean(axis=0)
+                if np.any(assign == c)
+                else pts[d2.min(axis=1).argmax()]
+                for c in range(len(cents))
+            ]
+        )
+        if np.allclose(new, cents, atol=1e-12):
+            cents = new
+            break
+        cents = new
+    centroids = [list(map(float, c)) for c in cents]
 
     def dist2(vc: Column, cent: list[float]) -> Column:
         return F.aggregate(
