@@ -699,7 +699,8 @@ def q_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_HEALTH = f"""
 WITH {METH_CTE}
 SELECT COUNT(*) AS n_rows,
-       SUM(CASE WHEN beta IS NULL THEN 1 ELSE 0 END) AS n_null_values,
+       CAST(SUM(CASE WHEN beta IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_values,
        COUNT(DISTINCT probe_id) AS n_probes,
        COUNT(DISTINCT sample_id) AS n_samples,
        ROUND(MIN(beta) + 1e-9, 6) AS min_value,
