@@ -35,27 +35,19 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
 
 
-def combat(
-    long_df: DataFrame,
-    value_col: str = "beta",
-    batch_col: str = "run",
-    key_col: str = "probe_id",
-    sample_col: str = "sample_id",
-    conv: float = 1e-13,
-    max_iter: int = 200,
-) -> DataFrame:
-    """Return the input with an added ``{value_col}_combat`` column.
-
-    Requires complete data (no nulls) for the probes processed — the
-    reference drops incomplete probes first
-    (``preprocessing/combat_norm.py:28-30``); compose with
-    ``operators.qc.drop_incomplete_probes``.
-    """
-    from methyl_data_pipeline_spark.deploy import ensure_importable
-
-    ensure_importable(long_df.sparkSession)
+def _standardize_and_priors(
+    df: DataFrame,
+    value_col: str,
+    batch_col: str,
+    key_col: str,
+    persist_z: bool = True,
+):
+    """Passes 1-5 (the deterministic, SQL-expressible prefix of ComBat):
+    standardization plus the per-(probe, batch) moments and per-batch EB
+    hyperpriors. Returns ``(z, zb, hyper)``. Shared by :func:`combat`
+    (which runs the EB fixed point on top) and :func:`combat_priors`
+    (which exposes this prefix for oracle checking)."""
     x = F.col(value_col)
-    df = long_df.select(key_col, sample_col, batch_col, value_col)
 
     # pass 1: per-(probe, batch) n and mean
     pb = df.groupBy(key_col, batch_col).agg(
@@ -78,10 +70,11 @@ def combat(
     # pass 3: standardize. Persisted: z feeds both the per-(probe,batch)
     # moment pass and the final adjustment join — without the cache the
     # full fact-table lineage (2 scans + 2 shuffles) runs twice.
-    z = (
-        with_grand.join(pooled, key_col)
-        .withColumn("z", (x - F.col("grand_mean")) / F.sqrt("var_pooled"))
-    ).persist()
+    z = with_grand.join(pooled, key_col).withColumn(
+        "z", (x - F.col("grand_mean")) / F.sqrt("var_pooled")
+    )
+    if persist_z:
+        z = z.persist()
 
     # pass 4: per-(probe, batch) moments of Z
     zb = z.groupBy(key_col, batch_col).agg(
@@ -103,6 +96,58 @@ def combat(
         "b_prior",
         (F.col("_dm") * F.col("_ds2") + F.pow(F.col("_dm"), 3)) / F.col("_ds2"),
     ).drop("_dm", "_ds2")
+
+    return z, zb, hyper
+
+
+def combat_priors(
+    long_df: DataFrame,
+    value_col: str = "beta",
+    batch_col: str = "run",
+    key_col: str = "probe_id",
+    sample_col: str = "sample_id",
+) -> DataFrame:
+    """The deterministic prefix of ComBat (passes 1-5), exposed as a
+    queryable result: per-(probe, batch) standardized moments
+    ``gamma_hat`` / ``delta_hat_sq`` joined with the per-batch EB
+    hyperpriors ``gamma_bar`` / ``t2`` / ``a_prior`` / ``b_prior``.
+
+    Everything here is plain groupBy-agg SQL (no iteration), so it is
+    exactly oracle-checkable — it pins the inputs the EB fixed point
+    consumes. Reference M2 semantics: ``workflow.R:132-150``,
+    ``preprocessing/combat_norm.py:41-60``.
+    """
+    df = long_df.select(key_col, sample_col, batch_col, value_col)
+    _, zb, hyper = _standardize_and_priors(
+        df, value_col, batch_col, key_col, persist_z=False
+    )
+    return zb.join(F.broadcast(hyper), batch_col).select(
+        key_col, batch_col, "n_b", "gamma_hat", "delta_hat_sq",
+        "gamma_bar", "t2", "a_prior", "b_prior",
+    )
+
+
+def combat(
+    long_df: DataFrame,
+    value_col: str = "beta",
+    batch_col: str = "run",
+    key_col: str = "probe_id",
+    sample_col: str = "sample_id",
+    conv: float = 1e-13,
+    max_iter: int = 200,
+) -> DataFrame:
+    """Return the input with an added ``{value_col}_combat`` column.
+
+    Requires complete data (no nulls) for the probes processed — the
+    reference drops incomplete probes first
+    (``preprocessing/combat_norm.py:28-30``); compose with
+    ``operators.qc.drop_incomplete_probes``.
+    """
+    from methyl_data_pipeline_spark.deploy import ensure_importable
+
+    ensure_importable(long_df.sparkSession)
+    df = long_df.select(key_col, sample_col, batch_col, value_col)
+    z, zb, hyper = _standardize_and_priors(df, value_col, batch_col, key_col)
 
     # pass 6: EB fixed point, vectorized over (probe, batch) rows.
     # conv defaults to machine level (1e-13): the loop's early exit is
