@@ -12,6 +12,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from methyl_data_pipeline_spark import cache
+
 from methyl_data_pipeline_spark.ext.text import md5_long
 
 
@@ -20,11 +22,15 @@ def _spread(df: DataFrame, key: str) -> DataFrame:
     (a single parquet file reads as ONE partition locally — the md5
     shingle pipeline would run on one core). The tiny shuffle is repaid
     immediately; also lets Spark reuse the exchange when the result
-    self-joins (both sides of the LSH join share the subplan)."""
+    self-joins (both sides of the LSH join share the subplan).
+
+    Unconditional: probing ``df.rdd.getNumPartitions()`` to decide
+    would force physical planning at composition time (a hidden eager
+    job under AQE). If the input is already key-partitioned at the
+    target width, AQE collapses the exchange to a no-op reuse.
+    """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target, key)
-    return df
+    return df.repartition(target, key)
 
 
 def dedup_exact(
@@ -150,7 +156,8 @@ def minhash_candidate_pairs(
         values=[f"band_{b}" for b in range(bands)],
         variableColumnName="band_idx",
         valueColumnName="band_hash",
-    ).persist()
+    )
+    melted = cache.track(melted)
     a = melted.select(
         F.col("band_idx"), F.col("band_hash"), F.col(id_col).alias("id_a")
     )

@@ -12,6 +12,22 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 
+def _content_salt(df: DataFrame, buckets: int) -> Column:
+    """Row-content-derived salt: ``crc32(all columns) mod buckets``.
+
+    NOT ``F.rand(seed=...)``: seeded rand is partition-order-dependent,
+    so a stage retry or an AQE repartition between the two aggregation
+    stages can re-deal salts and double-count partials. A content hash
+    is retry-safe — the same row always lands in the same salt bucket
+    (identical rows collide into one bucket, which only matters if the
+    skew IS massive exact duplication; values in real data differ).
+    """
+    return F.pmod(
+        F.crc32(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in df.columns])),
+        F.lit(buckets),
+    ).cast("int")
+
+
 def salted_aggregate(
     df: DataFrame,
     key_cols: list[str],
@@ -27,9 +43,7 @@ def salted_aggregate(
     decompose this way; use AQE skew-join handling for the rest.
     """
     sum_cols = sum_cols or []
-    salted = df.withColumn(
-        "_salt", (F.rand(seed=0) * salt_buckets).cast("int")
-    )
+    salted = df.withColumn("_salt", _content_salt(df, salt_buckets))
     partial_aggs = [F.sum(c).alias(f"_sum_{c}") for c in sum_cols]
     if count:
         partial_aggs.append(F.count(F.lit(1)).alias("_cnt"))
@@ -78,7 +92,7 @@ def with_salted_key(df: DataFrame, key_col: str, hot_keys: list[str], salt_bucke
         F.when(
             F.col(key_col).isin(hot_keys),
             F.concat(
-                F.col(key_col), F.lit("#"), (F.rand(seed=1) * salt_buckets).cast("int")
+                F.col(key_col), F.lit("#"), _content_salt(df, salt_buckets)
             ),
         ).otherwise(F.col(key_col)),
     )

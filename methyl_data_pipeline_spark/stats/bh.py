@@ -22,6 +22,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from methyl_data_pipeline_spark import cache
+
 
 def bh_adjust(
     df: DataFrame, p_col: str = "p_value", out_col: str = "adj_p",
@@ -101,7 +103,7 @@ def bh_adjust_scalable(
     # persisted: the two scalar collects below + the caller's action
     # would otherwise re-derive the range sort three times (and a
     # nondeterministic upstream could diverge between passes)
-    local = ranged.withColumn("_lrank", F.row_number().over(w_local)).persist()
+    local = cache.track(ranged.withColumn("_lrank", F.row_number().over(w_local)))
 
     # tiny aggregate: per-partition row counts -> rank offsets
     stats = (

@@ -34,6 +34,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
 
+from methyl_data_pipeline_spark import cache
+
 
 def _standardize_and_priors(
     df: DataFrame,
@@ -74,7 +76,7 @@ def _standardize_and_priors(
         "z", (x - F.col("grand_mean")) / F.sqrt("var_pooled")
     )
     if persist_z:
-        z = z.persist()
+        z = cache.track(z)
 
     # pass 4: per-(probe, batch) moments of Z
     zb = z.groupBy(key_col, batch_col).agg(
@@ -301,7 +303,7 @@ def combat_with_covariates(
         out["var_pooled"] = var_pooled
         return out
 
-    z = df.groupBy(key_col).applyInPandas(fit_probe, out_schema).persist()
+    z = cache.track(df.groupBy(key_col).applyInPandas(fit_probe, out_schema))
 
     # EB machinery over Z — identical to the intercept-only path.
     zb = z.groupBy(key_col, batch_col).agg(

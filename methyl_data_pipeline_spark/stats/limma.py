@@ -34,6 +34,8 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
+from methyl_data_pipeline_spark import cache
+
 
 def moderated_t_two_group(
     long_df: DataFrame,
@@ -85,7 +87,7 @@ def moderated_t_two_group(
         .withColumn("logFC", F.col("mean1") - F.col("mean2"))
     )
     if persist_intermediate:
-        per_key = per_key.persist()
+        per_key = cache.track(per_key)
 
     # Phase 2 — EB prior over all keys: a 1-row aggregate, broadcast by
     # Catalyst as a scalar-subquery-like cross join.
@@ -199,7 +201,7 @@ def moderated_t_contrasts(
         .withColumn("s2", ss / F.col("df"))
     )
     if persist_intermediate:
-        per_key = per_key.persist()
+        per_key = cache.track(per_key)
 
     prior = per_key.agg(
         F.avg("s2").alias("s0_sq"),

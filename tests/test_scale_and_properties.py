@@ -175,3 +175,42 @@ def test_bh_scalable_partitioning_invariant(spark):
             for r in bh_adjust_scalable(df.repartition(5), num_partitions=parts).collect()
         }
         assert got == base
+
+
+def test_salting_invariant_under_repartition(spark):
+    """Content-derived salt is retry/repartition-safe: the same rows
+    produce identical salted aggregates regardless of physical layout
+    (seeded F.rand would re-deal salts per partition order)."""
+    rng = np.random.RandomState(1)
+    keys = ["hot"] * 4000 + [f"k{i}" for i in rng.randint(0, 20, 1000)]
+    vals = rng.rand(len(keys))
+    base = spark.createDataFrame(pd.DataFrame({"k": keys, "v": vals}))
+
+    def run(df):
+        return {
+            r["k"]: (round(r["mean_v"], 12))
+            for r in salted_mean(df, ["k"], "v", salt_buckets=8).collect()
+        }
+
+    narrow = run(base.repartition(1))
+    wide = run(base.repartition(64))
+    plain = {
+        r["k"]: round(r["m"], 12)
+        for r in base.groupBy("k").agg(F.avg("v").alias("m")).collect()
+    }
+    assert narrow == wide
+    for k, v in plain.items():
+        assert abs(narrow[k] - v) < 1e-9
+
+
+def test_spread_is_lazy(spark):
+    """Composing the LSH/dedup pipeline must not run a Spark job —
+    the old df.rdd.getNumPartitions() probe forced physical planning."""
+    from methyl_data_pipeline_spark.ext.dedup import _spread
+
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    _ = _spread(df, "doc_id")  # composition only — no action
+    after = tracker.getJobIdsForGroup(None)
+    assert before == after
