@@ -204,3 +204,55 @@ def test_mds_coords_match_numpy(spark):
         col = got[f"MDS{i+1}"].values
         ref = pcs[:, i]
         assert min(np.max(np.abs(col - ref)), np.max(np.abs(col + ref))) < 1e-6
+
+
+def test_pca_paths_parity(spark):
+    """The Gram-trick path (small n) and the distributed-SVD path
+    (large n) must produce the same scores and explained variance —
+    the gram_threshold switch is a physical-plan choice, not a
+    semantic one."""
+    rng = np.random.RandomState(7)
+    n_probes, n_samples = 40, 10
+    x = rng.normal(0, 1, size=(n_probes, n_samples))
+    x[:8, :5] += 1.7
+    rows = [
+        (f"cg{p:05d}", f"s{s:02d}", float(x[p, s]))
+        for p in range(n_probes)
+        for s in range(n_samples)
+    ]
+    df = spark.createDataFrame(rows, ["probe_id", "sample_id", "mval"])
+
+    gram, ev_gram = pca_scores(df, k=3, value_col="mval", gram_threshold=1024)
+    dist, ev_dist = pca_scores(df, k=3, value_col="mval", gram_threshold=1)
+
+    g = gram.toPandas().set_index("sample_id").sort_index()
+    d = dist.toPandas().set_index("sample_id").sort_index()
+    assert list(g.columns) == list(d.columns)
+    for c in g.columns:
+        assert np.max(np.abs(g[c].values - d[c].values)) < 1e-6
+    assert np.allclose(ev_gram, ev_dist, atol=1e-9)
+
+
+def test_mds_paths_parity(spark):
+    """Torgerson MDS (n² distance collect) and the distributed-SVD
+    route must agree: classical MDS on Euclidean distances IS PCA on
+    the centered submatrix."""
+    from methyl_data_pipeline_spark.stats.pca import mds_coords
+
+    rng = np.random.RandomState(13)
+    n_probes, n_samples = 50, 8
+    x = rng.normal(0, 1, size=(n_probes, n_samples))
+    x[:12, :4] += 1.2
+    rows = [
+        (f"cg{p:05d}", f"s{s:02d}", float(x[p, s]))
+        for p in range(n_probes)
+        for s in range(n_samples)
+    ]
+    df = spark.createDataFrame(rows, ["probe_id", "sample_id", "mval"])
+    small = mds_coords(df, k=2, ntop=30, gram_threshold=1024).toPandas()
+    large = mds_coords(df, k=2, ntop=30, gram_threshold=1).toPandas()
+    s = small.set_index("sample_id").sort_index()
+    l = large.set_index("sample_id").sort_index()
+    assert list(s.columns) == list(l.columns)
+    for c in s.columns:
+        assert np.max(np.abs(s[c].values - l[c].values)) < 1e-6
