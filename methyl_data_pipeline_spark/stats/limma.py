@@ -46,8 +46,17 @@ def moderated_t_two_group(
     key_col: str = "probe_id",
     with_p_values: bool = False,
     persist_intermediate: bool = True,
+    prior_method: str = "moments",
 ) -> DataFrame:
     """Per-key moderated t between two groups of samples.
+
+    ``prior_method``: ``"moments"`` (default) fits the EB prior
+    (d0, s0²) with the scaled-chi-square moment closed form — pure SQL,
+    oracle-checkable. ``"fitFDist"`` runs limma's actual F-distribution
+    fit (log-scale moment match + digamma/trigamma inversion,
+    plots.R:130-139 eBayes): more robust on heavy-tailed variance
+    distributions, at the cost of one tiny driver round-trip (three
+    scalars + the ≤n_samples distinct df values).
 
     Input: long table (key_col, sample_id, value_col, group_col).
     Output: one row per key with n/mean per group, logFC, pooled and
@@ -91,10 +100,13 @@ def moderated_t_two_group(
 
     # Phase 2 — EB prior over all keys: a 1-row aggregate, broadcast by
     # Catalyst as a scalar-subquery-like cross join.
-    prior = per_key.agg(
-        F.avg("s2").alias("s0_sq"),
-        (2.0 * F.pow(F.avg("s2"), 2) / F.var_samp("s2")).alias("d0"),
-    )
+    if prior_method == "fitFDist":
+        prior = _fit_f_dist_prior(per_key)
+    else:
+        prior = per_key.agg(
+            F.avg("s2").alias("s0_sq"),
+            (2.0 * F.pow(F.avg("s2"), 2) / F.var_samp("s2")).alias("d0"),
+        )
 
     # Phase 3 — closed-form moderated statistics.
     out = (
@@ -118,6 +130,54 @@ def moderated_t_two_group(
         ensure_importable(long_df.sparkSession)
         out = out.withColumn("p_value", _t_sf_two_sided(F.col("t_mod"), F.col("df_mod")))
     return out
+
+
+def _fit_f_dist_prior(per_key: DataFrame) -> DataFrame:
+    """limma's fitFDist prior as a distributed program (plots.R:130-139).
+
+    The log-scale transform e = log(s²) − ψ(df/2) + log(df/2) needs
+    digamma at df/2 — not a Catalyst builtin, but df takes at most
+    n_samples distinct values, so the ψ/ψ′ lookups ship as a literal
+    map (no UDF). One aggregate produces the three scalars; the
+    digamma-inversion Newton solve runs driver-side on those scalars
+    (data-size-independent), and the resulting (d0, s0²) go back as a
+    1-row DataFrame matching the moments-path contract.
+    """
+    import math
+
+    from methyl_data_pipeline_spark.stats.special import (
+        digamma, trigamma, trigamma_inverse,
+    )
+
+    spark = per_key.sparkSession
+    dfs = [r[0] for r in per_key.select("df").distinct().collect()]
+    dg_map = F.create_map(
+        *[F.lit(x) for d in dfs for x in (d, float(digamma(d / 2.0)))]
+    )
+    tg_map = F.create_map(
+        *[F.lit(x) for d in dfs for x in (d, float(trigamma(d / 2.0)))]
+    )
+    emean, evar_raw, tg_mean = (
+        per_key.filter(F.col("s2") > 0)
+        .select(
+            (F.log("s2") - dg_map[F.col("df")] + F.log(F.col("df") / 2.0)).alias("_e"),
+            tg_map[F.col("df")].alias("_tg"),
+        )
+        .agg(F.avg("_e"), F.var_samp("_e"), F.avg("_tg"))
+        .collect()[0]
+    )
+    evar = float(evar_raw) - float(tg_mean)
+    if evar > 0:
+        d0 = 2.0 * trigamma_inverse(evar)
+        s0_sq = math.exp(float(emean) + float(digamma(d0 / 2.0)) - math.log(d0 / 2.0))
+    else:
+        # no excess spread beyond sampling noise: infinite prior df.
+        # Cap at 1e12 so s2_post = (d0·s0²+df·s²)/(d0+df) stays finite
+        # and numerically equals s0² as limma prescribes.
+        d0, s0_sq = 1e12, math.exp(float(emean))
+    return spark.createDataFrame(
+        [(float(s0_sq), float(d0))], "s0_sq double, d0 double"
+    )
 
 
 def _t_sf_two_sided(t_col, df_col):

@@ -183,3 +183,79 @@ def test_kde_density_grouped(spark):
     s2 = out[out.sample_id == "s2"].set_index("x")["density"]
     # each sample's curve peaks near its own data
     assert s1.idxmax() < 0.5 < s2.idxmax()
+
+
+def test_polygamma_closed_forms():
+    """digamma/trigamma/tetragamma vs published exact values."""
+    import math
+
+    from methyl_data_pipeline_spark.stats.special import (
+        digamma, tetragamma, trigamma, trigamma_inverse,
+    )
+
+    g = 0.5772156649015329  # Euler-Mascheroni
+    zeta3 = 1.2020569031595943  # Apery's constant
+    assert abs(digamma(1.0) + g) < 1e-10
+    assert abs(digamma(0.5) + g + 2 * math.log(2)) < 1e-10
+    assert abs(trigamma(1.0) - math.pi**2 / 6) < 1e-10
+    assert abs(trigamma(0.5) - math.pi**2 / 2) < 1e-9
+    assert abs(tetragamma(1.0) + 2 * zeta3) < 1e-9
+    assert abs(tetragamma(2.0) + 2 * zeta3 - 2) < 1e-9
+    for y in (0.7, 1.5, 3.7, 12.0):
+        assert abs(trigamma_inverse(trigamma(y)) - y) < 1e-6
+
+
+def test_fit_f_dist_recovers_true_prior():
+    """fitFDist recovery: s² drawn from s0²·F(df1, d0) must recover
+    (d0, s0²) — the defining property of limma's estimator (Smyth
+    2004 §6)."""
+    from methyl_data_pipeline_spark.stats.special import fit_f_dist
+
+    rng = np.random.RandomState(0)
+    d0_true, s0_true, df1 = 8.0, 0.04, 6.0
+    n = 100000
+    s2 = s0_true * (rng.chisquare(df1, n) / df1) / (rng.chisquare(d0_true, n) / d0_true)
+    d0, s0_sq = fit_f_dist(s2, df1)
+    assert abs(d0 - d0_true) / d0_true < 0.05
+    assert abs(s0_sq - s0_true) / s0_true < 0.02
+    # degenerate spread -> infinite prior df, s0² = geometric-mean scale
+    d0_inf, _ = fit_f_dist(np.full(500, 0.3), 6.0)
+    assert d0_inf == float("inf")
+
+
+def test_moderated_t_fitfdist_prior_matches_local(spark):
+    """The distributed fitFDist path (literal digamma maps + one agg +
+    driver Newton) must equal running special.fit_f_dist locally on the
+    same per-probe s² — and differ from the moments prior on
+    heavy-tailed variances."""
+    from methyl_data_pipeline_spark.stats.special import fit_f_dist
+
+    rng = np.random.RandomState(3)
+    rows = []
+    for pi in range(80):
+        # heavy-tailed probe variances: chi-square mixture
+        sd = float(np.sqrt(rng.chisquare(2) / 2 + 0.05))
+        for si in range(4):
+            rows.append((f"cg{pi:04d}", f"a{si}", "A", float(rng.normal(0, sd))))
+            rows.append((f"cg{pi:04d}", f"b{si}", "B", float(rng.normal(0.5, sd))))
+    df = spark.createDataFrame(rows, ["probe_id", "sample_id", "grp", "mval"])
+    out = moderated_t_two_group(
+        df, "grp", "A", "B", value_col="mval", prior_method="fitFDist"
+    ).toPandas()
+
+    pdf = pd.DataFrame(rows, columns=["probe_id", "sample_id", "grp", "mval"])
+    g = pdf.groupby(["probe_id", "grp"])["mval"].agg(["count", "mean", "var"]).unstack()
+    n1, n2 = g[("count", "A")], g[("count", "B")]
+    dfree = n1 + n2 - 2
+    s2 = ((n1 - 1) * g[("var", "A")] + (n2 - 1) * g[("var", "B")]) / dfree
+    d0, s0_sq = fit_f_dist(s2.values, dfree.values.astype(float))
+    s2p = (d0 * s0_sq + dfree * s2) / (d0 + dfree)
+    t = (g[("mean", "A")] - g[("mean", "B")]) / np.sqrt(s2p * (1 / n1 + 1 / n2))
+    got = out.set_index("probe_id")["t_mod"]
+    np.testing.assert_allclose(got[t.index].values, t.values, rtol=1e-6)
+
+    # sanity: moments prior gives a DIFFERENT answer here (heavy tails)
+    mom = moderated_t_two_group(df, "grp", "A", "B", value_col="mval").toPandas()
+    assert not np.allclose(
+        mom.set_index("probe_id")["t_mod"][t.index].values, t.values, rtol=1e-4
+    )
