@@ -7,12 +7,14 @@ Arrow-batched ``mapInPandas`` — per-partition batch iterators so a
 decoder amortizes model/codec init across a batch, the shape a real
 image/audio library needs.
 
-The actual codecs are deterministic FAKES (no PIL/ffmpeg/torchaudio in
-this container): ``decode_features``/``decode_image``/``decode_audio``/
-``frame_sample`` synthesize md5-derived pixels/samples/frames with the
-exact output schema, sizes, and 1:N batch shapes a real codec produces,
-so the Spark-side plumbing is testable end-to-end. Each marks its
-real-codec plug-in point behind ``use_real_codec`` + an import-try.
+Codecs: BMP images and PCM WAV audio decode for REAL via the
+pure-struct parsers in ``ext/codecs.py`` (no library needed — same
+approach as the IDAT reader). Formats that genuinely require a codec
+library (JPEG/PNG, MP3/AAC, video containers) fall back to a
+deterministic md5-derived fake with the exact output schema, sizes,
+and 1:N batch shapes a real codec produces, keeping the Spark-side
+plumbing testable end-to-end; each marks its plug-in point behind
+``use_real_codec`` + an import-try.
 """
 
 from __future__ import annotations
@@ -99,17 +101,19 @@ def decode_image(
     in → one row out with an RGB pixel buffer of exactly
     ``width*height*3`` bytes plus shape metadata.
 
-    The decode step is a deterministic fake (md5 counter stream —
-    no imaging library in this container); everything Spark-side
-    (schema, batch iteration, output sizes) is real. Pass
-    ``use_real_codec=True`` where PIL is installed to mark the plug-in
-    point."""
+    BMP payloads (magic ``BM``) decode for real — pure-struct parser in
+    ``ext/codecs.py``, then a nearest-neighbor resize to the target
+    shape; ``mode`` reports ``"RGB"``. Other formats fall back to the
+    deterministic fake stream (``mode="FAKE"``) unless
+    ``use_real_codec=True``, which marks the PIL plug-in point for
+    codec-dependent formats (JPEG/PNG/WebP)."""
     if use_real_codec:
         try:
             import PIL  # noqa: F401
         except ImportError as e:
             raise NotImplementedError(
-                "real image decode needs PIL/opencv (not in this container)"
+                "JPEG/PNG decode needs PIL/opencv (not in this container); "
+                "BMP decodes without it"
             ) from e
         raise NotImplementedError("wire PIL decode here when the image lib lands")
 
@@ -117,15 +121,24 @@ def decode_image(
     n_px = width * height * 3
 
     def decode(batches):
+        from methyl_data_pipeline_spark.ext.codecs import decode_bmp, resize_nearest
+
         for pdf in batches:
             rows = {"id": [], "width": [], "height": [], "mode": [], "pixels": []}
             for rid, content in zip(pdf["id"], pdf["content"]):
                 raw = bytes(content) if content is not None else b""
+                if raw[:2] == b"BM":
+                    src_w, src_h, rgb = decode_bmp(raw)
+                    pixels = resize_nearest(rgb, src_w, src_h, width, height)
+                    mode = "RGB"
+                else:
+                    pixels = _digest_bytes(raw, n_px, b"img|")
+                    mode = "FAKE"
                 rows["id"].append(rid)
                 rows["width"].append(width)
                 rows["height"].append(height)
-                rows["mode"].append("RGB")
-                rows["pixels"].append(_digest_bytes(raw, n_px, b"img|"))
+                rows["mode"].append(mode)
+                rows["pixels"].append(pixels)
             yield pd.DataFrame(rows)
 
     from methyl_data_pipeline_spark.deploy import ensure_importable
@@ -142,13 +155,21 @@ def decode_audio(
 ) -> DataFrame:
     """Audio decode/resample via ``mapInPandas``: one row per clip with
     a float waveform of ``sample_rate * clip_seconds`` samples in
-    [-1, 1]. Fake decode (md5 stream) — see :func:`decode_image`."""
+    [-1, 1].
+
+    PCM WAV payloads (RIFF magic) decode for real — struct-parsed RIFF
+    chunks (``ext/codecs.py``), channel downmix, nearest-index resample
+    to the target rate, pad/trim to the clip length. Other containers
+    fall back to the fake stream; ``use_real_codec=True`` marks the
+    ffmpeg/soundfile plug-in point for compressed audio (MP3/AAC/OGG).
+    """
     if use_real_codec:
         try:
             import soundfile  # noqa: F401
         except ImportError as e:
             raise NotImplementedError(
-                "real audio decode needs soundfile/ffmpeg (not in this container)"
+                "compressed audio needs soundfile/ffmpeg (not in this "
+                "container); PCM WAV decodes without it"
             ) from e
         raise NotImplementedError("wire soundfile decode here when the audio lib lands")
 
@@ -156,15 +177,27 @@ def decode_audio(
     n_samples = int(sample_rate * clip_seconds)
 
     def decode(batches):
+        import numpy as np
+
+        from methyl_data_pipeline_spark.ext.codecs import decode_wav, resample_nearest
+
         for pdf in batches:
             rows = {"id": [], "sample_rate": [], "n_samples": [], "waveform": []}
             for rid, content in zip(pdf["id"], pdf["content"]):
                 raw = bytes(content) if content is not None else b""
-                pcm = _digest_bytes(raw, n_samples, b"aud|")
+                if raw[:4] == b"RIFF":
+                    src_rate, wave = decode_wav(raw)
+                    wave = resample_nearest(wave, src_rate, sample_rate)
+                    if len(wave) < n_samples:
+                        wave = np.pad(wave, (0, n_samples - len(wave)))
+                    waveform = [float(v) for v in wave[:n_samples]]
+                else:
+                    pcm = _digest_bytes(raw, n_samples, b"aud|")
+                    waveform = [b / 127.5 - 1.0 for b in pcm]
                 rows["id"].append(rid)
                 rows["sample_rate"].append(sample_rate)
                 rows["n_samples"].append(n_samples)
-                rows["waveform"].append([b / 127.5 - 1.0 for b in pcm])
+                rows["waveform"].append(waveform)
             yield pd.DataFrame(rows)
 
     from methyl_data_pipeline_spark.deploy import ensure_importable
