@@ -2,13 +2,25 @@
 
 Prints exactly ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <scale factor>}
+   "queries": {name: sec, ...}, "sf": <scale factor>,
+   "deltas_vs_prev": {name: ratio, ...}, "regressions": [name, ...],
+   "prev": "BENCH_rNN.json"}
+
+Continuity: the newest BENCH_r*.json in the repo provides the previous
+round's per-query timings; ``deltas_vs_prev`` is this_run/prev per
+query and ``regressions`` lists queries slower than REGRESSION_FLAG×.
+The harness has real run-to-run variance (r1→r2 drifted 1.27× on
+byte-identical code), so single-query flags are a prompt to re-run,
+not proof — but they make a real regression visible the round it
+lands instead of two rounds later.
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
 import sys
 import time
 
@@ -22,6 +34,7 @@ HEADLINE = [
     "meth_variance_topk",
     "meth_moderated_t",
     "bh_adjust",
+    "bh_adjust_scalable",
     "text_quality",
     "fingerprint_dedup",
     "minhash_pairs",
@@ -31,6 +44,26 @@ HEADLINE = [
     "events_windowed",
     "sessionize",
 ]
+
+REGRESSION_FLAG = 1.3
+
+
+def _previous_timings() -> tuple[str | None, dict[str, float]]:
+    """Per-query timings from the newest driver-recorded BENCH_r*.json."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    best: tuple[int, str] | None = None
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if m and (best is None or int(m.group(1)) > best[0]):
+            best = (int(m.group(1)), path)
+    if best is None:
+        return None, {}
+    try:
+        rec = json.load(open(best[1]))
+        parsed = rec.get("parsed") or {}
+        return os.path.basename(best[1]), dict(parsed.get("queries") or {})
+    except Exception:
+        return os.path.basename(best[1]), {}
 
 
 def main() -> None:
@@ -60,6 +93,8 @@ def main() -> None:
             except Exception as exc:  # keep benching even if warmup trips
                 print(f"# warmup {name} failed: {exc}", file=sys.stderr)
 
+    from methyl_data_pipeline_spark import cache
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()
@@ -67,19 +102,29 @@ def main() -> None:
         n = df.count()
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {n} rows in {timings[name]:.2f}s", file=sys.stderr)
+        # release operator-tracked caches so one query's intermediates
+        # don't sit in storage while the next runs (the shared meth
+        # fact-table cache is session-lifetime by design and stays)
+        cache.release_all()
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    prev_name, prev = _previous_timings()
+    deltas = {
+        q: round(timings[q] / prev[q], 3)
+        for q in timings
+        if prev.get(q) and prev[q] > 0
+    }
+    out = {
+        "metric": "headline_query_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "deltas_vs_prev": deltas,
+        "regressions": sorted(q for q, r in deltas.items() if r > REGRESSION_FLAG),
+        "prev": prev_name,
+    }
+    print(json.dumps(out))
     spark.stop()
 
 
