@@ -184,8 +184,12 @@ def ivf_topk(
     vec_d = F.col(vec_col).cast("array<double>")
     corpus = _spread(vectors, id_col).select(F.col(id_col), vec_d.alias("_v"))
 
+    # Fit sample comes from the RAW input, not the repartitioned corpus:
+    # collecting through the _spread exchange would shuffle the whole
+    # corpus just to take the first 10k rows, whereas limit on the
+    # parquet scan terminates early (one cheap job).
     max_fit_rows = 10_000
-    fit_src = corpus.select("_v")
+    fit_src = vectors.select(vec_d.alias("_v"))
     if fit_fraction < 1.0:
         fit_src = fit_src.sample(fraction=fit_fraction, seed=seed)
     pts = np.array([r[0] for r in fit_src.limit(max_fit_rows).collect()])
@@ -212,26 +216,33 @@ def ivf_topk(
         cents = new
     centroids = [list(map(float, c)) for c in cents]
 
-    def dist2(vc: Column, cent: list[float]) -> Column:
-        return F.aggregate(
-            F.zip_with(
-                vc,
-                F.array(*[F.lit(x) for x in cent]),
-                lambda a, b: (a - b) * (a - b),
+    # ALL centroid distances in one expression: the centroid matrix
+    # ships as a single nested-array literal (one py4j call, one
+    # Catalyst node) and the per-centroid loop runs JVM-side inside
+    # transform. Building k separate zip_with columns from k×d
+    # individual F.lit calls cost ~1s of driver time per compose at
+    # k=8, d=64 — pure plan-construction overhead.
+    cents_lit = F.lit(centroids)
+
+    def dists_to_all(vc: Column) -> Column:
+        return F.transform(
+            cents_lit,
+            lambda c: F.aggregate(
+                F.zip_with(vc, c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
             ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
         )
 
     # cell assignment: argmin over centroid distances, JVM-side
-    dists = F.array(*[dist2(F.col("_v"), c) for c in centroids])
+    dists = dists_to_all(F.col("_v"))
     cell = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
     assigned = corpus.withColumn("_cell", cell)
 
     # each query probes its n_probe nearest cells: rank the centroid
     # distance array and explode the winning cell ids
     qd = queries.select(F.col(id_col).alias("query_id"), vec_d.alias("_qv"))
-    q_dists = F.array(*[dist2(F.col("_qv"), c) for c in centroids])
+    q_dists = dists_to_all(F.col("_qv"))
     probe_cells = F.slice(
         F.expr(
             "transform(array_sort(arrays_zip(_qd, _ci), "
@@ -243,7 +254,7 @@ def ivf_topk(
     )
     probes = (
         qd.withColumn("_qd", q_dists)
-        .withColumn("_ci", F.array(*[F.lit(i) for i in range(len(centroids))]))
+        .withColumn("_ci", F.lit(list(range(len(centroids)))))
         .withColumn("_cell", F.explode(probe_cells))
         .select("query_id", "_qv", "_cell")
     )
