@@ -19,12 +19,12 @@ Algorithm per sample (matching BMIQ_1.4.R structure):
      it spans the gap between the mapped U max and M min (:184-207);
   6. Type I betas pass through unchanged (:210).
 
-Deviation (documented, SURVEY §7.3 #4): the class-conditional beta fits
-use weighted method-of-moments in the EM M-step instead of RPMM's
-``betaEst`` MLE inner optimization — deterministic, fast, and within
-normal tolerance of the reference on well-separated mixtures. The EM is
-capped like the reference (th=5 iterations default there; we default
-higher with the same tolerance semantics).
+The EM M-step fits each class by weighted maximum likelihood
+(``special.beta_mle_weighted`` — Newton on the digamma system,
+moment-warm-started), matching RPMM's ``betaEst`` inner optimization
+(BMIQ_1.4.R:69-76); if the Newton degenerates it falls back to the
+moments estimate. The EM is capped like the reference (th=5 iterations
+default there; we default higher with the same tolerance semantics).
 
 Guard rails from DoBMIQ.R:92-141: samples lacking >=``min_class`` probes
 per inferred class, or with <2 Type I probes, pass through unnormalized
@@ -66,7 +66,11 @@ def _fit_beta3(values: np.ndarray, nfit: int, seed: int, n_iter: int, tol: float
     w = resp.mean(axis=0)
     prev_ll = -np.inf
     for _ in range(n_iter):
-        # M-step: weighted moments -> (a, b) per component
+        # M-step: per-component (a, b). Weighted moments give the
+        # warm start; the RPMM-betaEst weighted MLE (Newton on the
+        # digamma system, special.beta_mle_weighted) refines it —
+        # matching the reference's per-class beta fit
+        # (bmiq/BMIQ_1.4.R:69-76) instead of stopping at moments.
         for k in range(3):
             wk = resp[:, k]
             sw = wk.sum()
@@ -77,8 +81,9 @@ def _fit_beta3(values: np.ndarray, nfit: int, seed: int, n_iter: int, tol: float
             var = max(var, 1e-6)
             common = m * (1 - m) / var - 1.0
             common = max(common, 1e-3)
-            a[k] = max(m * common, 1e-3)
-            b[k] = max((1 - m) * common, 1e-3)
+            a0 = max(m * common, 1e-3)
+            b0 = max((1 - m) * common, 1e-3)
+            a[k], b[k] = special.beta_mle_weighted(v, wk, a0, b0)
         w = resp.mean(axis=0)
         # E-step
         dens = np.stack([w[k] * special.beta_pdf(v, a[k], b[k]) for k in range(3)], axis=1)

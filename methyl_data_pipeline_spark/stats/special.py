@@ -246,3 +246,46 @@ def fit_f_dist(s2, df1) -> tuple[float, float]:
         d0 = float("inf")
         s0_sq = math.exp(emean)
     return d0, s0_sq
+
+
+def beta_mle_weighted(x, w, a0: float, b0: float, max_iter: int = 50, tol: float = 1e-10):
+    """Weighted maximum-likelihood fit of Beta(a, b) — the inner
+    estimator of RPMM's ``betaEst`` that BMIQ's ``blc`` EM calls per
+    class (reference bmiq/BMIQ_1.4.R:69-76).
+
+    The MLE solves  ψ(a) − ψ(a+b) = Σw·ln(x)/Σw  and
+    ψ(b) − ψ(a+b) = Σw·ln(1−x)/Σw  — Newton-Raphson on the 2×2 system
+    with the polygamma Jacobian, warm-started from (a0, b0) (the
+    weighted-moments estimate). Step-halving keeps (a, b) positive.
+    Returns (a, b); falls back to (a0, b0) if the iteration degenerates.
+    """
+    x = np.asarray(x, dtype=float)
+    w = np.asarray(w, dtype=float)
+    sw = w.sum()
+    if sw <= 0 or not (np.isfinite(a0) and np.isfinite(b0)):
+        return a0, b0
+    s1 = float((w * np.log(x)).sum() / sw)
+    s2 = float((w * np.log1p(-x)).sum() / sw)
+    a, b = float(a0), float(b0)
+    for _ in range(max_iter):
+        psi_ab = float(digamma(a + b))
+        f1 = float(digamma(a)) - psi_ab - s1
+        f2 = float(digamma(b)) - psi_ab - s2
+        tri_ab = float(trigamma(a + b))
+        j11 = float(trigamma(a)) - tri_ab
+        j22 = float(trigamma(b)) - tri_ab
+        det = j11 * j22 - tri_ab * tri_ab
+        if not np.isfinite(det) or abs(det) < 1e-300:
+            return a0, b0
+        da = -(j22 * f1 + tri_ab * f2) / det
+        db = -(tri_ab * f1 + j11 * f2) / det
+        step = 1.0
+        while (a + step * da <= 0 or b + step * db <= 0) and step > 1e-8:
+            step *= 0.5
+        a += step * da
+        b += step * db
+        if max(abs(da), abs(db)) * step < tol * max(1.0, a, b):
+            break
+    if not (np.isfinite(a) and np.isfinite(b) and a > 0 and b > 0):
+        return a0, b0
+    return a, b

@@ -256,3 +256,29 @@ def test_mds_paths_parity(spark):
     assert list(s.columns) == list(l.columns)
     for c in s.columns:
         assert np.max(np.abs(s[c].values - l[c].values)) < 1e-6
+
+
+def test_beta_mle_weighted_recovers_parameters():
+    """Weighted beta MLE (RPMM betaEst semantics): recovers true (a,b)
+    from draws, beats/matches the moment start in log-likelihood, and
+    honors weights (weighting out half the data changes the fit)."""
+    from methyl_data_pipeline_spark.stats.special import beta_mle_weighted, beta_pdf
+
+    rng = np.random.RandomState(42)
+    x = np.clip(rng.beta(2.0, 5.0, 20000), 1e-9, 1 - 1e-9)
+    w = np.ones_like(x)
+    m, var = x.mean(), x.var()
+    common = m * (1 - m) / var - 1
+    a0, b0 = m * common, (1 - m) * common
+    a, b = beta_mle_weighted(x, w, a0, b0)
+    assert abs(a - 2.0) < 0.08 and abs(b - 5.0) < 0.2
+
+    def ll(aa, bb):
+        return np.sum(w * np.log(beta_pdf(x, aa, bb)))
+
+    assert ll(a, b) >= ll(a0, b0) - 1e-6
+
+    # weights matter: zero out the right tail -> fit shifts
+    w2 = (x < np.median(x)).astype(float)
+    a2, b2 = beta_mle_weighted(x, w2, a0, b0)
+    assert (a2, b2) != (a, b)
