@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from methyl_data_pipeline_spark import model
 from methyl_data_pipeline_spark.operators import qc
-from methyl_data_pipeline_spark.stats.bh import bh_adjust
+from methyl_data_pipeline_spark.stats.bh import bh_adjust_scalable
 from methyl_data_pipeline_spark.stats.bmiq import bmiq_normalize
 from methyl_data_pipeline_spark.stats.combat import combat
 from methyl_data_pipeline_spark.stats.feature_selection import (
@@ -117,8 +117,10 @@ def run_methylation_pipeline(
         )
         # p_value comes from the t-sf UDF and is never null; skipping the
         # null split keeps the UDF out of join conditions (one eval, no
-        # forced plan rewrite)
-        dmp = bh_adjust(dmp, "p_value", "adj_p", assume_no_nulls=True)
+        # forced plan rewrite). The range-partitioned variant is the
+        # default: bit-identical to the exact window (tested) without
+        # funneling every probe through one task at 10⁹ rows.
+        dmp = bh_adjust_scalable(dmp, "p_value", "adj_p", assume_no_nulls=True)
 
     return PipelineResult(
         qc_meth=qc_meth,

@@ -69,6 +69,7 @@ def bh_adjust_scalable(
     p_col: str = "p_value",
     out_col: str = "adj_p",
     num_partitions: int | None = None,
+    assume_no_nulls: bool = False,
 ) -> DataFrame:
     """BH without the single global window — the 100-TB path.
 
@@ -95,7 +96,7 @@ def bh_adjust_scalable(
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
 
-    nonnull = df.filter(F.col(p_col).isNotNull())
+    nonnull = df if assume_no_nulls else df.filter(F.col(p_col).isNotNull())
     ranged = nonnull.repartitionByRange(num_partitions, F.col(p_col).asc()).withColumn(
         "_pid", F.spark_partition_id()
     )
@@ -151,6 +152,8 @@ def bh_adjust_scalable(
             F.lit(1.0),
         ),
     ).drop("_pid", "_lrank", "_q", "_smin")
+    if assume_no_nulls:
+        return out
     nulls = df.filter(F.col(p_col).isNull()).withColumn(
         out_col, F.lit(None).cast("double")
     )
