@@ -42,7 +42,15 @@ def read_any(spark: SparkSession, path: str) -> DataFrame:
     if ext in (".xls", ".xlsx"):
         import pandas as pd
 
-        return spark.createDataFrame(pd.read_excel(path))
+        try:
+            pdf = pd.read_excel(path)
+        except ImportError:
+            if ext == ".xls":  # legacy BIFF needs xlrd; no native fallback
+                raise
+            from methyl_data_pipeline_spark.io.xlsx import read_xlsx
+
+            pdf = read_xlsx(path)
+        return spark.createDataFrame(pdf)
     if ext == ".parquet":
         return spark.read.parquet(path)
     if ext in (".csv", ".txt"):

@@ -22,8 +22,16 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 def write_excel(df: DataFrame, path: str, max_rows: int = 1_000_000) -> None:
     """Driver-side Excel sink for small results (reference S8:
-    filter.py:22,48). Guarded: Excel is not a distributed format."""
+    filter.py:22,48). Guarded: Excel is not a distributed format.
+    Prefers pandas+openpyxl; falls back to the native OOXML writer
+    (``io.xlsx``) when no engine is installed."""
     n = df.count()
     if n > max_rows:
         raise ValueError(f"refusing driver-side Excel write of {n} rows")
-    df.toPandas().to_excel(path, index=False)
+    pdf = df.toPandas()
+    try:
+        pdf.to_excel(path, index=False)
+    except ImportError:
+        from methyl_data_pipeline_spark.io.xlsx import write_xlsx
+
+        write_xlsx(pdf, path)

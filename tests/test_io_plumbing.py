@@ -32,13 +32,55 @@ def test_idat_discovery_pairs(spark, tmp_path):
 
 
 def test_read_any_excel_boundary(spark, tmp_path):
-    pytest.importorskip("openpyxl")
+    """S2/S8 round trip through whichever engine is available —
+    pandas+openpyxl when installed, the native OOXML fallback
+    (io/xlsx.py) otherwise. Runs (not skips) in both worlds."""
     import pandas as pd
 
+    from methyl_data_pipeline_spark.io.writers import write_excel
+
     p = str(tmp_path / "x.xlsx")
-    pd.DataFrame({"TargetID": ["cg1"], "TB1_1.AVG_Beta": [0.4]}).to_excel(p, index=False)
+    src = spark.createDataFrame(
+        pd.DataFrame({"TargetID": ["cg1", "cg2"], "TB1_1.AVG_Beta": [0.4, 0.82]})
+    )
+    write_excel(src, p)
     df = read_any(spark, p)
-    assert df.count() == 1
+    assert df.count() == 2
+    back = {r["TargetID"]: r["TB1_1.AVG_Beta"] for r in df.collect()}
+    assert back == {"cg1": 0.4, "cg2": 0.82}
+
+
+def test_native_xlsx_roundtrip(tmp_path):
+    """The stdlib OOXML codec itself: mixed types, >26 columns (two-
+    letter refs), NaN -> empty cell, booleans."""
+    import numpy as np
+    import pandas as pd
+
+    from methyl_data_pipeline_spark.io.xlsx import read_xlsx, write_xlsx
+
+    cols = {f"c{i:02d}": [float(i), i * 2.5] for i in range(28)}
+    pdf = pd.DataFrame(cols)
+    pdf["name"] = ["alpha <&> \"q\"", "beta"]
+    pdf["flag"] = [True, False]
+    pdf["gap"] = [1.5, np.nan]
+    p = str(tmp_path / "wide.xlsx")
+    write_xlsx(pdf, p)
+    back = read_xlsx(p)
+    assert list(back.columns) == list(pdf.columns)
+    assert back["name"].tolist() == pdf["name"].tolist()
+    assert back["flag"].tolist() == [True, False]
+    assert back["gap"][0] == 1.5 and pd.isna(back["gap"][1])
+    assert back["c27"].tolist() == [27.0, 67.5]
+
+    # openpyxl interop when present: their writer, our reader
+    try:
+        import openpyxl  # noqa: F401
+    except ImportError:
+        return
+    p2 = str(tmp_path / "pandas.xlsx")
+    pdf2 = pd.DataFrame({"a": [1, 2], "b": ["x", "y"]})
+    pdf2.to_excel(p2, index=False)
+    assert read_xlsx(p2)["b"].tolist() == ["x", "y"]
 
 
 def test_plan_pushdown_regression(spark):
