@@ -235,3 +235,41 @@ def simhash(
     for t in bit_terms[1:]:
         sim = sim + t
     return df.select(F.col(id_col), sim.alias("simhash"))
+
+
+def dedup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Full near-dup resolution: LSH candidates → exact-Jaccard verify
+    → connected components → every document mapped to its cluster
+    canonical (transitive closure of A~B~C collapses even when A and C
+    never shared a bucket).
+
+    Output: (id_col, canonical_id, is_duplicate) for EVERY input doc —
+    docs in no verified pair are their own canonical. The keep-list is
+    ``filter(~is_duplicate)``; canonical = min id in the cluster, the
+    same deterministic winner rule as :func:`dedup_exact`.
+    """
+    from methyl_data_pipeline_spark.ext.graph import connected_components
+
+    pairs = ngram_jaccard_pairs(
+        df, text_col, id_col, shingle_n, threshold, num_hashes, bands
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    return (
+        df.select(id_col)
+        .join(comp.withColumnRenamed("node", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("canonical_id"),
+            (F.coalesce("component", F.col(id_col)) != F.col(id_col)).alias(
+                "is_duplicate"
+            ),
+        )
+    )

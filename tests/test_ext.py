@@ -247,3 +247,51 @@ def test_winnowing_shared_substring_guarantee(spark):
     assert by_doc[1] & by_doc[2], "shared substring must share fingerprints"
     assert not (by_doc[1] & by_doc[3])
     assert not (by_doc[2] & by_doc[3])
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Min-label propagation: a 5-node chain (diameter 4 forces
+    multiple rounds), a triangle, and an isolated pair — labels are
+    the component minima, invariant under input partitioning."""
+    from methyl_data_pipeline_spark.ext.graph import connected_components
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12), (20, 21)]
+    for nparts in (1, 8):
+        df = spark.createDataFrame(edges, "id_a long, id_b long").repartition(nparts)
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(df).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                       10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_dedup_clusters_transitive(spark):
+    """A~B and B~C must collapse {A,B,C} to canonical A even though A
+    and C differ too much to pair directly."""
+    from methyl_data_pipeline_spark.ext.dedup import dedup_clusters, ngram_jaccard_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " extra"),                      # ~ 1
+            (3, base + " extra words appended here"),  # ~ 2, farther from 1
+            (4, "completely different content with no overlap at all whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.75, num_hashes=16, bands=8).collect()
+    }
+    got = {
+        r["doc_id"]: (r["canonical_id"], r["is_duplicate"])
+        for r in dedup_clusters(docs, threshold=0.75, num_hashes=16, bands=8).collect()
+    }
+    # transitivity is only exercised if 1-3 is NOT a direct pair
+    assert (1, 2) in pairs and (2, 3) in pairs
+    assert got[1] == (1, False)
+    assert got[2] == (1, True)
+    assert got[3] == (1, True)
+    assert got[4] == (4, False)
