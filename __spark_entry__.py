@@ -1211,6 +1211,70 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-batch assembly: concat-and-chunk packing of documents
+    into 512-token context windows, per source shard (ext.pack).
+    Emits each doc's window index, offset, and whether the chunker
+    splits it across a boundary."""
+    from methyl_data_pipeline_spark.ext.pack import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(
+            F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " ")
+        ).cast("long").alias("n_tokens"),
+    )
+    out = pack_sequences(toks, "n_tokens", 512, shard_col="source")
+    return out.orderBy("source", "doc_id")
+
+
+SQL_SEQUENCE_PACKING = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))
+              AS BIGINT) AS n_tokens
+  FROM documents
+),
+placed AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n_tokens AS BIGINT) AS s
+  FROM toks
+)
+SELECT source, doc_id, n_tokens,
+       CAST(FLOOR(s / 512.0) AS BIGINT)                 AS bin_idx,
+       s % 512                                          AS bin_offset,
+       CAST(FLOOR(s / 512.0) AS BIGINT)
+         <> CAST(FLOOR((s + n_tokens - 1) / 512.0) AS BIGINT) AS spans_boundary
+FROM placed ORDER BY source, doc_id
+"""
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: exactly 20 docs per language,
+    chosen by md5-hash order of doc_id (seed-free, engine-reproducible
+    shuffle — ext.pack.sample_stratified)."""
+    from methyl_data_pipeline_spark.ext.pack import sample_stratified
+
+    docs = _t(spark, sf_dir, "documents")
+    out = sample_stratified(docs.select("doc_id", "lang"), "lang", 20)
+    return out.orderBy("lang", "doc_id")
+
+
+SQL_SAMPLE_STRATIFIED = """
+WITH ranked AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+)
+SELECT doc_id, lang FROM ranked WHERE rk <= 20 ORDER BY lang, doc_id
+"""
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTER resolution: verified LSH pairs → distributed
     connected components (min-label propagation, ext.graph) → every
@@ -2162,6 +2226,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- slot 51+ (past the driver's 50-entry window) ----
         # oracle-backed twins / simpler siblings of in-slot queries,
         # still locally checked by tools/check_oracle.py
+        "sequence_packing": q_sequence_packing,
+        "sample_stratified": q_sample_stratified,
         "quantiles": q_quantiles,
         "bh_adjust": q_bh_adjust,
         "histogram": q_histogram,
@@ -2243,6 +2309,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_cosine_topk": SQL_EMBEDDING_COSINE,
         "ngram_jaccard": _sql_ngram_jaccard(),
         "dedup_clusters": _sql_dedup_clusters(),
+        "sequence_packing": SQL_SEQUENCE_PACKING,
+        "sample_stratified": SQL_SAMPLE_STRATIFIED,
         "embedding_neardup": _sql_embedding_neardup(),
         # n_probe == n_centroids makes IVF exact — brute force IS the oracle
         "ivf_ann": SQL_EMBEDDING_COSINE,

@@ -295,3 +295,36 @@ def test_dedup_clusters_transitive(spark):
     assert got[2] == (1, True)
     assert got[3] == (1, True)
     assert got[4] == (4, False)
+
+
+def test_pack_sequences_invariants(spark):
+    """Packing: offsets within window, bins contiguous per shard,
+    cumulative layout matches a local replay."""
+    from methyl_data_pipeline_spark.ext.pack import pack_sequences
+
+    rows = [(i, "s0" if i % 2 == 0 else "s1", 100 + (i * 37) % 400) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    out = pack_sequences(df, "n_tokens", 512, shard_col="source").collect()
+    by_shard = {}
+    for r in sorted(out, key=lambda r: (r["source"], r["doc_id"])):
+        assert 0 <= r["bin_offset"] < 512
+        cum = by_shard.get(r["source"], 0)
+        assert r["bin_idx"] == cum // 512
+        assert r["bin_offset"] == cum % 512
+        assert r["spans_boundary"] == (cum // 512 != (cum + r["n_tokens"] - 1) // 512)
+        by_shard[r["source"]] = cum + r["n_tokens"]
+
+
+def test_sample_stratified_exact_counts(spark):
+    from methyl_data_pipeline_spark.ext.pack import sample_stratified
+
+    rows = [(i, ["en", "de", "fr"][i % 3]) for i in range(90)] + [(1000, "rare")]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = sample_stratified(df, "lang", 10).collect()
+    counts = {}
+    for r in out:
+        counts[r["lang"]] = counts.get(r["lang"], 0) + 1
+    assert counts == {"en": 10, "de": 10, "fr": 10, "rare": 1}
+    # deterministic under re-partitioning
+    again = sample_stratified(df.repartition(16), "lang", 10).collect()
+    assert {r["doc_id"] for r in again} == {r["doc_id"] for r in out}
