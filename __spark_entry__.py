@@ -1275,6 +1275,50 @@ SELECT doc_id, lang FROM ranked WHERE rk <= 20 ORDER BY lang, doc_id
 """
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (train/eval overlap): docs with
+    doc_id < 10 stand in for the eval set; every other doc is flagged
+    if it shares any word-5-gram with it (ext.text.decontaminate —
+    broadcast semi-join on shingle hashes, no doc×doc compare)."""
+    from methyl_data_pipeline_spark.ext.text import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 10)
+    corpus = docs.filter(F.col("doc_id") >= 10)
+    return decontaminate(corpus, bench, ngram_n=5).orderBy("doc_id")
+
+
+SQL_DECONTAMINATE = r"""
+WITH w AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= 5
+              THEN list_distinct(list_transform(generate_series(0, len(ws) - 5),
+                     i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' ||
+                          ws[i+4] || ' ' || ws[i+5]))
+              ELSE [array_to_string(ws, ' ')] END AS s
+  FROM w
+),
+bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id < 10),
+corp AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id >= 10),
+hits AS (
+  SELECT c.doc_id, COUNT(DISTINCT c.g) AS n_overlap_shingles
+  FROM corp c JOIN bench b ON c.g = b.g
+  GROUP BY c.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(h.n_overlap_shingles, 0)     AS n_overlap_shingles,
+       COALESCE(h.n_overlap_shingles, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id >= 10) d
+LEFT JOIN hits h USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTER resolution: verified LSH pairs → distributed
     connected components (min-label propagation, ext.graph) → every
@@ -2228,6 +2272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # still locally checked by tools/check_oracle.py
         "sequence_packing": q_sequence_packing,
         "sample_stratified": q_sample_stratified,
+        "decontaminate": q_decontaminate,
         "quantiles": q_quantiles,
         "bh_adjust": q_bh_adjust,
         "histogram": q_histogram,
@@ -2311,6 +2356,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _sql_dedup_clusters(),
         "sequence_packing": SQL_SEQUENCE_PACKING,
         "sample_stratified": SQL_SAMPLE_STRATIFIED,
+        "decontaminate": SQL_DECONTAMINATE,
         "embedding_neardup": _sql_embedding_neardup(),
         # n_probe == n_centroids makes IVF exact — brute force IS the oracle
         "ivf_ann": SQL_EMBEDDING_COSINE,

@@ -216,3 +216,46 @@ def winnow_fingerprints(
         .select(F.col(id_col), F.col("_wmin").alias("fingerprint"))
         .distinct()
     )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    word ``ngram_n``-gram with an evaluation set (the standard
+    train/test-overlap check run before pretraining).
+
+    Scale shape: both sides explode to distinct md5'd shingles, the
+    benchmark side (eval sets are small) broadcasts, and a semi-join
+    marks contaminated docs — corpus-side cost is one scan + one
+    explode, never a doc×doc comparison. Returns the corpus ids with
+    ``contaminated`` + the count of distinct overlapping shingles.
+    """
+    from methyl_data_pipeline_spark.ext.dedup import shingles
+
+    def shingled(df: DataFrame, out: str) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(shingles(text_col, ngram_n))).alias("_s"),
+        ).select(id_col, md5_long(F.col("_s")).alias(out))
+
+    bench_sh = shingled(benchmark, "_h").select("_h").distinct()
+    corpus_sh = shingled(corpus, "_h")
+    hits = (
+        corpus_sh.join(F.broadcast(bench_sh), "_h", "left_semi")
+        .groupBy(id_col)
+        .agg(F.countDistinct("_h").alias("n_overlap_shingles"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_overlap_shingles", F.lit(0)).alias("n_overlap_shingles"),
+            (F.coalesce("n_overlap_shingles", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

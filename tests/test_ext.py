@@ -328,3 +328,25 @@ def test_sample_stratified_exact_counts(spark):
     # deterministic under re-partitioning
     again = sample_stratified(df.repartition(16), "lang", 10).collect()
     assert {r["doc_id"] for r in again} == {r["doc_id"] for r in out}
+
+
+def test_decontaminate_flags_overlap(spark):
+    from methyl_data_pipeline_spark.ext.text import decontaminate
+
+    bench = spark.createDataFrame(
+        [(1, "what is the capital of france answer paris of course")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, "trivia dump: what is the capital of france answer paris indeed"),
+            (11, "completely unrelated text about spark physical planning stages"),
+            (12, "short doc"),  # < n words -> whole-text shingle, no match
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["contaminated"], r["n_overlap_shingles"])
+           for r in decontaminate(corpus, bench, ngram_n=5).collect()}
+    assert got[10][0] is True and got[10][1] >= 1
+    assert got[11] == (False, 0)
+    assert got[12] == (False, 0)
