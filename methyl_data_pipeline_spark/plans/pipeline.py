@@ -112,8 +112,12 @@ def run_methylation_pipeline(
                 F.broadcast(samples.select("sample_id", group_col)), "sample_id"
             )
         labeled = labeled.withColumn("mval", model.mvalue(value_col))
+        # fitFDist = the prior R limma actually fits (workflow.R runs
+        # eBayes); the SQL-oracle-checked moments twin stays the default
+        # for the standalone meth_moderated_t contract query.
         dmp = moderated_t_two_group(
-            labeled, group_col, ga, gb, value_col="mval", with_p_values=True
+            labeled, group_col, ga, gb, value_col="mval", with_p_values=True,
+            prior_method="fitFDist",
         )
         # p_value comes from the t-sf UDF and is never null; skipping the
         # null split keeps the UDF out of join conditions (one eval, no
