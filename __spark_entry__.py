@@ -1319,6 +1319,58 @@ ORDER BY doc_id
 """
 
 
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals: top-word fraction,
+    top-bigram fraction, type-token ratio per document
+    (ext.text.repetition_signals — one explode + one data-sized
+    shuffle; the boilerplate/spam filter of pretraining pipelines)."""
+    from methyl_data_pipeline_spark.ext.text import repetition_signals
+
+    docs = _t(spark, sf_dir, "documents")
+    out = repetition_signals(docs)
+    return out.select(
+        "doc_id",
+        "n_words",
+        _r(F.col("top_word_frac")).alias("top_word_frac"),
+        _r(F.col("type_token_ratio")).alias("type_token_ratio"),
+        _r(F.col("top_bigram_frac")).alias("top_bigram_frac"),
+    ).orderBy("doc_id")
+
+
+SQL_REPETITION = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+  FROM documents
+),
+g AS (
+  SELECT doc_id, 1 AS n, unnest(ws) AS gr FROM t
+  UNION ALL
+  SELECT doc_id, 2 AS n,
+         unnest(list_transform(generate_series(2, len(ws)),
+                               i -> ws[i-1] || ' ' || ws[i])) AS gr
+  FROM t
+),
+c AS (
+  SELECT doc_id, n, gr, COUNT(*) AS cnt FROM g GROUP BY doc_id, n, gr
+),
+s AS (
+  SELECT doc_id, n, MAX(cnt) AS top_cnt,
+         CAST(SUM(cnt) AS BIGINT) AS total,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct
+  FROM c GROUP BY doc_id, n
+)
+SELECT doc_id,
+       MAX(CASE WHEN n = 1 THEN total END) AS n_words,
+       ROUND(MAX(CASE WHEN n = 1 THEN top_cnt END) * 1.0
+             / MAX(CASE WHEN n = 1 THEN total END) + 1e-9, 6) AS top_word_frac,
+       ROUND(MAX(CASE WHEN n = 1 THEN n_distinct END) * 1.0
+             / MAX(CASE WHEN n = 1 THEN total END) + 1e-9, 6) AS type_token_ratio,
+       ROUND(COALESCE(MAX(CASE WHEN n = 2 THEN top_cnt END) * 1.0
+             / MAX(CASE WHEN n = 2 THEN total END), 0.0) + 1e-9, 6) AS top_bigram_frac
+FROM s GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTER resolution: verified LSH pairs → distributed
     connected components (min-label propagation, ext.graph) → every
@@ -2278,6 +2330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram": q_histogram,
         "ecdf_percent_rank": q_ecdf,
         "union_halves": q_union_halves,
+        "repetition_signals": q_repetition_signals,
         # non-SQL-expressible (rows-only; see each docstring)
         "combat_correction": q_combat,
         "combat_covariates": q_combat_covariates,
@@ -2378,5 +2431,6 @@ def oracle_sql() -> dict[str, str]:
         "asof_join": SQL_ASOF,
         "heatmap_prep": SQL_HEATMAP_PREP,
         "quantiles": SQL_QUANTILES,
+        "repetition_signals": SQL_REPETITION,
     }
     return {k: _normalize_round_sql(v) for k, v in raw.items()}

@@ -218,6 +218,66 @@ def winnow_fingerprints(
     )
 
 
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals per document: ``top_word_frac``
+    (fraction of tokens that are the single most frequent token),
+    ``top_bigram_frac`` (same for word bigrams), and
+    ``type_token_ratio`` (distinct tokens / tokens). High top-n-gram
+    fractions and low TTR mark boilerplate/spam documents in
+    pretraining-corpus filtering (reference semantics: the repetition
+    rules of Rae et al.'s Gopher quality pipeline).
+
+    Physical shape: one explode of unigrams+bigrams (bigrams built by a
+    linear HOF over the token array, no second pass over the text),
+    then a (doc, n, gram) count — ONE data-sized shuffle with map-side
+    partial aggregation; the two follow-up aggs run on doc-sized
+    (already tiny) intermediates. No O(len²) per-row mode computation.
+    """
+    ws = words(text_col)
+    base = df.select(F.col(id_col), ws.alias("_w")).withColumn(
+        "_bg",
+        F.expr(
+            "CASE WHEN size(_w) >= 2 THEN "
+            "transform(sequence(1, size(_w) - 1), i -> concat(_w[i-1], ' ', _w[i])) "
+            "ELSE cast(array() AS array<string>) END"
+        ),
+    )
+    grams = base.select(
+        F.col(id_col),
+        F.explode(
+            F.concat(
+                F.transform("_w", lambda w: F.struct(F.lit(1).alias("n"), w.alias("g"))),
+                F.transform("_bg", lambda b: F.struct(F.lit(2).alias("n"), b.alias("g"))),
+            )
+        ).alias("_gr"),
+    ).select(id_col, F.col("_gr.n").alias("_n"), F.col("_gr.g").alias("_g"))
+    counts = grams.groupBy(id_col, "_n", "_g").agg(F.count(F.lit(1)).alias("_cnt"))
+    stats = counts.groupBy(id_col, "_n").agg(
+        F.max("_cnt").alias("_top"),
+        F.sum("_cnt").alias("_tot"),
+        F.count(F.lit(1)).alias("_dist"),
+    )
+    u = F.when(F.col("_n") == 1, F.col("_top"))
+    pivoted = stats.groupBy(id_col).agg(
+        F.max(u).alias("_u_top"),
+        F.max(F.when(F.col("_n") == 1, F.col("_tot"))).alias("_u_tot"),
+        F.max(F.when(F.col("_n") == 1, F.col("_dist"))).alias("_u_dist"),
+        F.max(F.when(F.col("_n") == 2, F.col("_top"))).alias("_b_top"),
+        F.max(F.when(F.col("_n") == 2, F.col("_tot"))).alias("_b_tot"),
+    )
+    return pivoted.select(
+        F.col(id_col),
+        F.col("_u_tot").cast("long").alias("n_words"),
+        (F.col("_u_top") / F.col("_u_tot")).cast("double").alias("top_word_frac"),
+        (F.col("_u_dist") / F.col("_u_tot")).cast("double").alias("type_token_ratio"),
+        F.coalesce(F.col("_b_top") / F.col("_b_tot"), F.lit(0.0))
+        .cast("double")
+        .alias("top_bigram_frac"),
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -350,3 +350,37 @@ def test_decontaminate_flags_overlap(spark):
     assert got[10][0] is True and got[10][1] >= 1
     assert got[11] == (False, 0)
     assert got[12] == (False, 0)
+
+
+def test_repetition_signals_planted_boilerplate(spark):
+    from methyl_data_pipeline_spark.ext.text import repetition_signals
+
+    docs = spark.createDataFrame(
+        [
+            # pure boilerplate: one token repeated
+            (1, "spam spam spam spam"),
+            # all-distinct tokens
+            (2, "alpha beta gamma delta"),
+            # single word: no bigrams -> bigram frac 0.0
+            (3, "lonely"),
+            # repeated bigram "buy now"
+            (4, "buy now buy now buy now"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in repetition_signals(docs).collect()
+    }
+    assert got[1]["n_words"] == 4
+    assert got[1]["top_word_frac"] == 1.0
+    assert got[1]["type_token_ratio"] == 0.25
+    assert got[1]["top_bigram_frac"] == 1.0
+    assert got[2]["top_word_frac"] == 0.25
+    assert got[2]["type_token_ratio"] == 1.0
+    assert got[3]["n_words"] == 1
+    assert got[3]["top_bigram_frac"] == 0.0
+    # "buy now buy now buy now": 6 words, top word 3/6; bigrams =
+    # [buy now, now buy, buy now, now buy, buy now] -> top 3/5
+    assert got[4]["top_word_frac"] == 0.5
+    assert abs(got[4]["top_bigram_frac"] - 3 / 5) < 1e-12
