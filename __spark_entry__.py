@@ -1371,6 +1371,41 @@ FROM s GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails/IPv4/phones -> typed tokens) with per-doc
+    match counts and an md5 witness of the redacted text
+    (ext.text.pii_redact — zero-shuffle codegen scan)."""
+    from methyl_data_pipeline_spark.ext.text import pii_redact
+
+    docs = _t(spark, sf_dir, "documents")
+    return pii_redact(docs).orderBy("doc_id")
+
+
+SQL_PII_REDACT = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(text,
+            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT)         AS n_ip,
+       CAST(len(regexp_extract_all(text,
+            '\b\d{3}[- ]\d{3}[- ]\d{4}\b')) AS BIGINT)                     AS n_phone,
+       length(red) AS redacted_len,
+       substr(md5(red), 1, 16) AS redacted_sig
+FROM (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+           '\b\d{3}[- ]\d{3}[- ]\d{4}\b', '<PHONE>', 'g') AS red,
+         text
+  FROM documents
+)
+ORDER BY doc_id
+"""
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTER resolution: verified LSH pairs → distributed
     connected components (min-label propagation, ext.graph) → every
@@ -2331,6 +2366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ecdf_percent_rank": q_ecdf,
         "union_halves": q_union_halves,
         "repetition_signals": q_repetition_signals,
+        "pii_redact": q_pii_redact,
         # non-SQL-expressible (rows-only; see each docstring)
         "combat_correction": q_combat,
         "combat_covariates": q_combat_covariates,
@@ -2432,5 +2468,6 @@ def oracle_sql() -> dict[str, str]:
         "heatmap_prep": SQL_HEATMAP_PREP,
         "quantiles": SQL_QUANTILES,
         "repetition_signals": SQL_REPETITION,
+        "pii_redact": SQL_PII_REDACT,
     }
     return {k: _normalize_round_sql(v) for k, v in raw.items()}

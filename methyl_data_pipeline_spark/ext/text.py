@@ -278,6 +278,45 @@ def repetition_signals(
     )
 
 
+# PII patterns, deliberately restricted to constructs with identical
+# semantics in Java regex (Spark) and RE2 (DuckDB oracle): no
+# backrefs, no lookaround, ASCII classes only.
+PII_PATTERNS = {
+    # order matters: emails first (their local part can look like a
+    # phone), then IPs (dotted digits would otherwise match phone), then
+    # phones.
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ip": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\b\d{3}[- ]\d{3}[- ]\d{4}\b",
+}
+
+
+def pii_redact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """PII redaction: replace emails, IPv4 addresses, and phone numbers
+    with ``<EMAIL>`` / ``<IP>`` / ``<PHONE>`` tokens and count each.
+
+    Pure Catalyst ``regexp_replace``/``regexp_count`` chain — a 100 TB
+    scan stays in whole-stage codegen, one pass, no shuffle at all.
+    Emits per-doc match counts and an md5 witness of the redacted text
+    so an oracle can prove transform parity without comparing full
+    bodies.
+    """
+    t = F.col(text_col)
+    counts = [
+        F.regexp_count(t, F.lit(pat)).cast("long").alias(f"n_{name}")
+        for name, pat in PII_PATTERNS.items()
+    ]
+    red = t
+    for name, pat in PII_PATTERNS.items():
+        red = F.regexp_replace(red, pat, f"<{name.upper()}>")
+    return df.select(
+        F.col(id_col),
+        *counts,
+        F.length(red).cast("long").alias("redacted_len"),
+        F.substring(F.md5(red), 1, 16).alias("redacted_sig"),
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -384,3 +384,26 @@ def test_repetition_signals_planted_boilerplate(spark):
     # [buy now, now buy, buy now, now buy, buy now] -> top 3/5
     assert got[4]["top_word_frac"] == 0.5
     assert abs(got[4]["top_bigram_frac"] - 3 / 5) < 1e-12
+
+
+def test_pii_redact_planted(spark):
+    from methyl_data_pipeline_spark.ext.text import pii_redact
+
+    docs = spark.createDataFrame(
+        [
+            (1, "contact me at alice.smith+x@example.co.uk or bob@test.io now"),
+            (2, "server at 192.168.001.1 and 10.0.0.255 responded"),
+            (3, "call 555-867-5309 or 555 123 4567 today"),
+            (4, "nothing sensitive here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in pii_redact(docs).collect()}
+    assert got[1]["n_email"] == 2 and got[1]["n_ip"] == 0
+    assert got[2]["n_ip"] == 2 and got[2]["n_email"] == 0
+    assert got[3]["n_phone"] == 2
+    assert got[4] == {
+        "doc_id": 4, "n_email": 0, "n_ip": 0, "n_phone": 0,
+        "redacted_len": len("nothing sensitive here at all"),
+        "redacted_sig": got[4]["redacted_sig"],
+    }
