@@ -1406,6 +1406,40 @@ ORDER BY doc_id
 """
 
 
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token accounting + uniform-rebalance sampling weights
+    (ext.text.domain_mix — one map-combined agg, broadcast total)."""
+    from methyl_data_pipeline_spark.ext.text import domain_mix
+
+    docs = _t(spark, sf_dir, "documents")
+    out = domain_mix(docs)
+    return out.select(
+        "domain",
+        "n_docs",
+        "n_tokens",
+        _r(F.col("token_share")).alias("token_share"),
+        _r(F.col("target_share")).alias("target_share"),
+        _r(F.col("weight")).alias("weight"),
+    ).orderBy("domain")
+
+
+SQL_DOMAIN_MIX = r"""
+WITH per AS (
+  SELECT source AS domain,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(regexp_split_to_array(lower(trim(text)), '\s+'))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t, COUNT(*) AS k FROM per)
+SELECT domain, n_docs, n_tokens,
+       ROUND(n_tokens * 1.0 / t + 1e-9, 6)            AS token_share,
+       ROUND(1.0 / k + 1e-9, 6)                       AS target_share,
+       ROUND((1.0 / k) / (n_tokens * 1.0 / t) + 1e-9, 6) AS weight
+FROM per, tot ORDER BY domain
+"""
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTER resolution: verified LSH pairs → distributed
     connected components (min-label propagation, ext.graph) → every
@@ -2367,6 +2401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_halves": q_union_halves,
         "repetition_signals": q_repetition_signals,
         "pii_redact": q_pii_redact,
+        "domain_mix": q_domain_mix,
         # non-SQL-expressible (rows-only; see each docstring)
         "combat_correction": q_combat,
         "combat_covariates": q_combat_covariates,
@@ -2469,5 +2504,6 @@ def oracle_sql() -> dict[str, str]:
         "quantiles": SQL_QUANTILES,
         "repetition_signals": SQL_REPETITION,
         "pii_redact": SQL_PII_REDACT,
+        "domain_mix": SQL_DOMAIN_MIX,
     }
     return {k: _normalize_round_sql(v) for k, v in raw.items()}

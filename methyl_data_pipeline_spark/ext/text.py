@@ -218,6 +218,54 @@ def winnow_fingerprints(
     )
 
 
+def domain_mix(
+    df: DataFrame,
+    text_col: str = "text",
+    domain_col: str = "source",
+    target: dict[str, float] | None = None,
+) -> DataFrame:
+    """Corpus mixture accounting: per-domain document and token counts,
+    the domain's share of corpus tokens, and the sampling weight that
+    would re-balance it to a target mixture (uniform across observed
+    domains when ``target`` is None) — the domain-reweighting step of
+    pretraining-data pipelines (Pile/DoReMi-style static mixtures).
+
+    ``weight`` multiplies a domain's natural share up/down to its
+    target share; documents sampled with probability proportional to
+    ``weight`` yield the target token mixture in expectation.
+
+    One map-side-combined aggregation over the scan (token counting is
+    a codegen expression, no explode), then a broadcast of the 1-row
+    total — no data-sized shuffle beyond the per-domain agg.
+    """
+    n_tok = F.size(words(text_col))
+    per = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tok).cast("long").alias("n_tokens"),
+    )
+    totals = per.agg(
+        F.sum("n_tokens").alias("_tot"),
+        F.count(F.lit(1)).alias("_k"),
+    )
+    out = per.crossJoin(F.broadcast(totals))
+    if target is None:
+        tgt = 1.0 / F.col("_k")
+    else:
+        mapping = F.create_map(
+            *[F.lit(x) for kv in target.items() for x in kv]
+        )
+        tgt = F.coalesce(mapping[F.col("domain")], F.lit(0.0))
+    share = F.col("n_tokens") / F.col("_tot")
+    return out.select(
+        "domain",
+        "n_docs",
+        "n_tokens",
+        share.cast("double").alias("token_share"),
+        tgt.cast("double").alias("target_share"),
+        (tgt / share).cast("double").alias("weight"),
+    )
+
+
 def repetition_signals(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -407,3 +407,26 @@ def test_pii_redact_planted(spark):
         "redacted_len": len("nothing sensitive here at all"),
         "redacted_sig": got[4]["redacted_sig"],
     }
+
+
+def test_domain_mix_weights(spark):
+    from methyl_data_pipeline_spark.ext.text import domain_mix
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f", "web"),     # 6 tokens
+            (2, "a b", "web"),             # 2 tokens
+            (3, "x y", "books"),           # 2 tokens
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {r["domain"]: r.asDict() for r in domain_mix(docs).collect()}
+    assert got["web"]["n_docs"] == 2 and got["web"]["n_tokens"] == 8
+    assert abs(got["web"]["token_share"] - 0.8) < 1e-12
+    assert abs(got["web"]["weight"] - 0.5 / 0.8) < 1e-12
+    assert abs(got["books"]["weight"] - 0.5 / 0.2) < 1e-12
+    # explicit target mixture
+    got2 = {r["domain"]: r.asDict()
+            for r in domain_mix(docs, target={"web": 0.9, "books": 0.1}).collect()}
+    assert abs(got2["books"]["weight"] - 0.1 / 0.2) < 1e-12
+    assert abs(got2["web"]["target_share"] - 0.9) < 1e-12
