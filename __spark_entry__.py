@@ -1440,6 +1440,59 @@ FROM per, tot ORDER BY domain
 """
 
 
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style composite quality verdict with reject reasons
+    (ext.text.quality_filter — codegen scan signals + one doc-keyed
+    join with repetition stats)."""
+    from methyl_data_pipeline_spark.ext.text import quality_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    return quality_filter(docs).orderBy("doc_id")
+
+
+SQL_QUALITY_FILTER = r"""
+WITH t AS (
+  SELECT doc_id, trim(text) AS txt,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+  FROM documents
+),
+scan AS (
+  SELECT doc_id, len(ws) AS nw,
+         length(regexp_replace(txt, '\s+', '', 'g')) * 1.0 / len(ws) AS mwl,
+         len(list_filter(ws, w -> list_contains(
+             ['the','and','of','to','a','in','is','that','it','for'], w))) AS stp
+  FROM t
+),
+c AS (
+  SELECT doc_id, gr, COUNT(*) AS cnt
+  FROM (SELECT doc_id, unnest(ws) AS gr FROM t) GROUP BY doc_id, gr
+),
+s AS (
+  SELECT doc_id,
+         CAST(SUM(cnt) AS BIGINT) AS n_words,
+         MAX(cnt) * 1.0 / CAST(SUM(cnt) AS BIGINT) AS twf,
+         COUNT(*) * 1.0 / CAST(SUM(cnt) AS BIGINT) AS ttr
+  FROM c GROUP BY doc_id
+)
+SELECT scan.doc_id, s.n_words,
+       concat_ws(',',
+         CASE WHEN nw < 10 THEN 'too_short' END,
+         CASE WHEN nw > 100000 THEN 'too_long' END,
+         CASE WHEN mwl < 2.0 OR mwl > 12.0 THEN 'word_len' END,
+         CASE WHEN twf > 0.30 THEN 'repetitive' END,
+         CASE WHEN ttr < 0.30 THEN 'low_diversity' END,
+         CASE WHEN stp < 1 THEN 'no_stopwords' END) AS reject_reasons,
+       concat_ws(',',
+         CASE WHEN nw < 10 THEN 'too_short' END,
+         CASE WHEN nw > 100000 THEN 'too_long' END,
+         CASE WHEN mwl < 2.0 OR mwl > 12.0 THEN 'word_len' END,
+         CASE WHEN twf > 0.30 THEN 'repetitive' END,
+         CASE WHEN ttr < 0.30 THEN 'low_diversity' END,
+         CASE WHEN stp < 1 THEN 'no_stopwords' END) = '' AS keep
+FROM scan JOIN s USING (doc_id) ORDER BY doc_id
+"""
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTER resolution: verified LSH pairs → distributed
     connected components (min-label propagation, ext.graph) → every
@@ -2402,6 +2455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals": q_repetition_signals,
         "pii_redact": q_pii_redact,
         "domain_mix": q_domain_mix,
+        "quality_filter": q_quality_filter,
         # non-SQL-expressible (rows-only; see each docstring)
         "combat_correction": q_combat,
         "combat_covariates": q_combat_covariates,
@@ -2505,5 +2559,6 @@ def oracle_sql() -> dict[str, str]:
         "repetition_signals": SQL_REPETITION,
         "pii_redact": SQL_PII_REDACT,
         "domain_mix": SQL_DOMAIN_MIX,
+        "quality_filter": SQL_QUALITY_FILTER,
     }
     return {k: _normalize_round_sql(v) for k, v in raw.items()}

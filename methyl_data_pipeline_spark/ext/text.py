@@ -365,6 +365,71 @@ def pii_redact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     )
 
 
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 10,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    max_top_word_frac: float = 0.30,
+    min_type_token_ratio: float = 0.30,
+    min_stopword_hits: int = 1,
+) -> DataFrame:
+    """C4/Gopher-style document quality verdict: evaluates the standard
+    repetition + shape rules and emits ``keep`` plus a deterministic
+    comma-joined ``reject_reasons`` string (empty when kept).
+
+    Rules (each names its reason token): word count in
+    [min_words, max_words] (``too_short``/``too_long``), mean word
+    length in [min, max] (``word_len``), top-word fraction <= max
+    (``repetitive``), type-token ratio >= min (``low_diversity``),
+    at least ``min_stopword_hits`` English stopwords (``no_stopwords``).
+
+    Physical shape: scan-side signals (stopword hits, mean word length)
+    are codegen expressions; the repetition stats come from
+    :func:`repetition_signals` (one explode shuffle); one doc-keyed
+    join marries them. At 100 TB both sides are partitioned by the same
+    key and the verdict is a pure projection.
+    """
+    ws = words(text_col)
+    en = F.array([F.lit(w) for w in STOPWORDS["en"]])
+    scan = df.select(
+        F.col(id_col),
+        F.size(ws).alias("_nw"),
+        (
+            F.length(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", ""))
+            / F.size(ws)
+        ).alias("_mwl"),
+        F.size(F.filter(ws, lambda w: F.array_contains(en, w))).alias("_stop"),
+    )
+    rep = repetition_signals(df, text_col=text_col, id_col=id_col)
+    j = scan.join(rep, id_col)
+    reasons = F.concat_ws(
+        ",",
+        F.when(F.col("_nw") < min_words, F.lit("too_short")),
+        F.when(F.col("_nw") > max_words, F.lit("too_long")),
+        F.when(
+            (F.col("_mwl") < min_mean_word_len)
+            | (F.col("_mwl") > max_mean_word_len),
+            F.lit("word_len"),
+        ),
+        F.when(F.col("top_word_frac") > max_top_word_frac, F.lit("repetitive")),
+        F.when(
+            F.col("type_token_ratio") < min_type_token_ratio,
+            F.lit("low_diversity"),
+        ),
+        F.when(F.col("_stop") < min_stopword_hits, F.lit("no_stopwords")),
+    )
+    return j.select(
+        F.col(id_col),
+        F.col("n_words"),
+        reasons.alias("reject_reasons"),
+        (reasons == "").alias("keep"),
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,

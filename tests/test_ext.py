@@ -430,3 +430,28 @@ def test_domain_mix_weights(spark):
             for r in domain_mix(docs, target={"web": 0.9, "books": 0.1}).collect()}
     assert abs(got2["books"]["weight"] - 0.1 / 0.2) < 1e-12
     assert abs(got2["web"]["target_share"] - 0.9) < 1e-12
+
+
+def test_quality_filter_rules(spark):
+    from methyl_data_pipeline_spark.ext.text import quality_filter
+
+    long_good = "the quick brown fox jumps over a lazy dog in the warm sun today"
+    docs = spark.createDataFrame(
+        [
+            (1, long_good),                        # passes everything
+            (2, "too short"),                      # too_short + no_stopwords
+            (3, "the " + "spam " * 19 + "the end"),  # repetitive, low diversity
+            (4, "a aa b bb c cc d dd e ee f ff"),  # short mean word len -> word_len
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in quality_filter(docs).collect()}
+    assert got[1]["keep"] is True and got[1]["reject_reasons"] == ""
+    assert got[2]["keep"] is False
+    assert "too_short" in got[2]["reject_reasons"]
+    assert "no_stopwords" in got[2]["reject_reasons"]
+    assert "repetitive" in got[3]["reject_reasons"]
+    assert "low_diversity" in got[3]["reject_reasons"]
+    assert "word_len" in got[4]["reject_reasons"]
+    # reasons are comma-joined in fixed rule order
+    assert got[2]["reject_reasons"].split(",")[0] == "too_short"
