@@ -430,6 +430,77 @@ def quality_filter(
     )
 
 
+def quality_filter_scan(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 10,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    max_top_word_frac: float = 0.30,
+    min_type_token_ratio: float = 0.30,
+    min_stopword_hits: int = 1,
+) -> DataFrame:
+    """Shuffle-free twin of :func:`quality_filter`: identical rules and
+    output, but every signal is a per-row Catalyst expression — the
+    top-word count is the longest equal-run in the *sorted* token array
+    (one linear ``aggregate`` HOF after an O(n log n) per-row sort),
+    and the distinct-token count is ``size(array_distinct(...))``.
+
+    ZERO shuffles and zero state: at 100 TB this is a pure scan, and —
+    unlike the explode+groupBy formulation — it is legal on an
+    unbounded stream (see ``streaming.events.stream_quality_gate``).
+    Prefer this variant when only the verdict is needed; prefer
+    :func:`repetition_signals` when the per-gram counts themselves are
+    the product.
+    """
+    ws = words(text_col)
+    en = F.array([F.lit(w) for w in STOPWORDS["en"]])
+    sorted_ws = F.array_sort(ws)
+    # longest equal-run in the sorted array == count of the most
+    # frequent token; linear fold with (prev, run, best) struct state
+    top_cnt = F.aggregate(
+        sorted_ws,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, w: F.struct(
+            w.alias("prev"),
+            F.when(w.eqNullSafe(acc.prev), acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(w.eqNullSafe(acc.prev), acc.run + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
+    )
+    nw = F.size(ws)
+    mwl = F.length(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", "")) / nw
+    twf = top_cnt / nw
+    ttr = F.size(F.array_distinct(ws)) / nw
+    stop = F.size(F.filter(ws, lambda w: F.array_contains(en, w)))
+    reasons = F.concat_ws(
+        ",",
+        F.when(nw < min_words, F.lit("too_short")),
+        F.when(nw > max_words, F.lit("too_long")),
+        F.when(
+            (mwl < min_mean_word_len) | (mwl > max_mean_word_len), F.lit("word_len")
+        ),
+        F.when(twf > max_top_word_frac, F.lit("repetitive")),
+        F.when(ttr < min_type_token_ratio, F.lit("low_diversity")),
+        F.when(stop < min_stopword_hits, F.lit("no_stopwords")),
+    )
+    return df.select(
+        F.col(id_col),
+        nw.cast("long").alias("n_words"),
+        reasons.alias("reject_reasons"),
+        (reasons == "").alias("keep"),
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -133,6 +133,26 @@ def stream_dedup(
     return stream.withWatermark(ts_col, watermark).dropDuplicates(key_cols)
 
 
+def stream_quality_gate(
+    stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **thresholds,
+) -> DataFrame:
+    """Streaming document-quality gate: the full C4/Gopher verdict of
+    ``ext.text.quality_filter`` applied to an unbounded text stream.
+
+    Legal on a stream because every signal — including the repetition
+    stats — is computed per-row by ``ext.text.quality_filter_scan``
+    (longest-run-in-sorted-array trick): no aggregation, no state, no
+    watermark. Each micro-batch is a pure projection, so the gate adds
+    zero latency beyond the scan itself.
+    """
+    from methyl_data_pipeline_spark.ext.text import quality_filter_scan
+
+    return quality_filter_scan(stream, text_col=text_col, id_col=id_col, **thresholds)
+
+
 def stream_enrich(
     stream: DataFrame,
     dimension: DataFrame,

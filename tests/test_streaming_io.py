@@ -397,3 +397,55 @@ def test_decode_audio_real_wav(spark):
     # first 0.1 s: every-2nd ramp sample; remainder: zero padding
     np.testing.assert_allclose(got[:400], sig[::2], atol=2e-4)
     assert np.all(got[400:] == 0.0)
+
+
+def test_quality_gate_scan_matches_agg_variant(spark):
+    # the shuffle-free scan twin must agree with the explode+groupBy
+    # quality_filter verdict row-for-row on real data
+    from methyl_data_pipeline_spark.ext.text import (
+        quality_filter,
+        quality_filter_scan,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = {r["doc_id"]: (r["n_words"], r["reject_reasons"], r["keep"])
+         for r in quality_filter(docs).collect()}
+    b = {r["doc_id"]: (r["n_words"], r["reject_reasons"], r["keep"])
+         for r in quality_filter_scan(docs).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_stream_quality_gate_memory_sink(spark, tmp_path):
+    from methyl_data_pipeline_spark.streaming.events import stream_quality_gate
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": [
+                "the quick brown fox jumps over a lazy dog in the warm sun today",
+                "spam spam spam spam spam spam spam spam spam spam spam spam",
+            ],
+        }
+    )
+    src = str(tmp_path / "doc_stream_src")
+    os.makedirs(src, exist_ok=True)
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).format("parquet").load(src)
+    gated = stream_quality_gate(stream)
+    q = (
+        gated.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("gate_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {r["doc_id"]: r.asDict()
+               for r in spark.sql("SELECT * FROM gate_test").collect()}
+    finally:
+        q.stop()
+    assert got[1]["keep"] is True
+    assert got[2]["keep"] is False
+    assert "repetitive" in got[2]["reject_reasons"]
