@@ -1322,12 +1322,14 @@ ORDER BY doc_id
 def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals: top-word fraction,
     top-bigram fraction, type-token ratio per document
-    (ext.text.repetition_signals — one explode + one data-sized
-    shuffle; the boilerplate/spam filter of pretraining pipelines)."""
-    from methyl_data_pipeline_spark.ext.text import repetition_signals
+    (ext.text.repetition_signals_scan — ZERO-shuffle: mode
+    multiplicities via longest-run-in-sorted-array HOFs; row-for-row
+    parity with the explode+groupBy twin is pytest-proven; the
+    boilerplate/spam filter of pretraining pipelines)."""
+    from methyl_data_pipeline_spark.ext.text import repetition_signals_scan
 
     docs = _t(spark, sf_dir, "documents")
-    out = repetition_signals(docs)
+    out = repetition_signals_scan(docs)
     return out.select(
         "doc_id",
         "n_words",

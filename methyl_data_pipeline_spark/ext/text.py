@@ -365,6 +365,63 @@ def pii_redact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     )
 
 
+def _max_run_sorted(arr) -> Column:
+    """Longest equal-run in a SORTED array == multiplicity of its mode.
+    Linear fold with (prev, run, best) struct state — the per-row trick
+    that lets mode-based repetition stats run shuffle-free."""
+    return F.aggregate(
+        arr,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, w: F.struct(
+            w.alias("prev"),
+            F.when(w.eqNullSafe(acc.prev), acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(w.eqNullSafe(acc.prev), acc.run + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
+    )
+
+
+def repetition_signals_scan(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Shuffle-free twin of :func:`repetition_signals`: identical
+    output columns, but the mode multiplicities come from
+    :func:`_max_run_sorted` over the sorted unigram/bigram arrays and
+    the distinct count from ``array_distinct`` — a pure per-row scan
+    (ZERO shuffles, stream-legal). Per-row cost is O(n log n) in
+    document tokens vs the explode twin's shuffle of every (doc, gram)
+    pair; at 100 TB the scan wins until documents stop fitting in a
+    row, which the corpus schema already forbids."""
+    ws = words(text_col)
+    base = df.select(F.col(id_col), ws.alias("_w")).withColumn(
+        "_bg",
+        F.expr(
+            "CASE WHEN size(_w) >= 2 THEN "
+            "transform(sequence(1, size(_w) - 1), i -> concat(_w[i-1], ' ', _w[i])) "
+            "ELSE cast(array() AS array<string>) END"
+        ),
+    )
+    nw = F.size("_w")
+    nb = F.size("_bg")
+    return base.select(
+        F.col(id_col),
+        nw.cast("long").alias("n_words"),
+        (_max_run_sorted(F.array_sort("_w")) / nw).cast("double").alias("top_word_frac"),
+        (F.size(F.array_distinct("_w")) / nw).cast("double").alias("type_token_ratio"),
+        F.when(nb > 0, _max_run_sorted(F.array_sort("_bg")) / nb)
+        .otherwise(F.lit(0.0))
+        .cast("double")
+        .alias("top_bigram_frac"),
+    )
+
+
 def quality_filter(
     df: DataFrame,
     text_col: str = "text",
@@ -457,26 +514,7 @@ def quality_filter_scan(
     """
     ws = words(text_col)
     en = F.array([F.lit(w) for w in STOPWORDS["en"]])
-    sorted_ws = F.array_sort(ws)
-    # longest equal-run in the sorted array == count of the most
-    # frequent token; linear fold with (prev, run, best) struct state
-    top_cnt = F.aggregate(
-        sorted_ws,
-        F.struct(
-            F.lit(None).cast("string").alias("prev"),
-            F.lit(0).alias("run"),
-            F.lit(0).alias("best"),
-        ),
-        lambda acc, w: F.struct(
-            w.alias("prev"),
-            F.when(w.eqNullSafe(acc.prev), acc.run + 1).otherwise(F.lit(1)).alias("run"),
-            F.greatest(
-                acc.best,
-                F.when(w.eqNullSafe(acc.prev), acc.run + 1).otherwise(F.lit(1)),
-            ).alias("best"),
-        ),
-        lambda acc: acc.best,
-    )
+    top_cnt = _max_run_sorted(F.array_sort(ws))
     nw = F.size(ws)
     mwl = F.length(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", "")) / nw
     twf = top_cnt / nw

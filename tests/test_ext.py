@@ -455,3 +455,19 @@ def test_quality_filter_rules(spark):
     assert "word_len" in got[4]["reject_reasons"]
     # reasons are comma-joined in fixed rule order
     assert got[2]["reject_reasons"].split(",")[0] == "too_short"
+
+
+def test_repetition_signals_scan_parity(spark):
+    from methyl_data_pipeline_spark.ext.text import (
+        repetition_signals,
+        repetition_signals_scan,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = {r["doc_id"]: r.asDict() for r in repetition_signals(docs).collect()}
+    b = {r["doc_id"]: r.asDict() for r in repetition_signals_scan(docs).collect()}
+    assert len(a) == len(b) > 0
+    for k in a:
+        assert a[k]["n_words"] == b[k]["n_words"]
+        for c in ("top_word_frac", "type_token_ratio", "top_bigram_frac"):
+            assert abs(a[k][c] - b[k][c]) < 1e-12, (k, c, a[k], b[k])
