@@ -214,3 +214,23 @@ def test_spread_is_lazy(spark):
     _ = _spread(df, "doc_id")  # composition only — no action
     after = tracker.getJobIdsForGroup(None)
     assert before == after
+
+
+def test_curation_ops_partitioning_invariant(spark):
+    """repetition_signals_scan / quality_filter_scan / domain_mix are
+    per-row or map-side-combined — a repartition can't change results
+    (the 100-TB guarantee)."""
+    from methyl_data_pipeline_spark.ext.text import (
+        domain_mix,
+        quality_filter_scan,
+        repetition_signals_scan,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def snap(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    for fn in (repetition_signals_scan, quality_filter_scan):
+        assert snap(fn(docs.repartition(1))) == snap(fn(docs.repartition(64)))
+    assert snap(domain_mix(docs.repartition(1))) == snap(domain_mix(docs.repartition(64)))
