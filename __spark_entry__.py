@@ -1497,6 +1497,110 @@ FROM scan JOIN s USING (doc_id) ORDER BY doc_id
 """
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation (plans.curation.curate): quality gate
+    -> PII redaction -> decontamination vs the doc_id<10 eval set ->
+    exact dedup -> 512-token packing. Every stage is deterministic, so
+    the DuckDB oracle replays the FULL five-stage chain."""
+    from methyl_data_pipeline_spark.plans.curation import curate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 10)
+    corpus = docs.filter(F.col("doc_id") >= 10)
+    return curate(corpus, bench, window_tokens=512).orderBy("source", "doc_id")
+
+
+SQL_CURATION = r"""
+WITH bench_w AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+  FROM documents WHERE doc_id < 10
+),
+bench_sh AS (
+  SELECT DISTINCT unnest(CASE WHEN len(ws) >= 5
+    THEN list_distinct(list_transform(generate_series(0, len(ws) - 5),
+         i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' ||
+              ws[i+4] || ' ' || ws[i+5]))
+    ELSE [array_to_string(ws, ' ')] END) AS g
+  FROM bench_w
+),
+base AS (SELECT doc_id, source, text FROM documents WHERE doc_id >= 10),
+qt AS (
+  SELECT doc_id, trim(text) AS txt,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+  FROM base
+),
+qscan AS (
+  SELECT doc_id, len(ws) AS nw,
+         length(regexp_replace(txt, '\s+', '', 'g')) * 1.0 / len(ws) AS mwl,
+         len(list_filter(ws, w -> list_contains(
+             ['the','and','of','to','a','in','is','that','it','for'], w))) AS stp
+  FROM qt
+),
+qcnt AS (
+  SELECT doc_id, gr, COUNT(*) AS cnt
+  FROM (SELECT doc_id, unnest(ws) AS gr FROM qt) GROUP BY doc_id, gr
+),
+qrep AS (
+  SELECT doc_id, MAX(cnt) * 1.0 / CAST(SUM(cnt) AS BIGINT) AS twf,
+         COUNT(*) * 1.0 / CAST(SUM(cnt) AS BIGINT) AS ttr
+  FROM qcnt GROUP BY doc_id
+),
+kept AS (
+  SELECT q.doc_id FROM qscan q JOIN qrep USING (doc_id)
+  WHERE q.nw >= 10 AND q.nw <= 100000
+    AND q.mwl >= 2.0 AND q.mwl <= 12.0
+    AND qrep.twf <= 0.30 AND qrep.ttr >= 0.30 AND q.stp >= 1
+),
+red AS (
+  SELECT b.doc_id, b.source,
+         regexp_replace(regexp_replace(regexp_replace(b.text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+           '\b\d{3}[- ]\d{3}[- ]\d{4}\b', '<PHONE>', 'g') AS text
+  FROM base b JOIN kept USING (doc_id)
+),
+rw AS (
+  SELECT doc_id, source,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+  FROM red
+),
+rsh AS (
+  SELECT doc_id, unnest(CASE WHEN len(ws) >= 5
+    THEN list_distinct(list_transform(generate_series(0, len(ws) - 5),
+         i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' ||
+              ws[i+4] || ' ' || ws[i+5]))
+    ELSE [array_to_string(ws, ' ')] END) AS g
+  FROM rw
+),
+contaminated AS (SELECT DISTINCT r.doc_id FROM rsh r JOIN bench_sh b USING (g)),
+clean AS (
+  SELECT doc_id, source, array_to_string(ws, ' ') AS norm FROM rw
+  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+fp AS (SELECT doc_id, source, norm, md5(norm) AS f FROM clean),
+winners AS (SELECT f, MIN(doc_id) AS doc_id FROM fp GROUP BY f),
+uniq AS (
+  SELECT fp.doc_id, fp.source,
+         CAST(len(string_split(fp.norm, ' ')) AS BIGINT) AS n_tokens
+  FROM fp JOIN winners ON fp.f = winners.f AND fp.doc_id = winners.doc_id
+),
+placed AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n_tokens AS BIGINT) AS s
+  FROM uniq
+)
+SELECT source, doc_id, n_tokens,
+       CAST(FLOOR(s / 512.0) AS BIGINT) AS bin_idx,
+       s % 512 AS bin_offset,
+       CAST(FLOOR(s / 512.0) AS BIGINT)
+         <> CAST(FLOOR((s + n_tokens - 1) / 512.0) AS BIGINT) AS spans_boundary
+FROM placed ORDER BY source, doc_id
+"""
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTER resolution: verified LSH pairs → distributed
     connected components (min-label propagation, ext.graph) → every
@@ -2460,6 +2564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "domain_mix": q_domain_mix,
         "quality_filter": q_quality_filter,
+        "curation_pipeline": q_curation_pipeline,
         # non-SQL-expressible (rows-only; see each docstring)
         "combat_correction": q_combat,
         "combat_covariates": q_combat_covariates,
@@ -2564,5 +2669,6 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": SQL_PII_REDACT,
         "domain_mix": SQL_DOMAIN_MIX,
         "quality_filter": SQL_QUALITY_FILTER,
+        "curation_pipeline": SQL_CURATION,
     }
     return {k: _normalize_round_sql(v) for k, v in raw.items()}

@@ -471,3 +471,35 @@ def test_repetition_signals_scan_parity(spark):
         assert a[k]["n_words"] == b[k]["n_words"]
         for c in ("top_word_frac", "type_token_ratio", "top_bigram_frac"):
             assert abs(a[k][c] - b[k][c]) < 1e-12, (k, c, a[k], b[k])
+
+
+def test_curation_pipeline_stages(spark):
+    from methyl_data_pipeline_spark.plans.curation import curate
+
+    good = "the quick brown fox jumps over a lazy dog in the warm sun today"
+    good2 = "a stitch in time saves nine and the early bird gets the worm"
+    bench = spark.createDataFrame(
+        [(1, "what is the capital of france answer paris of course", "eval")],
+        "doc_id long, text string, source string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, good, "web"),
+            (11, "spam spam spam spam spam spam spam spam spam spam", "web"),  # quality-drop
+            (12, "trivia: what is the capital of france answer paris indeed it is", "web"),  # contaminated
+            (13, good, "web"),          # exact dup of 10 -> dropped (min-id winner)
+            (14, "mail the report to bob@example.com and cc the team at once ok", "web"),  # PII redacted, kept
+            (15, good2, "books"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in curate(corpus, bench, window_tokens=16).collect()}
+    assert set(out) == {10, 14, 15}
+    # PII redaction happened before token counting: "<EMAIL>" is 1 token
+    assert out[14]["n_tokens"] == 12
+    # packing is per-shard: books shard starts at bin 0 offset 0
+    assert out[15]["bin_idx"] == 0 and out[15]["bin_offset"] == 0
+    # web shard: doc 10 (14 tokens) then doc 14 -> starts at offset 14 of
+    # window 0 and its 12 tokens cross the 16-token boundary
+    assert out[10]["bin_idx"] == 0 and out[10]["bin_offset"] == 0
+    assert out[14]["bin_offset"] == 14 and out[14]["spans_boundary"] is True
