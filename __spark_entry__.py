@@ -37,15 +37,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events table with the nanosecond-precision parquet timestamp
-    normalized to Spark TimestampType (micros). The testdata stores
-    TIMESTAMP(NANOS) which Spark rejects by default; read it as long
-    and truncate to micros (what DuckDB does implicitly)."""
+    """events table with ``ts`` normalized to Spark TimestampType
+    (micros), whatever the generator wrote this round: TIMESTAMP(NANOS)
+    (Spark rejects by default — read as long, truncate to micros, which
+    is what DuckDB does implicitly), TIMESTAMP_NTZ / TIMESTAMP(MICROS)
+    (cast; session TZ is pinned UTC so the instant is unchanged), or
+    already-correct epoch handling. Schema-adaptive so a testdata
+    regeneration can't break every events query at once."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return ev.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    ts_type = dict(ev.dtypes)["ts"]
+    if ts_type in ("bigint", "long"):
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type != "timestamp":  # timestamp_ntz etc.
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    return ev
 
 
 def _r(col, digits: int = 6):
