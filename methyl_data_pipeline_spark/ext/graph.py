@@ -52,27 +52,131 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("label").alias("_nbr"))
         )
-        new_labels = (
-            labels.join(nbr_min, "u", "left")
-            .select(
-                "u",
-                F.least(F.col("label"), F.coalesce("_nbr", F.col("label"))).alias(
-                    "label"
-                ),
-            )
-        )
-        new_labels = cache.track(new_labels)
-        changed = (
-            new_labels.join(
-                labels.select("u", F.col("label").alias("_old")), "u"
-            )
-            .filter(F.col("label") < F.col("_old"))
-            .count()
-        )
-        labels = new_labels
+        # keep the pre-round label alongside the new one so the
+        # convergence test is a column compare on THIS frame — no
+        # second join against the old labels (halves per-round joins).
+        # localCheckpoint (not persist): each round's plan references
+        # the previous round's, so lineage — and Catalyst's cost to
+        # plan/render it — grows geometrically without truncation
+        stepped = labels.join(nbr_min, "u", "left").select(
+            "u",
+            F.col("label").alias("_old"),
+            F.least(F.col("label"), F.coalesce("_nbr", F.col("label"))).alias(
+                "label"
+            ),
+        ).localCheckpoint(eager=True)
+        changed = stepped.filter(F.col("label") < F.col("_old")).count()
+        prev, labels = labels, stepped.select("u", "label")
+        # the count() above materialized `stepped`; the superseded
+        # round's cache is dead weight from here on
+        prev.unpersist()
         if changed == 0:
             return labels.select(F.col("u").alias("node"), F.col("label").alias("component"))
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds — "
-        "graph diameter too large for label propagation; use star contraction"
+        "graph diameter too large for label propagation; use "
+        "connected_components_contraction"
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """One large-star round: every node connects its strictly-larger
+    neighbors to the minimum of its closed neighborhood."""
+    adj = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = adj.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    return (
+        adj.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """One small-star round: every node connects its smaller-or-equal
+    neighbors (and itself) to the minimum of that set."""
+    # orient each edge high -> low so Γ(u) here is the smaller neighbors
+    lo = F.least(F.col("u"), F.col("v"))
+    hi = F.greatest(F.col("u"), F.col("v"))
+    adj = e.select(hi.alias("u"), lo.alias("v")).distinct()
+    m = adj.groupBy("u").agg(F.min("v").alias("m"))
+    joined = adj.join(m, "u")
+    to_nbrs = joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
+    to_self = m.select("u", F.col("m").alias("v"))
+    return (
+        to_nbrs.union(to_self)
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components_contraction(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(node, component) via alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", 2014) — O(log n) rounds regardless of graph diameter, so
+    it handles the adversarially deep graphs (long chains) that
+    min-label propagation cannot. Same output contract as
+    :func:`connected_components`: component = min node id, the
+    deterministic keep-smallest-id dedup winner.
+
+    Per round: two groupBy-min shuffles + two bounded aggregate actions
+    (count + xxhash checksum) for the fixed-point test. Edge-set size
+    never exceeds the input after the first round (each star emits at
+    most one edge per adjacency entry), so at 100 TB the cost per round
+    tracks the duplicate-pair count, not n².
+    """
+    nodes = (
+        edges.select(F.col(src).alias("u"))
+        .union(edges.select(F.col(dst).alias("u")))
+        .distinct()
+    )
+    nodes = cache.track(nodes)
+
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    e = cache.track(e)
+
+    def _fingerprint(df: DataFrame) -> tuple:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            # bit_xor, not sum: ANSI mode makes a 64-bit sum of hashes
+            # an overflow error; xor is order-insensitive and closed
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    fp = _fingerprint(e)
+    for _ in range(max_iter):
+        # localCheckpoint truncates the geometrically growing lineage
+        # (see the propagation loop); eager=True materializes before
+        # the fingerprint action
+        stepped = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        new_fp = _fingerprint(stepped)
+        prev, e = e, stepped
+        prev.unpersist()
+        if new_fp == fp:
+            break
+        fp = new_fp
+    else:
+        raise RuntimeError(
+            f"star contraction did not converge in {max_iter} rounds"
+        )
+
+    # fixed point is a star forest oriented child -> root (small-star
+    # output is always high -> low); roots map to themselves
+    return (
+        nodes.join(e.withColumnRenamed("v", "component"), "u", "left")
+        .select(
+            F.col("u").alias("node"),
+            F.coalesce("component", F.col("u")).alias("component"),
+        )
     )

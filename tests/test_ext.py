@@ -503,3 +503,35 @@ def test_curation_pipeline_stages(spark):
     # window 0 and its 12 tokens cross the 16-token boundary
     assert out[10]["bin_idx"] == 0 and out[10]["bin_offset"] == 0
     assert out[14]["bin_offset"] == 14 and out[14]["spans_boundary"] is True
+
+
+def test_connected_components_contraction_parity_and_depth(spark):
+    """Star contraction must (a) agree with min-label propagation on a
+    mixed shallow graph, and (b) solve a 60-node chain whose diameter
+    exceeds propagation's round budget — the O(log n) claim is the
+    whole point of the variant."""
+    from methyl_data_pipeline_spark.ext.graph import (
+        connected_components,
+        connected_components_contraction,
+    )
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12), (20, 21)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    prop = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    cont = {
+        r["node"]: r["component"]
+        for r in connected_components_contraction(df).collect()
+    }
+    assert prop == cont
+
+    chain = [(i, i + 1) for i in range(100, 160)]  # diameter 60 > max_iter 25
+    cdf = spark.createDataFrame(chain, "id_a long, id_b long")
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        connected_components(cdf, max_iter=10)
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components_contraction(cdf).collect()
+    }
+    assert got == {i: 100 for i in range(100, 161)}
