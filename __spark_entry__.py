@@ -2153,6 +2153,51 @@ ORDER BY p.event_id
 """
 
 
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-matrix quantile normalization over the complete-probe meth
+    matrix (minfi preprocessQuantile / limma normalizeQuantiles family;
+    the reference's BMIQ applies the same rank->reference transfer per
+    mixture class, bmiq/BMIQ_1.4.R:163-181). Three shuffles, no UDF."""
+    from methyl_data_pipeline_spark.operators import qc
+    from methyl_data_pipeline_spark.stats.quantile_norm import quantile_normalize
+
+    meth = _meth(spark, sf_dir)
+    n_samples = meth.select("sample_id").distinct().count()
+    complete = qc.drop_incomplete_probes(meth, n_samples)
+    qn = quantile_normalize(complete)
+    return (
+        qn.select("probe_id", "sample_id", _r(F.col("beta_qn")).alias("beta_qn"))
+        .orderBy("probe_id", "sample_id")
+    )
+
+
+SQL_QUANTILE_NORMALIZE = f"""
+WITH {METH_CTE},
+n AS (SELECT COUNT(DISTINCT sample_id) AS n_samples FROM meth),
+complete AS (
+  SELECT probe_id FROM meth GROUP BY probe_id
+  HAVING COUNT(beta) = (SELECT n_samples FROM n)
+),
+base AS (SELECT m.* FROM meth m JOIN complete USING (probe_id)),
+ranked AS (
+  SELECT probe_id, sample_id,
+         ROW_NUMBER() OVER (PARTITION BY sample_id ORDER BY beta, probe_id) AS rnk
+  FROM base
+),
+ref AS (
+  SELECT rnk, AVG(b.beta) AS qn
+  FROM (SELECT probe_id, sample_id,
+               ROW_NUMBER() OVER (PARTITION BY sample_id ORDER BY beta, probe_id) AS rnk,
+               beta
+        FROM base) b
+  GROUP BY rnk
+)
+SELECT r.probe_id, r.sample_id, ROUND(ref.qn + 1e-9, 6) AS beta_qn
+FROM ranked r JOIN ref USING (rnk)
+ORDER BY r.probe_id, r.sample_id
+"""
+
+
 def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated quantiles per group (Spark `percentile` ==
     DuckDB `quantile_cont`, both type-7 linear interpolation)."""
@@ -2571,6 +2616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mix": q_domain_mix,
         "quality_filter": q_quality_filter,
         "curation_pipeline": q_curation_pipeline,
+        "quantile_normalize": q_quantile_normalize,
         # non-SQL-expressible (rows-only; see each docstring)
         "combat_correction": q_combat,
         "combat_covariates": q_combat_covariates,
@@ -2676,5 +2722,6 @@ def oracle_sql() -> dict[str, str]:
         "domain_mix": SQL_DOMAIN_MIX,
         "quality_filter": SQL_QUALITY_FILTER,
         "curation_pipeline": SQL_CURATION,
+        "quantile_normalize": SQL_QUANTILE_NORMALIZE,
     }
     return {k: _normalize_round_sql(v) for k, v in raw.items()}

@@ -259,3 +259,44 @@ def test_moderated_t_fitfdist_prior_matches_local(spark):
     assert not np.allclose(
         mom.set_index("probe_id")["t_mod"][t.index].values, t.values, rtol=1e-4
     )
+
+
+def test_quantile_normalize_numpy_parity(spark):
+    """QN vs the NumPy reference (sort each sample, average across
+    samples by rank, map back), plus the defining invariant: every
+    sample ends with the IDENTICAL value multiset. Partitioning must
+    not change a single value."""
+    import numpy as np
+    import pandas as pd
+
+    from methyl_data_pipeline_spark.stats.quantile_norm import quantile_normalize
+
+    rng = np.random.default_rng(7)
+    n_probes, samples = 200, ["S0", "S1", "S2", "S3"]
+    mat = rng.beta(0.5, 0.5, size=(n_probes, len(samples)))
+    rows = [
+        (f"cg{p:05d}", s, float(mat[p, j]))
+        for p in range(n_probes)
+        for j, s in enumerate(samples)
+    ]
+    # NumPy reference: average of per-sample sorted columns is the
+    # target distribution; each value maps via its within-sample rank
+    ref = np.sort(mat, axis=0).mean(axis=1)
+    order = np.argsort(mat, axis=0, kind="stable")  # ties: probe order
+    expect = np.empty_like(mat)
+    for j in range(len(samples)):
+        expect[order[:, j], j] = ref
+
+    for nparts in (1, 16):
+        df = spark.createDataFrame(
+            rows, "probe_id string, sample_id string, beta double"
+        ).repartition(nparts)
+        got = quantile_normalize(df).toPandas()
+        piv = got.pivot(index="probe_id", columns="sample_id", values="beta_qn")
+        piv = piv.reindex([f"cg{p:05d}" for p in range(n_probes)])
+        np.testing.assert_allclose(piv.values, expect, rtol=1e-12)
+        # invariant: identical multiset per sample
+        for s in samples[1:]:
+            np.testing.assert_allclose(
+                np.sort(piv[s].values), np.sort(piv[samples[0]].values), rtol=0
+            )
