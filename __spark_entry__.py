@@ -2198,6 +2198,45 @@ ORDER BY r.probe_id, r.sample_id
 """
 
 
+def q_pca_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA's deterministic distributed prefix (M1, workflow.R:218):
+    the centered n x n Gram matrix, upper triangle. The eigensolve that
+    follows is driver-side NumPy; THIS — the only data-scale work in
+    the Gram-trick path — is one probe-keyed self-join, fully
+    oracle-checkable (the pca_scores/mds_coords rows-only checks get a
+    green anchor the same way combat_priors anchors ComBat)."""
+    from methyl_data_pipeline_spark import model
+    from methyl_data_pipeline_spark.stats.pca import gram_matrix
+
+    meth = _meth(spark, sf_dir).withColumn("mval", model.mvalue("beta"))
+    g = gram_matrix(meth, value_col="mval")
+    return g.select("s1", "s2", _r(F.col("gram")).alias("gram")).orderBy("s1", "s2")
+
+
+SQL_PCA_GRAM = f"""
+WITH {METH_CTE},
+m AS (
+  SELECT probe_id, sample_id,
+         log2(least(greatest(beta, 0.001), 0.999)
+              / (1 - least(greatest(beta, 0.001), 0.999))) AS mval
+  FROM meth
+),
+n AS (SELECT COUNT(DISTINCT sample_id) AS ns FROM m),
+st AS (
+  SELECT probe_id, AVG(mval) AS mu FROM m GROUP BY probe_id
+  HAVING COUNT(mval) = (SELECT ns FROM n)
+),
+c AS (
+  SELECT m.probe_id, m.sample_id, m.mval - st.mu AS vc
+  FROM m JOIN st USING (probe_id)
+)
+SELECT a.sample_id AS s1, b.sample_id AS s2,
+       ROUND(SUM(a.vc * b.vc) + 1e-9, 6) AS gram
+FROM c a JOIN c b ON a.probe_id = b.probe_id AND a.sample_id <= b.sample_id
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated quantiles per group (Spark `percentile` ==
     DuckDB `quantile_cont`, both type-7 linear interpolation)."""
@@ -2617,6 +2656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": q_quality_filter,
         "curation_pipeline": q_curation_pipeline,
         "quantile_normalize": q_quantile_normalize,
+        "pca_gram": q_pca_gram,
         # non-SQL-expressible (rows-only; see each docstring)
         "combat_correction": q_combat,
         "combat_covariates": q_combat_covariates,
@@ -2723,5 +2763,6 @@ def oracle_sql() -> dict[str, str]:
         "quality_filter": SQL_QUALITY_FILTER,
         "curation_pipeline": SQL_CURATION,
         "quantile_normalize": SQL_QUANTILE_NORMALIZE,
+        "pca_gram": SQL_PCA_GRAM,
     }
     return {k: _normalize_round_sql(v) for k, v in raw.items()}

@@ -152,6 +152,35 @@ def _pca_scores_distributed(
     return out, ev
 
 
+def gram_matrix(
+    long_df: DataFrame,
+    value_col: str = "mval",
+    key_col: str = "probe_id",
+    sample_col: str = "sample_id",
+    scale: bool = False,
+) -> DataFrame:
+    """The deterministic distributed prefix of the Gram-trick PCA:
+    complete-cases + per-probe centering, then K[s1,s2] = Σ_probes
+    vc(s1)·vc(s2) via ONE probe-keyed self-join shuffle (upper
+    triangle, s1 <= s2). Everything downstream (the n×n eigensolve) is
+    driver-side NumPy; everything here is plain relational algebra —
+    which is what makes PCA's heavy lifting oracle-checkable the same
+    way ``combat_priors`` anchors ComBat's EB fit."""
+    centered = _centered(long_df, value_col, key_col, sample_col, scale)
+    a = centered.select(
+        key_col, F.col(sample_col).alias("s1"), F.col("_vc").alias("_v1")
+    )
+    b = centered.select(
+        key_col, F.col(sample_col).alias("s2"), F.col("_vc").alias("_v2")
+    )
+    return (
+        a.join(b, key_col)
+        .filter(F.col("s1") <= F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.sum(F.col("_v1") * F.col("_v2")).alias("gram"))
+    )
+
+
 def pca_scores(
     long_df: DataFrame,
     k: int = 3,
@@ -184,21 +213,21 @@ def pca_scores(
     n_samples = centered.select(sample_col).distinct().count()
     if n_samples > gram_threshold:
         return _pca_scores_distributed(centered, k, sample_col, key_col)
-    a = centered.select(key_col, F.col(sample_col).alias("_s1"), F.col("_vc").alias("_v1"))
-    b = centered.select(key_col, F.col(sample_col).alias("_s2"), F.col("_vc").alias("_v2"))
-    # Gram matrix: one shuffle on the probe key; n² output cells.
-    gram_rows = (
-        a.join(b, key_col)
-        .groupBy("_s1", "_s2")
-        .agg(F.sum(F.col("_v1") * F.col("_v2")).alias("_g"))
-        .collect()
-    )
-    samples = sorted({r["_s1"] for r in gram_rows})
+    # Gram matrix: one shuffle on the probe key; n(n+1)/2 output cells
+    # (upper triangle — K is symmetric, mirror driver-side). Shares
+    # gram_matrix so the oracle-checked contract query exercises the
+    # exact plan this path runs.
+    gram_rows = gram_matrix(
+        long_df, value_col=value_col, key_col=key_col,
+        sample_col=sample_col, scale=scale,
+    ).collect()
+    samples = sorted({r["s1"] for r in gram_rows} | {r["s2"] for r in gram_rows})
     n = len(samples)
     sidx = {s: i for i, s in enumerate(samples)}
     kmat = np.zeros((n, n))
     for r in gram_rows:
-        kmat[sidx[r["_s1"]], sidx[r["_s2"]]] = r["_g"]
+        i, j = sidx[r["s1"]], sidx[r["s2"]]
+        kmat[i, j] = kmat[j, i] = r["gram"]
 
     eigvals, eigvecs = np.linalg.eigh(kmat)  # ascending
     order = np.argsort(eigvals)[::-1]
