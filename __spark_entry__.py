@@ -2198,6 +2198,62 @@ ORDER BY r.probe_id, r.sample_id
 """
 
 
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming.events.stream_stream_join: purchases
+    joined to the same user's clicks in the preceding hour. Identical
+    join predicate; the batch plan replaces the watermarked state store
+    with bucket expansion (operators.rangejoin) — a (user, hour-bucket)
+    hash equi-join instead of an O(n*m) theta join, exact to the
+    microsecond via unix_micros longs."""
+    from methyl_data_pipeline_spark.operators.rangejoin import range_join
+
+    ev = _events(spark, sf_dir)
+    hour_us = 3_600_000_000
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id", "user_id",
+            F.unix_micros("ts").alias("_pt"),
+        )
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("_lo"),
+            (F.unix_micros("ts") + hour_us).alias("_hi"),
+            F.col("value").alias("click_value"),
+        )
+    )
+    out = range_join(p, c, "_pt", "_lo", "_hi", float(hour_us), keys=["user_id"])
+    return (
+        out.groupBy("event_id", "user_id")
+        .agg(
+            F.count("*").alias("n_clicks_1h"),
+            _r(F.sum("click_value")).alias("click_value_1h"),
+        )
+        .orderBy("event_id")
+    )
+
+
+SQL_STREAM_INTERVAL_JOIN = """
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, ts AS cts, value AS click_value FROM events
+  WHERE event_type = 'click'
+)
+SELECT p.event_id, p.user_id, COUNT(*) AS n_clicks_1h,
+       ROUND(SUM(c.click_value) + 1e-9, 6) AS click_value_1h
+FROM p JOIN c
+  ON p.user_id = c.user_id
+ AND c.cts >= p.ts - INTERVAL 1 HOUR
+ AND c.cts <= p.ts
+GROUP BY 1, 2 ORDER BY p.event_id
+"""
+
+
 def q_pca_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA's deterministic distributed prefix (M1, workflow.R:218):
     the centered n x n Gram matrix, upper triangle. The eigensolve that
@@ -2657,6 +2713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": q_curation_pipeline,
         "quantile_normalize": q_quantile_normalize,
         "pca_gram": q_pca_gram,
+        "stream_interval_join": q_stream_interval_join,
         # non-SQL-expressible (rows-only; see each docstring)
         "combat_correction": q_combat,
         "combat_covariates": q_combat_covariates,
@@ -2764,5 +2821,6 @@ def oracle_sql() -> dict[str, str]:
         "curation_pipeline": SQL_CURATION,
         "quantile_normalize": SQL_QUANTILE_NORMALIZE,
         "pca_gram": SQL_PCA_GRAM,
+        "stream_interval_join": SQL_STREAM_INTERVAL_JOIN,
     }
     return {k: _normalize_round_sql(v) for k, v in raw.items()}

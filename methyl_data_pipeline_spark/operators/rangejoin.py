@@ -32,17 +32,23 @@ def range_join(
     hi_col: str,
     bucket_width: float,
     how: str = "inner",
+    keys: list[str] | None = None,
 ) -> DataFrame:
-    """Join point rows to every interval row with lo <= p <= hi.
+    """Join point rows to every interval row with lo <= p <= hi,
+    optionally also matching on equi-``keys`` (shared columns).
 
     ``bucket_width`` tunes the trade: smaller → more bucket copies per
     interval, fewer false candidates; a value near the typical interval
-    length keeps the fan-out ≈ 2. ``how='inner'`` only (the bucketed
-    decomposition does not preserve non-matching rows).
+    length keeps the fan-out ≈ 2. ``keys`` matter at scale: joining on
+    the bucket alone makes every co-bucketed pair a candidate across
+    ALL key groups — with them, the shuffle key is (keys..., bucket)
+    and candidate volume tracks per-key density. ``how='inner'`` only
+    (the bucketed decomposition does not preserve non-matching rows).
     """
     if how != "inner":
         raise ValueError("range_join supports inner joins only")
     w = float(bucket_width)
+    join_cols = (keys or []) + ["_bucket"]
     b_int = intervals.withColumn(
         "_bucket",
         F.explode(
@@ -54,7 +60,7 @@ def range_join(
     )
     b_pts = points.withColumn("_bucket", F.floor(F.col(point_col) / w).cast("long"))
     return (
-        b_pts.join(b_int, "_bucket")
+        b_pts.join(b_int, join_cols)
         .filter((F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) <= F.col(hi_col)))
         .drop("_bucket")
     )

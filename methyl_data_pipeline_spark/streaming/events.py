@@ -153,6 +153,44 @@ def stream_quality_gate(
     return quality_filter_scan(stream, text_col=text_col, id_col=id_col, **thresholds)
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    ts_col: str = "ts",
+    lookback: str = "1 hour",
+    watermark: str = "10 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: each left event pairs
+    with the right-stream events for the same key whose timestamp falls
+    in ``[left.ts - lookback, left.ts]`` (e.g. purchases joined to the
+    clicks that preceded them).
+
+    Both sides carry an event-time watermark and the join condition
+    time-bounds the match window, so Structured Streaming can expire
+    buffered state: right-side rows older than
+    ``watermark + lookback`` relative to the stream's max event time
+    are dropped from the state store — state size tracks the join
+    window, not stream history. Without BOTH the watermarks and the
+    interval bound, Spark (correctly) rejects the join as
+    unbounded-state.
+
+    Outer variants (``how="leftOuter"`` etc.) emit the unmatched side
+    only once the watermark closes its window.
+
+    Batch twin for the oracle: the identical join condition on static
+    frames (see the ``stream_interval_join`` contract query).
+    """
+    lw = left.alias("l").withWatermark(ts_col, watermark)
+    rw = right.alias("r").withWatermark(ts_col, watermark)
+    cond = F.expr(
+        f"l.{on} = r.{on} AND r.{ts_col} >= l.{ts_col} - INTERVAL {lookback}"
+        f" AND r.{ts_col} <= l.{ts_col}"
+    )
+    return lw.join(rw, cond, how)
+
+
 def stream_enrich(
     stream: DataFrame,
     dimension: DataFrame,

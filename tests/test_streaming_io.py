@@ -449,3 +449,75 @@ def test_stream_quality_gate_memory_sink(spark, tmp_path):
     assert got[1]["keep"] is True
     assert got[2]["keep"] is False
     assert "repetitive" in got[2]["reject_reasons"]
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Real watermarked stream-stream join (two parquet sources ->
+    memory sink) must produce exactly the pairs the batch twin
+    predicate produces on the same data."""
+    from methyl_data_pipeline_spark.streaming.events import stream_stream_join
+
+    purchases = pd.DataFrame(
+        {
+            "event_id": [100, 101, 102],
+            "ts": pd.to_datetime(
+                ["2024-01-01 01:00:00", "2024-01-01 02:30:00", "2024-01-01 03:00:00"]
+            ),
+            "user_id": [1, 1, 2],
+            "value": [10.0, 20.0, 30.0],
+        }
+    )
+    clicks = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4],
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01 00:30:00",  # within 1h of purchase 100 (user 1)
+                    "2024-01-01 00:45:00",  # within 1h of purchase 100 (user 1)
+                    "2024-01-01 02:00:00",  # within 1h of purchase 101 (user 1)
+                    "2024-01-01 02:45:00",  # user 2, within 1h of purchase 102
+                ]
+            ),
+            "user_id": [1, 1, 1, 2],
+            "value": [1.0, 2.0, 3.0, 4.0],
+        }
+    )
+    psrc, csrc = str(tmp_path / "p_src"), str(tmp_path / "c_src")
+    spark.createDataFrame(purchases).write.mode("overwrite").parquet(psrc)
+    spark.createDataFrame(clicks).write.mode("overwrite").parquet(csrc)
+
+    ps = stream_events_from_parquet(spark, psrc)
+    cs = stream_events_from_parquet(spark, csrc)
+    joined = stream_stream_join(ps, cs, on="user_id", lookback="1 hour").select(
+        F.col("l.event_id").alias("purchase_id"),
+        F.col("r.event_id").alias("click_id"),
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory").queryName("ssj_test").start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["purchase_id"], r["click_id"])
+            for r in spark.sql("SELECT * FROM ssj_test").collect()
+        }
+    finally:
+        q.stop()
+
+    # batch twin: identical predicate on the static frames
+    pb = spark.createDataFrame(purchases).alias("l")
+    cb = spark.createDataFrame(clicks).alias("r")
+    cond = F.expr(
+        "l.user_id = r.user_id AND r.ts >= l.ts - INTERVAL 1 HOUR AND r.ts <= l.ts"
+    )
+    want = {
+        (r["purchase_id"], r["click_id"])
+        for r in pb.join(cb, cond)
+        .select(F.col("l.event_id").alias("purchase_id"),
+                F.col("r.event_id").alias("click_id"))
+        .collect()
+    }
+    assert got == want
+    assert (100, 1) in got and (100, 2) in got and (101, 3) in got and (102, 4) in got
+    assert (101, 1) not in got  # click 1 is >1h before purchase 101
