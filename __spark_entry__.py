@@ -2198,6 +2198,107 @@ ORDER BY r.probe_id, r.sample_id
 """
 
 
+def q_dmr_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bumphunter-style DMR calling (stats.dmr): per-probe moderated t
+    -> maximal same-direction above-cutoff runs with bounded gaps.
+    Positions are derived deterministically from the probe id (digits =
+    partkey; chrom = pos % 5) so the segmentation is oracle-checkable.
+    The reference stops at per-probe t (plots.R:130-149); region
+    calling is the toolchain's standard next step."""
+    from methyl_data_pipeline_spark import model
+    from methyl_data_pipeline_spark.stats.dmr import call_dmrs
+    from methyl_data_pipeline_spark.stats.limma import moderated_t_two_group
+
+    meth = _meth(spark, sf_dir).withColumn("mval", model.mvalue("beta"))
+    t = moderated_t_two_group(meth, "run", "R0", "R1", value_col="mval")
+    annotated = t.select(
+        "probe_id",
+        # round BEFORE the cutoff compare so both engines threshold
+        # identical values (same 4-dp contract as meth_moderated_t)
+        _r(F.col("t_mod"), 4).alias("t4"),
+        F.substring("probe_id", 3, 8).cast("long").alias("pos"),
+    ).withColumn("chrom", F.concat(F.lit("chr"), (F.col("pos") % 5).cast("string")))
+    regions = call_dmrs(
+        annotated, chrom_col="chrom", pos_col="pos", stat_col="t4",
+        cutoff=1.0, maxgap=10, min_probes=2,
+    )
+    return regions.select(
+        "chrom", "start_pos", "end_pos",
+        F.col("n_probes").cast("long").alias("n_probes"),
+        _r(F.col("mean_stat"), 4).alias("mean_stat"),
+        F.col("direction").cast("long").alias("direction"),
+    ).orderBy("chrom", "start_pos")
+
+
+_SQL_T4_CTE = """
+t4 AS (
+  SELECT probe_id,
+         ROUND(logfc / sqrt(((d0 * s0_sq + df * s2) / (d0 + df))
+                            * (1.0 / n1 + 1.0 / n2)) + 1e-9, 4) + 0.0 AS t4,
+         CAST(substr(probe_id, 3, 8) AS BIGINT) AS pos,
+         'chr' || CAST(CAST(substr(probe_id, 3, 8) AS BIGINT) % 5 AS VARCHAR) AS chrom
+  FROM stats, prior
+)
+"""
+
+SQL_DMR_REGIONS = f"""
+WITH {METH_CTE},
+m AS (
+  SELECT probe_id, run,
+         log2(least(greatest(beta, 0.001), 0.999)
+              / (1 - least(greatest(beta, 0.001), 0.999))) AS mval
+  FROM meth WHERE run IN ('R0', 'R1')
+),
+per_key AS (
+  SELECT probe_id,
+         COUNT(CASE WHEN run = 'R0' THEN mval END)    AS n1,
+         AVG(CASE WHEN run = 'R0' THEN mval END)      AS mean1,
+         VAR_SAMP(CASE WHEN run = 'R0' THEN mval END) AS var1,
+         COUNT(CASE WHEN run = 'R1' THEN mval END)    AS n2,
+         AVG(CASE WHEN run = 'R1' THEN mval END)      AS mean2,
+         VAR_SAMP(CASE WHEN run = 'R1' THEN mval END) AS var2
+  FROM m GROUP BY probe_id
+  HAVING n1 >= 2 AND n2 >= 2
+),
+stats AS (
+  SELECT *, n1 + n2 - 2 AS df,
+         ((n1 - 1) * var1 + (n2 - 1) * var2) / (n1 + n2 - 2) AS s2,
+         mean1 - mean2 AS logfc
+  FROM per_key
+),
+prior AS (
+  SELECT AVG(s2) AS s0_sq,
+         2.0 * AVG(s2) * AVG(s2) / VAR_SAMP(s2) AS d0
+  FROM stats
+),
+{_SQL_T4_CTE.strip().rstrip()},
+cand AS (
+  SELECT *, sign(t4) AS sgn FROM t4 WHERE abs(t4) >= 1.0
+),
+marked AS (
+  SELECT *,
+         CASE WHEN lag(pos) OVER w IS NULL
+                   OR pos - lag(pos) OVER w > 10
+                   OR sgn <> lag(sgn) OVER w
+              THEN 1 ELSE 0 END AS brk
+  FROM cand
+  WINDOW w AS (PARTITION BY chrom ORDER BY pos)
+),
+seg AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY chrom ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg_id
+  FROM marked
+)
+SELECT chrom, MIN(pos) AS start_pos, MAX(pos) AS end_pos,
+       COUNT(*) AS n_probes,
+       ROUND(AVG(t4) + 1e-9, 4) AS mean_stat,
+       CAST(MIN(sgn) AS BIGINT) AS direction
+FROM seg GROUP BY chrom, seg_id
+HAVING COUNT(*) >= 2
+ORDER BY chrom, start_pos
+"""
+
+
 def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of streaming.events.stream_stream_join: purchases
     joined to the same user's clicks in the preceding hour. Identical
@@ -2714,6 +2815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_normalize": q_quantile_normalize,
         "pca_gram": q_pca_gram,
         "stream_interval_join": q_stream_interval_join,
+        "dmr_regions": q_dmr_regions,
         # non-SQL-expressible (rows-only; see each docstring)
         "combat_correction": q_combat,
         "combat_covariates": q_combat_covariates,
@@ -2822,5 +2924,6 @@ def oracle_sql() -> dict[str, str]:
         "quantile_normalize": SQL_QUANTILE_NORMALIZE,
         "pca_gram": SQL_PCA_GRAM,
         "stream_interval_join": SQL_STREAM_INTERVAL_JOIN,
+        "dmr_regions": SQL_DMR_REGIONS,
     }
     return {k: _normalize_round_sql(v) for k, v in raw.items()}

@@ -300,3 +300,35 @@ def test_quantile_normalize_numpy_parity(spark):
             np.testing.assert_allclose(
                 np.sort(piv[s].values), np.sort(piv[samples[0]].values), rtol=0
             )
+
+
+def test_call_dmrs_segmentation(spark):
+    """Hand-built chromosome: two same-sign runs split by a gap, a
+    direction flip, and a singleton that min_probes drops."""
+    from methyl_data_pipeline_spark.stats.dmr import call_dmrs
+
+    rows = [
+        # chrom, pos, stat
+        ("chr1", 10, 2.0), ("chr1", 12, 3.0), ("chr1", 14, 2.5),   # region A (+)
+        ("chr1", 16, -2.0), ("chr1", 18, -2.2),                    # flip -> region B (-)
+        ("chr1", 40, 2.0), ("chr1", 42, 2.0),                      # gap>5 -> region C (+)
+        ("chr1", 60, 5.0),                                         # singleton: dropped
+        ("chr1", 70, 0.5),                                         # below cutoff
+        ("chr2", 10, 1.5), ("chr2", 11, 1.5),                      # region D (+)
+    ]
+    df = spark.createDataFrame(rows, "chrom string, pos long, t_mod double")
+    for nparts in (1, 7):
+        got = {
+            (r["chrom"], r["start_pos"], r["end_pos"]): (
+                r["n_probes"], round(r["mean_stat"], 6), r["direction"]
+            )
+            for r in call_dmrs(
+                df.repartition(nparts), cutoff=1.0, maxgap=5, min_probes=2
+            ).collect()
+        }
+        assert got == {
+            ("chr1", 10, 14): (3, 2.5, 1.0),
+            ("chr1", 16, 18): (2, -2.1, -1.0),
+            ("chr1", 40, 42): (2, 2.0, 1.0),
+            ("chr2", 10, 11): (2, 1.5, 1.0),
+        }
