@@ -2198,6 +2198,43 @@ ORDER BY r.probe_id, r.sample_id
 """
 
 
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM-quality proxy: per-doc mean token log-prob under
+    the corpus's own smoothed unigram model (ext.text.unigram_logprob).
+    Model fit + scoring are two token-keyed passes, both JVM-side."""
+    from methyl_data_pipeline_spark.ext.text import unigram_logprob
+
+    docs = _t(spark, sf_dir, "documents")
+    out = unigram_logprob(docs)
+    return (
+        out.select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            _r(F.col("mean_logprob")).alias("mean_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_UNIGRAM_LOGPROB = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+  FROM documents
+),
+counts AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term),
+totals AS (SELECT SUM(cnt) AS total, COUNT(*) AS vocab FROM counts),
+model AS (
+  SELECT term, ln((cnt + 0.5) / (total + 0.5 * vocab)) AS logp
+  FROM counts, totals
+)
+SELECT t.doc_id, COUNT(*) AS n_tokens,
+       ROUND(AVG(m.logp) + 1e-9, 6) AS mean_logprob
+FROM toks t JOIN model m USING (term)
+GROUP BY t.doc_id ORDER BY t.doc_id
+"""
+
+
 def q_dmr_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bumphunter-style DMR calling (stats.dmr): per-probe moderated t
     -> maximal same-direction above-cutoff runs with bounded gaps.
@@ -2816,6 +2853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_gram": q_pca_gram,
         "stream_interval_join": q_stream_interval_join,
         "dmr_regions": q_dmr_regions,
+        "unigram_logprob": q_unigram_logprob,
         # non-SQL-expressible (rows-only; see each docstring)
         "combat_correction": q_combat,
         "combat_covariates": q_combat_covariates,
@@ -2925,5 +2963,6 @@ def oracle_sql() -> dict[str, str]:
         "pca_gram": SQL_PCA_GRAM,
         "stream_interval_join": SQL_STREAM_INTERVAL_JOIN,
         "dmr_regions": SQL_DMR_REGIONS,
+        "unigram_logprob": SQL_UNIGRAM_LOGPROB,
     }
     return {k: _normalize_round_sql(v) for k, v in raw.items()}

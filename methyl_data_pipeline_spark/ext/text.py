@@ -580,3 +580,53 @@ def decontaminate(
             (F.coalesce("n_overlap_shingles", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    smoothing: float = 0.5,
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Language-model quality proxy: per-document mean token log
+    probability under the corpus's OWN unigram model (additively
+    smoothed). The cheap stand-in for the KenLM-perplexity filter of
+    CCNet-style curation — documents whose tokens are corpus-typical
+    score high; gibberish, boilerplate, and wrong-language text score
+    low. Self-supervised: no external model artifact to ship.
+
+    Two passes over the exploded tokens, all JVM-side:
+
+    1. model fit: token counts (one shuffle on term) + a 2-cell total
+       aggregate; log p(t) = ln((count + s) / (total + s·vocab)).
+    2. scoring: re-join the exploded tokens to the model on term, then
+       a per-doc mean (shuffle on doc).
+
+    ``broadcast_model=True`` (default) broadcasts the vocab-sized model
+    table — right for natural-language vocabularies (10⁵-10⁶ terms).
+    At open-vocab web scale (10⁸ shingles), flip it off and the score
+    join becomes a term-keyed shuffle that AQE handles.
+    """
+    toks = df.select(F.col(id_col), F.explode(words(text_col)).alias("term"))
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = counts.agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("vocab")
+    )
+    model = counts.crossJoin(F.broadcast(totals)).select(
+        "term",
+        F.log(
+            (F.col("cnt") + F.lit(smoothing))
+            / (F.col("total") + F.lit(smoothing) * F.col("vocab"))
+        ).alias("logp"),
+    )
+    if broadcast_model:
+        model = F.broadcast(model)
+    return (
+        toks.join(model, "term")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg("logp").alias("mean_logprob"),
+        )
+    )

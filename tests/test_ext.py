@@ -535,3 +535,30 @@ def test_connected_components_contraction_parity_and_depth(spark):
         for r in connected_components_contraction(cdf).collect()
     }
     assert got == {i: 100 for i in range(100, 161)}
+
+
+def test_unigram_logprob_hand_computed(spark):
+    """Mean token log-prob under the corpus's smoothed unigram model,
+    checked against hand math."""
+    import math
+
+    from methyl_data_pipeline_spark.ext.text import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id long, text string"
+    )
+    # counts: a=2 b=2 c=1; total=5 vocab=3; denom = 5 + 0.5*3 = 6.5
+    lp = {t: math.log((c + 0.5) / 6.5) for t, c in {"a": 2, "b": 2, "c": 1}.items()}
+    want = {
+        1: (3, (2 * lp["a"] + lp["b"]) / 3),
+        2: (2, (lp["b"] + lp["c"]) / 2),
+    }
+    for broadcast_model in (True, False):
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["mean_logprob"])
+            for r in unigram_logprob(docs, broadcast_model=broadcast_model).collect()
+        }
+        assert set(got) == set(want)
+        for d, (n, m) in want.items():
+            assert got[d][0] == n
+            assert abs(got[d][1] - m) < 1e-12
