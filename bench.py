@@ -47,6 +47,19 @@ HEADLINE = [
 
 REGRESSION_FLAG = 1.3
 
+# Timed after HEADLINE and reported under "extended": keeps the
+# headline total comparable round-over-round (the continuity signal)
+# while still giving the newer operators a recorded sf0.1 number.
+EXTENDED = [
+    "quantile_normalize",
+    "dmr_regions",
+    "stream_interval_join",
+    "unigram_logprob",
+    "pca_gram",
+    "quality_filter",
+    "curation_pipeline",
+]
+
 
 def _previous_timings() -> tuple[str | None, dict[str, float]]:
     """Per-query timings from the newest driver-recorded BENCH_r*.json."""
@@ -107,6 +120,20 @@ def main() -> None:
         # fact-table cache is session-lifetime by design and stays)
         cache.release_all()
 
+    extended: dict[str, float] = {}
+    for name in EXTENDED:
+        if name not in qs:
+            continue
+        t0 = time.time()
+        try:
+            n = qs[name](spark, sf_dir).count()
+        except Exception as exc:
+            print(f"# extended {name} failed: {exc}", file=sys.stderr)
+            continue
+        extended[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {n} rows in {extended[name]:.2f}s", file=sys.stderr)
+        cache.release_all()
+
     total = round(sum(timings.values()), 3)
     prev_name, prev = _previous_timings()
     deltas = {
@@ -119,6 +146,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "extended": extended,
         "sf": sf,
         "deltas_vs_prev": deltas,
         "regressions": sorted(q for q, r in deltas.items() if r > REGRESSION_FLAG),
