@@ -1838,21 +1838,96 @@ FROM agg GROUP BY user_id ORDER BY user_id
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: binary wrap → mapInPandas batch feature
-    extraction (digest-stub decode)."""
-    from methyl_data_pipeline_spark.ext.multimodal import attach_binary, decode_features
+    """Multimodal feature extraction over REAL codecs: synthesize
+    BMP / 16-bit PCM WAV / raw-text payloads per doc (closed-form byte
+    patterns through the real encoders in ``ext/codecs.py``), then
+    struct-decode and featurize in one Arrow-batched ``mapInPandas``
+    (`ext/multimodal.py`). BMP features = per-channel means + overall
+    population std of decoded pixels; WAV features = mean / std_pop /
+    RMS / zero-crossing rate of the decoded waveform; undecodable text
+    keeps md5-digest pseudo-features. The oracle re-derives every
+    decoded statistic arithmetically from the byte pattern, certifying
+    the whole encode → decode → featurize chain."""
+    from methyl_data_pipeline_spark.ext.multimodal import (
+        decode_features,
+        synthesize_media,
+    )
 
     docs = _t(spark, sf_dir, "documents")
-    media = attach_binary(docs)
-    out = decode_features(media)
-    return out.select(F.col("id").alias("doc_id"), "n_bytes", "digest").orderBy("doc_id")
+    media = synthesize_media(docs)
+    out = decode_features(media, feature_dim=4)
+    f = F.col("features")
+    return (
+        out.select(
+            F.col("id").alias("doc_id"),
+            "kind",
+            "n_bytes",
+            F.when(F.col("kind") == "digest", F.col("digest")).alias("digest"),
+            _r(f[0]).alias("f0"),
+            _r(f[1]).alias("f1"),
+            _r(f[2]).alias("f2"),
+            _r(f[3]).alias("f3"),
+        )
+        .orderBy("doc_id")
+    )
 
 
-SQL_MULTIMODAL = """
-SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
-       md5(text) AS digest
-FROM documents ORDER BY doc_id
-"""
+def _sql_multimodal() -> str:
+    """DuckDB twin of q_multimodal_features: decoded-pixel/sample stats
+    recomputed from the closed-form patterns (see synthesize_media);
+    digest features from md5 hex pairs."""
+    n_px = 16 * 16 * 3
+    n_s = 256
+    wav_size = 12 + 24 + 8 + 2 * n_s  # RIFF + fmt chunk + data header + 16-bit PCM
+    bmp_size = 14 + 40 + n_px  # headers + pixels (stride 48, no padding)
+
+    def hexpair(pos: int) -> str:
+        h = f"strpos('0123456789abcdef', substr(md5(text), {pos}, 1)) - 1"
+        l = f"strpos('0123456789abcdef', substr(md5(text), {pos + 1}, 1)) - 1"
+        return f"(({h}) * 16 + ({l})) / 255.0"
+
+    return f"""
+WITH img AS (
+  SELECT d.doc_id, 'bmp' AS kind, CAST({bmp_size} AS BIGINT) AS n_bytes,
+         CAST(NULL AS VARCHAR) AS digest,
+         AVG(CASE WHEN i % 3 = 0 THEN v END) AS f0,
+         AVG(CASE WHEN i % 3 = 1 THEN v END) AS f1,
+         AVG(CASE WHEN i % 3 = 2 THEN v END) AS f2,
+         STDDEV_POP(v) AS f3
+  FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 0) d
+  CROSS JOIN generate_series(0, {n_px - 1}) g(i)
+  CROSS JOIN LATERAL (SELECT CAST((d.doc_id * 7 + g.i) % 256 AS DOUBLE) AS v) x
+  GROUP BY d.doc_id
+),
+aud AS (
+  SELECT doc_id, 'wav' AS kind, CAST({wav_size} AS BIGINT) AS n_bytes,
+         CAST(NULL AS VARCHAR) AS digest,
+         AVG(x) AS f0, STDDEV_POP(x) AS f1, SQRT(AVG(x * x)) AS f2,
+         AVG(CASE WHEN i > 0
+                  THEN CASE WHEN (x >= 0) != (xp >= 0) THEN 1.0 ELSE 0.0 END
+             END) AS f3
+  FROM (
+    SELECT d.doc_id, g.i,
+           CAST((d.doc_id * 13 + 5 * g.i) % 65535 - 32767 AS DOUBLE) / 32768.0 AS x,
+           CAST((d.doc_id * 13 + 5 * (g.i - 1)) % 65535 - 32767 AS DOUBLE) / 32768.0 AS xp
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 1) d
+    CROSS JOIN generate_series(0, {n_s - 1}) g(i)
+  )
+  GROUP BY doc_id
+),
+txt AS (
+  SELECT doc_id, 'digest' AS kind,
+         CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+         md5(text) AS digest,
+         {hexpair(1)} AS f0, {hexpair(3)} AS f1,
+         {hexpair(5)} AS f2, {hexpair(7)} AS f3
+  FROM documents WHERE doc_id % 3 = 2
+)
+SELECT doc_id, kind, n_bytes, digest,
+       ROUND(f0 + 1e-9, 6) AS f0, ROUND(f1 + 1e-9, 6) AS f1,
+       ROUND(f2 + 1e-9, 6) AS f2, ROUND(f3 + 1e-9, 6) AS f3
+FROM (SELECT * FROM img UNION ALL SELECT * FROM aud UNION ALL SELECT * FROM txt)
+ORDER BY doc_id"""
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2938,7 +3013,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_ann": SQL_EMBEDDING_COSINE,
         "events_windowed": SQL_EVENTS_WINDOWED,
         "sessionize": SQL_SESSIONIZE,
-        "multimodal_features": SQL_MULTIMODAL,
+        "multimodal_features": _sql_multimodal(),
         "similarity_lsh": _sql_similarity_lsh(),
         "agg_minmax": SQL_AGG_MINMAX,
         "collect_list": SQL_COLLECT_LIST,

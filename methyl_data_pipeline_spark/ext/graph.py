@@ -18,6 +18,21 @@ same signature.
 
 The converged label IS the component's minimum node id — exactly the
 deterministic "keep smallest id" winner rule the exact-dedup path uses.
+
+Checkpoint durability: both loops truncate lineage per round with
+``localCheckpoint`` by default, which stores blocks on executors
+NON-reliably — if an executor is lost (or dynamic allocation reclaims
+it) the checkpointed rounds cannot be recomputed and downstream actions
+fail unrecoverably. On a long-lived cluster with
+``spark.dynamicAllocation.enabled`` (or any fault-tolerance
+requirement), pass ``reliable_checkpoint=True`` to use
+``DataFrame.checkpoint`` instead (requires
+``spark.sparkContext.setCheckpointDir(...)``); it costs an HDFS/object
+-store write per round but survives executor loss. Superseded rounds'
+checkpoint blocks are released by Spark's ContextCleaner once the
+Python/JVM references are dropped (``DataFrame.unpersist`` does NOT
+free checkpoint blocks — only cache-manager entries), which is why the
+loops simply drop references instead of calling unpersist.
 """
 
 from __future__ import annotations
@@ -27,11 +42,21 @@ from pyspark.sql import DataFrame, functions as F
 from methyl_data_pipeline_spark import cache
 
 
+def _truncate_lineage(df: DataFrame, reliable: bool) -> DataFrame:
+    """Materialize ``df`` and cut its lineage. ``reliable=True`` writes
+    to the configured checkpoint dir (survives executor loss; needed
+    under dynamic allocation); default is executor-local blocks."""
+    if reliable:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``;
     ``component`` = min node id of the connected component.
@@ -55,21 +80,26 @@ def connected_components(
         # keep the pre-round label alongside the new one so the
         # convergence test is a column compare on THIS frame — no
         # second join against the old labels (halves per-round joins).
-        # localCheckpoint (not persist): each round's plan references
-        # the previous round's, so lineage — and Catalyst's cost to
+        # checkpoint (not persist): each round's plan references the
+        # previous round's, so lineage — and Catalyst's cost to
         # plan/render it — grows geometrically without truncation
-        stepped = labels.join(nbr_min, "u", "left").select(
-            "u",
-            F.col("label").alias("_old"),
-            F.least(F.col("label"), F.coalesce("_nbr", F.col("label"))).alias(
-                "label"
+        stepped = _truncate_lineage(
+            labels.join(nbr_min, "u", "left").select(
+                "u",
+                F.col("label").alias("_old"),
+                F.least(
+                    F.col("label"), F.coalesce("_nbr", F.col("label"))
+                ).alias("label"),
             ),
-        ).localCheckpoint(eager=True)
+            reliable_checkpoint,
+        )
         changed = stepped.filter(F.col("label") < F.col("_old")).count()
-        prev, labels = labels, stepped.select("u", "label")
-        # the count() above materialized `stepped`; the superseded
-        # round's cache is dead weight from here on
-        prev.unpersist()
+        # rebind and drop the superseded round's reference: its
+        # checkpoint blocks are freed by ContextCleaner GC, not by
+        # unpersist() (which only touches cache-manager entries); label
+        # frames are (node, label) pairs, so at most O(log-diameter)
+        # small block sets are ever pending collection
+        labels = stepped.select("u", "label")
         if changed == 0:
             return labels.select(F.col("u").alias("node"), F.col("label").alias("component"))
     raise RuntimeError(
@@ -116,6 +146,7 @@ def connected_components_contraction(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 50,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """(node, component) via alternating large-star / small-star
     contraction (Kiveris et al., "Connected Components in MapReduce and
@@ -156,13 +187,15 @@ def connected_components_contraction(
 
     fp = _fingerprint(e)
     for _ in range(max_iter):
-        # localCheckpoint truncates the geometrically growing lineage
-        # (see the propagation loop); eager=True materializes before
-        # the fingerprint action
-        stepped = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # truncate the geometrically growing lineage each round (see
+        # the propagation loop); eager materialization happens before
+        # the fingerprint action. Superseded rounds are released by
+        # ContextCleaner once their references drop (module docstring).
+        stepped = _truncate_lineage(
+            _small_star(_large_star(e)), reliable_checkpoint
+        )
         new_fp = _fingerprint(stepped)
-        prev, e = e, stepped
-        prev.unpersist()
+        e = stepped
         if new_fp == fp:
             break
         fp = new_fp

@@ -47,30 +47,77 @@ def attach_binary(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 def decode_features(media: DataFrame, feature_dim: int = 8) -> DataFrame:
     """Batch feature extraction over binary content via ``mapInPandas``.
 
-    STUB decode: features are md5-digest bytes scaled to [0,1] —
-    deterministic, library-free, same batch shape a real extractor
-    (resize → CNN embed / mel spectrogram) would produce.
+    REAL decode for the codec-free formats: BMP payloads (magic ``BM``)
+    are struct-parsed to pixels and summarized as per-channel means +
+    overall population std (``kind="bmp"``, features = [r_mean, g_mean,
+    b_mean, px_std]); PCM WAV payloads (RIFF magic) are parsed to a
+    mono waveform and summarized as [mean, std_pop, rms,
+    zero-crossing-rate] (``kind="wav"``). Formats that genuinely need a
+    codec library (JPEG/PNG/MP3 — absent in this container) keep the
+    deterministic md5-digest pseudo-features (``kind="digest"``), which
+    preserves schema/batch shape for the plug-in point.
+
+    All stats are float64; std is population (ddof=0) to match SQL
+    ``stddev_pop``. ZCR = fraction of adjacent sample pairs whose
+    ``x >= 0`` sign differs.
     """
     out_schema = (
-        "id long, modality string, n_bytes long, "
+        "id long, modality string, kind string, n_bytes long, "
         "digest string, features array<double>"
     )
 
     def extract(batches):
+        import numpy as np
+
+        from methyl_data_pipeline_spark.ext.codecs import decode_bmp, decode_wav
+
         for pdf in batches:
-            digests = []
-            feats = []
+            kinds, digests, feats = [], [], []
             for content in pdf["content"]:
                 raw = bytes(content) if content is not None else b""
                 d = hashlib.md5(raw).hexdigest()
+                kind, fv = "digest", None
+                if raw[:2] == b"BM":
+                    try:
+                        _w, _h, rgb = decode_bmp(raw)
+                        px = np.frombuffer(rgb, np.uint8).astype(np.float64)
+                        ch = px.reshape(-1, 3)
+                        fv = [
+                            float(ch[:, 0].mean()),
+                            float(ch[:, 1].mean()),
+                            float(ch[:, 2].mean()),
+                            float(px.std()),
+                        ]
+                        kind = "bmp"
+                    except ValueError:
+                        pass
+                elif raw[:4] == b"RIFF":
+                    try:
+                        _rate, x = decode_wav(raw)
+                        pos = x >= 0
+                        zcr = float((pos[1:] != pos[:-1]).mean()) if len(x) > 1 else 0.0
+                        fv = [
+                            float(x.mean()),
+                            float(x.std()),
+                            float(np.sqrt((x * x).mean())),
+                            zcr,
+                        ]
+                        kind = "wav"
+                    except ValueError:
+                        pass
+                if fv is None:
+                    fv = [
+                        int(d[2 * i : 2 * i + 2], 16) / 255.0
+                        for i in range(feature_dim)
+                    ]
+                kinds.append(kind)
                 digests.append(d)
-                feats.append(
-                    [int(d[2 * i : 2 * i + 2], 16) / 255.0 for i in range(feature_dim)]
-                )
+                feats.append(fv)
             yield pd.DataFrame(
                 {
                     "id": pdf["id"],
                     "modality": pdf["modality"],
+                    "kind": kinds,
                     "n_bytes": pdf["n_bytes"],
                     "digest": digests,
                     "features": feats,
@@ -81,6 +128,67 @@ def decode_features(media: DataFrame, feature_dim: int = 8) -> DataFrame:
 
     ensure_importable(media.sparkSession)
     return media.mapInPandas(extract, out_schema)
+
+
+def synthesize_media(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    img_w: int = 16,
+    img_h: int = 16,
+    n_samples: int = 256,
+) -> DataFrame:
+    """Deterministic media fixture stream over a document table, round-
+    tripping the REAL encoders in ``ext/codecs.py`` so downstream
+    decode is exercised against known pixel/sample values:
+
+    - ``id % 3 == 0`` → 24-bit BMP whose top-down RGB byte ``i`` is
+      ``(id*7 + i) % 256``;
+    - ``id % 3 == 1`` → 16-bit PCM WAV whose sample ``i`` is
+      ``v/32767`` with ``v = (id*13 + 5*i) % 65535 - 32767`` (exactly
+      representable through the encoder's round-trip);
+    - ``id % 3 == 2`` → raw utf-8 text (undecodable-format stand-in,
+      exercising the digest fallback).
+
+    The closed-form byte patterns make every decoded statistic
+    SQL-derivable, which is what lets the DuckDB oracle check the whole
+    encode → decode → featurize chain.
+    """
+
+    def synth(batches):
+        import numpy as np
+
+        from methyl_data_pipeline_spark.ext.codecs import encode_bmp, encode_wav
+
+        for pdf in batches:
+            rows = {"id": [], "modality": [], "mime": [], "n_bytes": [], "content": []}
+            for rid, text in zip(pdf[id_col], pdf[text_col]):
+                rid = int(rid)
+                k = rid % 3
+                if k == 0:
+                    i = np.arange(img_w * img_h * 3, dtype=np.int64)
+                    rgb = ((rid * 7 + i) % 256).astype(np.uint8).tobytes()
+                    content = encode_bmp(img_w, img_h, rgb)
+                    modality, mime = "image", "image/bmp"
+                elif k == 1:
+                    i = np.arange(n_samples, dtype=np.int64)
+                    v = (rid * 13 + 5 * i) % 65535 - 32767
+                    content = encode_wav(16_000, v / 32767.0, bits=16)
+                    modality, mime = "audio", "audio/wav"
+                else:
+                    content = str(text).encode("utf-8")
+                    modality, mime = "text", "text/plain"
+                rows["id"].append(rid)
+                rows["modality"].append(modality)
+                rows["mime"].append(mime)
+                rows["n_bytes"].append(len(content))
+                rows["content"].append(content)
+            yield pd.DataFrame(rows)
+
+    from methyl_data_pipeline_spark.deploy import ensure_importable
+
+    ensure_importable(docs.sparkSession)
+    return docs.select(id_col, text_col).mapInPandas(synth, MEDIA_SCHEMA)
 
 
 def _digest_bytes(raw: bytes, n: int, salt: bytes = b"") -> bytes:

@@ -187,8 +187,41 @@ def test_multimodal_plumbing(spark):
 
     assert out[0]["digest"] == hashlib.md5(b"hello").hexdigest()
     assert out[0]["n_bytes"] == 5
+    assert out[0]["kind"] == "digest"
     assert len(out[0]["features"]) == 8
     assert all(0 <= f <= 1 for f in out[0]["features"])
+
+
+def test_real_media_features(spark):
+    """synthesize_media → decode_features: decoded-stat features match
+    the closed-form byte patterns (the same arithmetic the DuckDB
+    oracle uses)."""
+    import numpy as np
+
+    from methyl_data_pipeline_spark.ext.multimodal import (
+        decode_features,
+        synthesize_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(3, "img doc"), (4, "wav doc"), (5, "txt doc")], "doc_id long, text string"
+    )
+    out = {r["id"]: r for r in decode_features(synthesize_media(docs)).collect()}
+
+    assert out[3]["kind"] == "bmp" and out[3]["n_bytes"] == 54 + 768
+    i = np.arange(768)
+    px = ((3 * 7 + i) % 256).astype(float)
+    exp = [px[0::3].mean(), px[1::3].mean(), px[2::3].mean(), px.std()]
+    assert np.allclose(out[3]["features"], exp)
+
+    assert out[4]["kind"] == "wav" and out[4]["n_bytes"] == 44 + 512
+    i = np.arange(256)
+    x = ((4 * 13 + 5 * i) % 65535 - 32767) / 32768.0
+    pos = x >= 0
+    exp = [x.mean(), x.std(), np.sqrt((x * x).mean()), (pos[1:] != pos[:-1]).mean()]
+    assert np.allclose(out[4]["features"], exp)
+
+    assert out[5]["kind"] == "digest"
 
 
 def test_decode_image_shapes(spark):
