@@ -2644,6 +2644,166 @@ ORDER BY probe_id, run
 """
 
 
+def q_combat_onestep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One closed-form EB iteration of ComBat (M2) from the moment
+    priors: gamma_1 / delta_1² per (probe, batch). Extends the
+    combat_priors anchor one step INTO the shrinkage solve, leaving
+    only the convergence loop rows-only-checked. Reference
+    workflow.R:139-145 (sva it.sol first iteration)."""
+    from methyl_data_pipeline_spark.operators import qc
+    from methyl_data_pipeline_spark.stats.combat import combat_onestep
+
+    meth = _meth(spark, sf_dir)
+    n_samples = meth.select("sample_id").distinct().count()
+    complete = qc.drop_incomplete_probes(meth, n_samples)
+    out = combat_onestep(complete, value_col="beta", batch_col="run")
+    return out.select(
+        "probe_id", "run", "n_b",
+        _r(F.col("gamma_one"), 8).alias("gamma_one"),
+        _r(F.col("delta_one_sq"), 8).alias("delta_one_sq"),
+    ).orderBy("probe_id", "run")
+
+
+SQL_COMBAT_ONESTEP = f"""
+WITH {METH_CTE},
+complete AS (
+  SELECT m.* FROM meth m
+  JOIN (SELECT probe_id FROM meth WHERE beta IS NOT NULL
+        GROUP BY probe_id
+        HAVING COUNT(*) = (SELECT COUNT(DISTINCT sample_id) FROM meth)) c
+  USING (probe_id)
+),
+pb AS (
+  SELECT probe_id, run, COUNT(beta) AS n_b, AVG(beta) AS mean_b
+  FROM complete GROUP BY 1, 2
+),
+grand AS (
+  SELECT probe_id, SUM(n_b * mean_b) / SUM(n_b) AS grand_mean,
+         SUM(n_b) AS n_total
+  FROM pb GROUP BY 1
+),
+pooled AS (
+  SELECT m.probe_id,
+         SUM(POW(m.beta - g.grand_mean, 2)) / ANY_VALUE(g.n_total) AS var_pooled
+  FROM complete m JOIN grand g USING (probe_id) GROUP BY 1
+),
+z AS (
+  SELECT m.probe_id, m.run,
+         (m.beta - g.grand_mean) / sqrt(p.var_pooled) AS z
+  FROM complete m
+  JOIN grand g USING (probe_id) JOIN pooled p USING (probe_id)
+),
+zb AS (
+  SELECT probe_id, run, COUNT(z) AS n_b, AVG(z) AS gamma_hat,
+         VAR_SAMP(z) AS delta_hat_sq
+  FROM z GROUP BY 1, 2
+),
+hyper AS (
+  -- priors pool the RAW (nullable) delta_hat_sq: AVG/VAR_SAMP skip
+  -- nulls, matching Spark; the nan->1.0 fallback applies per row in
+  -- the step only
+  SELECT run, AVG(gamma_hat) AS gamma_bar, VAR_SAMP(gamma_hat) AS t2,
+         (2.0 * VAR_SAMP(delta_hat_sq) + POW(AVG(delta_hat_sq), 2))
+           / VAR_SAMP(delta_hat_sq) AS a_prior,
+         (AVG(delta_hat_sq) * VAR_SAMP(delta_hat_sq) + POW(AVG(delta_hat_sq), 3))
+           / VAR_SAMP(delta_hat_sq) AS b_prior
+  FROM zb GROUP BY 1
+),
+step AS (
+  SELECT zb.probe_id, zb.run, zb.n_b,
+         COALESCE(delta_hat_sq, 1.0) AS d0,
+         (t2 * zb.n_b * gamma_hat + COALESCE(delta_hat_sq, 1.0) * gamma_bar)
+           / (t2 * zb.n_b + COALESCE(delta_hat_sq, 1.0)) AS g1,
+         zb.n_b AS n, gamma_hat, a_prior, b_prior
+  FROM zb JOIN hyper USING (run)
+)
+SELECT probe_id, run, n_b,
+       ROUND(g1 + 1e-9, 8) AS gamma_one,
+       ROUND((0.5 * ((n - 1.0) * d0 + n * POW(gamma_hat - g1, 2)) + b_prior)
+             / (n / 2.0 + a_prior - 1.0) + 1e-9, 8) AS delta_one_sq
+FROM step ORDER BY probe_id, run
+"""
+
+
+def q_bmiq_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BMIQ's deterministic prefix (M3): per (sample, design type,
+    mixture component) the tercile class boundaries, hard-assignment
+    counts, and the moment-matched (a0, b0) warm starts the first EM
+    M-step consumes. Runs the same applyInPandas code paths as the full
+    normalizer; with per-type counts under nfit no subsampling
+    triggers, so everything is closed-form SQL. Reference
+    bmiq/BMIQ_1.4.R:39-76."""
+    from methyl_data_pipeline_spark.stats.bmiq import bmiq_prefix
+
+    meth = _meth(spark, sf_dir)
+    probes = _probes_dim(spark, sf_dir)
+    out = bmiq_prefix(meth, probes)
+    return out.select(
+        "sample_id", "design_type", "comp", "n_comp",
+        _r(F.col("q_lo")).alias("q_lo"),
+        _r(F.col("q_hi")).alias("q_hi"),
+        _r(F.col("mean")).alias("mean"),
+        _r(F.col("var")).alias("var"),
+        _r(F.col("a0")).alias("a0"),
+        _r(F.col("b0")).alias("b0"),
+    ).orderBy("sample_id", "design_type", "comp")
+
+
+SQL_BMIQ_PREFIX = f"""
+WITH {METH_CTE},
+probes AS (
+  SELECT 'cg' || lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS probe_id,
+         CASE WHEN p_partkey % 5 = 0 THEN 1 ELSE 2 END AS design_type
+  FROM part
+),
+v AS (
+  SELECT m.sample_id, COALESCE(p.design_type, 2) AS design_type,
+         LEAST(GREATEST(m.beta, 1e-6), 1 - 1e-6) AS x
+  FROM meth m LEFT JOIN probes p USING (probe_id)
+  WHERE m.beta > 0 AND m.beta < 1
+),
+ranked AS (
+  SELECT sample_id, design_type, x,
+         ROW_NUMBER() OVER (PARTITION BY sample_id, design_type ORDER BY x) AS rn,
+         COUNT(*) OVER (PARTITION BY sample_id, design_type) AS n
+  FROM v
+),
+-- lower order statistics (sorted[floor((n-1)*q)]), matching the
+-- engine's interpolation-free tercile init; the (1.0/3.0) literal
+-- reproduces numpy's float index arithmetic bit-for-bit
+q AS (
+  SELECT sample_id, design_type,
+         MAX(CASE WHEN rn - 1 = CAST(FLOOR((n - 1) * (1.0/3.0)) AS BIGINT)
+                  THEN x END) AS q_lo,
+         MAX(CASE WHEN rn - 1 = CAST(FLOOR((n - 1) * (2.0/3.0)) AS BIGINT)
+                  THEN x END) AS q_hi
+  FROM ranked GROUP BY 1, 2 HAVING MAX(n) >= 10
+),
+cls AS (
+  SELECT v.sample_id, v.design_type, x, q_lo, q_hi,
+         CASE WHEN x <= q_lo THEN 0 WHEN x <= q_hi THEN 1 ELSE 2 END AS comp
+  FROM v JOIN q USING (sample_id, design_type)
+),
+mo AS (
+  SELECT sample_id, design_type, comp, COUNT(*) AS n_comp,
+         ANY_VALUE(q_lo) AS q_lo, ANY_VALUE(q_hi) AS q_hi,
+         AVG(x) AS m, GREATEST(VAR_POP(x), 1e-6) AS var_c
+  FROM cls GROUP BY 1, 2, 3 HAVING COUNT(*) > 0
+),
+ab AS (
+  SELECT *, GREATEST(m * (1 - m) / var_c - 1.0, 1e-3) AS common FROM mo
+)
+SELECT sample_id, design_type, comp, n_comp,
+       ROUND(q_lo + 1e-9, 6) AS q_lo,
+       ROUND(q_hi + 1e-9, 6) AS q_hi,
+       ROUND(m + 1e-9, 6) AS mean,
+       ROUND(var_c + 1e-9, 6) AS var,
+       ROUND(GREATEST(m * common, 1e-3) + 1e-9, 6) AS a0,
+       ROUND(GREATEST((1 - m) * common, 1e-3) + 1e-9, 6) AS b0
+FROM ab ORDER BY sample_id, design_type, comp
+"""
+
+
 def q_bmiq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BMIQ per-sample normalization (M3): applyInPandas beta-mixture
     EM. Rows-only (seeded EM; invariants unit-tested)."""
@@ -2929,6 +3089,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_interval_join": q_stream_interval_join,
         "dmr_regions": q_dmr_regions,
         "unigram_logprob": q_unigram_logprob,
+        "combat_onestep": q_combat_onestep,
+        "bmiq_prefix": q_bmiq_prefix,
         # non-SQL-expressible (rows-only; see each docstring)
         "combat_correction": q_combat,
         "combat_covariates": q_combat_covariates,
@@ -3039,5 +3201,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_interval_join": SQL_STREAM_INTERVAL_JOIN,
         "dmr_regions": SQL_DMR_REGIONS,
         "unigram_logprob": SQL_UNIGRAM_LOGPROB,
+        "combat_onestep": SQL_COMBAT_ONESTEP,
+        "bmiq_prefix": SQL_BMIQ_PREFIX,
     }
     return {k: _normalize_round_sql(v) for k, v in raw.items()}

@@ -38,26 +38,66 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 
-def _fit_beta3(values: np.ndarray, nfit: int, seed: int, n_iter: int, tol: float):
-    """3-state 1-D beta mixture via EM with moment-matched M-step.
-
-    Returns (a[3], b[3], w[3]) sorted by component mean (U < H < M),
-    or None when the fit is not feasible.
-    """
+def _prep_fit_values(values: np.ndarray, nfit: int, seed: int):
+    """Shared EM-input prep: drop 0/1/NaN, seeded ``nfit`` subsample
+    (identity below the cap), clip into the open interval. Returns the
+    fit vector or None when infeasible (<10 usable values)."""
     v = values[(values > 0.0) & (values < 1.0) & ~np.isnan(values)]
     if v.size < 10:
         return None
     rng = np.random.RandomState(seed)
     if v.size > nfit:
         v = v[rng.choice(v.size, nfit, replace=False)]
-    v = np.clip(v, 1e-6, 1.0 - 1e-6)
+    return np.clip(v, 1e-6, 1.0 - 1e-6)
 
-    # init: quantile-split into 3 classes (deterministic)
-    q = np.quantile(v, [1 / 3, 2 / 3])
+
+def _init_components(v: np.ndarray):
+    """Deterministic EM init: tercile split into hard U/H/M
+    responsibilities. Boundaries are LOWER order statistics
+    (``sorted[floor((n-1)*q)]``) rather than interpolated quantiles:
+    an interpolated boundary is arithmetic whose last-ulp rounding
+    differs between engines (numpy's ``lo + frac*(hi-lo)`` vs SQL
+    lerp), and with duplicate grid values sitting exactly on the
+    boundary that one ulp flips whole tie-groups between classes —
+    order statistics are data elements, bit-identical everywhere.
+    Returns (quantile pair, resp matrix)."""
+    sv = np.sort(v)
+    q = (
+        sv[int(np.floor((v.size - 1) * (1 / 3)))],
+        sv[int(np.floor((v.size - 1) * (2 / 3)))],
+    )
     resp = np.zeros((v.size, 3))
     resp[v <= q[0], 0] = 1.0
     resp[(v > q[0]) & (v <= q[1]), 1] = 1.0
     resp[v > q[1], 2] = 1.0
+    return q, resp
+
+
+def _moment_ab(v: np.ndarray, wk: np.ndarray):
+    """Weighted moment-matched beta parameters — the warm start each
+    M-step's weighted MLE refines. Returns (mean, var, a0, b0) or None
+    on an empty component."""
+    sw = wk.sum()
+    if sw < 1e-9:
+        return None
+    m = float((wk * v).sum() / sw)
+    var = float((wk * (v - m) ** 2).sum() / sw)
+    var = max(var, 1e-6)
+    common = m * (1 - m) / var - 1.0
+    common = max(common, 1e-3)
+    return m, var, max(m * common, 1e-3), max((1 - m) * common, 1e-3)
+
+
+def _fit_beta3(values: np.ndarray, nfit: int, seed: int, n_iter: int, tol: float):
+    """3-state 1-D beta mixture via EM with moment-matched M-step.
+
+    Returns (a[3], b[3], w[3]) sorted by component mean (U < H < M),
+    or None when the fit is not feasible.
+    """
+    v = _prep_fit_values(values, nfit, seed)
+    if v is None:
+        return None
+    _, resp = _init_components(v)
 
     from methyl_data_pipeline_spark.stats import special
 
@@ -72,18 +112,11 @@ def _fit_beta3(values: np.ndarray, nfit: int, seed: int, n_iter: int, tol: float
         # matching the reference's per-class beta fit
         # (bmiq/BMIQ_1.4.R:69-76) instead of stopping at moments.
         for k in range(3):
-            wk = resp[:, k]
-            sw = wk.sum()
-            if sw < 1e-9:
+            mo = _moment_ab(v, resp[:, k])
+            if mo is None:
                 return None
-            m = float((wk * v).sum() / sw)
-            var = float((wk * (v - m) ** 2).sum() / sw)
-            var = max(var, 1e-6)
-            common = m * (1 - m) / var - 1.0
-            common = max(common, 1e-3)
-            a0 = max(m * common, 1e-3)
-            b0 = max((1 - m) * common, 1e-3)
-            a[k], b[k] = special.beta_mle_weighted(v, wk, a0, b0)
+            _m, _var, a0, b0 = mo
+            a[k], b[k] = special.beta_mle_weighted(v, resp[:, k], a0, b0)
         w = resp.mean(axis=0)
         # E-step
         dens = np.stack([w[k] * special.beta_pdf(v, a[k], b[k]) for k in range(3)], axis=1)
@@ -200,3 +233,73 @@ def bmiq_normalize(
     cols = ["probe_id", "sample_id", "run", value_col, "det_p", "design_type"]
     present = [c for c in cols if c in joined.columns]
     return joined.select(*present).groupBy("sample_id").applyInPandas(per_sample, schema)
+
+
+def bmiq_prefix(
+    meth: DataFrame,
+    probes: DataFrame,
+    value_col: str = "beta",
+    nfit: int = 10_000,
+    seed: int = 42,
+) -> DataFrame:
+    """The deterministic prefix of BMIQ's per-sample EM, exposed as a
+    queryable result: per (sample, design type, component) the tercile
+    class boundaries, hard-assignment counts, and the moment-matched
+    ``(a0, b0)`` warm starts that the first M-step's weighted MLE
+    consumes (reference ``bmiq/BMIQ_1.4.R:39-76``; init structure of
+    RPMM ``blc``).
+
+    When per-type counts sit under ``nfit`` (every test scale here) no
+    subsampling triggers, so the whole prefix is closed-form SQL —
+    giving the otherwise rows-only-checked M3 its oracle anchor. Uses
+    the exact same prep/init/moment code paths as
+    :func:`bmiq_normalize` (``_prep_fit_values`` / ``_init_components``
+    / ``_moment_ab``).
+    """
+    from methyl_data_pipeline_spark.deploy import ensure_importable
+
+    ensure_importable(meth.sparkSession)
+    joined = meth.join(
+        F.broadcast(probes.select("probe_id", "design_type")), "probe_id", "left"
+    )
+    schema = (
+        "sample_id string, design_type int, comp int, n_comp long, "
+        "q_lo double, q_hi double, mean double, var double, "
+        "a0 double, b0 double"
+    )
+
+    def per_sample(pdf: pd.DataFrame) -> pd.DataFrame:
+        import zlib
+
+        sid = str(pdf["sample_id"].iloc[0])
+        local_seed = (seed + (zlib.crc32(sid.encode()) % (1 << 20))) % (1 << 31)
+        beta = pdf[value_col].to_numpy(dtype=float)
+        design = pdf["design_type"].fillna(2).to_numpy(dtype=int)
+        rows = []
+        for t, s in ((1, local_seed), (2, local_seed + 1)):
+            v = _prep_fit_values(beta[design == t], nfit, s)
+            if v is None:
+                continue
+            q, resp = _init_components(v)
+            for k in range(3):
+                mo = _moment_ab(v, resp[:, k])
+                if mo is None:
+                    continue
+                m, var, a0, b0 = mo
+                rows.append(
+                    (sid, t, k, int(resp[:, k].sum()),
+                     float(q[0]), float(q[1]), m, var, a0, b0)
+                )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "sample_id", "design_type", "comp", "n_comp",
+                "q_lo", "q_hi", "mean", "var", "a0", "b0",
+            ],
+        )
+
+    return (
+        joined.select("sample_id", value_col, "design_type")
+        .groupBy("sample_id")
+        .applyInPandas(per_sample, schema)
+    )

@@ -129,6 +129,52 @@ def combat_priors(
     )
 
 
+def combat_onestep(
+    long_df: DataFrame,
+    value_col: str = "beta",
+    batch_col: str = "run",
+    key_col: str = "probe_id",
+    sample_col: str = "sample_id",
+) -> DataFrame:
+    """Exactly ONE empirical-Bayes iteration from the moment-estimated
+    priors — the closed-form first step of the gamma*/delta* fixed
+    point that :func:`combat` iterates to convergence (reference
+    semantics ``workflow.R:139-145``, sva ``it.sol``):
+
+        gamma_1 = (t2·n·gamma_hat + delta_hat²·gamma_bar)
+                  / (t2·n + delta_hat²)
+        delta_1 = (b + ½[(n−1)·delta_hat² + n·(gamma_hat − gamma_1)²])
+                  / (n/2 + a − 1)
+
+    Pure column arithmetic over the pass-1..5 prefix, hence fully
+    DuckDB-oracle-checkable; together with :func:`combat_priors` it
+    shrinks ComBat's uncheckable core to just the convergence loop.
+    Single-observation batches (null ``delta_hat_sq``) fall back to a
+    unit variance estimate, matching the fixed-point kernel's
+    ``nan→1.0`` handling.
+    """
+    df = long_df.select(key_col, sample_col, batch_col, value_col)
+    _, zb, hyper = _standardize_and_priors(
+        df, value_col, batch_col, key_col, persist_z=False
+    )
+    j = zb.join(F.broadcast(hyper), batch_col)
+    n = F.col("n_b").cast("double")
+    gh = F.col("gamma_hat")
+    d0 = F.coalesce(F.col("delta_hat_sq"), F.lit(1.0))
+    g1 = (F.col("t2") * n * gh + d0 * F.col("gamma_bar")) / (F.col("t2") * n + d0)
+    sum2 = (n - F.lit(1.0)) * d0 + n * F.pow(gh - g1, 2)
+    d1 = (F.lit(0.5) * sum2 + F.col("b_prior")) / (
+        n / F.lit(2.0) + F.col("a_prior") - F.lit(1.0)
+    )
+    return j.select(
+        key_col,
+        batch_col,
+        "n_b",
+        g1.alias("gamma_one"),
+        d1.alias("delta_one_sq"),
+    )
+
+
 def combat(
     long_df: DataFrame,
     value_col: str = "beta",
