@@ -2804,6 +2804,123 @@ FROM ab ORDER BY sample_id, design_type, comp
 """
 
 
+def q_methyl_pipeline_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-chain pipeline oracle (workflow.R:43-194 minus BMIQ/ComBat):
+    detP QC → cg filter → complete probes → quantile normalize →
+    moderated t → BH, composed as ONE lazy plan in
+    plans.pipeline.run_core_chain and mirrored by a single DuckDB CTE
+    chain — certifying stage composition, not just stages. BH runs on
+    the closed-form t-surrogate p = df_mod/(df_mod + t²) (monotone in
+    the exact Student-t p; see run_core_chain docstring)."""
+    from methyl_data_pipeline_spark.plans.pipeline import run_core_chain
+
+    meth = _meth(spark, sf_dir)
+    out = run_core_chain(
+        meth, detp_sample_threshold=0.02, detp_probe_threshold=0.006
+    )
+    return out.select(
+        "probe_id",
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        _r(F.col("logFC"), 5).alias("logfc"),
+        _r(F.col("t_mod"), 4).alias("t_mod"),
+        F.col("p_surrogate"),
+        _r(F.col("adj_p"), 8).alias("adj_p"),
+    ).orderBy("probe_id")
+
+
+SQL_METHYL_PIPELINE_CHAIN = f"""
+WITH {METH_CTE},
+good_samples AS (
+  SELECT sample_id FROM meth GROUP BY sample_id HAVING avg(det_p) < 0.02
+),
+f AS (SELECT m.* FROM meth m JOIN good_samples USING (sample_id)),
+n AS (SELECT COUNT(*) AS n_samples FROM good_samples),
+good_probes AS (
+  SELECT probe_id FROM f GROUP BY probe_id
+  HAVING SUM(CASE WHEN det_p >= 0.006 THEN 1 ELSE 0 END) = 0
+     AND COUNT(*) = (SELECT n_samples FROM n)
+),
+qcd AS (
+  SELECT * FROM f
+  WHERE probe_id IN (SELECT probe_id FROM good_probes)
+    AND regexp_matches(probe_id, '^cg')
+),
+complete AS (
+  SELECT probe_id FROM qcd GROUP BY probe_id
+  HAVING COUNT(beta) = (SELECT n_samples FROM n)
+),
+base AS (SELECT q.* FROM qcd q JOIN complete USING (probe_id)),
+ranked AS (
+  SELECT probe_id, sample_id, run, beta,
+         ROW_NUMBER() OVER (PARTITION BY sample_id ORDER BY beta, probe_id) AS rnk
+  FROM base
+),
+ref AS (SELECT rnk, AVG(beta) AS qn FROM ranked GROUP BY rnk),
+qn AS (
+  SELECT r.probe_id, r.sample_id, r.run, ref.qn AS beta_qn
+  FROM ranked r JOIN ref USING (rnk)
+),
+m AS (
+  SELECT probe_id, run,
+         log2(least(greatest(beta_qn, 0.001), 0.999)
+              / (1 - least(greatest(beta_qn, 0.001), 0.999))) AS mval
+  FROM qn WHERE run IN ('R0', 'R1')
+),
+per_key AS (
+  SELECT probe_id,
+         COUNT(CASE WHEN run = 'R0' THEN mval END)    AS n1,
+         AVG(CASE WHEN run = 'R0' THEN mval END)      AS mean1,
+         VAR_SAMP(CASE WHEN run = 'R0' THEN mval END) AS var1,
+         COUNT(CASE WHEN run = 'R1' THEN mval END)    AS n2,
+         AVG(CASE WHEN run = 'R1' THEN mval END)      AS mean2,
+         VAR_SAMP(CASE WHEN run = 'R1' THEN mval END) AS var2
+  FROM m GROUP BY probe_id
+  HAVING n1 >= 2 AND n2 >= 2
+),
+stats AS (
+  SELECT *, n1 + n2 - 2 AS df,
+         ((n1 - 1) * var1 + (n2 - 1) * var2) / (n1 + n2 - 2) AS s2,
+         mean1 - mean2 AS logfc
+  FROM per_key
+),
+prior AS (
+  SELECT AVG(s2) AS s0_sq,
+         2.0 * AVG(s2) * AVG(s2) / VAR_SAMP(s2) AS d0
+  FROM stats
+),
+tst AS (
+  SELECT probe_id, n1, n2, logfc, df, d0,
+         logfc / sqrt(((d0 * s0_sq + df * s2) / (d0 + df))
+                      * (1.0 / n1 + 1.0 / n2)) AS t_mod
+  FROM stats, prior
+),
+-- surrogate rounded to 6dp so BH's rank arithmetic sees bit-identical
+-- inputs in both engines (same trick as bh_adjust's pseudo-p)
+ps AS (
+  SELECT probe_id, n1, n2, logfc, t_mod,
+         ROUND((d0 + df) / ((d0 + df) + t_mod * t_mod) + 1e-9, 6) AS p_surrogate
+  FROM tst
+),
+bh_ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY p_surrogate ASC) AS rk,
+         COUNT(*) OVER () AS nn
+  FROM ps
+),
+bh AS (
+  SELECT *, MIN(p_surrogate * nn / rk) OVER (ORDER BY rk DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cummin
+  FROM bh_ranked
+)
+SELECT probe_id, n1, n2,
+       ROUND(logfc + 1e-9, 5) AS logfc,
+       ROUND(t_mod + 1e-9, 4) AS t_mod,
+       p_surrogate,
+       ROUND(LEAST(cummin, 1.0) + 1e-9, 8) AS adj_p
+FROM bh ORDER BY probe_id
+"""
+
+
 def q_bmiq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BMIQ per-sample normalization (M3): applyInPandas beta-mixture
     EM. Rows-only (seeded EM; invariants unit-tested)."""
@@ -3091,6 +3208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": q_unigram_logprob,
         "combat_onestep": q_combat_onestep,
         "bmiq_prefix": q_bmiq_prefix,
+        "methyl_pipeline_chain": q_methyl_pipeline_chain,
         # non-SQL-expressible (rows-only; see each docstring)
         "combat_correction": q_combat,
         "combat_covariates": q_combat_covariates,
@@ -3203,5 +3321,6 @@ def oracle_sql() -> dict[str, str]:
         "unigram_logprob": SQL_UNIGRAM_LOGPROB,
         "combat_onestep": SQL_COMBAT_ONESTEP,
         "bmiq_prefix": SQL_BMIQ_PREFIX,
+        "methyl_pipeline_chain": SQL_METHYL_PIPELINE_CHAIN,
     }
     return {k: _normalize_round_sql(v) for k, v in raw.items()}

@@ -134,3 +134,60 @@ def run_methylation_pipeline(
         explained_variance=ev,
         dmp=dmp,
     )
+
+
+def run_core_chain(
+    meth: DataFrame,
+    detp_sample_threshold: float = 0.05,
+    detp_probe_threshold: float = 0.05,
+    group_col: str = "run",
+    group_a: str = "R0",
+    group_b: str = "R1",
+) -> DataFrame:
+    """The fully SQL-expressible core of the reference pipeline
+    (workflow.R:43-194, minus the iterative BMIQ/ComBat stages) as ONE
+    lazy plan: sample/probe detection-p QC → cg-probe filter →
+    complete-probe filter → quantile normalization → moderated t →
+    BH step-up. Certifies stage COMPOSITION — each stage consumes the
+    previous stage's lazy output, with a single Catalyst plan from scan
+    to result — not just the stages in isolation.
+
+    The BH input is the closed-form t-surrogate
+    ``p = df_mod / (df_mod + t_mod²)`` — the regularized-beta argument
+    of the exact Student-t p-value, monotone in it, so BH sees a
+    realistic p-distribution while staying DuckDB-expressible (the
+    exact ``t.sf`` p-value is a Python UDF and lives in
+    :func:`run_methylation_pipeline`). The surrogate is rounded to 6
+    decimals before BH so both engines feed BIT-identical p-values into
+    the rank arithmetic.
+
+    One bounded scalar action (the retained-sample count); everything
+    else is lazy until the caller's action.
+    """
+    from methyl_data_pipeline_spark.stats.quantile_norm import quantile_normalize
+
+    stage = qc.filter_samples_by_detp(meth, detp_sample_threshold)
+    n_samples = stage.select("sample_id").distinct().count()
+    stage = qc.filter_probes_by_detp(stage, detp_probe_threshold, n_samples)
+    stage = qc.filter_cg_probes(stage)
+    complete = qc.drop_incomplete_probes(stage, n_samples)
+
+    qn = quantile_normalize(complete)
+    with_m = qn.withColumn("mval", model.mvalue("beta_qn"))
+    dmp = moderated_t_two_group(
+        with_m, group_col, group_a, group_b, value_col="mval"
+    )
+    dmp = dmp.withColumn(
+        "p_surrogate",
+        F.round(
+            F.col("df_mod") / (F.col("df_mod") + F.col("t_mod") * F.col("t_mod"))
+            + F.lit(1e-9),
+            6,
+        )
+        + F.lit(0.0),
+    )
+    return bh_adjust_scalable(
+        dmp, "p_surrogate", "adj_p", assume_no_nulls=True
+    ).select(
+        "probe_id", "n1", "n2", "logFC", "t_mod", "p_surrogate", "adj_p"
+    )
