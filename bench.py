@@ -2,17 +2,22 @@
 
 Prints exactly ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <scale factor>,
+   "queries": {name: median sec, ...}, "spread": {name: [min, max]},
+   "runs_per_query": N, "sf": <scale factor>,
    "deltas_vs_prev": {name: ratio, ...}, "regressions": [name, ...],
    "prev": "BENCH_rNN.json"}
 
+Robustness (VERDICT r3 #7): each query is timed ``BENCH_RUNS`` times
+(default 5; env-overridable) and reported as the MEDIAN with min/max
+spread — the ±25% single-run harness noise that produced r2's phantom
+regression flag averages out of the median, so ``deltas_vs_prev`` and
+the REGRESSION_FLAG now compare medians and carry real signal.
+Extended queries run ``BENCH_RUNS_EXTENDED`` times (default 3 — they
+are the slow tail and feed no round-over-round flag).
+
 Continuity: the newest BENCH_r*.json in the repo provides the previous
-round's per-query timings; ``deltas_vs_prev`` is this_run/prev per
+round's per-query timings; ``deltas_vs_prev`` is this_median/prev per
 query and ``regressions`` lists queries slower than REGRESSION_FLAG×.
-The harness has real run-to-run variance (r1→r2 drifted 1.27× on
-byte-identical code), so single-query flags are a prompt to re-run,
-not proof — but they make a real regression visible the round it
-lands instead of two rounds later.
 """
 
 from __future__ import annotations
@@ -108,31 +113,55 @@ def main() -> None:
 
     from methyl_data_pipeline_spark import cache
 
+    n_runs = max(1, int(os.environ.get("BENCH_RUNS", "5")))
+    n_runs_ext = max(1, int(os.environ.get("BENCH_RUNS_EXTENDED", "3")))
+
+    def _median(xs: list[float]) -> float:
+        s = sorted(xs)
+        mid = len(s) // 2
+        return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2.0
+
+    def _time_query(name: str, reps: int) -> tuple[list[float], int]:
+        samples: list[float] = []
+        n_rows = 0
+        for _ in range(reps):
+            t0 = time.time()
+            n_rows = qs[name](spark, sf_dir).count()
+            samples.append(time.time() - t0)
+            # release operator-tracked caches so one run's intermediates
+            # don't sit in storage while the next runs (the shared meth
+            # fact-table cache is session-lifetime by design and stays)
+            cache.release_all()
+        return samples, n_rows
+
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {n} rows in {timings[name]:.2f}s", file=sys.stderr)
-        # release operator-tracked caches so one query's intermediates
-        # don't sit in storage while the next runs (the shared meth
-        # fact-table cache is session-lifetime by design and stays)
-        cache.release_all()
+        samples, n = _time_query(name, n_runs)
+        timings[name] = round(_median(samples), 3)
+        spread[name] = [round(min(samples), 3), round(max(samples), 3)]
+        print(
+            f"# {name}: {n} rows, median {timings[name]:.2f}s over {n_runs} "
+            f"(spread {spread[name][0]:.2f}-{spread[name][1]:.2f})",
+            file=sys.stderr,
+        )
 
     extended: dict[str, float] = {}
+    extended_spread: dict[str, list[float]] = {}
     for name in EXTENDED:
         if name not in qs:
             continue
-        t0 = time.time()
         try:
-            n = qs[name](spark, sf_dir).count()
+            samples, n = _time_query(name, n_runs_ext)
         except Exception as exc:
             print(f"# extended {name} failed: {exc}", file=sys.stderr)
             continue
-        extended[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {n} rows in {extended[name]:.2f}s", file=sys.stderr)
-        cache.release_all()
+        extended[name] = round(_median(samples), 3)
+        extended_spread[name] = [round(min(samples), 3), round(max(samples), 3)]
+        print(
+            f"# {name}: {n} rows, median {extended[name]:.2f}s over {n_runs_ext}",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     prev_name, prev = _previous_timings()
@@ -146,7 +175,11 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "spread": spread,
+        "runs_per_query": n_runs,
         "extended": extended,
+        "extended_spread": extended_spread,
+        "extended_runs": n_runs_ext,
         "sf": sf,
         "deltas_vs_prev": deltas,
         "regressions": sorted(q for q, r in deltas.items() if r > REGRESSION_FLAG),

@@ -234,3 +234,76 @@ def test_curation_ops_partitioning_invariant(spark):
     for fn in (repetition_signals_scan, quality_filter_scan):
         assert snap(fn(docs.repartition(1))) == snap(fn(docs.repartition(64)))
     assert snap(domain_mix(docs.repartition(1))) == snap(domain_mix(docs.repartition(64)))
+
+
+def test_quantile_normalize_partitioning_invariant(spark):
+    """QN's rank window orders by (value, key) — a deterministic total
+    order — so physical layout cannot change a single output value."""
+    from methyl_data_pipeline_spark.stats.quantile_norm import quantile_normalize
+
+    rng = np.random.RandomState(5)
+    # duplicate values on a coarse grid force rank tie-breaking
+    rows = [
+        (f"cg{p:04d}", f"S{s}", round(float(rng.choice([0.1, 0.25, 0.5, 0.5, 0.8])), 6))
+        for p in range(150)
+        for s in range(4)
+    ]
+    df = spark.createDataFrame(rows, "probe_id string, sample_id string, beta double")
+
+    def snap(d):
+        return {
+            (r.probe_id, r.sample_id): round(r.beta_qn, 12)
+            for r in quantile_normalize(d).collect()
+        }
+
+    assert snap(df.repartition(1)) == snap(df.repartition(64))
+
+
+def test_dmr_regions_partitioning_invariant(spark):
+    """Segment breaks come from a (chrom, pos)-ordered window; the
+    aggregate uses order-insensitive min/max/avg — repartition-proof."""
+    from methyl_data_pipeline_spark.stats.dmr import call_dmrs
+
+    rng = np.random.RandomState(11)
+    rows = [
+        (f"chr{c}", int(p), float(t))
+        for c in range(1, 4)
+        for p, t in zip(
+            sorted(rng.choice(range(1000), 120, replace=False)),
+            rng.normal(0, 1.6, 120),
+        )
+    ]
+    df = spark.createDataFrame(rows, "chrom string, pos int, t_mod double")
+
+    def snap(d):
+        return sorted(
+            (r.chrom, r.start_pos, r.end_pos, r.n_probes, round(r.mean_stat, 12), r.direction)
+            for r in call_dmrs(d, cutoff=1.0, maxgap=50, min_probes=2).collect()
+        )
+
+    assert snap(df.repartition(1)) == snap(df.repartition(64))
+
+
+def test_contraction_partitioning_invariant(spark):
+    """Star contraction's per-round min-aggregates are commutative —
+    components must match at any input layout, including a long chain
+    (the adversarial case propagation can't handle)."""
+    from methyl_data_pipeline_spark.ext.graph import connected_components_contraction
+
+    # a 60-node chain + two separate triangles + isolated self-loop
+    edges = [(i, i + 1) for i in range(60)]
+    edges += [(100, 101), (101, 102), (102, 100), (200, 201), (201, 202), (300, 300)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+
+    def snap(d):
+        return sorted(
+            (r.node, r.component)
+            for r in connected_components_contraction(d).collect()
+        )
+
+    base = snap(df.repartition(1))
+    assert base == snap(df.repartition(64))
+    # chain collapses to min-id 0; triangles to 100 / 200
+    comp = dict(base)
+    assert all(comp[i] == 0 for i in range(61))
+    assert comp[102] == 100 and comp[202] == 200 and comp[300] == 300
