@@ -3108,6 +3108,128 @@ def q_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("probe_id")
 
 
+def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph/segment-level exact dedup (Falcon/RefinedWeb line-dedup
+    family): 4-word segments, first corpus occurrence wins, documents
+    reassembled from surviving segments (ext.dedup.segment_dedup).
+    One explode + one segment-keyed shuffle + one doc-keyed reassemble."""
+    from methyl_data_pipeline_spark.ext.dedup import segment_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    out = segment_dedup(docs, chunk_words=4)
+    return out.select("doc_id", "n_segs", "n_kept", "text_dedup").orderBy("doc_id")
+
+
+SQL_SEGMENT_DEDUP = r"""
+WITH ws AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+  FROM documents
+),
+ex AS (
+  SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS i FROM ws
+),
+segs AS (
+  SELECT doc_id, CAST(floor((i - 1) / 4) AS BIGINT) AS seg_idx,
+         string_agg(word, ' ' ORDER BY i) AS seg
+  FROM ex GROUP BY 1, 2
+),
+firsts AS (
+  SELECT * FROM (
+    SELECT doc_id, seg_idx, seg,
+           ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+    FROM segs) t WHERE rn = 1
+),
+outd AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(seg, ' ' ORDER BY seg_idx) AS text_dedup
+  FROM firsts GROUP BY doc_id
+),
+tot AS (SELECT doc_id, COUNT(*) AS n_segs FROM segs GROUP BY doc_id)
+SELECT t.doc_id, t.n_segs, COALESCE(o.n_kept, 0) AS n_kept,
+       COALESCE(o.text_dedup, '') AS text_dedup
+FROM tot t LEFT JOIN outd o USING (doc_id) ORDER BY t.doc_id
+"""
+
+
+def q_dedup_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Policy-based dedup winner: per duplicate-family key (4-word
+    normalized prefix) keep the highest-quality copy (max n_chars, ties
+    to min doc_id) — ext.dedup.dedup_keep_best, one groupBy max(struct)
+    shuffle, no window over the fact table."""
+    from methyl_data_pipeline_spark.ext.dedup import dedup_keep_best
+
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " ")
+    keyed = docs.withColumn("_key", F.concat_ws(" ", F.slice(ws, 1, 4)))
+    out = dedup_keep_best(keyed, "_key", "n_chars")
+    return out.select(
+        "doc_id", F.col("_key").alias("prefix_key"), "n_chars"
+    ).orderBy("doc_id")
+
+
+SQL_DEDUP_BEST = r"""
+WITH k AS (
+  SELECT doc_id, n_chars,
+         array_to_string((regexp_split_to_array(lower(trim(text)), '\s+'))[1:4], ' ')
+           AS prefix_key
+  FROM documents
+),
+w AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY prefix_key
+                               ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM k
+)
+SELECT doc_id, prefix_key, n_chars FROM w WHERE rn = 1 ORDER BY doc_id
+"""
+
+
+def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-crawl boilerplate scrub (ext.text.clean_text): HTML tags +
+    URLs stripped, whitespace collapsed, with removal counts. The query
+    wraps each doc in deterministic markup (tags + a URL for
+    doc_id%3==0) so the oracle can verify the exact round trip."""
+    from methyl_data_pipeline_spark.ext.text import clean_text
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    html = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit("see https://ex.amp/le/"), d, F.lit(" ")),
+            ).otherwise(F.lit("")),
+            F.lit('<p id="'), d, F.lit('">'), F.col("text"), F.lit("</p>"),
+        ).alias("text"),
+    )
+    out = clean_text(html)
+    return out.select(
+        "doc_id",
+        F.col("n_tags").cast("long").alias("n_tags"),
+        F.col("n_urls").cast("long").alias("n_urls"),
+        "text_clean",
+    ).orderBy("doc_id")
+
+
+SQL_CLEAN_TEXT = r"""
+WITH h AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 3 = 0
+               THEN 'see https://ex.amp/le/' || CAST(doc_id AS VARCHAR) || ' '
+               ELSE '' END)
+         || '<p id="' || CAST(doc_id AS VARCHAR) || '">' || text || '</p>' AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '<[^>]*>')) AS BIGINT) AS n_tags,
+       CAST(len(regexp_extract_all(t, 'https?://[^\s<>]+')) AS BIGINT) AS n_urls,
+       trim(regexp_replace(regexp_replace(regexp_replace(
+           t, '<[^>]*>', ' ', 'g'), 'https?://[^\s<>]+', ' ', 'g'),
+           '\s+', ' ', 'g')) AS text_clean
+FROM h ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract
 # --------------------------------------------------------------------------
@@ -3212,6 +3334,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tokens": q_text_tokens,
         "minhash_signatures": q_minhash_signatures,
         "sessionize": q_sessionize,
+        # new in r4 (oracle-checked locally; rotation candidates for r5)
+        "segment_dedup": q_segment_dedup,
+        "dedup_best": q_dedup_best,
+        "clean_text": q_clean_text,
         # non-SQL-expressible (rows-only; see each docstring)
         "combat_correction": q_combat,
         "combat_covariates": q_combat_covariates,
@@ -3325,5 +3451,8 @@ def oracle_sql() -> dict[str, str]:
         "combat_onestep": SQL_COMBAT_ONESTEP,
         "bmiq_prefix": SQL_BMIQ_PREFIX,
         "methyl_pipeline_chain": SQL_METHYL_PIPELINE_CHAIN,
+        "segment_dedup": SQL_SEGMENT_DEDUP,
+        "dedup_best": SQL_DEDUP_BEST,
+        "clean_text": SQL_CLEAN_TEXT,
     }
     return {k: _normalize_round_sql(v) for k, v in raw.items()}

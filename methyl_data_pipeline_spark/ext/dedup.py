@@ -273,3 +273,109 @@ def dedup_clusters(
             ),
         )
     )
+
+
+def segment_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_words: int = 4,
+) -> DataFrame:
+    """Paragraph/segment-level exact dedup (the Falcon / RefinedWeb
+    line-dedup family): segment every document, drop each exact
+    duplicate segment everywhere except its FIRST corpus occurrence
+    (min ``(doc_id, position)``), and reassemble documents from their
+    surviving segments in order.
+
+    Segmentation here is fixed ``chunk_words``-word windows over the
+    whitespace-normalized text — the separator-free fixture's stand-in
+    for ``\\n\\n`` paragraph splits; swap the segment expression for a
+    real corpus with paragraph markers.
+
+    Returns ``(id_col, n_segs, n_kept, text_dedup)`` for every input
+    document (docs whose every segment was seen earlier keep
+    ``n_kept=0`` and an empty string).
+
+    Plan shape at 100 TB: one posexplode (1:N, no shuffle), ONE
+    groupBy shuffle on segment text to elect first occurrences
+    (map-side partial min), a semi-join back on the same key, and one
+    groupBy on doc id to reassemble — cost tracks corpus token count,
+    never n².
+    """
+    ws = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
+    )
+    n_seg = F.ceil(F.size(ws) / F.lit(chunk_words)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(ws, i * chunk_words + 1, chunk_words)
+        ),
+    )
+    exploded = df.select(
+        F.col(id_col), F.posexplode(segs).alias("_seg_idx", "_seg")
+    )
+    # first corpus occurrence: lexicographic min over (doc_id, position)
+    winners = exploded.groupBy("_seg").agg(
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("_seg_idx").alias("p"))).alias(
+            "_first"
+        )
+    )
+    kept = (
+        exploded.join(winners, "_seg")
+        .filter(
+            (F.col(id_col) == F.col("_first.d"))
+            & (F.col("_seg_idx") == F.col("_first.p"))
+        )
+        .drop("_first")
+    )
+    reassembled = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("_seg_idx", "_seg"))
+                ),
+                lambda s: s["_seg"],
+            ),
+            " ",
+        ).alias("text_dedup"),
+    )
+    totals = exploded.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_segs"))
+    return (
+        totals.join(reassembled, id_col, "left")
+        .select(
+            id_col,
+            "n_segs",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+        )
+    )
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    key_col: str,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Policy-based dedup winner election: within each ``key_col``
+    group keep the row with the HIGHEST ``score_col`` (ties broken by
+    smallest ``id_col``) — the realistic curation policy where
+    duplicates keep the best-quality copy, not the arbitrary or
+    smallest-id one (``dedup_exact``).
+
+    One groupBy shuffle with map-side partial max — no window over the
+    fact table. ``id_col`` must be numeric (the tiebreak negates it so
+    a single ``max(struct)`` resolves score-then-id ordering).
+    """
+    winners = df.groupBy(key_col).agg(
+        F.max(
+            F.struct(
+                F.col(score_col).alias("s"),
+                (-F.col(id_col)).alias("ni"),
+                F.col(id_col).alias("i"),
+            )
+        )["i"].alias(id_col)
+    )
+    return df.join(winners, [key_col, id_col], "left_semi")

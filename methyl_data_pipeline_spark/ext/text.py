@@ -630,3 +630,27 @@ def unigram_logprob(
             F.avg("logp").alias("mean_logprob"),
         )
     )
+
+
+def clean_text(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Boilerplate scrub for web-crawl ingest: strip HTML/XML tags,
+    remove URLs, collapse whitespace runs, trim — with per-doc removal
+    counts (``n_tags``, ``n_urls``) for curation telemetry. A pure
+    scan-side ``regexp_count`` / ``regexp_replace`` chain: zero
+    shuffles, whole-stage-codegen, same cost model as ``pii_redact``.
+    """
+    t = F.col(text_col)
+    tag_re = r"<[^>]*>"
+    url_re = r"https?://[^\s<>]+"
+    stripped = F.regexp_replace(
+        F.regexp_replace(t, tag_re, " "), url_re, " "
+    )
+    cleaned = F.trim(F.regexp_replace(stripped, r"\s+", " "))
+    return df.select(
+        F.col(id_col),
+        F.regexp_count(t, F.lit(tag_re)).alias("n_tags"),
+        F.regexp_count(t, F.lit(url_re)).alias("n_urls"),
+        cleaned.alias("text_clean"),
+    )

@@ -562,3 +562,64 @@ def test_unigram_logprob_hand_computed(spark):
         for d, (n, m) in want.items():
             assert got[d][0] == n
             assert abs(got[d][1] - m) < 1e-12
+
+
+def test_segment_dedup_removes_repeats(spark):
+    """Falcon-style segment dedup: a segment repeated across (or within)
+    docs survives only at its first corpus occurrence; docs reassemble
+    in order; totals reconcile."""
+    from methyl_data_pipeline_spark.ext.dedup import segment_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta unique one two three"),
+            (2, "alpha beta gamma delta other words here now"),
+            (3, "fresh content entirely new alpha beta gamma delta"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in segment_dedup(docs, chunk_words=4).collect()}
+    assert out[1].n_segs == 2 and out[1].n_kept == 2
+    assert out[1].text_dedup == "alpha beta gamma delta unique one two three"
+    # doc 2's first segment duplicates doc 1's -> dropped
+    assert out[2].n_segs == 2 and out[2].n_kept == 1
+    assert out[2].text_dedup == "other words here now"
+    # doc 3's duplicate segment sits at position 1, not 0 -> only it drops
+    assert out[3].n_kept == 1 and out[3].text_dedup == "fresh content entirely new"
+
+
+def test_segment_dedup_partitioning_invariant(spark):
+    from methyl_data_pipeline_spark.ext.dedup import segment_dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    snap = lambda d: sorted(
+        (r.doc_id, r.n_segs, r.n_kept, r.text_dedup)
+        for r in segment_dedup(d).collect()
+    )
+    assert snap(docs.repartition(1)) == snap(docs.repartition(64))
+
+
+def test_dedup_keep_best_policy(spark):
+    """Highest score wins; ties break to smallest id."""
+    from methyl_data_pipeline_spark.ext.dedup import dedup_keep_best
+
+    df = spark.createDataFrame(
+        [(1, "k1", 10.0), (2, "k1", 30.0), (3, "k1", 30.0), (4, "k2", 5.0)],
+        "doc_id long, fam string, score double",
+    )
+    got = sorted(r.doc_id for r in dedup_keep_best(df, "fam", "score").collect())
+    assert got == [2, 4]
+
+
+def test_clean_text_round_trip(spark):
+    from methyl_data_pipeline_spark.ext.text import clean_text
+
+    df = spark.createDataFrame(
+        [(1, '<div class="x">Hello <b>world</b></div> via https://a.b/c?d=1 done'),
+         (2, "plain  text   with\tspaces")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in clean_text(df).collect()}
+    assert out[1].n_tags == 4 and out[1].n_urls == 1
+    assert out[1].text_clean == "Hello world via done"
+    assert out[2].n_tags == 0 and out[2].text_clean == "plain text with spaces"
