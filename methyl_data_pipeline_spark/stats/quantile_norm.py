@@ -35,6 +35,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from methyl_data_pipeline_spark import cache
+
 
 def quantile_normalize(
     df: DataFrame,
@@ -43,6 +45,7 @@ def quantile_normalize(
     value_col: str = "beta",
     out_col: str = "beta_qn",
     broadcast_reference: bool = True,
+    persist_ranked: bool = True,
 ) -> DataFrame:
     """Replace ``value_col`` with the cross-sample mean of its
     within-sample rank. Returns ``key_col, sample_col, out_col`` plus
@@ -52,11 +55,19 @@ def quantile_normalize(
     rank→mean map — only needed if n_keys is too large to broadcast
     (≫10⁷), at which point the reference profile itself is the
     bottleneck and QN should be done on a feature subset.
+
+    ``persist_ranked``: the ranked frame feeds BOTH the reference-
+    profile aggregate and the map-back join; without persistence the
+    per-sample rank window (shuffle + sort of the full fact table) runs
+    twice — Spark's ReusedExchange shares the shuffle but not the sort.
+    Registered with ``cache`` for tracked release.
     """
     w = Window.partitionBy(sample_col).orderBy(
         F.col(value_col).asc(), F.col(key_col).asc()
     )
     ranked = df.withColumn("_qn_rank", F.row_number().over(w))
+    if persist_ranked:
+        ranked = cache.track(ranked)
     ref = ranked.groupBy("_qn_rank").agg(F.avg(value_col).alias(out_col))
     if broadcast_reference:
         ref = F.broadcast(ref)
