@@ -487,6 +487,42 @@ def quality_filter(
     )
 
 
+def quality_reject_reasons(
+    text_col: str = "text",
+    min_words: int = 10,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    max_top_word_frac: float = 0.30,
+    min_type_token_ratio: float = 0.30,
+    min_stopword_hits: int = 1,
+) -> Column:
+    """The scan-side C4/Gopher verdict as a single Column expression
+    (empty string = keep). Lets pipelines FILTER on quality inline —
+    ``df.filter(quality_reject_reasons() == "")`` — with no self-join
+    against a verdict projection; :func:`quality_filter_scan` wraps it
+    into the tabular verdict output."""
+    ws = words(text_col)
+    en = F.array([F.lit(w) for w in STOPWORDS["en"]])
+    top_cnt = _max_run_sorted(F.array_sort(ws))
+    nw = F.size(ws)
+    mwl = F.length(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", "")) / nw
+    twf = top_cnt / nw
+    ttr = F.size(F.array_distinct(ws)) / nw
+    stop = F.size(F.filter(ws, lambda w: F.array_contains(en, w)))
+    return F.concat_ws(
+        ",",
+        F.when(nw < min_words, F.lit("too_short")),
+        F.when(nw > max_words, F.lit("too_long")),
+        F.when(
+            (mwl < min_mean_word_len) | (mwl > max_mean_word_len), F.lit("word_len")
+        ),
+        F.when(twf > max_top_word_frac, F.lit("repetitive")),
+        F.when(ttr < min_type_token_ratio, F.lit("low_diversity")),
+        F.when(stop < min_stopword_hits, F.lit("no_stopwords")),
+    )
+
+
 def quality_filter_scan(
     df: DataFrame,
     text_col: str = "text",
@@ -512,28 +548,14 @@ def quality_filter_scan(
     :func:`repetition_signals` when the per-gram counts themselves are
     the product.
     """
-    ws = words(text_col)
-    en = F.array([F.lit(w) for w in STOPWORDS["en"]])
-    top_cnt = _max_run_sorted(F.array_sort(ws))
-    nw = F.size(ws)
-    mwl = F.length(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", "")) / nw
-    twf = top_cnt / nw
-    ttr = F.size(F.array_distinct(ws)) / nw
-    stop = F.size(F.filter(ws, lambda w: F.array_contains(en, w)))
-    reasons = F.concat_ws(
-        ",",
-        F.when(nw < min_words, F.lit("too_short")),
-        F.when(nw > max_words, F.lit("too_long")),
-        F.when(
-            (mwl < min_mean_word_len) | (mwl > max_mean_word_len), F.lit("word_len")
-        ),
-        F.when(twf > max_top_word_frac, F.lit("repetitive")),
-        F.when(ttr < min_type_token_ratio, F.lit("low_diversity")),
-        F.when(stop < min_stopword_hits, F.lit("no_stopwords")),
+    reasons = quality_reject_reasons(
+        text_col, min_words, max_words, min_mean_word_len,
+        max_mean_word_len, max_top_word_frac, min_type_token_ratio,
+        min_stopword_hits,
     )
     return df.select(
         F.col(id_col),
-        nw.cast("long").alias("n_words"),
+        F.size(words(text_col)).cast("long").alias("n_words"),
         reasons.alias("reject_reasons"),
         (reasons == "").alias("keep"),
     )

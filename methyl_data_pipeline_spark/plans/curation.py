@@ -18,21 +18,25 @@ Stage chain, the standard order of an LLM-data pipeline:
 
 Total physical cost: one scan + the decontaminate semi-join + two
 keyed shuffles — every filter happens before the first shuffle, so at
-100 TB the expensive stages see only surviving documents. The whole
-chain is deterministic (md5 keys, min-id winners, id-ordered packing)
-and therefore DuckDB-oracle-checkable end to end.
+100 TB the expensive stages see only surviving documents. The quality
+gate is an inline Column filter (no verdict self-join), and the
+post-redaction frame is persisted because two consumers (the shingle
+explode and the dedup key pass) would otherwise re-run the regex
+chain. The whole chain is deterministic (md5 keys, min-id winners,
+id-ordered packing) and therefore DuckDB-oracle-checkable end to end.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from methyl_data_pipeline_spark import cache
 from methyl_data_pipeline_spark.ext.dedup import dedup_exact
 from methyl_data_pipeline_spark.ext.pack import pack_sequences
 from methyl_data_pipeline_spark.ext.text import (
     PII_PATTERNS,
     decontaminate,
-    quality_filter_scan,
+    quality_reject_reasons,
 )
 
 
@@ -57,16 +61,15 @@ def curate(
     """Run the five-stage curation chain; returns per-doc window
     placement for the surviving corpus: (shard, id, n_tokens, bin_idx,
     bin_offset, spans_boundary)."""
-    kept = (
-        docs.join(
-            quality_filter_scan(docs, text_col=text_col, id_col=id_col)
-            .filter(F.col("keep"))
-            .select(id_col),
-            id_col,
-            "left_semi",
-        )
+    # quality verdict is a pure Column expression — filter inline, no
+    # self-semi-join against a verdict projection (halves the doc scan)
+    kept = docs.filter(quality_reject_reasons(text_col=text_col) == F.lit(""))
+    # persist post-redaction: `red` feeds BOTH decontaminate's shingle
+    # explode and the semi-join's left side; without it the regex chain
+    # (quality verdict + PII redaction) re-runs per consumer
+    red = cache.track(
+        kept.withColumn(text_col, redact_pii_text(F.col(text_col)))
     )
-    red = kept.withColumn(text_col, redact_pii_text(F.col(text_col)))
     clean = red.join(
         decontaminate(red, benchmark, text_col=text_col, id_col=id_col, ngram_n=ngram_n)
         .filter(~F.col("contaminated"))
