@@ -1789,6 +1789,38 @@ FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
 """
 
 
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window event aggregation (1h window / 30min slide) —
+    batch twin of the streaming sliding agg; every event lands in two
+    overlapping epoch-aligned windows."""
+    from methyl_data_pipeline_spark.streaming.events import sliding_event_counts_batch
+
+    ev = _events(spark, sf_dir)
+    out = sliding_event_counts_batch(ev, "1 hour", "30 minutes")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        _r(F.col("sum_value")).alias("sum_value"),
+    ).orderBy("window_start", "event_type")
+
+
+SQL_EVENTS_SLIDING = """
+WITH exp AS (
+  SELECT e.*,
+         time_bucket(INTERVAL '30 minutes', ts)
+           - g.i * INTERVAL '30 minutes' AS w_start
+  FROM events e CROSS JOIN generate_series(0, 1) g(i)
+)
+SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, COUNT(*) AS n_events,
+       ROUND(SUM(value) + 1e-9, 6) AS sum_value
+FROM exp
+WHERE ts >= w_start AND ts < w_start + INTERVAL '1 hour'
+GROUP BY 1, 2 ORDER BY window_start, event_type
+"""
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (lag + running sum of breaks)."""
     from methyl_data_pipeline_spark.streaming.events import sessionize_batch
@@ -3338,6 +3370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_dedup": q_segment_dedup,
         "dedup_best": q_dedup_best,
         "clean_text": q_clean_text,
+        "events_sliding": q_events_sliding,
         # non-SQL-expressible (rows-only; see each docstring)
         "combat_correction": q_combat,
         "combat_covariates": q_combat_covariates,
@@ -3454,5 +3487,6 @@ def oracle_sql() -> dict[str, str]:
         "segment_dedup": SQL_SEGMENT_DEDUP,
         "dedup_best": SQL_DEDUP_BEST,
         "clean_text": SQL_CLEAN_TEXT,
+        "events_sliding": SQL_EVENTS_SLIDING,
     }
     return {k: _normalize_round_sql(v) for k, v in raw.items()}

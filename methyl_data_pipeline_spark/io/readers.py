@@ -162,3 +162,21 @@ def decode_idat(df: DataFrame) -> DataFrame:
     from methyl_data_pipeline_spark.io.idat import decode_idat as _decode
 
     return _decode(df)
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    multiline: bool = False,
+) -> DataFrame:
+    """JSON-lines source — the interchange format of LLM corpus tooling
+    (one document object per line; engine-native extension, no
+    reference twin). Pass an explicit DDL ``schema`` in production:
+    schema inference scans the data once more and silently widens
+    types. ``multiline=True`` switches to whole-file JSON arrays
+    (NOT splittable — one task per file; keep jsonl for scale)."""
+    r = spark.read
+    if schema:
+        r = r.schema(schema)
+    return r.option("multiLine", multiline).json(path)

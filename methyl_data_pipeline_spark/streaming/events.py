@@ -56,6 +56,59 @@ def windowed_event_counts(
     )
 
 
+def sliding_event_counts_batch(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Sliding-window counts/sums per event type: each event lands in
+    ``window / slide`` overlapping epoch-aligned windows (Spark
+    ``F.window`` with a slide duration). Batch twin of
+    :func:`sliding_event_counts`; the explode-free implementation keeps
+    the fan-out inside the window expression, so physical cost is one
+    groupBy shuffle on (window, type) with map-side partials."""
+    return (
+        events.groupBy(
+            F.window(F.col(ts_col), window, slide).alias("w"),
+            F.col("event_type"),
+        )
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_event_counts(
+    stream: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming sliding-window agg with late-data watermark — state
+    per open (window, type) pair is bounded by watermark horizon ×
+    overlap factor."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(F.col(ts_col), window, slide).alias("w"),
+            F.col("event_type"),
+        )
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def sessionize_batch(
     events: DataFrame,
     gap_minutes: int = 30,

@@ -102,3 +102,30 @@ def test_plan_broadcast_regression(spark):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_jsonl_round_trip(spark, tmp_path):
+    """JSONL sink -> source round trip with explicit schema; files are
+    one-object-per-line (the LLM-corpus interchange shape)."""
+    import glob as _glob
+    import json as _json
+
+    from methyl_data_pipeline_spark.io.readers import read_jsonl
+    from methyl_data_pipeline_spark.io.writers import write_jsonl
+
+    df = spark.createDataFrame(
+        [(1, "hello world", "src0"), (2, "second doc", "src1")],
+        "doc_id long, text string, source string",
+    )
+    out = str(tmp_path / "docs_jsonl")
+    write_jsonl(df, out)
+    parts = [p for p in _glob.glob(out + "/part-*") if not p.endswith(".crc")]
+    assert parts, "no jsonl part files written"
+    with open(parts[0]) as fh:
+        first = _json.loads(fh.readline())
+    assert set(first) == {"doc_id", "text", "source"}
+
+    back = read_jsonl(spark, out, schema="doc_id long, text string, source string")
+    assert sorted(tuple(r) for r in back.collect()) == sorted(
+        tuple(r) for r in df.collect()
+    )

@@ -554,3 +554,59 @@ def test_stream_stream_interval_join(spark, tmp_path):
     assert got == want
     assert (100, 1) in got and (100, 2) in got and (101, 3) in got and (102, 4) in got
     assert (101, 1) not in got  # click 1 is >1h before purchase 101
+
+
+def test_sliding_window_stream_batch_parity(spark, tmp_path):
+    """Sliding agg: a real readStream run (complete mode) must equal
+    the batch twin — and each event must land in exactly two
+    overlapping 1h/30min windows."""
+    from methyl_data_pipeline_spark.streaming.events import (
+        sliding_event_counts,
+        sliding_event_counts_batch,
+        stream_events_from_parquet,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:10:00", "2024-01-01 00:40:00", "2024-01-01 01:10:00"]
+            ),
+            "user_id": [1, 1, 2],
+            "event_type": ["click", "click", "view"],
+            "value": [1.0, 2.0, 3.0],
+        }
+    )
+    src = str(tmp_path / "slide_src")
+    os.makedirs(src, exist_ok=True)
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(src)
+
+    batch = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in sliding_event_counts_batch(
+            spark.read.parquet(src), "1 hour", "30 minutes"
+        ).collect()
+    }
+    # event at 00:10 -> windows starting 23:30 and 00:00
+    assert batch[("2023-12-31 23:30:00", "click")] == (1, 1.0)
+    assert batch[("2024-01-01 00:00:00", "click")] == (2, 3.0)
+    assert batch[("2024-01-01 00:30:00", "click")] == (1, 2.0)
+    assert sum(n for n, _ in batch.values()) == 2 * len(pdf)
+
+    stream = stream_events_from_parquet(spark, src)
+    agg = sliding_event_counts(stream, "1 hour", "30 minutes", "10 minutes")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("slide_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (str(r["window_start"]), r["event_type"]): (r["n_events"], r["sum_value"])
+            for r in spark.sql("SELECT * FROM slide_test").collect()
+        }
+    finally:
+        q.stop()
+    assert got == batch
