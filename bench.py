@@ -63,6 +63,9 @@ EXTENDED = [
     "pca_gram",
     "quality_filter",
     "curation_pipeline",
+    "methyl_pipeline_chain",
+    "segment_dedup",
+    "multimodal_features",
 ]
 
 

@@ -307,3 +307,16 @@ def test_contraction_partitioning_invariant(spark):
     comp = dict(base)
     assert all(comp[i] == 0 for i in range(61))
     assert comp[102] == 100 and comp[202] == 200 and comp[300] == 300
+
+
+def test_quality_gate_is_scan_side(spark):
+    """The curation quality gate must stay a pure scan-side filter —
+    zero exchanges in its physical plan (the 100-TB reason the verdict
+    is a Column expression, not a verdict-projection self-join)."""
+    from methyl_data_pipeline_spark.ext.text import quality_reject_reasons
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    kept = docs.filter(quality_reject_reasons() == F.lit(""))
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "FileScan parquet" in plan
