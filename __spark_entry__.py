@@ -2969,30 +2969,123 @@ def q_bmiq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("probe_id", "sample_id")
 
 
+def _with_tissue(complete: DataFrame) -> DataFrame:
+    """Balanced 2x2 covariate fixture: run = sample parity, tissue =
+    (sample_idx // 2) parity — tissue is NOT confounded with batch
+    (every batch holds both tissues, 2 samples per cell), so the
+    per-probe OLS design [b0, b1, thymus] is full rank and its
+    coefficients have exact closed forms (orthogonal balanced
+    effects)."""
+    from methyl_data_pipeline_spark import model
+
+    idx = F.substring("sample_id", 2, 10).cast("int")
+    return complete.withColumn(
+        "tissue",
+        F.when((idx / 2).cast("int") % 2 == 0, "thymus").otherwise("tcell"),
+    ).withColumn("mval", model.mvalue("beta"))
+
+
 def q_combat_covariates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ComBat variant B (M2): covariate-protected batch correction —
     per-probe OLS via applyInPandas + the shared EB agg machinery.
-    Rows-only (iterative EB; invariants in tests/test_combat_covariates)."""
-    from methyl_data_pipeline_spark import model
+    Rows-only (iterative EB); the OLS standardization prefix is
+    oracle-checked by combat_cov_prefix."""
     from methyl_data_pipeline_spark.operators import qc
     from methyl_data_pipeline_spark.stats.combat import combat_with_covariates
 
     meth = _meth(spark, sf_dir)
     n_samples = meth.select("sample_id").distinct().count()
     complete = qc.drop_incomplete_probes(meth, n_samples)
-    with_cov = complete.withColumn(
-        "tissue",
-        F.when(F.substring("sample_id", 2, 10).cast("int") % 2 == 0, "thymus")
-        .otherwise("tcell"),
-    ).withColumn("mval", model.mvalue("beta"))
     out = combat_with_covariates(
-        with_cov, value_col="mval", batch_col="run", covariate_cols=["tissue"]
+        _with_tissue(complete), value_col="mval", batch_col="run",
+        covariate_cols=["tissue"],
     )
     return out.select(
         "probe_id", "sample_id", "run",
         F.round("mval", 6).alias("mval"),
         F.round("mval_combat", 6).alias("mval_combat"),
     ).orderBy("probe_id", "sample_id")
+
+
+def q_combat_cov_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic prefix of ComBat variant B: per-probe OLS of
+    mval ~ batch + tissue (stats.combat.covariate_standardize, the
+    exact applyInPandas stage the full correction runs), emitting the
+    covariate-protected stand_mean, pooled residual variance, and
+    standardized z per row. The balanced 2x2 fixture design makes
+    every OLS coefficient closed-form (orthogonal effects), so the
+    DuckDB oracle re-derives the lstsq solution from cell means.
+    Anchors M2-variant-B's only previously-unchecked computation.
+    Reference workflow.R:132-145."""
+    from methyl_data_pipeline_spark.operators import qc
+    from methyl_data_pipeline_spark.stats.combat import covariate_standardize
+
+    meth = _meth(spark, sf_dir)
+    n_samples = meth.select("sample_id").distinct().count()
+    complete = qc.drop_incomplete_probes(meth, n_samples)
+    out = covariate_standardize(
+        _with_tissue(complete), value_col="mval", batch_col="run",
+        covariate_cols=["tissue"],
+    )
+    return out.select(
+        "probe_id", "sample_id", "run",
+        _r(F.col("stand_mean")).alias("stand_mean"),
+        _r(F.col("var_pooled")).alias("var_pooled"),
+        _r(F.col("z"), 4).alias("z"),
+    ).orderBy("probe_id", "sample_id")
+
+
+SQL_COMBAT_COV_PREFIX = f"""
+WITH {METH_CTE},
+complete AS (
+  SELECT m.* FROM meth m
+  JOIN (SELECT probe_id FROM meth WHERE beta IS NOT NULL
+        GROUP BY probe_id
+        HAVING COUNT(*) = (SELECT COUNT(DISTINCT sample_id) FROM meth)) c
+  USING (probe_id)
+),
+m AS (
+  SELECT probe_id, sample_id, run,
+         CASE WHEN (CAST(substring(sample_id, 2) AS INT) // 2) % 2 = 0
+              THEN 1 ELSE 0 END AS d,
+         log2(least(greatest(beta, 0.001), 0.999)
+              / (1 - least(greatest(beta, 0.001), 0.999))) AS mval
+  FROM complete
+),
+-- balanced 2x2 design => orthogonal effects: tissue effect is the
+-- tissue-mean difference, batch coefficients subtract half of it
+g AS (
+  SELECT probe_id,
+         AVG(CASE WHEN d = 1 THEN mval END) AS y_th,
+         AVG(CASE WHEN d = 0 THEN mval END) AS y_tc,
+         AVG(CASE WHEN run = 'R0' THEN mval END) AS y_b0,
+         AVG(CASE WHEN run = 'R1' THEN mval END) AS y_b1,
+         COUNT(*) AS n
+  FROM m GROUP BY 1
+),
+coef AS (
+  SELECT probe_id, n, y_th - y_tc AS tau,
+         y_b0 - 0.5 * (y_th - y_tc) AS c0,
+         y_b1 - 0.5 * (y_th - y_tc) AS c1
+  FROM g
+),
+r AS (
+  SELECT m.probe_id, m.sample_id, m.run, m.d, m.mval, coef.n,
+         (CASE WHEN m.run = 'R0' THEN c0 ELSE c1 END) + m.d * tau AS fit,
+         0.5 * (c0 + c1) + m.d * tau AS stand_mean
+  FROM m JOIN coef USING (probe_id)
+),
+vp AS (
+  SELECT probe_id, SUM(POW(mval - fit, 2)) / ANY_VALUE(n) AS var_pooled
+  FROM r GROUP BY 1
+)
+SELECT r.probe_id, r.sample_id, r.run,
+       ROUND(stand_mean + 1e-9, 6) AS stand_mean,
+       ROUND(var_pooled + 1e-9, 6) AS var_pooled,
+       ROUND((mval - stand_mean) / sqrt(var_pooled) + 1e-9, 4) AS z
+FROM r JOIN vp USING (probe_id)
+ORDER BY probe_id, sample_id
+"""
 
 
 def q_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3371,6 +3464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_best": q_dedup_best,
         "clean_text": q_clean_text,
         "events_sliding": q_events_sliding,
+        "combat_cov_prefix": q_combat_cov_prefix,
         # non-SQL-expressible (rows-only; see each docstring)
         "combat_correction": q_combat,
         "combat_covariates": q_combat_covariates,
@@ -3488,5 +3582,6 @@ def oracle_sql() -> dict[str, str]:
         "dedup_best": SQL_DEDUP_BEST,
         "clean_text": SQL_CLEAN_TEXT,
         "events_sliding": SQL_EVENTS_SLIDING,
+        "combat_cov_prefix": SQL_COMBAT_COV_PREFIX,
     }
     return {k: _normalize_round_sql(v) for k, v in raw.items()}

@@ -260,35 +260,26 @@ def combat(
     )
 
 
-def combat_with_covariates(
+def covariate_standardize(
     long_df: DataFrame,
     value_col: str = "mval",
     batch_col: str = "run",
     covariate_cols: list[str] | None = None,
     key_col: str = "probe_id",
     sample_col: str = "sample_id",
-    conv: float = 1e-13,
-    max_iter: int = 200,
 ) -> DataFrame:
-    """ComBat variant B: covariate-protected batch correction
-    (reference ``workflow.R:132-145``: ``ComBat(mvals, batch,
-    mod=model.matrix(~Tissue.Cell.type))``).
+    """ComBat variant B's per-probe OLS standardization (the
+    deterministic prefix of :func:`combat_with_covariates`): fit
+    ``value ~ batch + covariates`` per probe, emit the
+    covariate-protected ``stand_mean``, pooled residual variance, and
+    standardized ``z`` per row. Probes are independent, so this is a
+    grouped ``applyInPandas`` with a small lstsq per probe; the EB
+    machinery that consumes it pools ACROSS probes and stays outside.
 
-    The biological covariates are included in the per-probe linear
-    model so their effect is preserved (removed before standardization,
-    added back after adjustment). Decomposition:
-
-      1. per-probe OLS of value ~ batch + covariates — probes are
-         independent, so this IS a grouped operation:
-         ``applyInPandas`` per probe, lstsq on the small (n_samples ×
-         n_params) design, emitting Z and the protected stand_mean;
-      2. EB hyperpriors + fixed point + adjustment — identical agg
-         machinery to the no-covariate path (pools ACROSS probes, so
-         it stays outside the grouped UDF).
-
-    The covariate design is built driver-side from the distinct
-    (batch, covariate) levels — a dimension-sized lookup, broadcast
-    into the UDF closure.
+    For a balanced full-rank design the OLS coefficients have exact
+    closed forms (orthogonal batch/covariate effects), which is what
+    makes this stage DuckDB-oracle-checkable (``combat_cov_prefix``).
+    Reference ``workflow.R:132-145`` (``ComBat(..., mod=model.matrix)``).
     """
     import numpy as np
 
@@ -349,7 +340,48 @@ def combat_with_covariates(
         out["var_pooled"] = var_pooled
         return out
 
-    z = cache.track(df.groupBy(key_col).applyInPandas(fit_probe, out_schema))
+    return df.groupBy(key_col).applyInPandas(fit_probe, out_schema)
+
+
+def combat_with_covariates(
+    long_df: DataFrame,
+    value_col: str = "mval",
+    batch_col: str = "run",
+    covariate_cols: list[str] | None = None,
+    key_col: str = "probe_id",
+    sample_col: str = "sample_id",
+    conv: float = 1e-13,
+    max_iter: int = 200,
+) -> DataFrame:
+    """ComBat variant B: covariate-protected batch correction
+    (reference ``workflow.R:132-145``: ``ComBat(mvals, batch,
+    mod=model.matrix(~Tissue.Cell.type))``).
+
+    The biological covariates are included in the per-probe linear
+    model so their effect is preserved (removed before standardization,
+    added back after adjustment). Decomposition:
+
+      1. per-probe OLS of value ~ batch + covariates — probes are
+         independent, so this IS a grouped operation:
+         ``applyInPandas`` per probe, lstsq on the small (n_samples ×
+         n_params) design, emitting Z and the protected stand_mean;
+      2. EB hyperpriors + fixed point + adjustment — identical agg
+         machinery to the no-covariate path (pools ACROSS probes, so
+         it stays outside the grouped UDF).
+
+    The covariate design is built driver-side from the distinct
+    (batch, covariate) levels — a dimension-sized lookup, broadcast
+    into the UDF closure.
+    """
+    from methyl_data_pipeline_spark.deploy import ensure_importable
+
+    ensure_importable(long_df.sparkSession)
+    z = cache.track(
+        covariate_standardize(
+            long_df, value_col, batch_col, covariate_cols or [],
+            key_col, sample_col,
+        )
+    )
 
     # EB machinery over Z — identical to the intercept-only path.
     zb = z.groupBy(key_col, batch_col).agg(
