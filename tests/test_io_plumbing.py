@@ -121,8 +121,14 @@ def test_jsonl_round_trip(spark, tmp_path):
     write_jsonl(df, out)
     parts = [p for p in _glob.glob(out + "/part-*") if not p.endswith(".crc")]
     assert parts, "no jsonl part files written"
-    with open(parts[0]) as fh:
-        first = _json.loads(fh.readline())
+    # a 2-row frame over N partitions leaves most part files empty —
+    # inspect the first part that actually holds a line
+    lines = []
+    for p in sorted(parts):
+        with open(p) as fh:
+            lines.extend(ln for ln in fh.read().splitlines() if ln.strip())
+    assert len(lines) == 2
+    first = _json.loads(lines[0])
     assert set(first) == {"doc_id", "text", "source"}
 
     back = read_jsonl(spark, out, schema="doc_id long, text string, source string")
