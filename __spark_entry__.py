@@ -3233,6 +3233,31 @@ def q_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("probe_id")
 
 
+def q_sample_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise sample-sample Pearson correlation over shared probes
+    (operators.qc.sample_correlation) — the methylation QC outlier
+    diagnostic. Probe-keyed self-join + one pair-keyed groupBy, all
+    JVM-side."""
+    from methyl_data_pipeline_spark.operators.qc import sample_correlation
+
+    meth = _meth(spark, sf_dir)
+    out = sample_correlation(meth)
+    return out.select(
+        "s1", "s2", _r(F.col("corr")).alias("corr"), "n_probes"
+    ).orderBy("s1", "s2")
+
+
+SQL_SAMPLE_CORR = f"""
+WITH {METH_CTE}
+SELECT a.sample_id AS s1, b.sample_id AS s2,
+       ROUND(corr(a.beta, b.beta) + 1e-9, 6) AS corr,
+       COUNT(*) AS n_probes
+FROM meth a JOIN meth b
+  ON a.probe_id = b.probe_id AND a.sample_id < b.sample_id
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Paragraph/segment-level exact dedup (Falcon/RefinedWeb line-dedup
     family): 4-word segments, first corpus occurrence wins, documents
@@ -3465,6 +3490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_text": q_clean_text,
         "events_sliding": q_events_sliding,
         "combat_cov_prefix": q_combat_cov_prefix,
+        "sample_corr": q_sample_corr,
         # non-SQL-expressible (rows-only; see each docstring)
         "combat_correction": q_combat,
         "combat_covariates": q_combat_covariates,
@@ -3583,5 +3609,6 @@ def oracle_sql() -> dict[str, str]:
         "clean_text": SQL_CLEAN_TEXT,
         "events_sliding": SQL_EVENTS_SLIDING,
         "combat_cov_prefix": SQL_COMBAT_COV_PREFIX,
+        "sample_corr": SQL_SAMPLE_CORR,
     }
     return {k: _normalize_round_sql(v) for k, v in raw.items()}

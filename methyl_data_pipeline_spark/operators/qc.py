@@ -156,3 +156,37 @@ def scrub_nonfinite(df: DataFrame, cols: list[str]) -> DataFrame:
             ),
         )
     return out.na.drop("all", subset=cols)
+
+
+def sample_correlation(
+    meth: DataFrame,
+    value_col: str = "beta",
+    sample_col: str = "sample_id",
+    key_col: str = "probe_id",
+) -> DataFrame:
+    """Pairwise sample-sample Pearson correlation over shared probes —
+    the standard methylation QC diagnostic for outlier/mislabeled
+    samples (minfi's sample QC family; the reference eyeballs the same
+    relationship through its density/MDS plots, workflow.R:248-303).
+
+    Plan shape: probe-keyed self-join (``s1 < s2`` halves the pair
+    space) + one (s1, s2) groupBy — the same fact-squared-over-probes
+    shape as ``stats.pca.gram_matrix``, output n_samples² rows.
+    ``corr`` is JVM-side Pearson (scale-invariant, n-1 cancels), so
+    the whole operator is codegen expressions.
+    """
+    a = meth.select(
+        F.col(key_col).alias("_k"),
+        F.col(sample_col).alias("s1"),
+        F.col(value_col).alias("_v1"),
+    )
+    b = meth.select(
+        F.col(key_col).alias("_k"),
+        F.col(sample_col).alias("s2"),
+        F.col(value_col).alias("_v2"),
+    )
+    pairs = a.join(b, "_k").filter(F.col("s1") < F.col("s2"))
+    return pairs.groupBy("s1", "s2").agg(
+        F.corr("_v1", "_v2").alias("corr"),
+        F.count(F.lit(1)).alias("n_probes"),
+    )

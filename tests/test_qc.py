@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from methyl_data_pipeline_spark.operators import qc
@@ -114,3 +115,34 @@ def test_approx_quantiles_near_exact(spark):
     for g in exact:
         for a, e in zip(approx[g], exact[g]):
             assert abs(a - e) < 1.0, (g, a, e)  # ~0.07 sigma at n=2000
+
+
+def test_sample_correlation_matches_pandas(spark):
+    """Pairwise sample corr vs pandas over shared probes; identical
+    samples correlate at 1."""
+    import numpy as np
+    import pandas as pd
+
+    from methyl_data_pipeline_spark.operators.qc import sample_correlation
+
+    rng = np.random.RandomState(9)
+    probes = [f"cg{i:04d}" for i in range(60)]
+    base = rng.rand(60)
+    rows = []
+    for s, noise in (("s1", 0.0), ("s2", 0.05), ("s3", 1.0)):
+        vals = np.clip(base + noise * rng.rand(60), 0, 2)
+        rows += [(p, s, float(v)) for p, v in zip(probes, vals)]
+    # s4 == s1 exactly
+    rows += [(p, "s4", float(v)) for p, v in zip(probes, base)]
+    df = spark.createDataFrame(rows, "probe_id string, sample_id string, beta double")
+
+    got = {(r.s1, r.s2): (r.corr, r.n_probes) for r in sample_correlation(df).collect()}
+    assert got[("s1", "s4")][0] == pytest.approx(1.0)
+    assert all(n == 60 for _, n in got.values())
+
+    pdf = pd.DataFrame(rows, columns=["probe_id", "sample_id", "beta"])
+    wide = pdf.pivot(index="probe_id", columns="sample_id", values="beta")
+    for (a, b), (c, _) in got.items():
+        assert c == pytest.approx(wide[a].corr(wide[b]), abs=1e-9)
+    # noisy sample correlates less than the near copy
+    assert got[("s1", "s3")][0] < got[("s1", "s2")][0]
