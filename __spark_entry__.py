@@ -3258,6 +3258,69 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by keyed md5 hash
+    (ext.pack.hash_split) — zero-shuffle projection, reproducible at
+    any partitioning; per-split counts certify the hash-space
+    partition."""
+    from methyl_data_pipeline_spark.ext.pack import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    out = hash_split(docs)
+    return (
+        out.groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_id"))
+        .orderBy("split")
+    )
+
+
+SQL_HASH_SPLIT = """
+WITH f AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           / 1152921504606846976.0 AS frac
+  FROM documents
+)
+SELECT CASE WHEN frac < 0.9 THEN 'train'
+            WHEN frac < 0.95 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs, MIN(doc_id) AS min_id
+FROM f GROUP BY 1 ORDER BY split
+"""
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-rebalancing subsample (ext.pack.mixture_sample): keep
+    each doc iff its keyed hash fraction is under its source's
+    discard-only sampling rate weight/max(weight) — the deterministic
+    materialization of domain_mix's target mixture."""
+    from methyl_data_pipeline_spark.ext.pack import mixture_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = mixture_sample(docs)
+    return out.select("doc_id", "source").orderBy("doc_id")
+
+
+SQL_MIXTURE_SAMPLE = r"""
+WITH per AS (
+  SELECT source,
+         CAST(SUM(len(regexp_split_to_array(lower(trim(text)), '\s+'))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t, COUNT(*) AS k FROM per),
+w AS (
+  SELECT source, (1.0 / k) / (n_tokens * 1.0 / t) AS weight FROM per, tot
+),
+r AS (SELECT source, weight / (SELECT MAX(weight) FROM w) AS rate FROM w)
+SELECT d.doc_id, d.source
+FROM documents d JOIN r USING (source)
+WHERE ('0x' || substr(md5('mix|' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+        / 1152921504606846976.0 < r.rate
+ORDER BY d.doc_id
+"""
+
+
 def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Paragraph/segment-level exact dedup (Falcon/RefinedWeb line-dedup
     family): 4-word segments, first corpus occurrence wins, documents
@@ -3491,6 +3554,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding": q_events_sliding,
         "combat_cov_prefix": q_combat_cov_prefix,
         "sample_corr": q_sample_corr,
+        "hash_split": q_hash_split,
+        "mixture_sample": q_mixture_sample,
         # non-SQL-expressible (rows-only; see each docstring)
         "combat_correction": q_combat,
         "combat_covariates": q_combat_covariates,
@@ -3610,5 +3675,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sliding": SQL_EVENTS_SLIDING,
         "combat_cov_prefix": SQL_COMBAT_COV_PREFIX,
         "sample_corr": SQL_SAMPLE_CORR,
+        "hash_split": SQL_HASH_SPLIT,
+        "mixture_sample": SQL_MIXTURE_SAMPLE,
     }
     return {k: _normalize_round_sql(v) for k, v in raw.items()}

@@ -67,3 +67,78 @@ def sample_stratified(
         .filter(F.col("_rk") <= n_per_stratum)
         .drop("_rk")
     )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: tuple[float, ...] = (0.9, 0.05, 0.05),
+    names: tuple[str, ...] = ("train", "val", "test"),
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by keyed 60-bit md5
+    hash: the same id lands in the same split at any partitioning,
+    cluster size, or re-run — no RNG state, no shuffle (a pure
+    projection the optimizer can push anywhere). ``weights`` are
+    normalized shares of the hash space; division by 2^60 is exact in
+    binary floating point, so the thresholds are engine-independent.
+    """
+    from methyl_data_pipeline_spark.ext.text import md5_long
+
+    if len(weights) != len(names) or len(names) < 2:
+        raise ValueError("need >= 2 (weight, name) pairs of equal length")
+    total = float(sum(weights))
+    frac = md5_long(F.col(id_col).cast("string"), salt=salt) / F.lit(
+        float(1 << 60)
+    )
+    acc = 0.0
+    expr = None
+    for w_, nm in zip(weights[:-1], names[:-1]):
+        acc += w_ / total
+        expr = (
+            F.when(frac < acc, nm)
+            if expr is None
+            else expr.when(frac < acc, nm)
+        )
+    return df.withColumn("split", expr.otherwise(names[-1]))
+
+
+def mixture_sample(
+    df: DataFrame,
+    text_col: str = "text",
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    target: dict[str, float] | None = None,
+    salt: str = "mix",
+) -> DataFrame:
+    """Materialize :func:`~methyl_data_pipeline_spark.ext.text.domain_mix`'s
+    rebalance weights as an actual subsample: each document is kept iff
+    its keyed hash fraction falls under its domain's sampling rate
+    ``weight / max(weight)`` — the discard-only normalization that hits
+    the target token mixture in expectation while keeping every
+    document of the scarcest domain. Deterministic Bernoulli (md5
+    threshold, no RNG), so the sample is reproducible and
+    oracle-checkable.
+
+    Plan: the per-domain rate table is tiny (one row per source) and
+    broadcast onto the scan — the fact table is never shuffled.
+    """
+    from methyl_data_pipeline_spark.ext.text import domain_mix, md5_long
+
+    rates = domain_mix(df, text_col=text_col, domain_col=domain_col, target=target)
+    maxw = rates.agg(F.max("weight").alias("_mw"))
+    rates = (
+        rates.crossJoin(F.broadcast(maxw))
+        .select(
+            F.col("domain").alias(domain_col),
+            (F.col("weight") / F.col("_mw")).alias("_rate"),
+        )
+    )
+    frac = md5_long(F.col(id_col).cast("string"), salt=salt) / F.lit(
+        float(1 << 60)
+    )
+    return (
+        df.join(F.broadcast(rates), domain_col)
+        .filter(frac < F.col("_rate"))
+        .drop("_rate")
+    )

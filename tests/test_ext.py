@@ -623,3 +623,39 @@ def test_clean_text_round_trip(spark):
     assert out[1].n_tags == 4 and out[1].n_urls == 1
     assert out[1].text_clean == "Hello world via done"
     assert out[2].n_tags == 0 and out[2].text_clean == "plain text with spaces"
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    from methyl_data_pipeline_spark.ext.pack import hash_split
+
+    df = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    out = hash_split(df).groupBy("split").count().collect()
+    counts = {r["split"]: r["count"] for r in out}
+    assert set(counts) == {"train", "val", "test"}
+    assert 0.85 < counts["train"] / 5000 < 0.95
+    # same ids -> same split at any partitioning
+    a = {r.doc_id: r.split for r in hash_split(df.repartition(1)).collect()}
+    b = {r.doc_id: r.split for r in hash_split(df.repartition(64)).collect()}
+    assert a == b
+    # different salt re-deals
+    c = {r.doc_id: r.split for r in hash_split(df, salt="other").collect()}
+    assert a != c
+
+
+def test_mixture_sample_hits_target_mixture(spark):
+    """Discard-only rebalance: the scarcest domain keeps ~everything;
+    kept token shares move toward uniform."""
+    from methyl_data_pipeline_spark.ext.pack import mixture_sample
+    from methyl_data_pipeline_spark.ext.text import words
+
+    rows = [(i, "w " * 20, "big") for i in range(900)]
+    rows += [(i + 900, "w " * 20, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    kept = mixture_sample(df)
+    by_src = {r["source"]: r["n"] for r in
+              kept.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by_src["small"] == 100          # scarcest domain fully kept
+    assert 60 < by_src["big"] < 160        # ~1/9 rate on 900 docs
+    # deterministic: re-running yields the identical sample
+    again = {r.doc_id for r in mixture_sample(df).select("doc_id").collect()}
+    assert again == {r.doc_id for r in kept.select("doc_id").collect()}
