@@ -55,6 +55,8 @@ def read_any(spark: SparkSession, path: str) -> DataFrame:
         return spark.read.parquet(path)
     if ext in (".csv", ".txt"):
         return spark.read.csv(path, header=True, inferSchema=True)
+    if ext in (".jsonl", ".json"):
+        return read_jsonl(spark, path)
     raise ValueError(f"unsupported extension: {ext}")
 
 

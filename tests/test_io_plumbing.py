@@ -135,3 +135,14 @@ def test_jsonl_round_trip(spark, tmp_path):
     assert sorted(tuple(r) for r in back.collect()) == sorted(
         tuple(r) for r in df.collect()
     )
+
+
+def test_read_any_dispatches_jsonl(spark, tmp_path):
+    from methyl_data_pipeline_spark.io.readers import read_any
+    from methyl_data_pipeline_spark.io.writers import write_jsonl
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
+    out = str(tmp_path / "docs.jsonl")
+    write_jsonl(df, out)
+    back = read_any(spark, out)
+    assert back.count() == 2 and set(back.columns) == {"doc_id", "text"}
