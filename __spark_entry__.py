@@ -3258,6 +3258,50 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram language ID (Cavnar-Trenkle heuristic,
+    ext.text.language_id_ngram) — the n-gram variant of §2.13's
+    language-ID requirement; pure HOF expressions, zero shuffles."""
+    from methyl_data_pipeline_spark.ext.text import language_id_ngram
+
+    docs = _t(spark, sf_dir, "documents")
+    out = language_id_ngram(docs)
+    return out.select("doc_id", "lang_pred_ngram", "ngram_hits").orderBy("doc_id")
+
+
+def _sql_lang_id_ngram() -> str:
+    from methyl_data_pipeline_spark.ext.text import TRIGRAM_PROFILES
+
+    score_exprs = ",\n       ".join(
+        "len(list_filter(grams, g -> list_contains(["
+        + ", ".join("'" + g.replace("'", "''") + "'" for g in sorted(set(p)))
+        + f"], g))) AS s_{lg}"
+        for lg, p in TRIGRAM_PROFILES.items()
+    )
+    langs = list(TRIGRAM_PROFILES)
+    greatest = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    case = "CASE "
+    for lg in langs:
+        case += f"WHEN s_{lg} = {greatest} AND {greatest} > 0 THEN '{lg}' "
+    case += "ELSE 'und' END"
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+         ' ' || regexp_replace(lower(trim(text)), '\s+', ' ', 'g') || ' ' AS tt
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(length(tt) - 2, 0)),
+                        i -> substr(tt, i, 3)) AS grams
+  FROM t
+),
+scored AS (SELECT doc_id, {score_exprs} FROM g)
+SELECT doc_id, {case} AS lang_pred_ngram,
+       CAST({greatest} AS BIGINT) AS ngram_hits
+FROM scored ORDER BY doc_id"""
+
+
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split by keyed md5 hash
     (ext.pack.hash_split) — zero-shuffle projection, reproducible at
@@ -3556,6 +3600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_corr": q_sample_corr,
         "hash_split": q_hash_split,
         "mixture_sample": q_mixture_sample,
+        "lang_id_ngram": q_lang_id_ngram,
         # non-SQL-expressible (rows-only; see each docstring)
         "combat_correction": q_combat,
         "combat_covariates": q_combat_covariates,
@@ -3677,5 +3722,6 @@ def oracle_sql() -> dict[str, str]:
         "sample_corr": SQL_SAMPLE_CORR,
         "hash_split": SQL_HASH_SPLIT,
         "mixture_sample": SQL_MIXTURE_SAMPLE,
+        "lang_id_ngram": _sql_lang_id_ngram(),
     }
     return {k: _normalize_round_sql(v) for k, v in raw.items()}

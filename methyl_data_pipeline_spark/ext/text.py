@@ -676,3 +676,59 @@ def clean_text(
         F.regexp_count(t, F.lit(url_re)).alias("n_urls"),
         cleaned.alias("text_clean"),
     )
+
+
+# Character-trigram profiles: the highest-frequency trigrams of each
+# language (space-padded word boundaries included) — the classic
+# Cavnar-Trenkle n-gram text-categorization signal, small enough to
+# inline as literals in both engines.
+TRIGRAM_PROFILES: dict[str, list[str]] = {
+    "en": [" th", "the", "he ", " an", "and", "nd ", "ing", "ng ",
+           " of", "of ", "ion", "tio", " to", "to ", "er ", " in",
+           "in ", "ent", " is", "is "],
+    "de": ["er ", "en ", " de", "der", "ie ", " di", "die", "ch ",
+           "sch", "ein", "ne ", "und", " un", "cht", "ich", " ei",
+           "ung", "gen", " ge", "ten"],
+    "fr": [" de", "de ", "es ", "le ", " le", "ent", "nt ", " la",
+           "la ", "et ", " et", "ion", "on ", "que", " qu", "ue ",
+           "re ", " re", "ais", "eur"],
+}
+
+
+def language_id_ngram(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Character-trigram language ID (Cavnar-Trenkle n-gram heuristic):
+    score per language = how many of the text's overlapping character
+    trigrams (with multiplicity, over the space-padded lowercased text)
+    appear in that language's top-trigram profile; argmax wins,
+    ``und`` when nothing matches. Deterministic tie-break by profile
+    order.
+
+    Pure Catalyst higher-order functions (sequence → transform →
+    filter), zero shuffles, zero UDFs — and byte-for-byte reproducible
+    in SQL, unlike model-based language ID. Complements the
+    stopword-argmax :func:`language_id` (trigram profiles survive
+    texts with few function words)."""
+    norm = F.concat(
+        F.lit(" "), F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), F.lit(" ")
+    )
+    out = df.withColumn("_t", norm)
+    grams = F.expr("transform(sequence(1, greatest(length(_t) - 2, 0)), i -> substring(_t, i, 3))")
+    out = out.withColumn("_grams", grams)
+
+    def score(profile: list[str]):
+        arr = F.array(*[F.lit(g) for g in sorted(set(profile))])
+        return F.size(F.filter(F.col("_grams"), lambda g: F.array_contains(arr, g)))
+
+    langs = list(TRIGRAM_PROFILES)
+    out = out.select(
+        "*", *[score(p).alias(f"_s_{lg}") for lg, p in TRIGRAM_PROFILES.items()]
+    )
+    best = F.greatest(*[F.col(f"_s_{lg}") for lg in langs])
+    expr = F.lit("und")
+    for lg in reversed(langs):  # earlier langs win ties
+        expr = F.when((F.col(f"_s_{lg}") == best) & (best > 0), F.lit(lg)).otherwise(expr)
+    return (
+        out.withColumn("lang_pred_ngram", expr)
+        .withColumn("ngram_hits", best.cast("long"))
+        .drop("_t", "_grams", *[f"_s_{lg}" for lg in langs])
+    )

@@ -659,3 +659,19 @@ def test_mixture_sample_hits_target_mixture(spark):
     # deterministic: re-running yields the identical sample
     again = {r.doc_id for r in mixture_sample(df).select("doc_id").collect()}
     assert again == {r.doc_id for r in kept.select("doc_id").collect()}
+
+
+def test_language_id_ngram(spark):
+    from methyl_data_pipeline_spark.ext.text import language_id_ngram
+
+    out = {
+        r["doc_id"]: (r["lang_pred_ngram"], r["ngram_hits"])
+        for r in language_id_ngram(_docs(spark)).collect()
+    }
+    assert out[0][0] == "en" and out[0][1] > 0
+    assert out[4][0] == "de"
+    assert out[6][0] == "fr"
+    # empty-ish text -> no trigram hits -> undetermined
+    tiny = spark.createDataFrame([(9, "zz")], "doc_id long, text string")
+    (r,) = language_id_ngram(tiny).collect()
+    assert r["lang_pred_ngram"] == "und" and r["ngram_hits"] == 0
