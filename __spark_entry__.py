@@ -3258,6 +3258,43 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_contract_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract violation report (operators.contracts) — the
+    engine mapping of the reference's stopifnot preconditions
+    (workflow.R:39,133; combat_norm.py:36-37), evaluated as ONE
+    aggregate pass of null-strict conditional counts."""
+    from methyl_data_pipeline_spark.operators.contracts import check_report
+
+    meth = _meth(spark, sf_dir)
+    return check_report(
+        meth,
+        {
+            "beta_out_of_range": (F.col("beta") >= 0) & (F.col("beta") <= 1),
+            "detp_out_of_range": (F.col("det_p") >= 0) & (F.col("det_p") <= 1),
+            "bad_probe_id": F.col("probe_id").rlike("^cg[0-9]{8}$"),
+            "null_keys": F.col("probe_id").isNotNull()
+            & F.col("sample_id").isNotNull()
+            & F.col("run").isNotNull(),
+        },
+    )
+
+
+SQL_CONTRACT_REPORT = f"""
+WITH {METH_CTE}
+SELECT
+  CAST(SUM(CASE WHEN beta >= 0 AND beta <= 1 THEN 0 ELSE 1 END) AS BIGINT)
+    AS beta_out_of_range,
+  CAST(SUM(CASE WHEN det_p >= 0 AND det_p <= 1 THEN 0 ELSE 1 END) AS BIGINT)
+    AS detp_out_of_range,
+  CAST(SUM(CASE WHEN regexp_matches(probe_id, '^cg[0-9]{{8}}$') THEN 0 ELSE 1 END) AS BIGINT)
+    AS bad_probe_id,
+  CAST(SUM(CASE WHEN probe_id IS NOT NULL AND sample_id IS NOT NULL
+                 AND run IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT)
+    AS null_keys
+FROM meth
+"""
+
+
 def q_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-trigram language ID (Cavnar-Trenkle heuristic,
     ext.text.language_id_ngram) — the n-gram variant of §2.13's
@@ -3601,6 +3638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "mixture_sample": q_mixture_sample,
         "lang_id_ngram": q_lang_id_ngram,
+        "contract_report": q_contract_report,
         # non-SQL-expressible (rows-only; see each docstring)
         "combat_correction": q_combat,
         "combat_covariates": q_combat_covariates,
@@ -3723,5 +3761,6 @@ def oracle_sql() -> dict[str, str]:
         "hash_split": SQL_HASH_SPLIT,
         "mixture_sample": SQL_MIXTURE_SAMPLE,
         "lang_id_ngram": _sql_lang_id_ngram(),
+        "contract_report": SQL_CONTRACT_REPORT,
     }
     return {k: _normalize_round_sql(v) for k, v in raw.items()}

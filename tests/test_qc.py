@@ -146,3 +146,41 @@ def test_sample_correlation_matches_pandas(spark):
         assert c == pytest.approx(wide[a].corr(wide[b]), abs=1e-9)
     # noisy sample correlates less than the near copy
     assert got[("s1", "s3")][0] < got[("s1", "s2")][0]
+
+
+def test_contracts_check_and_raise(spark):
+    from methyl_data_pipeline_spark.operators.contracts import (
+        ContractViolation,
+        check,
+        check_report,
+        expect_aligned_samples,
+        expect_complete_matrix,
+    )
+
+    df = spark.createDataFrame(
+        [("cg1", "s1", 0.5), ("cg1", "s2", 1.5), ("cg2", "s1", None)],
+        "probe_id string, sample_id string, beta double",
+    )
+    (row,) = check_report(
+        df,
+        {
+            "in_range": (F.col("beta") >= 0) & (F.col("beta") <= 1),
+            "non_null": F.col("beta").isNotNull(),
+        },
+    ).collect()
+    # null-strict: the NULL beta fails BOTH predicates
+    assert row["in_range"] == 2 and row["non_null"] == 1
+
+    ok = df.filter((F.col("beta") >= 0) & (F.col("beta") <= 1))
+    assert check(ok, {"in_range": F.col("beta") <= 1}) is ok
+    with pytest.raises(ContractViolation, match="in_range: 2 rows"):
+        check(df, {"in_range": (F.col("beta") >= 0) & (F.col("beta") <= 1)})
+
+    # completeness: cg2 seen in 1 of 2 samples (and cg1's null drops it)
+    with pytest.raises(ContractViolation, match="probes not observed"):
+        expect_complete_matrix(df, n_samples=2)
+
+    sheet = spark.createDataFrame([("s1",), ("s2",)], "sample_id string")
+    assert expect_aligned_samples(df, sheet) is df
+    with pytest.raises(ContractViolation, match="1 in sheet only"):
+        expect_aligned_samples(df.filter(F.col("sample_id") == "s1"), sheet)
