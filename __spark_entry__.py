@@ -3258,6 +3258,43 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling through a REAL container parse: each doc
+    becomes an AVI (struct codec, ext/codecs.py) holding deterministic
+    ASCII frame payloads; frame_sample walks the RIFF tree, recovers
+    fps + frames, and digests every 2nd frame's actual bytes. The
+    oracle recomputes digests/timestamps from the payload formula,
+    certifying the container round trip."""
+    from methyl_data_pipeline_spark.ext.multimodal import (
+        frame_sample,
+        synthesize_video,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = synthesize_video(docs)
+    out = frame_sample(media, every_n=2)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "frame_idx",
+        _r(F.col("t_offset")).alias("t_offset"),
+        "frame_digest",
+    ).orderBy("doc_id", "frame_idx")
+
+
+SQL_FRAME_SAMPLE = """
+WITH n AS (SELECT doc_id, 3 + doc_id % 5 AS n_frames FROM documents),
+f AS (
+  SELECT doc_id, unnest(generate_series(0, CAST(n_frames - 1 AS BIGINT))) AS i
+  FROM n
+)
+SELECT doc_id, CAST(i AS INT) AS frame_idx,
+       ROUND(i / 10.0 + 1e-9, 6) AS t_offset,
+       md5('frame|' || CAST(doc_id AS VARCHAR) || '|' || CAST(i AS VARCHAR))
+         AS frame_digest
+FROM f WHERE i % 2 = 0 ORDER BY doc_id, frame_idx
+"""
+
+
 def q_contract_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-contract violation report (operators.contracts) — the
     engine mapping of the reference's stopifnot preconditions
@@ -3639,6 +3676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "lang_id_ngram": q_lang_id_ngram,
         "contract_report": q_contract_report,
+        "frame_sample": q_frame_sample,
         # non-SQL-expressible (rows-only; see each docstring)
         "combat_correction": q_combat,
         "combat_covariates": q_combat_covariates,
@@ -3762,5 +3800,6 @@ def oracle_sql() -> dict[str, str]:
         "mixture_sample": SQL_MIXTURE_SAMPLE,
         "lang_id_ngram": _sql_lang_id_ngram(),
         "contract_report": SQL_CONTRACT_REPORT,
+        "frame_sample": SQL_FRAME_SAMPLE,
     }
     return {k: _normalize_round_sql(v) for k, v in raw.items()}

@@ -149,3 +149,57 @@ def resample_nearest(x: "np.ndarray", src_rate: int, dst_rate: int) -> "np.ndarr
     n_out = int(round(len(x) * dst_rate / src_rate))
     idx = (np.arange(n_out) * src_rate // dst_rate).clip(0, len(x) - 1)
     return x[idx]
+
+
+# ---------------------------------------------------------------------------
+# AVI — minimal RIFF 'AVI ' container (avih header + movi frame chunks)
+# ---------------------------------------------------------------------------
+
+def encode_avi(frames: list[bytes], fps: float = 30.0) -> bytes:
+    """Minimal AVI container: RIFF('AVI ') with a hdrl LIST (avih main
+    header carrying the frame interval + count) and a movi LIST of
+    '00dc' frame chunks. Enough structure for any RIFF-aware reader to
+    recover frame count, rate, and payloads — codec-free, like the BMP
+    and WAV writers."""
+    us_per_frame = int(round(1_000_000 / fps))
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        us_per_frame, 0, 0, 0, len(frames), 0, 1, 0, 0, 0, 0, 0, 0, 0,
+    )
+    hdrl_body = b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih
+    hdrl = b"LIST" + struct.pack("<I", len(hdrl_body)) + hdrl_body
+    movi_body = b"movi"
+    for fr in frames:
+        movi_body += b"00dc" + struct.pack("<I", len(fr)) + fr
+        if len(fr) & 1:
+            movi_body += b"\x00"  # RIFF chunks are word-aligned
+    movi = b"LIST" + struct.pack("<I", len(movi_body)) + movi_body
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi(raw: bytes) -> tuple[float, list[bytes]]:
+    """Parse a RIFF AVI → (fps, frame payload list). Walks the chunk
+    tree (avih for the frame interval, movi LIST for '00dc'/'00db'
+    frame chunks); raises ValueError on non-AVI payloads."""
+    if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    fps, frames = 30.0, []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal fps
+        while pos + 8 <= end:
+            cid, size = struct.unpack_from("<4sI", raw, pos)
+            body_start = pos + 8
+            if cid == b"LIST":
+                walk(body_start + 4, body_start + size)
+            elif cid == b"avih" and size >= 4:
+                (us_per_frame,) = struct.unpack_from("<I", raw, body_start)
+                if us_per_frame:
+                    fps = 1_000_000 / us_per_frame
+            elif cid in (b"00dc", b"00db"):
+                frames.append(raw[body_start : body_start + size])
+            pos = body_start + size + (size & 1)
+
+    walk(12, len(raw))
+    return fps, frames

@@ -319,16 +319,34 @@ def frame_sample(
 ) -> DataFrame:
     """Video frame sampling: 1:N ``mapInPandas`` — each input row
     explodes into every ``every_n``-th frame with its timestamp and a
-    frame digest. Frame count is faked from payload size (1 frame per
-    KiB); the 1-row-in/N-rows-out batch shape, schema, and timestamp
-    arithmetic are exactly what an ffmpeg-backed sampler produces."""
+    frame digest.
+
+    AVI payloads (RIFF 'AVI ' magic) are parsed for REAL by the
+    struct codec in ``ext/codecs.py``: frame count and rate come from
+    the container, ``frame_digest`` is the md5 of the actual frame
+    chunk bytes. Non-AVI payloads keep the deterministic fallback
+    (1 fake frame per KiB at ``assumed_fps``) so the 1:N batch shape
+    stays testable for codec-dependent containers (MP4/MKV need
+    ffmpeg, absent here)."""
     out_schema = "id long, frame_idx int, t_offset double, frame_digest string"
 
     def sample(batches):
+        from methyl_data_pipeline_spark.ext.codecs import decode_avi
+
         for pdf in batches:
             rows = {"id": [], "frame_idx": [], "t_offset": [], "frame_digest": []}
             for rid, content, n_bytes in zip(pdf["id"], pdf["content"], pdf["n_bytes"]):
                 raw = bytes(content) if content is not None else b""
+                if raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
+                    fps, frames = decode_avi(raw)
+                    for idx in range(0, len(frames), every_n):
+                        rows["id"].append(rid)
+                        rows["frame_idx"].append(idx)
+                        rows["t_offset"].append(idx / fps)
+                        rows["frame_digest"].append(
+                            hashlib.md5(frames[idx]).hexdigest()
+                        )
+                    continue
                 n_frames = max(1, int(n_bytes) // 1024)
                 for idx in range(0, n_frames, every_n):
                     rows["id"].append(rid)
@@ -343,3 +361,42 @@ def frame_sample(
 
     ensure_importable(media.sparkSession)
     return media.mapInPandas(sample, out_schema)
+
+
+def synthesize_video(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    fps: float = 10.0,
+    base_frames: int = 3,
+    max_extra: int = 5,
+) -> DataFrame:
+    """Deterministic AVI fixture stream: each doc becomes a real AVI
+    container (``ext.codecs.encode_avi``) holding
+    ``base_frames + id % max_extra`` frames whose payload is the ASCII
+    string ``frame|{id}|{idx}`` — so a SQL oracle can recompute every
+    sampled frame's md5 digest and timestamp from first principles,
+    certifying the container parse end to end."""
+
+    def synth(batches):
+        from methyl_data_pipeline_spark.ext.codecs import encode_avi
+
+        for pdf in batches:
+            rows = {"id": [], "modality": [], "mime": [], "n_bytes": [], "content": []}
+            for rid in pdf[id_col]:
+                rid = int(rid)
+                frames = [
+                    f"frame|{rid}|{i}".encode()
+                    for i in range(base_frames + rid % max_extra)
+                ]
+                content = encode_avi(frames, fps=fps)
+                rows["id"].append(rid)
+                rows["modality"].append("video")
+                rows["mime"].append("video/avi")
+                rows["n_bytes"].append(len(content))
+                rows["content"].append(content)
+            yield pd.DataFrame(rows)
+
+    from methyl_data_pipeline_spark.deploy import ensure_importable
+
+    ensure_importable(docs.sparkSession)
+    return docs.select(id_col).mapInPandas(synth, MEDIA_SCHEMA)

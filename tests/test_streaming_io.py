@@ -610,3 +610,37 @@ def test_sliding_window_stream_batch_parity(spark, tmp_path):
     finally:
         q.stop()
     assert got == batch
+
+
+def test_avi_codec_roundtrip():
+    from methyl_data_pipeline_spark.ext.codecs import decode_avi, encode_avi
+
+    frames = [b"alpha", b"bb", b"c" * 7, b"dd"]  # odd sizes hit padding
+    raw = encode_avi(frames, fps=24.0)
+    fps, back = decode_avi(raw)
+    assert fps == pytest.approx(1_000_000 / round(1_000_000 / 24.0))
+    assert back == frames
+    with pytest.raises(ValueError):
+        decode_avi(b"RIFF\x00\x00\x00\x00WAVE")
+
+
+def test_frame_sample_real_container(spark):
+    """AVI payloads sample REAL frames: count/rate from the container,
+    digests of actual chunk bytes."""
+    import hashlib
+
+    from methyl_data_pipeline_spark.ext.codecs import encode_avi
+    from methyl_data_pipeline_spark.ext.multimodal import frame_sample
+
+    frames = [f"f{i}".encode() for i in range(5)]
+    content = encode_avi(frames, fps=10.0)
+    media = spark.createDataFrame(
+        [(7, "video", "video/avi", len(content), bytearray(content))],
+        "id long, modality string, mime string, n_bytes long, content binary",
+    )
+    out = sorted(frame_sample(media, every_n=2).collect(), key=lambda r: r.frame_idx)
+    assert [r.frame_idx for r in out] == [0, 2, 4]
+    assert [r.t_offset for r in out] == [0.0, 0.2, 0.4]
+    assert [r.frame_digest for r in out] == [
+        hashlib.md5(frames[i]).hexdigest() for i in (0, 2, 4)
+    ]
