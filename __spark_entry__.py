@@ -3258,6 +3258,76 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_moderated_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moderated one-way ANOVA F (limma topTableF omnibus test,
+    stats.limma.moderated_f_anova) across the 4 synthetic sample
+    groups — completes the limma family: t (two-group), contrasts
+    (pairwise), F (any-group)."""
+    from methyl_data_pipeline_spark import model
+    from methyl_data_pipeline_spark.stats.limma import moderated_f_anova
+
+    meth = _meth(spark, sf_dir).withColumn("mval", model.mvalue("beta"))
+    grouped = meth.withColumn(
+        "grp",
+        F.concat(
+            F.lit("G"),
+            (F.substring("sample_id", 2, 10).cast("int") % 4).cast("string"),
+        ),
+    )
+    out = moderated_f_anova(grouped, "grp")
+    return out.select(
+        "probe_id",
+        F.col("n_groups").cast("long").alias("n_groups"),
+        F.col("df1").cast("long").alias("df1"),
+        F.col("df2").cast("long").alias("df2"),
+        _r(F.col("s2"), 8).alias("s2"),
+        _r(F.col("ms_between"), 8).alias("ms_between"),
+        _r(F.col("f_mod"), 4).alias("f_mod"),
+    ).orderBy("probe_id")
+
+
+SQL_MODERATED_F = f"""
+WITH {METH_CTE},
+m AS (
+  SELECT probe_id,
+         'G' || CAST(CAST(substring(sample_id, 2) AS INT) % 4 AS VARCHAR) AS grp,
+         log2(least(greatest(beta, 0.001), 0.999)
+              / (1 - least(greatest(beta, 0.001), 0.999))) AS mval
+  FROM meth
+),
+per_group AS (
+  SELECT probe_id, grp, COUNT(mval) AS n, AVG(mval) AS mean,
+         VAR_SAMP(mval) AS var
+  FROM m GROUP BY 1, 2
+),
+per_key AS (
+  SELECT probe_id, COUNT(*) AS n_groups, SUM(n) AS n_total,
+         MIN(n) AS min_n,
+         SUM(n * mean) / SUM(n) AS grand,
+         SUM((n - 1) * var) AS ss_within,
+         SUM(n * mean * mean) AS ss_means
+  FROM per_group GROUP BY 1
+  HAVING n_groups >= 2 AND min_n >= 2 AND SUM(n) - COUNT(*) >= 1
+),
+stats AS (
+  SELECT *, n_total - n_groups AS df2,
+         ss_within / (n_total - n_groups) AS s2,
+         (ss_means - n_total * grand * grand) / (n_groups - 1) AS ms_between
+  FROM per_key
+),
+prior AS (
+  SELECT AVG(s2) AS s0_sq, 2.0 * AVG(s2) * AVG(s2) / VAR_SAMP(s2) AS d0
+  FROM stats
+)
+SELECT probe_id, n_groups, n_groups - 1 AS df1, df2,
+       ROUND(s2 + 1e-9, 8) AS s2,
+       ROUND(ms_between + 1e-9, 8) AS ms_between,
+       ROUND(ms_between / ((d0 * s0_sq + df2 * s2) / (d0 + df2)) + 1e-9, 4)
+         AS f_mod
+FROM stats, prior ORDER BY probe_id
+"""
+
+
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame sampling through a REAL container parse: each doc
     becomes an AVI (struct codec, ext/codecs.py) holding deterministic
@@ -3677,6 +3747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_ngram": q_lang_id_ngram,
         "contract_report": q_contract_report,
         "frame_sample": q_frame_sample,
+        "moderated_f": q_moderated_f,
         # non-SQL-expressible (rows-only; see each docstring)
         "combat_correction": q_combat,
         "combat_covariates": q_combat_covariates,
@@ -3801,5 +3872,6 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_ngram": _sql_lang_id_ngram(),
         "contract_report": SQL_CONTRACT_REPORT,
         "frame_sample": SQL_FRAME_SAMPLE,
+        "moderated_f": SQL_MODERATED_F,
     }
     return {k: _normalize_round_sql(v) for k, v in raw.items()}

@@ -318,3 +318,74 @@ def group_mean_deltas(
         )
         .withColumn("delta", F.col("mean_a") - F.col("mean_b"))
     )
+
+
+def moderated_f_anova(
+    long_df: DataFrame,
+    group_col: str,
+    value_col: str = "mval",
+    key_col: str = "probe_id",
+    persist_intermediate: bool = True,
+) -> DataFrame:
+    """Moderated one-way ANOVA F per key — limma's ``topTableF``
+    overall test (is the key different across ANY of the groups),
+    completing the t (two-group) / contrasts (pairwise) / F (omnibus)
+    family. Reference semantics: ``eBayes`` + F-statistics over the
+    group-means design (plots.R:130-139 fits the same model; the F is
+    what limma reports when a contrast matrix spans >1 dof).
+
+        s²      = Σ_g (n_g-1)·var_g / (N-G)        (within, df2 = N-G)
+        between = Σ_g n_g·(mean_g - grand)²/(G-1)  (df1 = G-1)
+        F_mod   = between / s²_post,   s²_post = (d0·s0² + df2·s²)/(d0+df2)
+
+    with (d0, s0²) the same scaled-chi-square moment EB prior the
+    moderated-t path fits. Keys need every observed group with n_g >= 2
+    and df2 >= 1. All closed form — one (key, group) shuffle, one key
+    shuffle, a 1-row prior agg — fully oracle-checkable.
+    """
+    v = F.col(value_col)
+    per_group = (
+        long_df.groupBy(key_col, group_col)
+        .agg(F.count(v).alias("n"), F.avg(v).alias("mean"), F.var_samp(v).alias("var"))
+    )
+    per_key = (
+        per_group.groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("n").alias("n_total"),
+            F.min("n").alias("_min_n"),
+            (F.sum(F.col("n") * F.col("mean")) / F.sum("n")).alias("grand"),
+            F.sum((F.col("n") - 1) * F.col("var")).alias("_ss_within"),
+            F.sum(F.col("n") * F.col("mean") * F.col("mean")).alias("_ss_means"),
+        )
+        .filter((F.col("n_groups") >= 2) & (F.col("_min_n") >= 2))
+        .withColumn("df2", F.col("n_total") - F.col("n_groups"))
+        .filter(F.col("df2") >= 1)
+        .withColumn("s2", F.col("_ss_within") / F.col("df2"))
+        .withColumn(
+            "ms_between",
+            (F.col("_ss_means") - F.col("n_total") * F.col("grand") * F.col("grand"))
+            / (F.col("n_groups") - 1),
+        )
+    )
+    if persist_intermediate:
+        per_key = cache.track(per_key)
+
+    prior = per_key.agg(
+        F.avg("s2").alias("s0_sq"),
+        (2.0 * F.pow(F.avg("s2"), 2) / F.var_samp("s2")).alias("d0"),
+    )
+    return (
+        per_key.crossJoin(F.broadcast(prior))
+        .withColumn(
+            "s2_post",
+            (F.col("d0") * F.col("s0_sq") + F.col("df2") * F.col("s2"))
+            / (F.col("d0") + F.col("df2")),
+        )
+        .withColumn("f_mod", F.col("ms_between") / F.col("s2_post"))
+        .withColumn("df1", F.col("n_groups") - 1)
+        .select(
+            key_col, "n_groups", "n_total", "df1", "df2",
+            "grand", "s2", "ms_between", "s2_post", "f_mod",
+        )
+    )

@@ -332,3 +332,41 @@ def test_call_dmrs_segmentation(spark):
             ("chr1", 40, 42): (2, 2.0, 1.0),
             ("chr2", 10, 11): (2, 1.5, 1.0),
         }
+
+
+def test_moderated_f_matches_local_anova(spark):
+    """Moderated F vs a local NumPy one-way ANOVA with the same EB
+    shrinkage; a planted differential probe must dominate the ranking."""
+    from methyl_data_pipeline_spark.stats.limma import moderated_f_anova
+
+    rng = np.random.RandomState(5)
+    rows = []
+    for pi in range(60):
+        shift = 2.0 if pi == 0 else 0.0  # probe 0: strong group effect
+        for g in range(3):
+            for si in range(4):
+                rows.append(
+                    (f"cg{pi:04d}", f"s{g}{si}", f"G{g}",
+                     float(rng.normal(g * shift, 0.5)))
+                )
+    df = spark.createDataFrame(rows, ["probe_id", "sample_id", "grp", "mval"])
+    out = moderated_f_anova(df, "grp").toPandas().set_index("probe_id")
+
+    pdf = pd.DataFrame(rows, columns=["probe_id", "sample_id", "grp", "mval"])
+    g = pdf.groupby(["probe_id", "grp"])["mval"].agg(["count", "mean", "var"])
+    s2, msb = {}, {}
+    for p, sub in g.groupby(level=0):
+        n, mu, va = sub["count"].values, sub["mean"].values, sub["var"].values
+        N, G = n.sum(), len(n)
+        grand = (n * mu).sum() / N
+        s2[p] = ((n - 1) * va).sum() / (N - G)
+        msb[p] = (n * (mu - grand) ** 2).sum() / (G - 1)
+    s2v = pd.Series(s2)
+    d0 = 2 * s2v.mean() ** 2 / s2v.var()
+    s0 = s2v.mean()
+    df2 = 12 - 3
+    post = (d0 * s0 + df2 * s2v) / (d0 + df2)
+    want = pd.Series(msb) / post
+    np.testing.assert_allclose(out["f_mod"][want.index], want.values, rtol=1e-9)
+    assert out["f_mod"].idxmax() == "cg0000"
+    assert (out["df1"] == 2).all() and (out["df2"] == 9).all()
