@@ -320,12 +320,34 @@ def group_mean_deltas(
     )
 
 
+def _f_sf(f_col, df1_col, df2_col):
+    """P(F_{df1,df2} > f) via the regularized incomplete beta
+    (pure-NumPy ``special.beta_cdf``): sf = I_{df2/(df2+df1·f)}(df2/2,
+    df1/2). Arrow-batched pandas UDF."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def f_sf(f: pd.Series, d1: pd.Series, d2: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from methyl_data_pipeline_spark.stats.special import beta_cdf
+
+        fv = np.clip(f.to_numpy(dtype=float), 0.0, None)
+        d1v = d1.to_numpy(dtype=float)
+        d2v = d2.to_numpy(dtype=float)
+        x = d2v / (d2v + d1v * fv)
+        return pd.Series(beta_cdf(x, d2v / 2.0, d1v / 2.0))
+
+    return f_sf(f_col, df1_col, df2_col)
+
+
 def moderated_f_anova(
     long_df: DataFrame,
     group_col: str,
     value_col: str = "mval",
     key_col: str = "probe_id",
     persist_intermediate: bool = True,
+    with_p_values: bool = False,
 ) -> DataFrame:
     """Moderated one-way ANOVA F per key — limma's ``topTableF``
     overall test (is the key different across ANY of the groups),
@@ -375,7 +397,7 @@ def moderated_f_anova(
         F.avg("s2").alias("s0_sq"),
         (2.0 * F.pow(F.avg("s2"), 2) / F.var_samp("s2")).alias("d0"),
     )
-    return (
+    out = (
         per_key.crossJoin(F.broadcast(prior))
         .withColumn(
             "s2_post",
@@ -384,8 +406,19 @@ def moderated_f_anova(
         )
         .withColumn("f_mod", F.col("ms_between") / F.col("s2_post"))
         .withColumn("df1", F.col("n_groups") - 1)
+        .withColumn("df2_mod", F.col("d0") + F.col("df2"))
         .select(
-            key_col, "n_groups", "n_total", "df1", "df2",
+            key_col, "n_groups", "n_total", "df1", "df2", "df2_mod",
             "grand", "s2", "ms_between", "s2_post", "f_mod",
         )
     )
+    if with_p_values:
+        from methyl_data_pipeline_spark.deploy import ensure_importable
+
+        ensure_importable(long_df.sparkSession)
+        # limma's moderated F is referred to F_{df1, d0+df2} — the
+        # EB-augmented denominator dof
+        out = out.withColumn(
+            "p_value", _f_sf(F.col("f_mod"), F.col("df1"), F.col("df2_mod"))
+        )
+    return out

@@ -370,3 +370,27 @@ def test_moderated_f_matches_local_anova(spark):
     np.testing.assert_allclose(out["f_mod"][want.index], want.values, rtol=1e-9)
     assert out["f_mod"].idxmax() == "cg0000"
     assert (out["df1"] == 2).all() and (out["df2"] == 9).all()
+
+
+def test_moderated_f_p_values(spark):
+    """F p-values via the regularized incomplete beta: in (0,1],
+    monotone decreasing in F, and the planted probe is the most
+    significant."""
+    from methyl_data_pipeline_spark.stats.limma import moderated_f_anova
+
+    rng = np.random.RandomState(6)
+    rows = []
+    for pi in range(40):
+        shift = 1.5 if pi == 0 else 0.0
+        for g in range(3):
+            for si in range(4):
+                rows.append(
+                    (f"cg{pi:04d}", f"s{g}{si}", f"G{g}",
+                     float(rng.normal(g * shift, 0.5)))
+                )
+    df = spark.createDataFrame(rows, ["probe_id", "sample_id", "grp", "mval"])
+    out = moderated_f_anova(df, "grp", with_p_values=True).toPandas()
+    assert ((out["p_value"] > 0) & (out["p_value"] <= 1)).all()
+    s = out.sort_values("f_mod")
+    assert (np.diff(s["p_value"].values) <= 1e-12).all()
+    assert out.set_index("probe_id")["p_value"].idxmin() == "cg0000"
