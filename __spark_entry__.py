@@ -3646,14 +3646,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness records only the
     # FIRST 50 entries (rounds 1-3 each produced exactly the first 50
     # in dict order), so every query whose oracle evidence is still
-    # only local comes first. ROUND-4 ROTATION (VERDICT r3 #1): the 18
-    # tail queries that passed only tools/check_oracle.py locally in
-    # r1-r3, plus this round's three new oracles (combat_onestep,
-    # bmiq_prefix, methyl_pipeline_chain), are promoted into slots
-    # 1-50; 21 long-stable relational queries — each driver-green in
-    # CORRECTNESS_r01-r03 (see README §correctness) — yield their
-    # slots and move past 50, where tools/check_oracle.py still checks
-    # them every round.
+    # only local comes first. ROUND-4 ROTATION (VERDICT r3 #1): slots
+    # 1-50 now hold (a) the 18 tail queries that passed only
+    # tools/check_oracle.py locally in r1-r3, (b) every query ADDED in
+    # r4 (prefix/chain oracles + curation/QC/streaming additions), and
+    # (c) the changed-this-round multimodal_features; 33 long-stable
+    # queries — each driver-green in CORRECTNESS_r01-r03 (see README)
+    # — yield their slots and move past 50, where
+    # tools/check_oracle.py still checks them every round.
     return {
         # flagship + methylation suite
         "pricing_summary": q_pricing_summary,
@@ -3690,29 +3690,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "sequence_packing": q_sequence_packing,
         "sample_stratified": q_sample_stratified,
-        # extensions (kept in-window)
-        "text_quality": q_text_quality,
-        "lang_id": q_lang_id,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "fingerprint_dedup": q_fingerprint_dedup,
-        "winnowing": q_winnowing,
+        # extensions kept in-window (changed this round or only
+        # recently certified)
         "minhash_pairs": q_minhash_pairs,
-        "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
-        "embedding_cosine_topk": q_embedding_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
         "ivf_ann": q_ivf_ann,
-        "similarity_lsh": q_similarity_lsh,
-        "events_windowed": q_events_windowed,
-        "multimodal_features": q_multimodal_features,
-        # engine-native operators (kept in-window)
-        "asof_join": q_asof_join,
-        "range_join": q_range_join,
-        "heatmap_prep": q_heatmap_prep,
         "dedup_clusters": q_dedup_clusters,
+        "multimodal_features": q_multimodal_features,
+        # promoted this round: r4 additions (first driver rows)
+        "combat_cov_prefix": q_combat_cov_prefix,
+        "moderated_f": q_moderated_f,
+        "sample_corr": q_sample_corr,
+        "contract_report": q_contract_report,
+        "segment_dedup": q_segment_dedup,
+        "dedup_best": q_dedup_best,
+        "clean_text": q_clean_text,
+        "hash_split": q_hash_split,
+        "mixture_sample": q_mixture_sample,
+        "lang_id_ngram": q_lang_id_ngram,
+        "events_sliding": q_events_sliding,
+        "frame_sample": q_frame_sample,
         # ---- slot 51+ (past the driver's 50-entry window) ----
-        # demoted r4: long-stable relational queries, each driver-green
-        # in CORRECTNESS_r01-r03; tools/check_oracle.py re-verifies
+        # demoted r4: long-stable queries, each driver-green in
+        # CORRECTNESS_r01-r03; tools/check_oracle.py re-verifies
         # them every round
         "top_revenue_orders": q_top_revenue_orders,
         "join_full_outer": q_join_full_outer,
@@ -3735,19 +3736,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tokens": q_text_tokens,
         "minhash_signatures": q_minhash_signatures,
         "sessionize": q_sessionize,
-        # new in r4 (oracle-checked locally; rotation candidates for r5)
-        "segment_dedup": q_segment_dedup,
-        "dedup_best": q_dedup_best,
-        "clean_text": q_clean_text,
-        "events_sliding": q_events_sliding,
-        "combat_cov_prefix": q_combat_cov_prefix,
-        "sample_corr": q_sample_corr,
-        "hash_split": q_hash_split,
-        "mixture_sample": q_mixture_sample,
-        "lang_id_ngram": q_lang_id_ngram,
-        "contract_report": q_contract_report,
-        "frame_sample": q_frame_sample,
-        "moderated_f": q_moderated_f,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "fingerprint_dedup": q_fingerprint_dedup,
+        "winnowing": q_winnowing,
+        "simhash": q_simhash,
+        "embedding_cosine_topk": q_embedding_cosine_topk,
+        "similarity_lsh": q_similarity_lsh,
+        "events_windowed": q_events_windowed,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "heatmap_prep": q_heatmap_prep,
         # non-SQL-expressible (rows-only; see each docstring)
         "combat_correction": q_combat,
         "combat_covariates": q_combat_covariates,
