@@ -3365,6 +3365,43 @@ FROM f WHERE i % 2 = 0 ORDER BY doc_id, frame_idx
 """
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-ingest dedup (ext.dedup.incremental_dedup): a new shard
+    (doc_id >= 200) is deduped against the fingerprint ledger of the
+    already-ingested corpus (doc_id < 250) — overlap docs drop as
+    already-seen, within-shard dups elect a min-id winner, and only
+    novel documents survive. The idempotent building block of a
+    continuously-growing corpus."""
+    from methyl_data_pipeline_spark.ext.dedup import incremental_dedup
+    from methyl_data_pipeline_spark.ext.text import fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    seen = (
+        fingerprint(docs.filter(F.col("doc_id") < 250))
+        .select("fingerprint")
+        .distinct()
+    )
+    shard = docs.filter(F.col("doc_id") >= 200)
+    novel, updated = incremental_dedup(shard, seen)
+    return novel.select("doc_id").orderBy("doc_id")
+
+
+SQL_INCREMENTAL_DEDUP = r"""
+WITH keyed AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')),
+                         1, 15))::BIGINT AS fp
+  FROM documents
+),
+seen AS (SELECT DISTINCT fp FROM keyed WHERE doc_id < 250),
+shard AS (SELECT * FROM keyed WHERE doc_id >= 200),
+winners AS (SELECT fp, MIN(doc_id) AS doc_id FROM shard GROUP BY fp)
+SELECT w.doc_id FROM winners w
+WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.fp = w.fp)
+ORDER BY w.doc_id
+"""
+
+
 def q_contract_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-contract violation report (operators.contracts) — the
     engine mapping of the reference's stopifnot preconditions
@@ -3712,6 +3749,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding": q_events_sliding,
         "frame_sample": q_frame_sample,
         # ---- slot 51+ (past the driver's 50-entry window) ----
+        # added after the r4 window froze; locally oracle-checked,
+        # rotation candidate for r5
+        "incremental_dedup": q_incremental_dedup,
         # demoted r4: long-stable queries, each driver-green in
         # CORRECTNESS_r01-r03; tools/check_oracle.py re-verifies
         # them every round
@@ -3873,5 +3913,6 @@ def oracle_sql() -> dict[str, str]:
         "contract_report": SQL_CONTRACT_REPORT,
         "frame_sample": SQL_FRAME_SAMPLE,
         "moderated_f": SQL_MODERATED_F,
+        "incremental_dedup": SQL_INCREMENTAL_DEDUP,
     }
     return {k: _normalize_round_sql(v) for k, v in raw.items()}

@@ -379,3 +379,39 @@ def dedup_keep_best(
         )["i"].alias(id_col)
     )
     return df.join(winners, [key_col, id_col], "left_semi")
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    seen_fingerprints: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Rolling-ingest dedup: given a NEW shard of documents and the
+    fingerprint ledger of everything already ingested, return
+    ``(novel_docs, updated_ledger)`` — the shard minus (a) docs whose
+    normalized text already exists in the ledger and (b) within-shard
+    duplicates (min-id winner), plus the ledger extended with the
+    novel fingerprints.
+
+    The idempotent building block of a continuously-growing corpus:
+    re-running the same shard yields zero novel docs. Plan shape: one
+    fingerprint projection over the shard, one shuffle for the
+    within-shard winner election, one left-anti join against the
+    ledger (shard-sized, not corpus-sized, on the probe side); the
+    ledger is only ever APPENDED to, so at 100 TB it lives as a
+    bucketed-by-fingerprint table and the anti-join is co-partitioned.
+
+    ``seen_fingerprints`` schema: ``fingerprint long`` (extra columns
+    ignored). The returned ledger carries ``fingerprint`` only.
+    """
+    normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    keyed = new_docs.withColumn("_fp", md5_long(normalized))
+    winners = keyed.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+    shard_unique = keyed.join(winners, ["_fp", id_col], "left_semi")
+    ledger = seen_fingerprints.select(F.col("fingerprint").alias("_fp"))
+    novel = shard_unique.join(ledger, "_fp", "left_anti")
+    updated = ledger.union(novel.select("_fp")).distinct().select(
+        F.col("_fp").alias("fingerprint")
+    )
+    return novel.drop("_fp"), updated

@@ -675,3 +675,30 @@ def test_language_id_ngram(spark):
     tiny = spark.createDataFrame([(9, "zz")], "doc_id long, text string")
     (r,) = language_id_ngram(tiny).collect()
     assert r["lang_pred_ngram"] == "und" and r["ngram_hits"] == 0
+
+
+def test_incremental_dedup_idempotent(spark):
+    """Rolling ingest: overlap drops, within-shard dups elect min-id,
+    replaying an ingested shard yields zero novel docs."""
+    from methyl_data_pipeline_spark.ext.dedup import incremental_dedup
+    from methyl_data_pipeline_spark.ext.text import fingerprint
+
+    corpus = spark.createDataFrame(
+        [(1, "seen text one"), (2, "seen text two")], "doc_id long, text string"
+    )
+    ledger = fingerprint(corpus).select("fingerprint").distinct()
+    shard = spark.createDataFrame(
+        [
+            (10, "Seen   TEXT one"),   # normalizes to ledger entry -> drop
+            (11, "brand new doc"),
+            (12, "brand  NEW doc"),    # within-shard dup of 11 -> drop
+            (13, "another novel"),
+        ],
+        "doc_id long, text string",
+    )
+    novel, updated = incremental_dedup(shard, ledger)
+    assert sorted(r.doc_id for r in novel.collect()) == [11, 13]
+    assert updated.count() == 4  # 2 seen + 2 novel fingerprints
+    # idempotence: replaying the shard against the updated ledger
+    novel2, _ = incremental_dedup(shard, updated)
+    assert novel2.count() == 0
