@@ -3365,6 +3365,87 @@ FROM f WHERE i % 2 = 0 ORDER BY doc_id, frame_idx
 """
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (ext.pack.chunk_documents,
+    window=32/stride=24): the RAG / long-doc splitter as a pure 1:N
+    scan-side projection."""
+    from methyl_data_pipeline_spark.ext.pack import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    out = chunk_documents(docs, window=32, stride=24)
+    return out.select(
+        "doc_id", "chunk_idx", "start_tok", "n_chunk_tokens", "chunk_text"
+    ).orderBy("doc_id", "chunk_idx")
+
+
+SQL_CHUNK_DOCUMENTS = r"""
+WITH ws AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+  FROM documents
+),
+n AS (
+  SELECT doc_id, w, len(w) AS nt,
+         CASE WHEN len(w) <= 32 THEN 1
+              ELSE CAST(CEIL((len(w) - 32) / 24.0) AS BIGINT) + 1 END AS nc
+  FROM ws
+),
+c AS (
+  SELECT doc_id, w, nt, unnest(generate_series(0, nc - 1)) AS chunk_idx FROM n
+)
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       chunk_idx * 24 AS start_tok,
+       LEAST(32, nt - chunk_idx * 24) AS n_chunk_tokens,
+       array_to_string(w[(chunk_idx * 24 + 1):(chunk_idx * 24 + 32)], ' ')
+         AS chunk_text
+FROM c ORDER BY doc_id, chunk_idx
+"""
+
+
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail partitioning per language
+    (ext.text.perplexity_buckets): rank terciles of the 6-dp-rounded
+    unigram LM score — the bucket CCNet feeds downstream sampling."""
+    from methyl_data_pipeline_spark.ext.text import perplexity_buckets
+
+    docs = _t(spark, sf_dir, "documents")
+    out = perplexity_buckets(docs, part_col="lang")
+    return out.select(
+        "doc_id", "lang", _r(F.col("score")).alias("score"), "bucket"
+    ).orderBy("doc_id")
+
+
+SQL_PERPLEXITY_BUCKETS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+  FROM documents
+),
+counts AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term),
+totals AS (SELECT SUM(cnt) AS total, COUNT(*) AS vocab FROM counts),
+model AS (
+  SELECT term, ln((cnt + 0.5) / (total + 0.5 * vocab)) AS logp
+  FROM counts, totals
+),
+scored AS (
+  SELECT t.doc_id, ROUND(AVG(m.logp) + 1e-9, 6) AS score
+  FROM toks t JOIN model m USING (term)
+  GROUP BY t.doc_id
+),
+ranked AS (
+  SELECT s.doc_id, d.lang, s.score,
+         ROW_NUMBER() OVER (PARTITION BY d.lang
+                            ORDER BY s.score DESC, s.doc_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY d.lang) AS n
+  FROM scored s JOIN documents d USING (doc_id)
+)
+SELECT doc_id, lang, score,
+       CASE WHEN rn <= FLOOR(n / 3.0) THEN 'head'
+            WHEN rn <= FLOOR(2.0 * n / 3.0) THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM ranked ORDER BY doc_id
+"""
+
+
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-ingest dedup (ext.dedup.incremental_dedup): a new shard
     (doc_id >= 200) is deduped against the fingerprint ledger of the
@@ -3752,6 +3833,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # added after the r4 window froze; locally oracle-checked,
         # rotation candidate for r5
         "incremental_dedup": q_incremental_dedup,
+        "perplexity_buckets": q_perplexity_buckets,
+        "chunk_documents": q_chunk_documents,
         # demoted r4: long-stable queries, each driver-green in
         # CORRECTNESS_r01-r03; tools/check_oracle.py re-verifies
         # them every round
@@ -3914,5 +3997,7 @@ def oracle_sql() -> dict[str, str]:
         "frame_sample": SQL_FRAME_SAMPLE,
         "moderated_f": SQL_MODERATED_F,
         "incremental_dedup": SQL_INCREMENTAL_DEDUP,
+        "perplexity_buckets": SQL_PERPLEXITY_BUCKETS,
+        "chunk_documents": SQL_CHUNK_DOCUMENTS,
     }
     return {k: _normalize_round_sql(v) for k, v in raw.items()}

@@ -142,3 +142,53 @@ def mixture_sample(
         .filter(frac < F.col("_rate"))
         .drop("_rate")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Overlapping token-window chunking — the RAG / long-document
+    pretraining splitter: chunk ``i`` covers tokens
+    ``[i*stride, i*stride + window)`` of the whitespace-normalized
+    text, with ``window - stride`` tokens of overlap carrying context
+    across boundaries; documents at or under ``window`` tokens yield
+    one chunk. A pure 1:N projection (sequence → posexplode →
+    array slice), zero shuffles — the chunker runs inside the scan at
+    any corpus size.
+
+    Output: one row per chunk with ``chunk_idx``, ``start_tok``
+    (0-based), ``n_chunk_tokens``, ``chunk_text``.
+    """
+    if stride <= 0 or window <= 0 or stride > window:
+        raise ValueError("need 0 < stride <= window")
+    ws = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
+    )
+    n = F.size(ws)
+    n_chunks = F.when(n <= window, F.lit(1)).otherwise(
+        F.ceil((n - F.lit(window)) / F.lit(float(stride))) + 1
+    )
+    out = df.select(
+        F.col(id_col), ws.alias("_ws"), n.alias("_n"), n_chunks.alias("_nc")
+    ).select(
+        id_col,
+        "_ws",
+        "_n",
+        F.posexplode(F.sequence(F.lit(0), F.col("_nc") - 1)).alias(
+            "_pos", "chunk_idx"
+        ),
+    )
+    start = F.col("chunk_idx") * stride
+    return out.select(
+        id_col,
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        start.cast("long").alias("start_tok"),
+        F.least(F.lit(window), F.col("_n") - start).cast("long").alias(
+            "n_chunk_tokens"
+        ),
+        F.concat_ws(" ", F.slice("_ws", start + 1, window)).alias("chunk_text"),
+    )

@@ -732,3 +732,47 @@ def language_id_ngram(df: DataFrame, text_col: str = "text", id_col: str = "doc_
         .withColumn("ngram_hits", best.cast("long"))
         .drop("_t", "_grams", *[f"_s_{lg}" for lg in langs])
     )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    part_col: str | None = None,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """CCNet-style head/middle/tail partitioning: rank documents by
+    the unigram LM quality score (:func:`unigram_logprob`, the
+    engine's perplexity proxy) and split each partition (typically the
+    language) into rank terciles — ``head`` = most corpus-typical
+    (lowest perplexity), ``tail`` = least. The bucket is what CCNet
+    feeds downstream sampling (keep head+middle, drop or downweight
+    tail).
+
+    Determinism: the score is rounded to 6 dp BEFORE ranking so
+    mathematically-equal documents are exactly tied in every engine,
+    and ties break on ``id_col`` — rank boundaries cannot drift with
+    summation order. One extra window pass over the scored docs
+    (doc-count sized, not token sized).
+    """
+    from pyspark.sql import Window
+
+    scored = unigram_logprob(df, text_col, id_col, smoothing)
+    if part_col is not None:
+        scored = scored.join(
+            F.broadcast(df.select(id_col, part_col).distinct()), id_col
+        )
+        w = Window.partitionBy(part_col)
+    else:
+        w = Window.partitionBy()
+    score = F.round(F.col("mean_logprob") + F.lit(1e-9), 6) + F.lit(0.0)
+    scored = scored.withColumn("score", score)
+    wr = w.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    n = F.count(F.lit(1)).over(w)
+    rn = F.row_number().over(wr)
+    bucket = (
+        F.when(rn <= F.floor(n / 3.0), "head")
+        .when(rn <= F.floor(2.0 * n / 3.0), "middle")
+        .otherwise("tail")
+    )
+    return scored.withColumn("bucket", bucket).drop("mean_logprob")

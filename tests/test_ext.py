@@ -702,3 +702,52 @@ def test_incremental_dedup_idempotent(spark):
     # idempotence: replaying the shard against the updated ledger
     novel2, _ = incremental_dedup(shard, updated)
     assert novel2.count() == 0
+
+
+def test_perplexity_buckets_terciles(spark):
+    """Rank terciles per partition; repeated tokens score high (head),
+    rare-token docs land in the tail."""
+    from methyl_data_pipeline_spark.ext.text import perplexity_buckets
+
+    common = "the cat sat on the mat"
+    rows = [(i, common, "en") for i in range(6)]
+    rows += [(10, "zyx qwv jkl unique rare tokens", "en")]
+    rows += [(11, common, "en"), (12, common, "en")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r.doc_id: r.bucket for r in perplexity_buckets(df, part_col="lang").collect()}
+    assert out[10] == "tail"  # rare tokens -> lowest mean logprob
+    assert sorted(out.values()).count("head") == 3  # floor(9/3)
+    # partitioning invariance
+    out2 = {
+        r.doc_id: r.bucket
+        for r in perplexity_buckets(df.repartition(7), part_col="lang").collect()
+    }
+    assert out == out2
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    from methyl_data_pipeline_spark.ext.pack import chunk_documents
+
+    toks = [f"t{i}" for i in range(10)]
+    df = spark.createDataFrame(
+        [(1, " ".join(toks)), (2, "short doc")], "doc_id long, text string"
+    )
+    out = {
+        (r.doc_id, r.chunk_idx): r
+        for r in chunk_documents(df, window=4, stride=3).collect()
+    }
+    # doc 1: 10 tokens, window 4 / stride 3 -> starts 0,3,6 cover all
+    # tokens (ceil((10-4)/3)+1 = 3 chunks; last spans t6..t9)
+    idxs = sorted(k[1] for k in out if k[0] == 1)
+    assert idxs == [0, 1, 2]
+    assert out[(1, 0)].chunk_text == "t0 t1 t2 t3"
+    assert out[(1, 1)].chunk_text == "t3 t4 t5 t6"  # 1-token overlap
+    assert out[(1, 2)].chunk_text == "t6 t7 t8 t9"
+    assert out[(1, 2)].start_tok == 6 and out[(1, 2)].n_chunk_tokens == 4
+    # short doc: single chunk
+    assert out[(2, 0)].chunk_text == "short doc"
+    assert len([k for k in out if k[0] == 2]) == 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(df, window=4, stride=5)
