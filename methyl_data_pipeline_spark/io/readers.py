@@ -182,3 +182,54 @@ def read_jsonl(
     if schema:
         r = r.schema(schema)
     return r.option("multiLine", multiline).json(path)
+
+
+def stage_idat_tree(
+    source_dir: str,
+    staging_dir: str,
+    extract_zips: bool = True,
+) -> list[str]:
+    """Driver-side ingest staging — the S6 utility half of the
+    reference's IDAT discovery (``health_check.py:41-106`` semantics):
+    extract every ``.zip`` under ``source_dir`` into a sibling folder
+    named after the archive, then copy every ``.idat`` in the tree into
+    flat ``staging_dir`` with collision-safe ``_{n}`` suffixes.
+    Returns the staged file paths (sorted, deterministic).
+
+    Deliberately NOT distributed: archives and staging are a
+    pre-ingest, driver/cluster-edge concern; the distributed path
+    starts at :func:`read_idat_dir` over the staged directory (Spark
+    path globs + binary source). Unlike the reference, bad archives
+    raise instead of printing-and-continuing — silent skips upstream
+    of QC are how samples go missing.
+    """
+    import shutil
+    import zipfile
+
+    if not os.path.isdir(source_dir):
+        raise FileNotFoundError(f"source directory does not exist: {source_dir}")
+    if extract_zips:
+        for root, _dirs, files in os.walk(source_dir):
+            for fn in files:
+                if fn.lower().endswith(".zip"):
+                    zip_path = os.path.join(root, fn)
+                    dest = os.path.join(root, os.path.splitext(fn)[0])
+                    os.makedirs(dest, exist_ok=True)
+                    with zipfile.ZipFile(zip_path) as zf:
+                        zf.extractall(dest)
+
+    os.makedirs(staging_dir, exist_ok=True)
+    staged: list[str] = []
+    for root, _dirs, files in os.walk(source_dir):
+        for fn in sorted(files):
+            if not fn.lower().endswith(".idat"):
+                continue
+            base, ext = os.path.splitext(fn)
+            dest_path = os.path.join(staging_dir, fn)
+            counter = 1
+            while os.path.exists(dest_path):
+                dest_path = os.path.join(staging_dir, f"{base}_{counter}{ext}")
+                counter += 1
+            shutil.copy2(os.path.join(root, fn), dest_path)
+            staged.append(dest_path)
+    return sorted(staged)

@@ -146,3 +146,33 @@ def test_read_any_dispatches_jsonl(spark, tmp_path):
     write_jsonl(df, out)
     back = read_any(spark, out)
     assert back.count() == 2 and set(back.columns) == {"doc_id", "text"}
+
+
+def test_stage_idat_tree(tmp_path):
+    """Zip extraction + collision-safe flat staging (reference S6,
+    health_check.py:41-106 semantics) feeding read_idat_dir."""
+    import zipfile
+
+    from methyl_data_pipeline_spark.io.readers import stage_idat_tree
+
+    src = tmp_path / "drop"
+    (src / "runA").mkdir(parents=True)
+    (src / "runA" / "chip1_Red.idat").write_bytes(b"IDAT" + b"\x01" * 8)
+    # an archive holding an idat that collides with runA's name
+    zpath = src / "runB.zip"
+    with zipfile.ZipFile(zpath, "w") as zf:
+        zf.writestr("chip1_Red.idat", b"IDAT" + b"\x02" * 8)
+        zf.writestr("chip2_Grn.idat", b"IDAT" + b"\x03" * 8)
+        zf.writestr("notes.txt", "ignored")
+
+    staged = stage_idat_tree(str(src), str(tmp_path / "staged"))
+    names = sorted(p.split("/")[-1] for p in staged)
+    assert names == ["chip1_Red.idat", "chip1_Red_1.idat", "chip2_Grn.idat"]
+    # both collision twins survive with distinct contents
+    contents = {p.split("/")[-1]: open(p, "rb").read() for p in staged}
+    assert contents["chip1_Red.idat"] != contents["chip1_Red_1.idat"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        stage_idat_tree(str(tmp_path / "missing"), str(tmp_path / "x"))
