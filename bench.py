@@ -139,8 +139,17 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
+    failures: list[str] = []
     for name in HEADLINE:
-        samples, n = _time_query(name, n_runs)
+        try:
+            samples, n = _time_query(name, n_runs)
+        except Exception as exc:
+            # a crashed query must not take the whole bench down — the
+            # driver needs the JSON line either way; failures are
+            # visible in the output for the round record
+            print(f"# {name} FAILED: {exc}", file=sys.stderr)
+            failures.append(name)
+            continue
         timings[name] = round(_median(samples), 3)
         spread[name] = [round(min(samples), 3), round(max(samples), 3)]
         print(
@@ -186,6 +195,7 @@ def main() -> None:
         "sf": sf,
         "deltas_vs_prev": deltas,
         "regressions": sorted(q for q, r in deltas.items() if r > REGRESSION_FLAG),
+        "failures": failures,
         "prev": prev_name,
     }
     print(json.dumps(out))
