@@ -3274,14 +3274,17 @@ def q_moderated_f(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.substring("sample_id", 2, 10).cast("int") % 4).cast("string"),
         ),
     )
-    out = moderated_f_anova(grouped, "grp")
+    # moment_round=9: both engines aggregate the SAME 9-dp per-group
+    # moments, so second-level sums can't drift apart; subtract-before-
+    # square ms_between + 6-dp output kill the r4 ulp-boundary hash miss.
+    out = moderated_f_anova(grouped, "grp", moment_round=9)
     return out.select(
         "probe_id",
         F.col("n_groups").cast("long").alias("n_groups"),
         F.col("df1").cast("long").alias("df1"),
         F.col("df2").cast("long").alias("df2"),
-        _r(F.col("s2"), 8).alias("s2"),
-        _r(F.col("ms_between"), 8).alias("ms_between"),
+        _r(F.col("s2"), 6).alias("s2"),
+        _r(F.col("ms_between"), 6).alias("ms_between"),
         _r(F.col("f_mod"), 4).alias("f_mod"),
     ).orderBy("probe_id")
 
@@ -3296,23 +3299,30 @@ m AS (
   FROM meth
 ),
 per_group AS (
-  SELECT probe_id, grp, COUNT(mval) AS n, AVG(mval) AS mean,
-         VAR_SAMP(mval) AS var
+  SELECT probe_id, grp, COUNT(mval) AS n,
+         ROUND(AVG(mval) + 1e-9, 9) AS mean,
+         ROUND(VAR_SAMP(mval) + 1e-9, 9) AS var
   FROM m GROUP BY 1, 2
+),
+pg AS (
+  SELECT *,
+         SUM(n * mean) OVER (PARTITION BY probe_id)
+           / SUM(n) OVER (PARTITION BY probe_id) AS grand
+  FROM per_group
 ),
 per_key AS (
   SELECT probe_id, COUNT(*) AS n_groups, SUM(n) AS n_total,
          MIN(n) AS min_n,
-         SUM(n * mean) / SUM(n) AS grand,
+         MAX(grand) AS grand,
          SUM((n - 1) * var) AS ss_within,
-         SUM(n * mean * mean) AS ss_means
-  FROM per_group GROUP BY 1
+         SUM(n * (mean - grand) * (mean - grand)) AS ss_between
+  FROM pg GROUP BY 1
   HAVING n_groups >= 2 AND min_n >= 2 AND SUM(n) - COUNT(*) >= 1
 ),
 stats AS (
   SELECT *, n_total - n_groups AS df2,
          ss_within / (n_total - n_groups) AS s2,
-         (ss_means - n_total * grand * grand) / (n_groups - 1) AS ms_between
+         ss_between / (n_groups - 1) AS ms_between
   FROM per_key
 ),
 prior AS (
@@ -3320,8 +3330,8 @@ prior AS (
   FROM stats
 )
 SELECT probe_id, n_groups, n_groups - 1 AS df1, df2,
-       ROUND(s2 + 1e-9, 8) AS s2,
-       ROUND(ms_between + 1e-9, 8) AS ms_between,
+       ROUND(s2 + 1e-9, 6) AS s2,
+       ROUND(ms_between + 1e-9, 6) AS ms_between,
        ROUND(ms_between / ((d0 * s0_sq + df2 * s2) / (d0 + df2)) + 1e-9, 4)
          AS f_mod
 FROM stats, prior ORDER BY probe_id

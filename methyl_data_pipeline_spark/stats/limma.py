@@ -32,7 +32,7 @@ pandas UDF only when requested.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from methyl_data_pipeline_spark import cache
 
@@ -348,6 +348,7 @@ def moderated_f_anova(
     key_col: str = "probe_id",
     persist_intermediate: bool = True,
     with_p_values: bool = False,
+    moment_round: int | None = None,
 ) -> DataFrame:
     """Moderated one-way ANOVA F per key — limma's ``topTableF``
     overall test (is the key different across ANY of the groups),
@@ -362,33 +363,54 @@ def moderated_f_anova(
 
     with (d0, s0²) the same scaled-chi-square moment EB prior the
     moderated-t path fits. Keys need every observed group with n_g >= 2
-    and df2 >= 1. All closed form — one (key, group) shuffle, one key
-    shuffle, a 1-row prior agg — fully oracle-checkable.
+    and df2 >= 1. All closed form — one (key, group) shuffle, a
+    same-key window + groupBy (one exchange), a 1-row prior agg —
+    fully oracle-checkable.
+
+    ``ms_between`` is computed subtract-before-square,
+    Σ n_g·(mean_g − grand)², NOT the algebraically equal
+    Σ n_g·mean_g² − N·grand²: the latter subtracts two nearly equal
+    large sums, amplifying engine-specific summation-order ulp noise
+    past downstream rounding boundaries (the round-4 cross-engine
+    hash miss). ``moment_round`` optionally rounds the per-group
+    (mean, var) moments to that many decimals before any second-level
+    aggregate, so a DuckDB oracle aggregating the same rounded
+    moments sees bit-identical inputs.
     """
     v = F.col(value_col)
     per_group = (
         long_df.groupBy(key_col, group_col)
         .agg(F.count(v).alias("n"), F.avg(v).alias("mean"), F.var_samp(v).alias("var"))
     )
+    if moment_round is not None:
+        # Same nudge-and-fold-negative-zero formula as the oracle's
+        # ROUND(x + 1e-9, d) + 0.0 normalization.
+        per_group = per_group.withColumn(
+            "mean", F.round(F.col("mean") + F.lit(1e-9), moment_round) + F.lit(0.0)
+        ).withColumn(
+            "var", F.round(F.col("var") + F.lit(1e-9), moment_round) + F.lit(0.0)
+        )
+    w = Window.partitionBy(key_col)
+    per_group = per_group.withColumn(
+        "grand",
+        F.sum(F.col("n") * F.col("mean")).over(w) / F.sum("n").over(w),
+    )
+    dev = F.col("mean") - F.col("grand")
     per_key = (
         per_group.groupBy(key_col)
         .agg(
             F.count(F.lit(1)).alias("n_groups"),
             F.sum("n").alias("n_total"),
             F.min("n").alias("_min_n"),
-            (F.sum(F.col("n") * F.col("mean")) / F.sum("n")).alias("grand"),
+            F.max("grand").alias("grand"),
             F.sum((F.col("n") - 1) * F.col("var")).alias("_ss_within"),
-            F.sum(F.col("n") * F.col("mean") * F.col("mean")).alias("_ss_means"),
+            F.sum(F.col("n") * dev * dev).alias("_ss_between"),
         )
         .filter((F.col("n_groups") >= 2) & (F.col("_min_n") >= 2))
         .withColumn("df2", F.col("n_total") - F.col("n_groups"))
         .filter(F.col("df2") >= 1)
         .withColumn("s2", F.col("_ss_within") / F.col("df2"))
-        .withColumn(
-            "ms_between",
-            (F.col("_ss_means") - F.col("n_total") * F.col("grand") * F.col("grand"))
-            / (F.col("n_groups") - 1),
-        )
+        .withColumn("ms_between", F.col("_ss_between") / (F.col("n_groups") - 1))
     )
     if persist_intermediate:
         per_key = cache.track(per_key)
