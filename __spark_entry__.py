@@ -2762,9 +2762,9 @@ def q_bmiq_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     mixture component) the tercile class boundaries, hard-assignment
     counts, and the moment-matched (a0, b0) warm starts the first EM
     M-step consumes. Runs the same applyInPandas code paths as the full
-    normalizer; with per-type counts under nfit no subsampling
-    triggers, so everything is closed-form SQL. Reference
-    bmiq/BMIQ_1.4.R:39-76."""
+    normalizer but with subsampling disabled (nfit=None), so the prefix
+    is closed-form SQL at ANY scale, not just below the 10k fit cap.
+    Reference bmiq/BMIQ_1.4.R:39-76."""
     from methyl_data_pipeline_spark.stats.bmiq import bmiq_prefix
 
     meth = _meth(spark, sf_dir)

@@ -38,15 +38,16 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 
-def _prep_fit_values(values: np.ndarray, nfit: int, seed: int):
+def _prep_fit_values(values: np.ndarray, nfit: int | None, seed: int):
     """Shared EM-input prep: drop 0/1/NaN, seeded ``nfit`` subsample
-    (identity below the cap), clip into the open interval. Returns the
-    fit vector or None when infeasible (<10 usable values)."""
+    (identity below the cap; ``nfit=None`` disables capping), clip into
+    the open interval. Returns the fit vector or None when infeasible
+    (<10 usable values)."""
     v = values[(values > 0.0) & (values < 1.0) & ~np.isnan(values)]
     if v.size < 10:
         return None
-    rng = np.random.RandomState(seed)
-    if v.size > nfit:
+    if nfit is not None and v.size > nfit:
+        rng = np.random.RandomState(seed)
         v = v[rng.choice(v.size, nfit, replace=False)]
     return np.clip(v, 1e-6, 1.0 - 1e-6)
 
@@ -239,7 +240,7 @@ def bmiq_prefix(
     meth: DataFrame,
     probes: DataFrame,
     value_col: str = "beta",
-    nfit: int = 10_000,
+    nfit: int | None = None,
     seed: int = 42,
 ) -> DataFrame:
     """The deterministic prefix of BMIQ's per-sample EM, exposed as a
@@ -249,12 +250,14 @@ def bmiq_prefix(
     consumes (reference ``bmiq/BMIQ_1.4.R:39-76``; init structure of
     RPMM ``blc``).
 
-    When per-type counts sit under ``nfit`` (every test scale here) no
-    subsampling triggers, so the whole prefix is closed-form SQL —
-    giving the otherwise rows-only-checked M3 its oracle anchor. Uses
-    the exact same prep/init/moment code paths as
-    :func:`bmiq_normalize` (``_prep_fit_values`` / ``_init_components``
-    / ``_moment_ab``).
+    ``nfit`` defaults to None here (unlike :func:`bmiq_normalize`'s
+    10 000): the prefix is the ORACLE anchor for M3, and the DuckDB
+    side always uses every row, so an RNG subsample above the cap
+    would silently desynchronize the engines at larger scales (the
+    round-4 advisor repro at sf0.1). With no cap the whole prefix is
+    closed-form SQL at any scale. Uses the exact same prep/init/moment
+    code paths as :func:`bmiq_normalize` (``_prep_fit_values`` /
+    ``_init_components`` / ``_moment_ab``).
     """
     from methyl_data_pipeline_spark.deploy import ensure_importable
 
