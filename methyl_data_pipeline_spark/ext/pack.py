@@ -82,6 +82,10 @@ def hash_split(
     projection the optimizer can push anywhere). ``weights`` are
     normalized shares of the hash space; division by 2^60 is exact in
     binary floating point, so the thresholds are engine-independent.
+    Each cumulative boundary is rounded to 12 decimals so float
+    accumulation (0.9 + 0.05 → 0.9500000000000001) can't open a 1-ulp
+    window where this engine and an oracle comparing against the plain
+    decimal literal (0.95) assign the same id to different splits.
     """
     from methyl_data_pipeline_spark.ext.text import md5_long
 
@@ -94,7 +98,7 @@ def hash_split(
     acc = 0.0
     expr = None
     for w_, nm in zip(weights[:-1], names[:-1]):
-        acc += w_ / total
+        acc = round(acc + w_ / total, 12)
         expr = (
             F.when(frac < acc, nm)
             if expr is None

@@ -712,7 +712,14 @@ def language_id_ngram(df: DataFrame, text_col: str = "text", id_col: str = "doc_
         F.lit(" "), F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), F.lit(" ")
     )
     out = df.withColumn("_t", norm)
-    grams = F.expr("transform(sequence(1, greatest(length(_t) - 2, 0)), i -> substring(_t, i, 3))")
+    # Explicit empty-array guard: Spark's sequence(1, 0) yields the
+    # DESCENDING [1, 0] (two bogus '  ' grams for empty/whitespace-only
+    # text) where SQL generate_series(1, 0) is empty — mirror the
+    # empty-series semantics so the engines can't desynchronize.
+    grams = F.expr(
+        "CASE WHEN length(_t) < 3 THEN CAST(array() AS array<string>) "
+        "ELSE transform(sequence(1, length(_t) - 2), i -> substring(_t, i, 3)) END"
+    )
     out = out.withColumn("_grams", grams)
 
     def score(profile: list[str]):
