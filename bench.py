@@ -48,6 +48,13 @@ HEADLINE = [
     "ivf_ann_approx",
     "events_windowed",
     "sessionize",
+    # Promoted r5 (VERDICT r4 #8): the two most expensive chained plans
+    # join the headline set so chain regressions hit the delta
+    # machinery, not just the singles. Their medians existed under
+    # "extended" in r3/r4 records; _previous_timings merges those in,
+    # so deltas_vs_prev stays continuous across the promotion.
+    "curation_pipeline",
+    "methyl_pipeline_chain",
 ]
 
 REGRESSION_FLAG = 1.3
@@ -62,8 +69,6 @@ EXTENDED = [
     "unigram_logprob",
     "pca_gram",
     "quality_filter",
-    "curation_pipeline",
-    "methyl_pipeline_chain",
     "segment_dedup",
     "multimodal_features",
 ]
@@ -82,7 +87,31 @@ def _previous_timings() -> tuple[str | None, dict[str, float]]:
     try:
         rec = json.load(open(best[1]))
         parsed = rec.get("parsed") or {}
-        return os.path.basename(best[1]), dict(parsed.get("queries") or {})
+        if not parsed.get("queries"):
+            # Some driver records leave "parsed" empty and keep only the
+            # LAST 2000 chars of output in "tail" — the JSON line is
+            # truncated at the front, so scavenge "name": float pairs by
+            # regex instead of json.loads. A front-clipped first key has
+            # no opening quote and is skipped by the pattern. Medians
+            # recovered this way feed only deltas_vs_prev, where a
+            # missing query simply yields no delta.
+            tail = str(rec.get("tail", ""))
+            pair_re = re.compile(r'"([a-z0-9_]+)": ([0-9][0-9.]*)[,}]')
+            q_end = tail.find('"spread"')
+            queries_seg = tail[: q_end if q_end >= 0 else len(tail)]
+            ext_start = tail.find('"extended": {')
+            ext_seg = ""
+            if ext_start >= 0:
+                ext_seg = tail[ext_start : tail.find("}", ext_start) + 1]
+            parsed = {
+                "queries": {m.group(1): float(m.group(2)) for m in pair_re.finditer(queries_seg)},
+                "extended": {m.group(1): float(m.group(2)) for m in pair_re.finditer(ext_seg)},
+            }
+        # extended medians merged in (headline keys win) so a query
+        # promoted extended -> headline keeps its round-over-round delta
+        merged = dict(parsed.get("extended") or {})
+        merged.update(parsed.get("queries") or {})
+        return os.path.basename(best[1]), merged
     except Exception:
         return os.path.basename(best[1]), {}
 
@@ -175,7 +204,11 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    total = round(sum(timings.values()), 3)
+    # A crashed headline query must read as a failure, not a speedup:
+    # with any failure the total is meaningless (it sums only the
+    # survivors), so null it out and flag the failed names as
+    # regressions alongside the slow ones.
+    total = round(sum(timings.values()), 3) if not failures else None
     prev_name, prev = _previous_timings()
     deltas = {
         q: round(timings[q] / prev[q], 3)
@@ -194,7 +227,9 @@ def main() -> None:
         "extended_runs": n_runs_ext,
         "sf": sf,
         "deltas_vs_prev": deltas,
-        "regressions": sorted(q for q, r in deltas.items() if r > REGRESSION_FLAG),
+        "regressions": sorted(
+            set(q for q, r in deltas.items() if r > REGRESSION_FLAG) | set(failures)
+        ),
         "failures": failures,
         "prev": prev_name,
     }
