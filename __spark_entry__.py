@@ -2757,6 +2757,103 @@ FROM step ORDER BY probe_id, run
 """
 
 
+def q_combat_twostep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two unrolled EB iterations of ComBat's gamma*/delta* fixed point
+    (stats.combat.combat_twostep): emits both iterations per
+    (probe, batch) so the oracle certifies the fixed point CONTRACTS —
+    shrinking M2's rows-only core to pure loop convergence. Reference
+    workflow.R:139-145 (sva it.sol)."""
+    from methyl_data_pipeline_spark.operators import qc
+    from methyl_data_pipeline_spark.stats.combat import combat_twostep
+
+    meth = _meth(spark, sf_dir)
+    n_samples = meth.select("sample_id").distinct().count()
+    complete = qc.drop_incomplete_probes(meth, n_samples)
+    out = combat_twostep(complete, value_col="beta", batch_col="run")
+    return out.select(
+        "probe_id", "run", "n_b",
+        _r(F.col("gamma_one"), 8).alias("gamma_one"),
+        _r(F.col("delta_one_sq"), 8).alias("delta_one_sq"),
+        _r(F.col("gamma_two"), 8).alias("gamma_two"),
+        _r(F.col("delta_two_sq"), 8).alias("delta_two_sq"),
+    ).orderBy("probe_id", "run")
+
+
+SQL_COMBAT_TWOSTEP = f"""
+WITH {METH_CTE},
+complete AS (
+  SELECT m.* FROM meth m
+  JOIN (SELECT probe_id FROM meth WHERE beta IS NOT NULL
+        GROUP BY probe_id
+        HAVING COUNT(*) = (SELECT COUNT(DISTINCT sample_id) FROM meth)) c
+  USING (probe_id)
+),
+pb AS (
+  SELECT probe_id, run, COUNT(beta) AS n_b, AVG(beta) AS mean_b
+  FROM complete GROUP BY 1, 2
+),
+grand AS (
+  SELECT probe_id, SUM(n_b * mean_b) / SUM(n_b) AS grand_mean,
+         SUM(n_b) AS n_total
+  FROM pb GROUP BY 1
+),
+pooled AS (
+  SELECT m.probe_id,
+         SUM(POW(m.beta - g.grand_mean, 2)) / ANY_VALUE(g.n_total) AS var_pooled
+  FROM complete m JOIN grand g USING (probe_id) GROUP BY 1
+),
+z AS (
+  SELECT m.probe_id, m.run,
+         (m.beta - g.grand_mean) / sqrt(p.var_pooled) AS z
+  FROM complete m
+  JOIN grand g USING (probe_id) JOIN pooled p USING (probe_id)
+),
+zb AS (
+  SELECT probe_id, run, COUNT(z) AS n_b, AVG(z) AS gamma_hat,
+         VAR_SAMP(z) AS delta_hat_sq
+  FROM z GROUP BY 1, 2
+),
+hyper AS (
+  SELECT run, AVG(gamma_hat) AS gamma_bar, VAR_SAMP(gamma_hat) AS t2,
+         (2.0 * VAR_SAMP(delta_hat_sq) + POW(AVG(delta_hat_sq), 2))
+           / VAR_SAMP(delta_hat_sq) AS a_prior,
+         (AVG(delta_hat_sq) * VAR_SAMP(delta_hat_sq) + POW(AVG(delta_hat_sq), 3))
+           / VAR_SAMP(delta_hat_sq) AS b_prior
+  FROM zb GROUP BY 1
+),
+base AS (
+  SELECT zb.probe_id, zb.run, zb.n_b,
+         CAST(zb.n_b AS DOUBLE) AS n, gamma_hat,
+         COALESCE(delta_hat_sq, 1.0) AS d0,
+         gamma_bar, t2, a_prior, b_prior
+  FROM zb JOIN hyper USING (run)
+),
+step1 AS (
+  SELECT *,
+         (t2 * n * gamma_hat + d0 * gamma_bar) / (t2 * n + d0) AS g1
+  FROM base
+),
+step1d AS (
+  SELECT *,
+         (0.5 * ((n - 1.0) * d0 + n * POW(gamma_hat - g1, 2)) + b_prior)
+           / (n / 2.0 + a_prior - 1.0) AS d1
+  FROM step1
+),
+step2 AS (
+  SELECT *,
+         (t2 * n * gamma_hat + d1 * gamma_bar) / (t2 * n + d1) AS g2
+  FROM step1d
+)
+SELECT probe_id, run, n_b,
+       ROUND(g1 + 1e-9, 8) AS gamma_one,
+       ROUND(d1 + 1e-9, 8) AS delta_one_sq,
+       ROUND(g2 + 1e-9, 8) AS gamma_two,
+       ROUND((0.5 * ((n - 1.0) * d0 + n * POW(gamma_hat - g2, 2)) + b_prior)
+             / (n / 2.0 + a_prior - 1.0) + 1e-9, 8) AS delta_two_sq
+FROM step2 ORDER BY probe_id, run
+"""
+
+
 def q_bmiq_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BMIQ's deterministic prefix (M3): per (sample, design type,
     mixture component) the tercile class boundaries, hard-assignment
@@ -3772,15 +3869,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness records only the
-    # FIRST 50 entries (rounds 1-3 each produced exactly the first 50
-    # in dict order), so every query whose oracle evidence is still
-    # only local comes first. ROUND-4 ROTATION (VERDICT r3 #1): slots
-    # 1-50 now hold (a) the 18 tail queries that passed only
-    # tools/check_oracle.py locally in r1-r3, (b) every query ADDED in
-    # r4 (prefix/chain oracles + curation/QC/streaming additions), and
-    # (c) the changed-this-round multimodal_features; 33 long-stable
-    # queries — each driver-green in CORRECTNESS_r01-r03 (see README)
-    # — yield their slots and move past 50, where
+    # FIRST 50 entries in dict order, so every query whose oracle
+    # evidence is still only local comes first. ROUND-5 ROTATION
+    # (VERDICT r4 #1-#3): slots 1-50 keep everything CHANGED this round
+    # (moderated_f, bmiq_prefix, hash_split, lang_id_ngram) and gain
+    # the four never-driver-graded queries (combat_twostep new;
+    # incremental_dedup / perplexity_buckets / chunk_documents added
+    # post-freeze in r4); quantiles, histogram, ecdf_percent_rank and
+    # union_halves — each driver-green in CORRECTNESS_r04 and untouched
+    # since — yield their slots and join the demoted set past 50, where
     # tools/check_oracle.py still checks them every round.
     return {
         # flagship + methylation suite
@@ -3795,19 +3892,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "health_report": q_health_report,
         "bh_adjust_scalable": q_bh_adjust_scalable,
         "combat_priors": q_combat_priors,
-        # promoted this round: new deterministic-prefix / chain oracles
+        # deterministic-prefix / chain oracles (combat_twostep NEW r5:
+        # first driver row pending)
         "combat_onestep": q_combat_onestep,
+        "combat_twostep": q_combat_twostep,
         "bmiq_prefix": q_bmiq_prefix,
         "methyl_pipeline_chain": q_methyl_pipeline_chain,
-        # promoted this round: r3 tail (driver-green pending)
+        # promoted r5 (VERDICT r4 #2): added post-freeze in r4, first
+        # driver rows pending
+        "incremental_dedup": q_incremental_dedup,
+        "perplexity_buckets": q_perplexity_buckets,
+        "chunk_documents": q_chunk_documents,
+        # r4-certified, kept in-window
         "quantile_normalize": q_quantile_normalize,
         "dmr_regions": q_dmr_regions,
         "pca_gram": q_pca_gram,
         "bh_adjust": q_bh_adjust,
-        "quantiles": q_quantiles,
-        "histogram": q_histogram,
-        "ecdf_percent_rank": q_ecdf,
-        "union_halves": q_union_halves,
         "curation_pipeline": q_curation_pipeline,
         "stream_interval_join": q_stream_interval_join,
         "repetition_signals": q_repetition_signals,
@@ -3840,11 +3940,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding": q_events_sliding,
         "frame_sample": q_frame_sample,
         # ---- slot 51+ (past the driver's 50-entry window) ----
-        # added after the r4 window froze; locally oracle-checked,
-        # rotation candidate for r5
-        "incremental_dedup": q_incremental_dedup,
-        "perplexity_buckets": q_perplexity_buckets,
-        "chunk_documents": q_chunk_documents,
+        # demoted r5: driver-green in CORRECTNESS_r04, untouched since
+        "quantiles": q_quantiles,
+        "histogram": q_histogram,
+        "ecdf_percent_rank": q_ecdf,
+        "union_halves": q_union_halves,
         # demoted r4: long-stable queries, each driver-green in
         # CORRECTNESS_r01-r03; tools/check_oracle.py re-verifies
         # them every round
@@ -3992,6 +4092,7 @@ def oracle_sql() -> dict[str, str]:
         "dmr_regions": SQL_DMR_REGIONS,
         "unigram_logprob": SQL_UNIGRAM_LOGPROB,
         "combat_onestep": SQL_COMBAT_ONESTEP,
+        "combat_twostep": SQL_COMBAT_TWOSTEP,
         "bmiq_prefix": SQL_BMIQ_PREFIX,
         "methyl_pipeline_chain": SQL_METHYL_PIPELINE_CHAIN,
         "segment_dedup": SQL_SEGMENT_DEDUP,
