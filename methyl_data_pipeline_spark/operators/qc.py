@@ -84,6 +84,29 @@ def filter_samples_by_detp(
     return meth.join(F.broadcast(good), "sample_id", "left_semi")
 
 
+def detp_retained_samples(
+    meth: DataFrame, threshold: float = 0.05, detp_col: str = "det_p"
+) -> list[str]:
+    """The retained-sample ids of :func:`filter_samples_by_detp`,
+    collected to the driver (sorted for determinism).
+
+    Bounded by the samples DIMENSION (thousands even at 100 TB of fact
+    rows — the per-sample agg is map-side partial, no shuffle of the
+    fact). One action yields both the filter list (an ``isin``
+    predicate the scan can push down) and ``len()`` = the retained
+    count that the probe-completeness filters need — replacing the
+    pipeline's former extra full-table ``distinct().count()`` pass.
+    """
+    rows = (
+        meth.groupBy("sample_id")
+        .agg(F.avg(F.col(detp_col)).alias("_mean_detp"))
+        .filter(F.col("_mean_detp") < threshold)
+        .select("sample_id")
+        .collect()
+    )
+    return sorted(r[0] for r in rows)
+
+
 def filter_probes_by_detp(
     meth: DataFrame,
     threshold: float = 0.05,
