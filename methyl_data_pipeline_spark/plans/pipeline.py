@@ -25,7 +25,10 @@ from methyl_data_pipeline_spark.stats.feature_selection import (
     select_probes,
     top_k_variable_probes,
 )
-from methyl_data_pipeline_spark.stats.limma import moderated_t_two_group
+from methyl_data_pipeline_spark.stats.limma import (
+    moderated_f_anova,
+    moderated_t_two_group,
+)
 from methyl_data_pipeline_spark.stats.pca import pca_scores
 
 
@@ -49,12 +52,21 @@ def run_methylation_pipeline(
     pca_k: int = 3,
     run_bmiq: bool = True,
     run_combat: bool = True,
-    dmp_groups: tuple[str, str, str] | None = None,
+    dmp_groups: tuple[str, ...] | None = None,
 ) -> PipelineResult:
     """Compose the full reference pipeline over a long meth table.
 
-    ``dmp_groups``: (group_col, group_a, group_b) on the samples
-    dimension to run the limma-style DMP stage (requires ``samples``).
+    ``dmp_groups`` selects the DMP stage (requires ``samples``):
+
+    - ``(group_col, a, b)`` — limma moderated t between the two groups
+      (plots.R:71-176, the reference's pairwise DMP).
+    - ``(group_col,)`` or ``(group_col, g1, g2, g3, ...)`` — the
+      omnibus moderated F across ALL named groups (all observed levels
+      when only the column is given) — limma ``topTableF``, what the
+      reference reports when a contrast family spans >1 dof
+      (Mouse_Microarray_General_Workflow.R:125-143).
+
+    Either way the stage ends in BH step-up over the moderated p-value.
     """
     # --- QC stage (workflow.R:43-75): sample filter -> probe filters.
     # One bounded action over the per-sample agg (map-side partial, no
@@ -106,10 +118,11 @@ def run_methylation_pipeline(
         with_m = selected.withColumn("mval", model.mvalue(value_col))
         pca_df, ev = pca_scores(with_m, k=pca_k, value_col="mval")
 
-    # --- DMP stage (plots.R:71-176).
+    # --- DMP stage (plots.R:71-176; omnibus F per
+    # Mouse_Microarray_General_Workflow.R:125-143).
     dmp = None
     if dmp_groups is not None and samples is not None:
-        group_col, ga, gb = dmp_groups
+        group_col, *groups = dmp_groups
         if group_col in normalized.columns:
             labeled = normalized
         else:
@@ -117,18 +130,26 @@ def run_methylation_pipeline(
                 F.broadcast(samples.select("sample_id", group_col)), "sample_id"
             )
         labeled = labeled.withColumn("mval", model.mvalue(value_col))
-        # fitFDist = the prior R limma actually fits (workflow.R runs
-        # eBayes); the SQL-oracle-checked moments twin stays the default
-        # for the standalone meth_moderated_t contract query.
-        dmp = moderated_t_two_group(
-            labeled, group_col, ga, gb, value_col="mval", with_p_values=True,
-            prior_method="fitFDist",
-        )
-        # p_value comes from the t-sf UDF and is never null; skipping the
-        # null split keeps the UDF out of join conditions (one eval, no
-        # forced plan rewrite). The range-partitioned variant is the
-        # default: bit-identical to the exact window (tested) without
-        # funneling every probe through one task at 10⁹ rows.
+        if len(groups) == 2:
+            # fitFDist = the prior R limma actually fits (workflow.R runs
+            # eBayes); the SQL-oracle-checked moments twin stays the
+            # default for the standalone meth_moderated_t contract query.
+            dmp = moderated_t_two_group(
+                labeled, group_col, groups[0], groups[1], value_col="mval",
+                with_p_values=True, prior_method="fitFDist",
+            )
+        else:
+            if groups:
+                labeled = labeled.filter(F.col(group_col).isin(groups))
+            dmp = moderated_f_anova(
+                labeled, group_col, value_col="mval", with_p_values=True
+            )
+        # p_value comes from the t-sf / F-sf UDF and is never null;
+        # skipping the null split keeps the UDF out of join conditions
+        # (one eval, no forced plan rewrite). The range-partitioned
+        # variant is the default: bit-identical to the exact window
+        # (tested) without funneling every probe through one task at
+        # 10⁹ rows.
         dmp = bh_adjust_scalable(dmp, "p_value", "adj_p", assume_no_nulls=True)
 
     return PipelineResult(
