@@ -215,3 +215,92 @@ def test_idat_to_qc_pipeline(spark, idat_dir):
     kept = drop_incomplete_probes(holey, value_col="beta")
     assert kept.filter(F.col("probe_id") == "cg00000003").count() == 0
     assert kept.count() == 38
+
+
+def test_idat_staged_tree_to_dmp_end_to_end(spark, tmp_path):
+    """The full S5/S6 ingest chain the reference opens with
+    (workflow.R:23-24): raw .idat BYTES — some inside a zip archive —
+    through stage_idat_tree (extract + flat staging) -> read_idat_dir
+    (binaryFile glob) -> decode_idat (real v3 parser) -> manifest betas
+    -> run_methylation_pipeline, ending in DMP rows with the planted
+    group effect ranked first."""
+    from pyspark.sql import functions as F
+
+    from methyl_data_pipeline_spark.io.readers import stage_idat_tree
+    from methyl_data_pipeline_spark.plans.pipeline import run_methylation_pipeline
+
+    rng = np.random.default_rng(11)
+    n_probes = 30
+    addresses = np.arange(500, 500 + n_probes, dtype="<i4")
+    # 4 samples: group from the chip position, batch (run) from barcode
+    sample_specs = [
+        ("204000000001_R01C01", "A"), ("204000000001_R02C01", "B"),
+        ("204000000002_R01C01", "A"), ("204000000002_R02C01", "B"),
+    ]
+
+    def sample_blobs(base: str, grp: str) -> dict[str, bytes]:
+        # probe 0 carries a huge group effect (beta ~0.05 vs ~0.95);
+        # the rest hover mid-range
+        grn = rng.integers(1800, 2200, size=n_probes).astype("<u2")
+        red = rng.integers(1800, 2200, size=n_probes).astype("<u2")
+        if grp == "A":
+            grn[0], red[0] = 100, 4000
+        else:
+            grn[0], red[0] = 4000, 100
+        barcode, position = base.split("_")
+        return {
+            ch: make_idat(addresses, m, barcode=barcode, position=position)
+            for ch, m in (("Grn", grn), ("Red", red))
+        }
+
+    # source tree: sample 1 loose in a subdir, samples 2-4 inside a zip
+    import zipfile
+
+    source = tmp_path / "source"
+    (source / "sub").mkdir(parents=True)
+    loose_base, loose_grp = sample_specs[0]
+    for ch, blob in sample_blobs(loose_base, loose_grp).items():
+        (source / "sub" / f"{loose_base}_{ch}.idat").write_bytes(blob)
+    with zipfile.ZipFile(source / "batch2.zip", "w") as zf:
+        for base, grp in sample_specs[1:]:
+            for ch, blob in sample_blobs(base, grp).items():
+                zf.writestr(f"inner/{base}_{ch}.idat", blob)
+
+    staging = tmp_path / "staged"
+    staged = stage_idat_tree(str(source), str(staging))
+    assert len(staged) == 8  # 4 samples x 2 channels
+
+    decoded = decode_idat(read_idat_dir(spark, str(staging)))
+    manifest = spark.createDataFrame(
+        [("cg%08d" % i, "II", None, int(addresses[i]), int(addresses[i]))
+         for i in range(n_probes)],
+        "probe_id string, design_type string, color string, "
+        "address_m long, address_u long",
+    )
+    meth = (
+        betas_from_intensities(decoded, manifest)
+        .withColumnRenamed("basename", "sample_id")
+        .withColumn("run", F.substring("sample_id", 12, 1))
+        .withColumn("det_p", F.lit(0.001))
+        .select("probe_id", "sample_id", "run", "beta", "det_p")
+    )
+    probes = spark.createDataFrame(
+        [("cg%08d" % i, 2, "chr1") for i in range(n_probes)],
+        "probe_id string, design_type int, chr string",
+    )
+    samples = spark.createDataFrame(
+        [(b, g) for b, g in sample_specs], "sample_id string, grp string"
+    )
+
+    res = run_methylation_pipeline(
+        meth, probes, samples, run_bmiq=False, run_combat=False,
+        top_k=n_probes, pca_k=2, dmp_groups=("grp", "A", "B"),
+    )
+    dmp = res.dmp.toPandas().set_index("probe_id")
+    assert len(dmp) == n_probes
+    # the planted probe's p underflows to exactly 0.0 (|t| ~ 78 at the
+    # EB-inflated dof) — valid, so the lower bound is inclusive
+    assert ((dmp["p_value"] >= 0) & (dmp["p_value"] <= 1)).all()
+    assert dmp["t_mod"].abs().idxmax() == "cg00000000"
+    assert dmp["adj_p"].idxmin() == "cg00000000"
+    assert len(res.explained_variance) == 2
