@@ -320,3 +320,61 @@ def test_quality_gate_is_scan_side(spark):
     plan = kept._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "FileScan parquet" in plan
+
+
+def test_segment_dedup_skewed_boilerplate(spark):
+    """Skew hardening (VERDICT r4 #7): when one boilerplate segment
+    dominates the corpus (90% of docs), the winners shuffle funnels
+    most rows to ONE segment key. The min-struct agg must (a) still
+    produce exactly the first-occurrence semantics a local oracle
+    computes, at any partitioning, and (b) keep a map-side partial
+    aggregate in the plan — the mechanism that bounds the straggler's
+    input to one pre-combined row per map task at 100 TB."""
+    import re
+
+    from methyl_data_pipeline_spark.ext.dedup import segment_dedup
+
+    boiler = "shared boilerplate header line"
+    docs = []
+    for i in range(200):
+        uniq = " ".join(f"tok{i}w{j}" for j in range(8))
+        text = f"{boiler} {uniq}" if i % 10 != 0 else uniq
+        docs.append((f"d{i:04d}", text))
+
+    def local_oracle(rows):
+        chunks = {}
+        for d, t in rows:
+            words = re.sub(r"\s+", " ", t.strip().lower()).split(" ")
+            chunks[d] = [" ".join(words[k:k + 4]) for k in range(0, len(words), 4)]
+        first = {}
+        for d in sorted(chunks):
+            for p, s in enumerate(chunks[d]):
+                if s not in first or (d, p) < first[s]:
+                    first[s] = (d, p)
+        return {
+            d: (
+                len(ch),
+                sum(1 for p, s in enumerate(ch) if first[s] == (d, p)),
+                " ".join(s for p, s in enumerate(ch) if first[s] == (d, p)),
+            )
+            for d, ch in chunks.items()
+        }
+
+    want = local_oracle(docs)
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    for parts in (1, 32):
+        out = segment_dedup(df.repartition(parts)).collect()
+        got = {r["doc_id"]: (r["n_segs"], r["n_kept"], r["text_dedup"]) for r in out}
+        assert got == want, f"mismatch at repartition({parts})"
+
+    # the dominant key survives exactly once, in its first doc
+    assert want["d0001"][2].startswith(boiler)
+    dominated = [d for d, t in docs if t.startswith(boiler) and d != "d0001"]
+    spark_got = {r["doc_id"]: r["text_dedup"] for r in segment_dedup(df).collect()}
+    assert all(not spark_got[d].startswith(boiler) for d in dominated)
+
+    # map-side combine: the winners agg must be a two-phase
+    # HashAggregate (partial + final) around its exchange
+    plan = segment_dedup(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_min" in plan or "partial_" in plan
