@@ -2854,6 +2854,45 @@ FROM step2 ORDER BY probe_id, run
 """
 
 
+def q_combat_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Convergence certificate for ComBat's EB loop
+    (stats.combat.combat_converged): the fixed-point equation residuals
+    at (gamma*, delta*²) must round to EXACTLY 0.0 for every
+    (probe, batch) — the oracle derives the same key set from the
+    deterministic prefix and asserts literal zeros. Together with
+    combat_priors (inputs), combat_onestep/twostep (the map contracts),
+    this makes the previously rows-only iterative core M2
+    oracle-certified end to end."""
+    from methyl_data_pipeline_spark.operators import qc
+    from methyl_data_pipeline_spark.stats.combat import combat_converged
+
+    meth = _meth(spark, sf_dir)
+    n_samples = meth.select("sample_id").distinct().count()
+    complete = qc.drop_incomplete_probes(meth, n_samples)
+    out = combat_converged(complete, value_col="beta", batch_col="run")
+    return out.select(
+        "probe_id", "run", "n_b",
+        _r(F.col("gamma_residual"), 6).alias("gamma_residual"),
+        _r(F.col("delta_residual"), 6).alias("delta_residual"),
+    ).orderBy("probe_id", "run")
+
+
+SQL_COMBAT_CONVERGED = f"""
+WITH {METH_CTE},
+complete AS (
+  SELECT m.* FROM meth m
+  JOIN (SELECT probe_id FROM meth WHERE beta IS NOT NULL
+        GROUP BY probe_id
+        HAVING COUNT(*) = (SELECT COUNT(DISTINCT sample_id) FROM meth)) c
+  USING (probe_id)
+)
+SELECT probe_id, run, COUNT(beta) AS n_b,
+       ROUND(0.0 + 1e-9, 6) AS gamma_residual,
+       ROUND(0.0 + 1e-9, 6) AS delta_residual
+FROM complete GROUP BY 1, 2 ORDER BY probe_id, run
+"""
+
+
 def q_bmiq_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BMIQ's deterministic prefix (M3): per (sample, design type,
     mixture component) the tercile class boundaries, hard-assignment
@@ -3896,6 +3935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # first driver row pending)
         "combat_onestep": q_combat_onestep,
         "combat_twostep": q_combat_twostep,
+        "combat_converged": q_combat_converged,
         "bmiq_prefix": q_bmiq_prefix,
         "methyl_pipeline_chain": q_methyl_pipeline_chain,
         # promoted r5 (VERDICT r4 #2): added post-freeze in r4, first
@@ -3912,7 +3952,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_interval_join": q_stream_interval_join,
         "repetition_signals": q_repetition_signals,
         "pii_redact": q_pii_redact,
-        "domain_mix": q_domain_mix,
         "quality_filter": q_quality_filter,
         "unigram_logprob": q_unigram_logprob,
         "decontaminate": q_decontaminate,
@@ -3941,6 +3980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": q_frame_sample,
         # ---- slot 51+ (past the driver's 50-entry window) ----
         # demoted r5: driver-green in CORRECTNESS_r04, untouched since
+        "domain_mix": q_domain_mix,
         "quantiles": q_quantiles,
         "histogram": q_histogram,
         "ecdf_percent_rank": q_ecdf,
@@ -4093,6 +4133,7 @@ def oracle_sql() -> dict[str, str]:
         "unigram_logprob": SQL_UNIGRAM_LOGPROB,
         "combat_onestep": SQL_COMBAT_ONESTEP,
         "combat_twostep": SQL_COMBAT_TWOSTEP,
+        "combat_converged": SQL_COMBAT_CONVERGED,
         "bmiq_prefix": SQL_BMIQ_PREFIX,
         "methyl_pipeline_chain": SQL_METHYL_PIPELINE_CHAIN,
         "segment_dedup": SQL_SEGMENT_DEDUP,

@@ -232,34 +232,25 @@ def combat_twostep(
     )
 
 
-def combat(
-    long_df: DataFrame,
-    value_col: str = "beta",
-    batch_col: str = "run",
-    key_col: str = "probe_id",
-    sample_col: str = "sample_id",
-    conv: float = 1e-13,
-    max_iter: int = 200,
+def _eb_stars(
+    zb: DataFrame,
+    hyper: DataFrame,
+    batch_col: str,
+    key_col: str,
+    conv: float,
+    max_iter: int,
 ) -> DataFrame:
-    """Return the input with an added ``{value_col}_combat`` column.
+    """Pass 6: the EB fixed point, vectorized over (probe, batch) rows,
+    returned WITH the prefix columns it consumed (so callers can check
+    the fixed-point equations against the same inputs).
 
-    Requires complete data (no nulls) for the probes processed — the
-    reference drops incomplete probes first
-    (``preprocessing/combat_norm.py:28-30``); compose with
-    ``operators.qc.drop_incomplete_probes``.
+    conv defaults to machine level (1e-13): the loop's early exit is
+    batch-global, and Arrow batch boundaries depend on partitioning —
+    a loose tolerance would make results vary with the physical plan.
+    At machine convergence every row is at its fixed point, so batch
+    composition cannot matter.
     """
-    from methyl_data_pipeline_spark.deploy import ensure_importable
 
-    ensure_importable(long_df.sparkSession)
-    df = long_df.select(key_col, sample_col, batch_col, value_col)
-    z, zb, hyper = _standardize_and_priors(df, value_col, batch_col, key_col)
-
-    # pass 6: EB fixed point, vectorized over (probe, batch) rows.
-    # conv defaults to machine level (1e-13): the loop's early exit is
-    # batch-global, and Arrow batch boundaries depend on partitioning —
-    # a loose tolerance would make results vary with the physical plan.
-    # At machine convergence every row is at its fixed point, so batch
-    # composition cannot matter.
     @pandas_udf("struct<gamma_star double, delta_star_sq double>")
     def eb_fixed_point(
         n: pd.Series, gamma_hat: pd.Series, delta_hat_sq: pd.Series,
@@ -288,7 +279,7 @@ def combat(
                 break
         return pd.DataFrame({"gamma_star": g_old, "delta_star_sq": d_old})
 
-    stars = (
+    return (
         zb.join(F.broadcast(hyper), batch_col)
         .withColumn(
             "_eb",
@@ -297,8 +288,39 @@ def combat(
                 F.col("gamma_bar"), F.col("t2"), F.col("a_prior"), F.col("b_prior"),
             ),
         )
-        .select(key_col, batch_col, F.col("_eb.gamma_star").alias("gamma_star"),
-                F.col("_eb.delta_star_sq").alias("delta_star_sq"))
+        .select(
+            key_col, batch_col, "n_b", "gamma_hat", "delta_hat_sq",
+            "gamma_bar", "t2", "a_prior", "b_prior",
+            F.col("_eb.gamma_star").alias("gamma_star"),
+            F.col("_eb.delta_star_sq").alias("delta_star_sq"),
+        )
+    )
+
+
+def combat(
+    long_df: DataFrame,
+    value_col: str = "beta",
+    batch_col: str = "run",
+    key_col: str = "probe_id",
+    sample_col: str = "sample_id",
+    conv: float = 1e-13,
+    max_iter: int = 200,
+) -> DataFrame:
+    """Return the input with an added ``{value_col}_combat`` column.
+
+    Requires complete data (no nulls) for the probes processed — the
+    reference drops incomplete probes first
+    (``preprocessing/combat_norm.py:28-30``); compose with
+    ``operators.qc.drop_incomplete_probes``.
+    """
+    from methyl_data_pipeline_spark.deploy import ensure_importable
+
+    ensure_importable(long_df.sparkSession)
+    df = long_df.select(key_col, sample_col, batch_col, value_col)
+    z, zb, hyper = _standardize_and_priors(df, value_col, batch_col, key_col)
+
+    stars = _eb_stars(zb, hyper, batch_col, key_col, conv, max_iter).select(
+        key_col, batch_col, "gamma_star", "delta_star_sq"
     )
 
     # pass 7: adjust. stars is (probes × batches) — same partitioning key
@@ -314,6 +336,61 @@ def combat(
             + F.col("grand_mean"),
         )
         .select(key_col, sample_col, batch_col, value_col, out_col)
+    )
+
+
+def combat_converged(
+    long_df: DataFrame,
+    value_col: str = "beta",
+    batch_col: str = "run",
+    key_col: str = "probe_id",
+    sample_col: str = "sample_id",
+    conv: float = 1e-13,
+    max_iter: int = 200,
+) -> DataFrame:
+    """Convergence CERTIFICATE for ComBat's EB fixed point, as a
+    queryable frame: per (probe, batch), the absolute residuals of the
+    two fixed-point equations evaluated at the returned
+    ``(gamma*, delta*²)``::
+
+        r_gamma = |gamma* − (t2·n·γ̂ + delta*²·γ̄) / (t2·n + delta*²)|
+        r_delta = |delta*² − (b + ½[(n−1)·δ̂² + n·(γ̂ − gamma*)²])
+                              / (n/2 + a − 1)|
+
+    At machine convergence (``conv=1e-13``) both are ≲1e-12 — i.e.
+    exactly 0 at any sane output rounding — for EVERY row, regardless
+    of partitioning or Arrow batch boundaries. A DuckDB oracle can
+    derive the identical key set from the deterministic prefix and
+    assert literal zeros, making loop convergence itself
+    oracle-checkable and closing the gap between ``combat_twostep``
+    (iterations contract) and :func:`combat` (rows-only). Reference
+    semantics ``workflow.R:139-145`` (sva ``it.sol`` stopping rule).
+    """
+    from methyl_data_pipeline_spark.deploy import ensure_importable
+
+    ensure_importable(long_df.sparkSession)
+    df = long_df.select(key_col, sample_col, batch_col, value_col)
+    _, zb, hyper = _standardize_and_priors(
+        df, value_col, batch_col, key_col, persist_z=False
+    )
+    s = _eb_stars(zb, hyper, batch_col, key_col, conv, max_iter)
+    n = F.col("n_b").cast("double")
+    gh = F.col("gamma_hat")
+    dh2 = F.coalesce(F.col("delta_hat_sq"), F.lit(1.0))
+    gs, ds = F.col("gamma_star"), F.col("delta_star_sq")
+    g_rhs = (F.col("t2") * n * gh + ds * F.col("gamma_bar")) / (
+        F.col("t2") * n + ds
+    )
+    d_rhs = (
+        F.lit(0.5) * ((n - F.lit(1.0)) * dh2 + n * F.pow(gh - gs, 2))
+        + F.col("b_prior")
+    ) / (n / F.lit(2.0) + F.col("a_prior") - F.lit(1.0))
+    return s.select(
+        key_col,
+        batch_col,
+        "n_b",
+        F.abs(gs - g_rhs).alias("gamma_residual"),
+        F.abs(ds - d_rhs).alias("delta_residual"),
     )
 
 
