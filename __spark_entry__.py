@@ -3019,6 +3019,51 @@ FROM ab ORDER BY sample_id, design_type, comp
 """
 
 
+def q_bmiq_mstep_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M-step optimality certificate for BMIQ's EM
+    (stats.bmiq.bmiq_mstep_certificate): the weighted-MLE gradient
+    residuals at every fitted component round to exactly 0.0 — the
+    oracle derives the same (sample, type, comp) keys from the
+    deterministic prefix and asserts literal zeros. With bmiq_prefix
+    (inputs) this certifies the estimating equations inside the
+    otherwise rows-only EM, completing the prefix+certificate pattern
+    for M3."""
+    from methyl_data_pipeline_spark.stats.bmiq import bmiq_mstep_certificate
+
+    meth = _meth(spark, sf_dir)
+    probes = _probes_dim(spark, sf_dir)
+    out = bmiq_mstep_certificate(meth, probes)
+    return out.select(
+        "sample_id", "design_type", "comp",
+        _r(F.col("grad_a_residual"), 6).alias("grad_a_residual"),
+        _r(F.col("grad_b_residual"), 6).alias("grad_b_residual"),
+    ).orderBy("sample_id", "design_type", "comp")
+
+
+SQL_BMIQ_MSTEP_CERT = f"""
+WITH {METH_CTE},
+probes AS (
+  SELECT 'cg' || lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS probe_id,
+         CASE WHEN p_partkey % 5 = 0 THEN 1 ELSE 2 END AS design_type
+  FROM part
+),
+v AS (
+  SELECT m.sample_id, COALESCE(p.design_type, 2) AS design_type
+  FROM meth m LEFT JOIN probes p USING (probe_id)
+  WHERE m.beta > 0 AND m.beta < 1
+),
+feasible AS (
+  SELECT sample_id, design_type FROM v
+  GROUP BY 1, 2 HAVING COUNT(*) >= 10
+)
+SELECT sample_id, design_type, CAST(comps.c AS INT) AS comp,
+       ROUND(0.0 + 1e-9, 6) AS grad_a_residual,
+       ROUND(0.0 + 1e-9, 6) AS grad_b_residual
+FROM feasible, (SELECT unnest([0, 1, 2]) AS c) comps
+ORDER BY sample_id, design_type, comp
+"""
+
+
 def q_methyl_pipeline_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-chain pipeline oracle (workflow.R:43-194 minus BMIQ/ComBat):
     detP QC → cg filter → complete probes → quantile normalize →
@@ -3984,6 +4029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "combat_twostep": q_combat_twostep,
         "combat_converged": q_combat_converged,
         "bmiq_prefix": q_bmiq_prefix,
+        "bmiq_mstep_cert": q_bmiq_mstep_cert,
         "methyl_pipeline_chain": q_methyl_pipeline_chain,
         # promoted r5 (VERDICT r4 #2): added post-freeze in r4, first
         # driver rows pending
@@ -4002,7 +4048,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": q_quality_filter,
         "unigram_logprob": q_unigram_logprob,
         "decontaminate": q_decontaminate,
-        "sequence_packing": q_sequence_packing,
         "sample_stratified": q_sample_stratified,
         # extensions kept in-window (changed this round or only
         # recently certified)
@@ -4029,6 +4074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # demoted r5: driver-green in CORRECTNESS_r04, untouched since
         "domain_mix": q_domain_mix,
         "repetition_signals": q_repetition_signals,
+        "sequence_packing": q_sequence_packing,
         "quantiles": q_quantiles,
         "histogram": q_histogram,
         "ecdf_percent_rank": q_ecdf,
@@ -4183,6 +4229,7 @@ def oracle_sql() -> dict[str, str]:
         "combat_twostep": SQL_COMBAT_TWOSTEP,
         "combat_converged": SQL_COMBAT_CONVERGED,
         "pca_eigen_cert": SQL_PCA_EIGEN_CERT,
+        "bmiq_mstep_cert": SQL_BMIQ_MSTEP_CERT,
         "bmiq_prefix": SQL_BMIQ_PREFIX,
         "methyl_pipeline_chain": SQL_METHYL_PIPELINE_CHAIN,
         "segment_dedup": SQL_SEGMENT_DEDUP,

@@ -89,11 +89,23 @@ def _moment_ab(v: np.ndarray, wk: np.ndarray):
     return m, var, max(m * common, 1e-3), max((1 - m) * common, 1e-3)
 
 
-def _fit_beta3(values: np.ndarray, nfit: int, seed: int, n_iter: int, tol: float):
+def _fit_beta3(
+    values: np.ndarray,
+    nfit: int | None,
+    seed: int,
+    n_iter: int,
+    tol: float,
+    with_diagnostics: bool = False,
+):
     """3-state 1-D beta mixture via EM with moment-matched M-step.
 
     Returns (a[3], b[3], w[3]) sorted by component mean (U < H < M),
-    or None when the fit is not feasible.
+    or None when the fit is not feasible. With
+    ``with_diagnostics=True`` returns (a, b, w, grad[3, 2]): per sorted
+    component the absolute weighted-MLE gradient residuals
+    ``|ψ(a)−ψ(a+b)−s1|, |ψ(b)−ψ(a+b)−s2|`` evaluated at the returned
+    (a, b) against the responsibilities the final M-step consumed —
+    ~0 whenever the Newton solve met its 1e-10 tolerance.
     """
     v = _prep_fit_values(values, nfit, seed)
     if v is None:
@@ -105,6 +117,7 @@ def _fit_beta3(values: np.ndarray, nfit: int, seed: int, n_iter: int, tol: float
     a = np.ones(3)
     b = np.ones(3)
     w = resp.mean(axis=0)
+    resp_m = resp
     prev_ll = -np.inf
     for _ in range(n_iter):
         # M-step: per-component (a, b). Weighted moments give the
@@ -112,6 +125,7 @@ def _fit_beta3(values: np.ndarray, nfit: int, seed: int, n_iter: int, tol: float
         # digamma system, special.beta_mle_weighted) refines it —
         # matching the reference's per-class beta fit
         # (bmiq/BMIQ_1.4.R:69-76) instead of stopping at moments.
+        resp_m = resp
         for k in range(3):
             mo = _moment_ab(v, resp[:, k])
             if mo is None:
@@ -130,7 +144,18 @@ def _fit_beta3(values: np.ndarray, nfit: int, seed: int, n_iter: int, tol: float
         prev_ll = ll
 
     order = np.argsort(a / (a + b))  # sort by component mean: U, H, M
-    return a[order], b[order], w[order]
+    if not with_diagnostics:
+        return a[order], b[order], w[order]
+    grad = np.zeros((3, 2))
+    for k in range(3):
+        wk = resp_m[:, k]
+        sw = wk.sum()
+        s1 = float((wk * np.log(v)).sum() / sw)
+        s2 = float((wk * np.log1p(-v)).sum() / sw)
+        psi_ab = float(special.digamma(a[k] + b[k]))
+        grad[k, 0] = abs(float(special.digamma(a[k])) - psi_ab - s1)
+        grad[k, 1] = abs(float(special.digamma(b[k])) - psi_ab - s2)
+    return a[order], b[order], w[order], grad[order]
 
 
 def _bmiq_sample(
@@ -298,6 +323,75 @@ def bmiq_prefix(
             columns=[
                 "sample_id", "design_type", "comp", "n_comp",
                 "q_lo", "q_hi", "mean", "var", "a0", "b0",
+            ],
+        )
+
+    return (
+        joined.select("sample_id", value_col, "design_type")
+        .groupBy("sample_id")
+        .applyInPandas(per_sample, schema)
+    )
+
+
+def bmiq_mstep_certificate(
+    meth: DataFrame,
+    probes: DataFrame,
+    value_col: str = "beta",
+    n_iter: int = 25,
+    tol: float = 1e-3,
+    seed: int = 42,
+) -> DataFrame:
+    """Optimality CERTIFICATE for BMIQ's EM M-steps: run the full
+    production EM (:func:`bmiq_normalize` defaults, subsampling
+    disabled) per (sample, design type), then emit per sorted component
+    the absolute weighted-MLE gradient residuals at the returned
+    ``(a, b)`` against the responsibilities the final M-step consumed::
+
+        grad_a = |ψ(a) − ψ(a+b) − Σw·ln(x)/Σw|
+        grad_b = |ψ(b) − ψ(a+b) − Σw·ln(1−x)/Σw|
+
+    Both are ≲1e-9 (the Newton solve's 1e-10 tolerance through the
+    digamma curvature) — exactly 0 at 6-dp rounding — for every
+    component the EM fits, independent of partitioning. A DuckDB
+    oracle derives the identical (sample, type, comp) key set from the
+    deterministic prefix and asserts literal zeros — certifying that
+    every M-step inside the otherwise rows-only EM solves its
+    estimating equations (reference ``bmiq/BMIQ_1.4.R:69-76``, RPMM
+    ``betaEst``), the same pattern ``combat_converged`` uses for M2.
+    """
+    from methyl_data_pipeline_spark.deploy import ensure_importable
+
+    ensure_importable(meth.sparkSession)
+    joined = meth.join(
+        F.broadcast(probes.select("probe_id", "design_type")), "probe_id", "left"
+    )
+    schema = (
+        "sample_id string, design_type int, comp int, "
+        "grad_a_residual double, grad_b_residual double"
+    )
+
+    def per_sample(pdf: pd.DataFrame) -> pd.DataFrame:
+        import zlib
+
+        sid = str(pdf["sample_id"].iloc[0])
+        local_seed = (seed + (zlib.crc32(sid.encode()) % (1 << 20))) % (1 << 31)
+        beta = pdf[value_col].to_numpy(dtype=float)
+        design = pdf["design_type"].fillna(2).to_numpy(dtype=int)
+        rows = []
+        for t, s in ((1, local_seed), (2, local_seed + 1)):
+            fit = _fit_beta3(
+                beta[design == t], None, s, n_iter, tol, with_diagnostics=True
+            )
+            if fit is None:
+                continue
+            _a, _b, _w, grad = fit
+            for k in range(3):
+                rows.append((sid, t, k, float(grad[k, 0]), float(grad[k, 1])))
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "sample_id", "design_type", "comp",
+                "grad_a_residual", "grad_b_residual",
             ],
         )
 
