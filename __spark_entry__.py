@@ -3987,6 +3987,165 @@ FROM h ORDER BY doc_id
 """
 
 
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination (scale path of ``decontaminate``):
+    benchmark 5-gram hashes build a 2^18-bit / 5-hash Bloom filter via
+    a constant-size distributed bit_or aggregate; corpus shingles test
+    it JVM-side with zero corpus-side joins. Deterministic md5 + double
+    hashing makes even the false positives reproducible, so the oracle
+    replays membership as exact position-set algebra."""
+    from methyl_data_pipeline_spark.ext.dedup import bloom_decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 10)
+    corpus = docs.filter(F.col("doc_id") >= 10)
+    return bloom_decontaminate(corpus, bench, ngram_n=5).orderBy("doc_id")
+
+
+# the oracle replays the Bloom bit test as exact set algebra: a corpus
+# shingle "hits" iff ALL 5 of its (h1 + j*h2) mod 2^18 positions appear
+# in the benchmark position set — semantically identical to testing the
+# bit array, with no bit array needed SQL-side.
+SQL_BLOOM_DECONTAMINATE = r"""
+WITH w AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= 5
+              THEN list_distinct(list_transform(generate_series(0, len(ws) - 5),
+                     i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' ||
+                          ws[i+4] || ' ' || ws[i+5]))
+              ELSE [array_to_string(ws, ' ')] END AS s
+  FROM w
+),
+h AS (
+  SELECT doc_id, ('0x' || substr(md5(g.g), 1, 15))::BIGINT AS h
+  FROM sh, unnest(sh.s) AS g(g)
+),
+js AS (SELECT unnest(generate_series(0, 4)) AS j),
+bench_pos AS (
+  SELECT DISTINCT ((h % 262144) + j * (1 + ((h >> 18) % 262143))) % 262144 AS p
+  FROM (SELECT DISTINCT h FROM h WHERE doc_id < 10) CROSS JOIN js
+),
+corp AS (SELECT DISTINCT doc_id, h FROM h WHERE doc_id >= 10),
+corp_pos AS (
+  SELECT doc_id, h,
+         ((h % 262144) + j * (1 + ((h >> 18) % 262143))) % 262144 AS p
+  FROM corp CROSS JOIN js
+),
+miss AS (
+  SELECT DISTINCT doc_id, h FROM corp_pos
+  WHERE p NOT IN (SELECT p FROM bench_pos)
+),
+hits AS (
+  SELECT c.doc_id, COUNT(DISTINCT c.h) AS n_bloom_hits
+  FROM corp c
+  WHERE NOT EXISTS (SELECT 1 FROM miss m
+                    WHERE m.doc_id = c.doc_id AND m.h = c.h)
+  GROUP BY c.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(t.n_bloom_hits, 0)     AS n_bloom_hits,
+       COALESCE(t.n_bloom_hits, 0) > 0 AS maybe_contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id >= 10) d
+LEFT JOIN hits t USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier QC (stats.robust.mad_outlier_summary): per
+    event_type, median/MAD and the count of values beyond 3 robust
+    sds — the data-driven generalization of the reference's fixed
+    detP sample gate (scripts/qc.py:24-31)."""
+    from methyl_data_pipeline_spark.stats.robust import mad_outlier_summary
+
+    ev = _events(spark, sf_dir)
+    out = mad_outlier_summary(ev, "value", ["event_type"], c=3.0)
+    return out.select(
+        "event_type",
+        "n",
+        _r(F.col("grp_median")).alias("grp_median"),
+        _r(F.col("grp_mad")).alias("grp_mad"),
+        "n_outliers",
+        _r(F.col("outlier_rate")).alias("outlier_rate"),
+    ).orderBy("event_type")
+
+
+SQL_OUTLIER_MAD = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS grp_median
+  FROM events GROUP BY event_type
+),
+mad AS (
+  SELECT e.event_type,
+         quantile_cont(abs(e.value - m.grp_median), 0.5) AS grp_mad
+  FROM events e JOIN med m USING (event_type)
+  GROUP BY e.event_type
+),
+flagged AS (
+  SELECT e.event_type, e.value, m.grp_median, d.grp_mad,
+         CASE WHEN d.grp_mad > 0
+              THEN abs(e.value - m.grp_median) / (1.4826 * d.grp_mad)
+              ELSE 0.0 END AS robust_z
+  FROM events e JOIN med m USING (event_type) JOIN mad d USING (event_type)
+)
+SELECT event_type,
+       COUNT(*)                                   AS n,
+       ROUND(ANY_VALUE(grp_median) + 1e-9, 6)     AS grp_median,
+       ROUND(ANY_VALUE(grp_mad) + 1e-9, 6)        AS grp_mad,
+       SUM(CASE WHEN robust_z > 3.0 THEN 1 ELSE 0 END) AS n_outliers,
+       ROUND(SUM(CASE WHEN robust_z > 3.0 THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*) + 1e-9, 6)                AS outlier_rate
+FROM flagged GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_sketch_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-path certificate: per source, the EXACT distinct-doc
+    count and exact median length (hash-compared), plus within-
+    tolerance flags proving the mergeable-sketch scale paths
+    (HyperLogLog++ approx_count_distinct, t-digest approx_percentile)
+    track the exact answers. At 100 TB the sketches ARE the plan —
+    no per-group sort, no distinct shuffle; this query pins them to
+    the exact semantics at test scale."""
+    docs = _t(spark, sf_dir, "documents")
+    agg = docs.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.approx_count_distinct("doc_id").alias("_hll"),
+        F.expr("percentile(n_chars, 0.5)").alias("_med_exact"),
+        F.expr("approx_percentile(n_chars, 0.5, 10000)").alias("_med_approx"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        _r(F.col("_med_exact")).alias("median_chars"),
+        (
+            F.abs(F.col("_hll") - F.col("n_docs")) <= 0.15 * F.col("n_docs")
+        ).alias("hll_within_15pct"),
+        (
+            F.abs(F.col("_med_approx") - F.col("_med_exact"))
+            <= 0.05 * F.abs(F.col("_med_exact")) + 1.0
+        ).alias("tdigest_within_5pct"),
+    ).orderBy("source")
+
+
+SQL_SKETCH_CERT = """
+SELECT source,
+       COUNT(DISTINCT doc_id)                    AS n_docs,
+       ROUND(quantile_cont(n_chars, 0.5) + 1e-9, 6) AS median_chars,
+       abs(approx_count_distinct(doc_id) - COUNT(DISTINCT doc_id))
+         <= 0.15 * COUNT(DISTINCT doc_id)        AS hll_within_15pct,
+       abs(approx_quantile(n_chars, 0.5) - quantile_cont(n_chars, 0.5))
+         <= 0.05 * abs(quantile_cont(n_chars, 0.5)) + 1.0
+                                                 AS tdigest_within_5pct
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract
 # --------------------------------------------------------------------------
@@ -4013,11 +4172,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # flagship + methylation suite
         "pricing_summary": q_pricing_summary,
-        "meth_qc_detp": q_meth_qc_detp,
-        "meth_complete_probes": q_meth_complete_probes,
         "meth_variance_topk": q_meth_variance_topk,
-        "meth_group_delta": q_meth_group_delta,
         "meth_moderated_t": q_meth_moderated_t,
+        # NEW r5: Bloom decontamination, robust MAD QC, sketch
+        # certificates — first driver rows pending (meth_qc_detp,
+        # meth_complete_probes, meth_group_delta — 4x driver-green —
+        # yield their slots)
+        "bloom_decontaminate": q_bloom_decontaminate,
+        "outlier_mad": q_outlier_mad,
+        "sketch_cert": q_sketch_cert,
         "meth_contrasts": q_meth_contrasts,
         "poobah_ecdf": q_poobah_ecdf,
         "health_report": q_health_report,
@@ -4071,6 +4234,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding": q_events_sliding,
         "frame_sample": q_frame_sample,
         # ---- slot 51+ (past the driver's 50-entry window) ----
+        # demoted r5: driver-green in CORRECTNESS_r01-r04, untouched
+        "meth_qc_detp": q_meth_qc_detp,
+        "meth_complete_probes": q_meth_complete_probes,
+        "meth_group_delta": q_meth_group_delta,
         # demoted r5: driver-green in CORRECTNESS_r04, untouched since
         "domain_mix": q_domain_mix,
         "repetition_signals": q_repetition_signals,
@@ -4194,6 +4361,9 @@ def oracle_sql() -> dict[str, str]:
         "sequence_packing": SQL_SEQUENCE_PACKING,
         "sample_stratified": SQL_SAMPLE_STRATIFIED,
         "decontaminate": SQL_DECONTAMINATE,
+        "bloom_decontaminate": SQL_BLOOM_DECONTAMINATE,
+        "outlier_mad": SQL_OUTLIER_MAD,
+        "sketch_cert": SQL_SKETCH_CERT,
         "embedding_neardup": _sql_embedding_neardup(),
         # n_probe == n_centroids makes IVF exact — brute force IS the oracle
         "ivf_ann": SQL_EMBEDDING_COSINE,

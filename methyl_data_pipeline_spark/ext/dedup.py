@@ -415,3 +415,134 @@ def incremental_dedup(
         F.col("_fp").alias("fingerprint")
     )
     return novel.drop("_fp"), updated
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter decontamination (scale path of ext.text.decontaminate)
+# --------------------------------------------------------------------------
+
+# Bloom double hashing (Kirsch–Mitzenmacher): the k bit positions come
+# from two INDEPENDENT slices of the md5-based 60-bit shingle hash,
+#   h1 = h mod m,   h2 = 1 + (h >> log2(m)) mod (m - 1),
+#   pos_j = (h1 + j * h2) mod m
+# A pair of distinct hashes collides on ALL k positions only when both
+# h1 and h2 collide (~m^-2) — a purely linear mix of a single reduced
+# hash collapses to full-collision at ~m^-1, which at corpus scale is a
+# visible per-shingle false-positive floor. All intermediates stay
+# below 2^21, so ANSI-mode bigint arithmetic never overflows and the
+# DuckDB oracle replays the expression verbatim.
+
+
+def bloom_positions(hash_col: Column, m_bits: int, k: int) -> Column:
+    """Array of the k Bloom bit positions for a 60-bit shingle hash.
+    ``m_bits`` must be a power of two."""
+    shift = m_bits.bit_length() - 1
+    assert 1 << shift == m_bits, "m_bits must be a power of two"
+    h1 = F.pmod(hash_col, F.lit(m_bits))
+    h2 = F.pmod(F.shiftright(hash_col, shift), F.lit(m_bits - 1)) + 1
+    return F.array(
+        *[F.pmod(h1 + j * h2, F.lit(m_bits)).cast("int") for j in range(k)]
+    )
+
+
+def bloom_build(
+    hashes: DataFrame, hash_col: str = "_h", m_bits: int = 1 << 18, k: int = 5
+) -> list[int]:
+    """Distributed Bloom-filter build: explode each hash to its k bit
+    positions, OR them into 64-bit words with a map-side-combining
+    ``bit_or`` aggregate, and collect the dense word list.
+
+    The driver round-trip is m_bits/64 longs (8 KiB at the default
+    m = 2^16) — CONSTANT in the input size, so at 100 TB the build is
+    one scan + one tiny aggregate, and the filter ships to executors as
+    a broadcast-sized literal. This is the membership plan for
+    benchmark sets too large to broadcast as an exact hash set."""
+    pos = hashes.select(
+        F.explode(bloom_positions(F.col(hash_col), m_bits, k)).alias("p")
+    )
+    rows = (
+        pos.groupBy(F.floor(F.col("p") / 64).cast("int").alias("w"))
+        .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), p % 64))").alias("bits"))
+        .collect()
+    )
+    words = [0] * (m_bits // 64)
+    for r in rows:
+        words[r["w"]] = r["bits"]
+    return words
+
+
+def bloom_contains(
+    df: DataFrame,
+    hash_col: str,
+    words: list[int],
+    m_bits: int,
+    k: int,
+    out_col: str = "_bloom_hit",
+) -> DataFrame:
+    """Append ``out_col``: true iff all k Bloom bits for ``hash_col``
+    are set in ``words``. Pure JVM-side bitwise arithmetic against one
+    array literal — no join, no shuffle, no Python."""
+    arr_sql = "array(" + ",".join(f"{w}L" for w in words) + ")"
+    out = df.withColumn(
+        "_bpos", bloom_positions(F.col(hash_col), m_bits, k)
+    ).withColumn(
+        out_col,
+        F.expr(
+            f"forall(_bpos, p -> (element_at({arr_sql}, CAST(p / 64 AS INT) + 1)"
+            f" & shiftleft(CAST(1 AS BIGINT), p % 64)) != 0)"
+        ),
+    )
+    return out.drop("_bpos")
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_n: int = 5,
+    m_bits: int = 1 << 18,
+    k: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination through a Bloom filter — the scale
+    path of ``ext.text.decontaminate`` for when the eval-set shingle
+    table is too large to broadcast exactly.
+
+    Build: benchmark word-``ngram_n``-grams → 60-bit md5 hashes → k-bit
+    Bloom (``bloom_build``, constant-size driver round-trip). Probe:
+    every corpus shingle tests the filter JVM-side (``bloom_contains``)
+    — one scan, one explode, zero joins on the corpus side; only the
+    per-doc count aggregate shuffles, and that's on ``id_col``.
+
+    Deterministic by construction (md5 + fixed mixing constants), so
+    even the false positives are reproducible and the result is
+    oracle-checkable: a shingle passes iff all its k positions are in
+    the benchmark position set, which an exact-set engine can replay.
+
+    Returns one row per corpus doc: ``n_bloom_hits`` (distinct shingle
+    hashes passing the filter) and ``maybe_contaminated``. Semantics
+    parallel the reference's membership gating (scripts/model.py:61-66
+    isin-style filters) lifted to probabilistic set membership.
+    """
+    def shingled(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(shingles(text_col, ngram_n))).alias("_s"),
+        ).select(id_col, md5_long(F.col("_s")).alias("_h"))
+
+    words = bloom_build(shingled(benchmark).select("_h"), "_h", m_bits, k)
+    probed = bloom_contains(shingled(corpus), "_h", words, m_bits, k)
+    hits = (
+        probed.filter(F.col("_bloom_hit"))
+        .groupBy(id_col)
+        .agg(F.countDistinct("_h").alias("n_bloom_hits"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bloom_hits", F.lit(0)).alias("n_bloom_hits"),
+            (F.coalesce("n_bloom_hits", F.lit(0)) > 0).alias("maybe_contaminated"),
+        )
+    )

@@ -751,3 +751,98 @@ def test_chunk_documents_overlap_and_tail(spark):
 
     with _pytest.raises(ValueError):
         chunk_documents(df, window=4, stride=5)
+
+
+def test_bloom_no_false_negatives_and_matches_exact(spark):
+    """Bloom decontamination must flag a superset of the exact
+    semi-join result; at 2^18 bits / 5 hashes the test corpus admits
+    zero false positives, so the two paths agree exactly."""
+    from pyspark.sql import functions as F
+
+    from methyl_data_pipeline_spark.ext.dedup import bloom_decontaminate
+    from methyl_data_pipeline_spark.ext.text import decontaminate
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.filter(F.col("doc_id") < 10)
+    corpus = docs.filter(F.col("doc_id") >= 10)
+    b = {
+        r["doc_id"]: r["maybe_contaminated"]
+        for r in bloom_decontaminate(corpus, bench, ngram_n=5).collect()
+    }
+    e = {
+        r["doc_id"]: r["contaminated"]
+        for r in decontaminate(corpus, bench, ngram_n=5).collect()
+    }
+    assert set(b) == set(e)
+    for doc_id, exact in e.items():
+        if exact:
+            assert b[doc_id], f"false negative on doc {doc_id}"
+    assert b == e  # no false positives at this filter size either
+
+
+def test_bloom_build_is_constant_size(spark):
+    """The driver round-trip of bloom_build is m_bits/64 words however
+    large the input: doubling the hashed input never grows the list."""
+    from pyspark.sql import functions as F
+
+    from methyl_data_pipeline_spark.ext.dedup import bloom_build, bloom_positions
+
+    df = spark.range(1000).select((F.col("id") * 2654435761).alias("_h"))
+    w1 = bloom_build(df, "_h", m_bits=1 << 12, k=3)
+    w2 = bloom_build(df.union(spark.range(5000).select((F.col("id") * 97 + 13).alias("_h"))),
+                     "_h", m_bits=1 << 12, k=3)
+    assert len(w1) == len(w2) == (1 << 12) // 64
+    # monotone: every bit set in w1 stays set in the superset build
+    assert all((a & ~b) == 0 for a, b in zip(w1, w2))
+    # positions are within range and deterministic
+    pos = (
+        df.select(F.explode(bloom_positions(F.col("_h"), 1 << 12, 3)).alias("p"))
+        .agg(F.min("p"), F.max("p"))
+        .first()
+    )
+    assert pos[0] >= 0 and pos[1] < (1 << 12)
+
+
+def test_mad_outliers_flags_planted_spikes(spark):
+    """Plant 3 spikes in an otherwise tight distribution: MAD flags
+    exactly those, and a constant group (MAD = 0) never flags."""
+    import pandas as pd
+
+    from methyl_data_pipeline_spark.stats.robust import (
+        mad_outlier_summary,
+        mad_outliers,
+    )
+
+    base = [10.0 + 0.01 * i for i in range(100)]
+    spikes = [500.0, -400.0, 900.0]
+    pdf = pd.DataFrame(
+        {"event_type": ["a"] * 103 + ["const"] * 10,
+         "value": base + spikes + [7.0] * 10}
+    )
+    df = spark.createDataFrame(pdf)
+    flagged = mad_outliers(df, "value", ["event_type"], c=3.0).toPandas()
+    a = flagged[flagged.event_type == "a"]
+    assert set(a[a.is_outlier].value) == set(spikes)
+    const = flagged[flagged.event_type == "const"]
+    assert not const.is_outlier.any()
+    summ = mad_outlier_summary(df, "value", ["event_type"], c=3.0).toPandas()
+    row = summ[summ.event_type == "a"].iloc[0]
+    assert row.n == 103 and row.n_outliers == 3
+
+
+def test_mad_exact_vs_approx_agree_on_separated_data(spark):
+    """The t-digest scale path flags the same rows as the exact path
+    when outliers are well separated (the regime that matters)."""
+    import pandas as pd
+    import numpy as np
+
+    from methyl_data_pipeline_spark.stats.robust import mad_outliers
+
+    rng = np.random.RandomState(0)
+    vals = list(rng.normal(50, 2, 500)) + [5000.0, -3000.0]
+    pdf = pd.DataFrame({"event_type": ["x"] * 502, "value": vals})
+    df = spark.createDataFrame(pdf)
+    exact = mad_outliers(df, "value", ["event_type"], c=4.0).toPandas()
+    approx = mad_outliers(df, "value", ["event_type"], c=4.0, approx=True).toPandas()
+    key = lambda f: set(f[f.is_outlier].value.round(6))
+    assert key(exact) == key(approx) == {5000.0, -3000.0}
