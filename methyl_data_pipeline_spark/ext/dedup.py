@@ -48,11 +48,10 @@ def dedup_exact(
     return keyed.join(winners, ["_fp", id_col], "left_semi").drop("_fp")
 
 
-def shingles(text_col: str, n: int = 3) -> Column:
-    """Word n-gram shingles of lowercased, whitespace-normalized text.
-    Documents shorter than n words yield the whole text as one shingle
-    (so they still participate in dedup)."""
-    ws = F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
+def shingles_from_words(ws: Column, n: int = 3) -> Column:
+    """Word n-gram shingles from an already-split word array — lets a
+    pipeline that materialized the split once (e.g. plans.curation)
+    reuse it instead of re-running the normalize+split regex chain."""
     ngrams = F.transform(
         F.sequence(F.lit(0), F.size(ws) - n),
         lambda i: F.concat_ws(" ", F.slice(ws, i + 1, n)),
@@ -60,6 +59,14 @@ def shingles(text_col: str, n: int = 3) -> Column:
     return F.when(F.size(ws) >= n, ngrams).otherwise(
         F.array(F.concat_ws(" ", ws))
     )
+
+
+def shingles(text_col: str, n: int = 3) -> Column:
+    """Word n-gram shingles of lowercased, whitespace-normalized text.
+    Documents shorter than n words yield the whole text as one shingle
+    (so they still participate in dedup)."""
+    ws = F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
+    return shingles_from_words(ws, n)
 
 
 # universal-hash mixing constants: one md5 per shingle, then

@@ -36,7 +36,7 @@ def drop_incomplete_probes(
         .filter(F.col("_n_obs") == n_samples)
         .select("probe_id")
     )
-    return meth.join(complete, "probe_id", "left_semi")
+    return meth.join(F.broadcast(complete), "probe_id", "left_semi")
 
 
 def drop_all_missing_probes(meth: DataFrame, value_col: str = "beta") -> DataFrame:
@@ -130,7 +130,42 @@ def filter_probes_by_detp(
         .filter((F.col("_n_fail") == 0) & (F.col("_n_obs") == n_samples))
         .select("probe_id")
     )
-    return meth.join(good, "probe_id", "left_semi")
+    return meth.join(F.broadcast(good), "probe_id", "left_semi")
+
+
+def probe_quality_gate(
+    meth: DataFrame,
+    detp_threshold: float,
+    n_samples: int,
+    value_col: str = "beta",
+    detp_col: str = "det_p",
+) -> DataFrame:
+    """Fused probe gate: :func:`filter_probes_by_detp` +
+    :func:`drop_incomplete_probes` in ONE per-probe aggregate and ONE
+    broadcast semi-join. The two gates are independent per-probe
+    decisions, so their conjunction needs a single groupBy — running
+    them as separate operators costs an extra full shuffle + join of
+    the fact table for no semantic difference. The good-probe list is
+    bounded by the probe dimension (~10^6 at platform scale), hence the
+    explicit broadcast: the fact table is never shuffled at all.
+    """
+    good = (
+        meth.groupBy("probe_id")
+        .agg(
+            F.sum(
+                F.when(F.col(detp_col) >= detp_threshold, 1).otherwise(0)
+            ).alias("_n_fail"),
+            F.count(F.lit(1)).alias("_n_obs"),
+            F.count(F.col(value_col)).alias("_n_val"),
+        )
+        .filter(
+            (F.col("_n_fail") == 0)
+            & (F.col("_n_obs") == n_samples)
+            & (F.col("_n_val") == n_samples)
+        )
+        .select("probe_id")
+    )
+    return meth.join(F.broadcast(good), "probe_id", "left_semi")
 
 
 def dedup_samples(samples: DataFrame, key: str = "basename") -> DataFrame:

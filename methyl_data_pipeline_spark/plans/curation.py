@@ -16,14 +16,16 @@ Stage chain, the standard order of an LLM-data pipeline:
    into fixed-token context windows (``ext.pack.pack_sequences``, one
    shuffle per shard window).
 
-Total physical cost: one scan + the decontaminate semi-join + two
-keyed shuffles — every filter happens before the first shuffle, so at
-100 TB the expensive stages see only surviving documents. The quality
-gate is an inline Column filter (no verdict self-join), and the
-post-redaction frame is persisted because two consumers (the shingle
-explode and the dedup key pass) would otherwise re-run the regex
-chain. The whole chain is deterministic (md5 keys, min-id winners,
-id-ordered packing) and therefore DuckDB-oracle-checkable end to end.
+Total physical cost: ONE regex pass over the corpus (quality verdict +
+redaction + normalization + word split, materialized into the persisted
+frame all downstream stages reuse), the decontaminate broadcast
+semi-join, and two keyed shuffles — every filter happens before the
+first shuffle, so at 100 TB the expensive stages see only surviving
+documents, and the regex chain (the dominant CPU cost) runs exactly
+once. Decontamination is a direct anti-join on contaminated ids (the
+per-doc overlap counts of the standalone operator are skipped). The
+whole chain is deterministic (md5 keys, min-id winners, id-ordered
+packing) and therefore DuckDB-oracle-checkable end to end.
 """
 
 from __future__ import annotations
@@ -31,11 +33,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from methyl_data_pipeline_spark import cache
-from methyl_data_pipeline_spark.ext.dedup import dedup_exact
 from methyl_data_pipeline_spark.ext.pack import pack_sequences
 from methyl_data_pipeline_spark.ext.text import (
     PII_PATTERNS,
-    decontaminate,
     quality_reject_reasons,
 )
 
@@ -61,31 +61,57 @@ def curate(
     """Run the five-stage curation chain; returns per-doc window
     placement for the surviving corpus: (shard, id, n_tokens, bin_idx,
     bin_offset, spans_boundary)."""
+    from methyl_data_pipeline_spark.ext.dedup import shingles, shingles_from_words
+    from methyl_data_pipeline_spark.ext.text import md5_long
+
     # quality verdict is a pure Column expression — filter inline, no
     # self-semi-join against a verdict projection (halves the doc scan)
     kept = docs.filter(quality_reject_reasons(text_col=text_col) == F.lit(""))
-    # persist post-redaction: `red` feeds BOTH decontaminate's shingle
-    # explode and the semi-join's left side; without it the regex chain
-    # (quality verdict + PII redaction) re-runs per consumer
+    # normalize ONCE: redaction + lower/trim/whitespace-collapse + the
+    # word split are materialized into the persisted frame, so the
+    # three downstream consumers (shingle explode, dedup key, token
+    # count) reuse them instead of re-running the regex chain per
+    # consumer — at 100 TB the regex scans are the dominant CPU cost
+    # of this plan, and this caps them at exactly one pass.
+    norm = F.regexp_replace(
+        F.lower(F.trim(redact_pii_text(F.col(text_col)))), r"\s+", " "
+    )
     red = cache.track(
-        kept.withColumn(text_col, redact_pii_text(F.col(text_col)))
+        kept.select(F.col(id_col), F.col(shard_col), norm.alias("_norm"))
+        .withColumn("_ws", F.split(F.col("_norm"), " "))
     )
-    clean = red.join(
-        decontaminate(red, benchmark, text_col=text_col, id_col=id_col, ngram_n=ngram_n)
-        .filter(~F.col("contaminated"))
-        .select(id_col),
-        id_col,
-        "left_semi",
+    # decontamination as a direct anti-join on contaminated ids — the
+    # per-doc overlap COUNT of ext.text.decontaminate is diagnostic
+    # output this pipeline immediately discards, so skip its groupBy
+    # and keep just: explode -> broadcast semi-join -> distinct ids.
+    bench_sh = (
+        benchmark.select(
+            F.explode(F.array_distinct(shingles(text_col, ngram_n))).alias("_s")
+        )
+        .select(md5_long(F.col("_s")).alias("_h"))
+        .distinct()
     )
-    unique = dedup_exact(clean, text_col=text_col, id_col=id_col)
+    contaminated = (
+        red.select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(shingles_from_words(F.col("_ws"), ngram_n))
+            ).alias("_s"),
+        )
+        .select(id_col, md5_long(F.col("_s")).alias("_h"))
+        .join(F.broadcast(bench_sh), "_h", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    clean = red.join(contaminated, id_col, "left_anti")
+    # exact dedup on the precomputed normalized body (min-id winner)
+    keyed = clean.withColumn("_fp", md5_long(F.col("_norm")))
+    winners = keyed.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+    unique = keyed.join(winners, ["_fp", id_col], "left_semi")
     toks = unique.select(
         F.col(id_col),
         F.col(shard_col),
-        F.size(
-            F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
-        )
-        .cast("long")
-        .alias("n_tokens"),
+        F.size(F.col("_ws")).cast("long").alias("n_tokens"),
     )
     return pack_sequences(
         toks, "n_tokens", window_tokens, id_col=id_col, shard_col=shard_col

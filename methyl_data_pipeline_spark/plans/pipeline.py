@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from methyl_data_pipeline_spark import model
 from methyl_data_pipeline_spark.operators import qc
-from methyl_data_pipeline_spark.stats.bh import bh_adjust_scalable
+from methyl_data_pipeline_spark.stats.bh import bh_adjust_grouped, bh_adjust_scalable
 from methyl_data_pipeline_spark.stats.bmiq import bmiq_normalize
 from methyl_data_pipeline_spark.stats.combat import combat
 from methyl_data_pipeline_spark.stats.feature_selection import (
@@ -194,10 +194,12 @@ def run_core_chain(
 
     kept = qc.detp_retained_samples(meth, detp_sample_threshold)
     n_samples = len(kept)
-    stage = meth.filter(F.col("sample_id").isin(kept))
-    stage = qc.filter_probes_by_detp(stage, detp_probe_threshold, n_samples)
-    stage = qc.filter_cg_probes(stage)
-    complete = qc.drop_incomplete_probes(stage, n_samples)
+    # cg predicate first (pushes to the scan), then the FUSED probe
+    # gate: detp-in-all-samples + completeness share one per-probe
+    # aggregate and one broadcast semi-join instead of two full
+    # shuffle+join passes of the fact table.
+    stage = qc.filter_cg_probes(meth.filter(F.col("sample_id").isin(kept)))
+    complete = qc.probe_quality_gate(stage, detp_probe_threshold, n_samples)
 
     qn = quantile_normalize(complete)
     with_m = qn.withColumn("mval", model.mvalue("beta_qn"))
@@ -213,7 +215,10 @@ def run_core_chain(
         )
         + F.lit(0.0),
     )
-    return bh_adjust_scalable(
+    # p_surrogate is rounded to 6 dp, so its distinct cardinality is
+    # bounded (≤10⁶) — the grouped BH path applies: windows run over
+    # the distinct-p table and the fact rows are never re-shuffled.
+    return bh_adjust_grouped(
         dmp, "p_surrogate", "adj_p", assume_no_nulls=True
     ).select(
         "probe_id", "n1", "n2", "logFC", "t_mod", "p_surrogate", "adj_p"

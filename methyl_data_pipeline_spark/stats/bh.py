@@ -158,3 +158,52 @@ def bh_adjust_scalable(
         out_col, F.lit(None).cast("double")
     )
     return out.unionByName(nulls)
+
+
+def bh_adjust_grouped(
+    df: DataFrame,
+    p_col: str = "p_value",
+    out_col: str = "adj_p",
+    assume_no_nulls: bool = False,
+) -> DataFrame:
+    """BH via the DISTINCT-p table — the fastest exact path when the
+    p-values have bounded cardinality (e.g. pre-rounded to 6 dp, at
+    most ~10⁶ distinct values however many rows there are).
+
+    Within a tied group the minimum of p·N/rank lands at the group's
+    LARGEST rank, so BH only needs per-distinct-p (count, max-rank):
+
+    1. one map-side-combining groupBy(p) — shuffles the distinct
+       values, never the rows;
+    2. rank/suffix-min windows over that tiny frame (≤10⁶ rows in one
+       task — constant work at ANY fact scale);
+    3. a broadcast join maps adj_p back — the fact table is never
+       shuffled at all.
+
+    Bit-identical to :func:`bh_adjust` / :func:`bh_adjust_scalable`
+    (the surviving q per tie group is the same ``p * N / maxrank``
+    double). Precondition: distinct-p cardinality must fit one task;
+    for unbounded raw p-values use :func:`bh_adjust_scalable`.
+    """
+    nonnull = df if assume_no_nulls else df.filter(F.col(p_col).isNotNull())
+    dist = nonnull.groupBy(p_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    w_ord = Window.orderBy(F.col(p_col).asc())
+    w_all = Window.partitionBy()
+    w_suffix = (
+        Window.orderBy(F.col(p_col).desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    adj = (
+        dist.withColumn("_maxrank", F.sum("_cnt").over(w_ord))
+        .withColumn("_n", F.sum("_cnt").over(w_all))
+        .withColumn("_q", F.col(p_col) * F.col("_n") / F.col("_maxrank"))
+        .withColumn(out_col, F.least(F.min("_q").over(w_suffix), F.lit(1.0)))
+        .select(p_col, out_col)
+    )
+    out = nonnull.join(F.broadcast(adj), p_col)
+    if assume_no_nulls:
+        return out
+    nulls = df.filter(F.col(p_col).isNull()).withColumn(
+        out_col, F.lit(None).cast("double")
+    )
+    return out.unionByName(nulls)

@@ -462,3 +462,30 @@ def test_pipeline_dmp_multigroup_matches_numpy_anova(spark):
     np.testing.assert_allclose(
         out["adj_p"][sp.index], np.minimum(stepup, 1.0), rtol=1e-9
     )
+
+
+def test_bh_grouped_matches_window_version(spark):
+    """bh_adjust_grouped must be BIT-identical to the window path —
+    heavy ties (its fast case), nulls, and the 0/1 endpoints."""
+    import numpy as np
+
+    from methyl_data_pipeline_spark.stats.bh import bh_adjust, bh_adjust_grouped
+
+    rng = np.random.RandomState(33)
+    ps = np.concatenate(
+        [
+            np.round(rng.uniform(0, 1, 400), 3),  # bounded cardinality
+            np.repeat(0.03, 17),
+            np.repeat(0.5, 9),
+            [0.0, 1.0],
+        ]
+    )
+    rows = [(f"p{i:04d}", float(p)) for i, p in enumerate(ps)]
+    rows += [("pnull1", None), ("pnull2", None)]
+    df = spark.createDataFrame(rows, "probe_id string, p_value double")
+
+    ref = {r.probe_id: r.adj_p for r in bh_adjust(df).collect()}
+    got = {r.probe_id: r.adj_p for r in bh_adjust_grouped(df).collect()}
+    assert set(got) == set(ref)
+    for k in ref:
+        assert got[k] == ref[k], (k, got[k], ref[k])
