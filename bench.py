@@ -71,6 +71,9 @@ EXTENDED = [
     "quality_filter",
     "segment_dedup",
     "multimodal_features",
+    # r5 additions
+    "bloom_decontaminate",
+    "outlier_mad",
 ]
 
 
