@@ -827,6 +827,23 @@ def q_bh_adjust_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("probe_id")
 
 
+def q_bh_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BH FDR via the distinct-p table (stats.bh.bh_adjust_grouped):
+    exact step-up for bounded-cardinality (rounded) p-values — windows
+    over the tiny distinct frame + broadcast map-back, zero fact-table
+    shuffles. Same math, same oracle as bh_adjust."""
+    from methyl_data_pipeline_spark.stats.bh import bh_adjust_grouped
+
+    meth = _meth(spark, sf_dir)
+    pseudo = meth.groupBy("probe_id").agg(
+        F.round(F.avg("beta") * 0.9 + 0.05 + 1e-9, 6).alias("p_value")
+    )
+    out = bh_adjust_grouped(pseudo, "p_value", "adj_p")
+    return out.select(
+        "probe_id", "p_value", _r(F.col("adj_p"), 8).alias("adj_p")
+    ).orderBy("probe_id")
+
+
 SQL_BH_ADJUST = f"""
 WITH {METH_CTE},
 p AS (
@@ -4234,6 +4251,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding": q_events_sliding,
         "frame_sample": q_frame_sample,
         # ---- slot 51+ (past the driver's 50-entry window) ----
+        # NEW r5, tail slot (rotates into the window next round):
+        # the grouped BH path as its own oracle-backed query
+        "bh_grouped": q_bh_grouped,
         # demoted r5: driver-green in CORRECTNESS_r01-r04, untouched
         "meth_qc_detp": q_meth_qc_detp,
         "meth_complete_probes": q_meth_complete_probes,
@@ -4345,6 +4365,7 @@ def oracle_sql() -> dict[str, str]:
         "health_report": SQL_HEALTH,
         "bh_adjust": SQL_BH_ADJUST,
         "bh_adjust_scalable": SQL_BH_ADJUST,
+        "bh_grouped": SQL_BH_ADJUST,
         "combat_priors": SQL_COMBAT_PRIORS,
         "text_tokens": SQL_TEXT_TOKENS,
         "text_quality": SQL_TEXT_QUALITY,

@@ -378,3 +378,28 @@ def test_segment_dedup_skewed_boilerplate(spark):
     plan = segment_dedup(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("HashAggregate") >= 2
     assert "partial_min" in plan or "partial_" in plan
+
+
+@given(
+    st.lists(st.text(alphabet="abcdefgh ", min_size=1, max_size=40),
+             min_size=1, max_size=25, unique=True),
+    st.integers(min_value=0, max_value=10_000),
+)
+@settings(max_examples=15, deadline=None)
+def test_property_bloom_never_false_negative(spark, bench_texts, seed):
+    """For ANY benchmark shingle set, every true member passes the
+    Bloom membership test (no false negatives, the filter's defining
+    guarantee) — checked via the same md5 hash both sides use."""
+    import pandas as pd
+
+    from methyl_data_pipeline_spark.ext.dedup import (
+        bloom_build,
+        bloom_contains,
+    )
+    from methyl_data_pipeline_spark.ext.text import md5_long
+
+    pdf = pd.DataFrame({"s": [f"{seed}|{t}" for t in bench_texts]})
+    hashes = spark.createDataFrame(pdf).select(md5_long(F.col("s")).alias("_h"))
+    words = bloom_build(hashes, "_h", m_bits=1 << 12, k=4)
+    probed = bloom_contains(hashes, "_h", words, m_bits=1 << 12, k=4)
+    assert probed.filter(~F.col("_bloom_hit")).count() == 0
