@@ -65,8 +65,15 @@ def assemble_sample_vectors(
 def _centered(long_df: DataFrame, value_col: str, key_col: str, sample_col: str,
               scale: bool) -> DataFrame:
     """Complete-cases restriction + per-probe centering (and optional
-    scaling): the distributed half of prcomp/StandardScaler."""
-    n_samples = long_df.select(sample_col).distinct().count()
+    scaling): the distributed half of prcomp/StandardScaler.
+
+    The expected-sample count enters as a lazy 1-row broadcast
+    (scalar countDistinct subplan), not an eager ``distinct().count()``
+    driver action — the whole centering stays one Catalyst plan. The
+    per-probe stats join is broadcast: probe stats are dimension-
+    bounded (~10⁶ rows ≈ tens of MB) while the fact side is the
+    100 TB axis that must not shuffle."""
+    n_df = long_df.select(F.countDistinct(sample_col).alias("_ns"))
     stats = (
         long_df.filter(F.col(value_col).isNotNull())
         .groupBy(key_col)
@@ -75,11 +82,11 @@ def _centered(long_df: DataFrame, value_col: str, key_col: str, sample_col: str,
             F.avg(value_col).alias("_m"),
             F.stddev_samp(value_col).alias("_sd"),
         )
-        .filter(F.col("_n") == n_samples)
+        .join(F.broadcast(n_df), F.col("_n") == F.col("_ns"))
     )
     if scale:
         stats = stats.filter(F.col("_sd") > 0)
-    out = long_df.join(stats, key_col).withColumn(
+    out = long_df.join(F.broadcast(stats.drop("_ns")), key_col).withColumn(
         "_vc", F.col(value_col) - F.col("_m")
     )
     if scale:
