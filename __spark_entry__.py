@@ -4163,6 +4163,43 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+def q_hot_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus boilerplate detector (ext.text.heavy_hitters): word
+    trigrams holding >= 0.005% of all trigram occurrences — one
+    map-side-combining groupBy + a 1-row broadcast total. The
+    freqItems sketch path is covered by a superset-property test."""
+    from methyl_data_pipeline_spark.ext.text import heavy_hitters
+
+    docs = _t(spark, sf_dir, "documents")
+    out = heavy_hitters(docs, ngram_n=3, min_share=0.00005)
+    return out.select(
+        "gram", "n_occurrences", _r(F.col("share"), 8).alias("share")
+    ).orderBy(F.col("n_occurrences").desc(), "gram")
+
+
+SQL_HOT_NGRAMS = r"""
+WITH w AS (
+  SELECT string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+  FROM documents
+),
+sh AS (
+  SELECT CASE WHEN len(ws) >= 3
+              THEN list_transform(generate_series(0, len(ws) - 3),
+                     i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])
+              ELSE [array_to_string(ws, ' ')] END AS s
+  FROM w
+),
+g AS (SELECT unnest(s) AS gram FROM sh),
+c AS (SELECT gram, COUNT(*) AS n_occurrences FROM g GROUP BY gram),
+t AS (SELECT SUM(n_occurrences) AS total FROM c)
+SELECT gram, n_occurrences,
+       ROUND(n_occurrences * 1.0 / t.total + 1e-9, 8) AS share
+FROM c, t
+WHERE n_occurrences * 1.0 / t.total >= 0.00005
+ORDER BY n_occurrences DESC, gram
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract
 # --------------------------------------------------------------------------
@@ -4251,9 +4288,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding": q_events_sliding,
         "frame_sample": q_frame_sample,
         # ---- slot 51+ (past the driver's 50-entry window) ----
-        # NEW r5, tail slot (rotates into the window next round):
-        # the grouped BH path as its own oracle-backed query
+        # NEW r5, tail slots (rotate into the window next round):
+        # the grouped BH path and the corpus boilerplate detector
         "bh_grouped": q_bh_grouped,
+        "hot_ngrams": q_hot_ngrams,
         # demoted r5: driver-green in CORRECTNESS_r01-r04, untouched
         "meth_qc_detp": q_meth_qc_detp,
         "meth_complete_probes": q_meth_complete_probes,
@@ -4366,6 +4404,7 @@ def oracle_sql() -> dict[str, str]:
         "bh_adjust": SQL_BH_ADJUST,
         "bh_adjust_scalable": SQL_BH_ADJUST,
         "bh_grouped": SQL_BH_ADJUST,
+        "hot_ngrams": SQL_HOT_NGRAMS,
         "combat_priors": SQL_COMBAT_PRIORS,
         "text_tokens": SQL_TEXT_TOKENS,
         "text_quality": SQL_TEXT_QUALITY,

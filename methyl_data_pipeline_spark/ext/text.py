@@ -783,3 +783,58 @@ def perplexity_buckets(
         .otherwise("tail")
     )
     return scored.withColumn("bucket", bucket).drop("mean_logprob")
+
+
+def heavy_hitters(
+    df: DataFrame,
+    text_col: str = "text",
+    ngram_n: int = 3,
+    min_share: float = 0.002,
+) -> DataFrame:
+    """Corpus-level hot n-grams: word ``ngram_n``-grams whose share of
+    ALL n-gram occurrences is at least ``min_share`` — the boilerplate
+    detector (navigation strings, license headers, templated sentences)
+    that corpus curation runs BEFORE dedup, complementing the per-doc
+    ``repetition_signals``.
+
+    Exact path: explode → one map-side-combining groupBy(gram) → a
+    1-row total joined by broadcast. The groupBy key space is the
+    n-gram vocabulary; heavy hitters by definition dominate counts, so
+    partial aggregation collapses them map-side and the shuffle
+    carries near-distinct grams only. Returns (gram, n_occurrences,
+    share), share ≥ min_share, descending.
+    """
+    from methyl_data_pipeline_spark.ext.dedup import shingles
+
+    grams = df.select(
+        F.explode(shingles(text_col, ngram_n)).alias("gram")
+    )
+    counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    total = counts.agg(F.sum("n_occurrences").alias("_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("share", F.col("n_occurrences") / F.col("_total"))
+        .filter(F.col("share") >= min_share)
+        .drop("_total")
+        .orderBy(F.col("n_occurrences").desc(), F.col("gram").asc())
+    )
+
+
+def heavy_hitters_approx(
+    df: DataFrame,
+    text_col: str = "text",
+    ngram_n: int = 3,
+    min_share: float = 0.002,
+) -> list[str]:
+    """Sketch path of :func:`heavy_hitters` for vocabularies too large
+    to aggregate exactly: Spark's ``DataFrame.stat.freqItems``
+    (Karp–Schenker–Papadimitriou one-pass frequent-items), which
+    returns a SUPERSET of every gram with share > ``min_share`` in a
+    single scan with bounded memory — no shuffle keyed on the gram at
+    all. Filter the (small) candidate list through the exact counter
+    to drop sketch false positives."""
+    from methyl_data_pipeline_spark.ext.dedup import shingles
+
+    grams = df.select(F.explode(shingles(text_col, ngram_n)).alias("gram"))
+    row = grams.stat.freqItems(["gram"], support=min_share).collect()[0]
+    return sorted(row[0])

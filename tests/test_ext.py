@@ -846,3 +846,31 @@ def test_mad_exact_vs_approx_agree_on_separated_data(spark):
     approx = mad_outliers(df, "value", ["event_type"], c=4.0, approx=True).toPandas()
     key = lambda f: set(f[f.is_outlier].value.round(6))
     assert key(exact) == key(approx) == {5000.0, -3000.0}
+
+
+def test_heavy_hitters_finds_planted_boilerplate(spark):
+    """A boilerplate line planted in 40% of docs dominates the trigram
+    counts; exact heavy_hitters surfaces exactly its trigrams, and the
+    freqItems sketch path returns a superset of the exact hitters."""
+    import pandas as pd
+
+    from methyl_data_pipeline_spark.ext.text import (
+        heavy_hitters,
+        heavy_hitters_approx,
+    )
+
+    boiler = "click here to subscribe now"
+    texts = []
+    for i in range(100):
+        body = f"unique words {i} alpha{i} beta{i} gamma{i} delta{i}"
+        texts.append(f"{boiler} {body}" if i % 5 < 2 else body)
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": range(100), "text": texts}))
+    hh = heavy_hitters(df, ngram_n=3, min_share=0.02).collect()
+    got = {r.gram for r in hh}
+    want = {"click here to", "here to subscribe", "to subscribe now"}
+    assert want <= got
+    # nothing outside the boilerplate + its junction grams qualifies
+    assert all("subscribe" in g or "click" in g or "here" in g or "now unique" in g
+               or "unique words" in g for g in got), got
+    approx = set(heavy_hitters_approx(df, ngram_n=3, min_share=0.02))
+    assert got <= approx  # sketch superset guarantee

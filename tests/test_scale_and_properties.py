@@ -403,3 +403,26 @@ def test_property_bloom_never_false_negative(spark, bench_texts, seed):
     words = bloom_build(hashes, "_h", m_bits=1 << 12, k=4)
     probed = bloom_contains(hashes, "_h", words, m_bits=1 << 12, k=4)
     assert probed.filter(~F.col("_bloom_hit")).count() == 0
+
+
+def test_curate_partitioning_invariant(spark):
+    """The five-stage curation chain is deterministic under arbitrary
+    input partitioning: a 1-partition layout and a hash-scrambled
+    13-partition layout yield identical window placements."""
+    from pyspark.sql import functions as F
+
+    from methyl_data_pipeline_spark.plans.curation import curate
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.filter(F.col("doc_id") < 10)
+    corpus = docs.filter(F.col("doc_id") >= 10)
+
+    def run(c):
+        return sorted(
+            (r.source, r.doc_id, r.n_tokens, r.bin_idx, r.bin_offset, r.spans_boundary)
+            for r in curate(c, bench, window_tokens=512).collect()
+        )
+
+    a = run(corpus.coalesce(1))
+    b = run(corpus.repartition(13, F.col("doc_id")))
+    assert a == b and len(a) > 0
