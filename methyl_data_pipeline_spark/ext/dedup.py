@@ -478,6 +478,28 @@ def bloom_build(
     return words
 
 
+def bloom_test(
+    hash_col: Column, words: list[int], m_bits: int, k: int
+) -> Column:
+    """Boolean Column: all k Bloom bits for ``hash_col`` are set in
+    ``words``. Pure JVM-side bitwise arithmetic against one array
+    literal — no join, no shuffle, no Python, and therefore legal
+    anywhere a Column is (including inside higher-order lambdas and
+    on unbounded streams)."""
+    arr = F.expr("array(" + ",".join(f"{w}L" for w in words) + ")")
+    return F.forall(
+        bloom_positions(hash_col, m_bits, k),
+        lambda p: (
+            F.element_at(arr, F.floor(p / 64).cast("int") + 1).bitwiseAND(
+                F.call_function(
+                    "shiftleft", F.lit(1).cast("long"), F.pmod(p, F.lit(64))
+                )
+            )
+            != 0
+        ),
+    )
+
+
 def bloom_contains(
     df: DataFrame,
     hash_col: str,
@@ -486,20 +508,8 @@ def bloom_contains(
     k: int,
     out_col: str = "_bloom_hit",
 ) -> DataFrame:
-    """Append ``out_col``: true iff all k Bloom bits for ``hash_col``
-    are set in ``words``. Pure JVM-side bitwise arithmetic against one
-    array literal — no join, no shuffle, no Python."""
-    arr_sql = "array(" + ",".join(f"{w}L" for w in words) + ")"
-    out = df.withColumn(
-        "_bpos", bloom_positions(F.col(hash_col), m_bits, k)
-    ).withColumn(
-        out_col,
-        F.expr(
-            f"forall(_bpos, p -> (element_at({arr_sql}, CAST(p / 64 AS INT) + 1)"
-            f" & shiftleft(CAST(1 AS BIGINT), p % 64)) != 0)"
-        ),
-    )
-    return out.drop("_bpos")
+    """Append ``out_col`` = :func:`bloom_test` of ``hash_col``."""
+    return df.withColumn(out_col, bloom_test(F.col(hash_col), words, m_bits, k))
 
 
 def bloom_decontaminate(

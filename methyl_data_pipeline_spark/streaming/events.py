@@ -259,3 +259,68 @@ def stream_enrich(
     from pyspark.sql import functions as F
 
     return stream.join(F.broadcast(dimension), on, how)
+
+
+def stream_curate(
+    stream: DataFrame,
+    bloom_words: list[int] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+    ngram_n: int = 5,
+    m_bits: int = 1 << 18,
+    k: int = 5,
+) -> DataFrame:
+    """Streaming twin of ``plans.curation.curate`` — continuous corpus
+    ingest with every stage streaming-legal:
+
+    1. quality gate + PII redaction: stateless per-row expressions
+       (``quality_filter_scan`` / the ``regexp_replace`` chain).
+    2. decontamination: the BLOOM path — ``ext.dedup.bloom_test``
+       inside an ``exists`` over the shingle array. A static benchmark
+       would otherwise need an exploded stream-static join plus a
+       re-aggregation (illegal/stateful in append mode); the filter
+       literal makes it a pure projection. Build ``bloom_words`` once
+       from the (static) benchmark with ``ext.dedup.bloom_build``.
+    3. exact dedup: ``dropDuplicates`` on the normalized-body
+       fingerprint with watermark-bounded state (the stream keeps the
+       FIRST arrival; the batch twin's min-id winner coincides when
+       ingest is id-ordered).
+
+    Emits the per-doc curation verdict columns (``n_tokens``,
+    fingerprint) for surviving docs; window PACKING stays batch-side —
+    it needs a per-shard total order, which an unbounded stream cannot
+    provide (the standard bucket-then-pack layout step runs on the
+    accumulated shard files instead).
+
+    Reference semantics: the same gate chain as ``plans.curation``
+    (scripts/model.py:61-66 membership gating lifted to streams).
+    """
+    from methyl_data_pipeline_spark.ext.dedup import bloom_test, shingles_from_words
+    from methyl_data_pipeline_spark.ext.text import md5_long, quality_reject_reasons
+    from methyl_data_pipeline_spark.plans.curation import redact_pii_text
+
+    kept = stream.filter(quality_reject_reasons(text_col=text_col) == F.lit(""))
+    norm = F.regexp_replace(
+        F.lower(F.trim(redact_pii_text(F.col(text_col)))), r"\s+", " "
+    )
+    red = kept.select(
+        F.col(id_col),
+        F.col(ts_col),
+        norm.alias("_norm"),
+    ).withColumn("_ws", F.split(F.col("_norm"), " "))
+    if bloom_words is not None:
+        contaminated = F.exists(
+            F.array_distinct(shingles_from_words(F.col("_ws"), ngram_n)),
+            lambda s: bloom_test(md5_long(s), bloom_words, m_bits, k),
+        )
+        red = red.filter(~contaminated)
+    red = red.withColumn("fingerprint", md5_long(F.col("_norm")))
+    deduped = red.withWatermark(ts_col, watermark).dropDuplicates(["fingerprint"])
+    return deduped.select(
+        id_col,
+        ts_col,
+        "fingerprint",
+        F.size(F.col("_ws")).cast("long").alias("n_tokens"),
+    )

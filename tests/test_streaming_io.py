@@ -644,3 +644,83 @@ def test_frame_sample_real_container(spark):
     assert [r.frame_digest for r in out] == [
         hashlib.md5(frames[i]).hexdigest() for i in (0, 2, 4)
     ]
+
+
+def test_stream_curate_parity_with_batch_chain(spark, tmp_path):
+    """stream_curate over a file stream keeps exactly the docs the
+    batch chain keeps (quality gate + bloom decontamination + exact
+    dedup), with identical token counts — id-ordered ingest so the
+    stream's first-arrival dedup winner equals the batch min-id
+    winner."""
+    from pyspark.sql import functions as F
+
+    from methyl_data_pipeline_spark.ext.dedup import (
+        bloom_build,
+        bloom_decontaminate,
+        shingles,
+    )
+    from methyl_data_pipeline_spark.ext.text import (
+        md5_long,
+        quality_reject_reasons,
+    )
+    from methyl_data_pipeline_spark.plans.curation import redact_pii_text
+    from methyl_data_pipeline_spark.streaming.events import (
+        stream_curate,
+        stream_events_from_parquet,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .limit(200)
+        .withColumn("ts", F.lit("2024-01-01 00:00:00").cast("timestamp"))
+    )
+    bench = docs.filter(F.col("doc_id") < 10)
+    corpus = docs.filter(F.col("doc_id") >= 10).orderBy("doc_id")
+
+    bench_hashes = bench.select(
+        F.explode(F.array_distinct(shingles("text", 5))).alias("_s")
+    ).select(md5_long(F.col("_s")).alias("_h"))
+    words = bloom_build(bench_hashes, "_h")
+
+    src = str(tmp_path / "curate_src")
+    corpus.coalesce(1).write.mode("overwrite").parquet(src)
+
+    out = stream_curate(stream_events_from_parquet(spark, src), bloom_words=words)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("curate_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["doc_id"]: r["n_tokens"]
+            for r in spark.sql("SELECT * FROM curate_stream").collect()
+        }
+    finally:
+        q.stop()
+
+    # batch reference: same gates, min-id dedup winner; decontamination
+    # runs on the REDACTED body exactly as stream_curate shingles it
+    kept = corpus.filter(quality_reject_reasons() == F.lit(""))
+    kept_red = kept.withColumn("text", redact_pii_text(F.col("text")))
+    clean = kept.join(
+        bloom_decontaminate(kept_red, bench).filter(F.col("maybe_contaminated"))
+        .select("doc_id"),
+        "doc_id",
+        "left_anti",
+    )
+    norm = F.regexp_replace(
+        F.lower(F.trim(redact_pii_text(F.col("text")))), r"\s+", " "
+    )
+    keyed = clean.select("doc_id", norm.alias("_norm"))
+    winners = keyed.groupBy("_norm").agg(F.min("doc_id").alias("doc_id"))
+    want = {
+        r["doc_id"]: r["n_tokens"]
+        for r in keyed.join(winners, ["_norm", "doc_id"], "left_semi")
+        .select("doc_id", F.size(F.split("_norm", " ")).cast("long").alias("n_tokens"))
+        .collect()
+    }
+    assert len(want) > 50
+    assert got == want
