@@ -96,3 +96,35 @@ def with_salted_key(df: DataFrame, key_col: str, hot_keys: list[str], salt_bucke
             ),
         ).otherwise(F.col(key_col)),
     )
+
+
+def layout_sorted_write(
+    df: DataFrame,
+    path: str,
+    layout_cols: list[str],
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Data-skipping layout: range-repartition by ``layout_cols`` then
+    sort within each partition before writing parquet.
+
+    Parquet footers carry per-file / per-row-group min-max statistics;
+    a scan with a predicate on ``layout_cols`` prunes every file whose
+    range misses it — but only if the writer CLUSTERED the values.
+    Range partitioning gives globally disjoint per-file ranges (file k
+    holds keys strictly below file k+1), so a point or range predicate
+    touches O(1) of the files instead of all of them — the single
+    cheapest lever for 100 TB scan cost after partition pruning, and
+    the flat-file analogue of ``write_bucketed``'s sorted buckets.
+
+    ``n_files``: target file count (defaults to the session's shuffle
+    parallelism). This is the "compact + cluster" maintenance pass a
+    hot table gets after heavy appends.
+    """
+    cols = [F.col(c) for c in layout_cols]
+    part = (
+        df.repartitionByRange(n_files, *cols)
+        if n_files
+        else df.repartitionByRange(*cols)
+    )
+    part.sortWithinPartitions(*cols).write.mode(mode).parquet(path)

@@ -426,3 +426,38 @@ def test_curate_partitioning_invariant(spark):
     a = run(corpus.coalesce(1))
     b = run(corpus.repartition(13, F.col("doc_id")))
     assert a == b and len(a) > 0
+
+
+def test_layout_sorted_write_enables_file_skipping(spark, tmp_path):
+    """layout_sorted_write must produce parquet files with DISJOINT
+    key ranges (footer min/max), so a point predicate can prune all
+    but one file — verified directly from the parquet footers."""
+    import pyarrow.parquet as pq
+    import glob as globmod
+
+    from methyl_data_pipeline_spark.operators.scale import layout_sorted_write
+
+    df = spark.range(0, 20_000).withColumn(
+        "k", (F.col("id") * 2654435761 % 97).cast("long")
+    )
+    out = str(tmp_path / "layout")
+    layout_sorted_write(df, out, ["k"], n_files=8)
+
+    ranges = []
+    for f in globmod.glob(out + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(1)
+            assert col.path_in_schema == "k"
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    assert len(ranges) >= 4
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges {(lo1,hi1)} {(lo2,hi2)}"
+    # and the scan actually prunes: predicate touches one file's range
+    got = spark.read.parquet(out).filter(F.col("k") == 42).count()
+    want = df.filter(F.col("k") == 42).count()
+    assert got == want > 0
