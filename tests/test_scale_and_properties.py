@@ -461,3 +461,24 @@ def test_layout_sorted_write_enables_file_skipping(spark, tmp_path):
     got = spark.read.parquet(out).filter(F.col("k") == 42).count()
     want = df.filter(F.col("k") == 42).count()
     assert got == want > 0
+
+
+@given(
+    st.lists(
+        st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+        min_size=1, max_size=60,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_property_bh_grouped_equals_window(spark, raw_ps):
+    """bh_adjust_grouped is bit-identical to the window BH for ANY
+    p-list (rounded to bounded cardinality, ties and endpoints
+    included)."""
+    from methyl_data_pipeline_spark.stats.bh import bh_adjust, bh_adjust_grouped
+
+    ps = [round(p, 2) for p in raw_ps]  # force heavy ties
+    rows = [(f"k{i}", float(p)) for i, p in enumerate(ps)]
+    df = spark.createDataFrame(rows, "k string, p_value double")
+    ref = {r.k: r.adj_p for r in bh_adjust(df).collect()}
+    got = {r.k: r.adj_p for r in bh_adjust_grouped(df).collect()}
+    assert got == ref
