@@ -4269,8 +4269,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # extensions kept in-window (changed this round or only
         # recently certified)
         "minhash_pairs": q_minhash_pairs,
-        "ngram_jaccard": q_ngram_jaccard,
-        "embedding_neardup": q_embedding_neardup,
+        # NEW r5: grouped BH + boilerplate detector (first driver rows
+        # pending; ngram_jaccard / embedding_neardup — driver-green in
+        # r3 AND r4, untouched — yield their slots)
+        "bh_grouped": q_bh_grouped,
+        "hot_ngrams": q_hot_ngrams,
         "ivf_ann": q_ivf_ann,
         "dedup_clusters": q_dedup_clusters,
         "multimodal_features": q_multimodal_features,
@@ -4288,11 +4291,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding": q_events_sliding,
         "frame_sample": q_frame_sample,
         # ---- slot 51+ (past the driver's 50-entry window) ----
-        # NEW r5, tail slots (rotate into the window next round):
-        # the grouped BH path and the corpus boilerplate detector
-        "bh_grouped": q_bh_grouped,
-        "hot_ngrams": q_hot_ngrams,
         # demoted r5: driver-green in CORRECTNESS_r01-r04, untouched
+        "ngram_jaccard": q_ngram_jaccard,
+        "embedding_neardup": q_embedding_neardup,
         "meth_qc_detp": q_meth_qc_detp,
         "meth_complete_probes": q_meth_complete_probes,
         "meth_group_delta": q_meth_group_delta,
