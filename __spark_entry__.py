@@ -4200,6 +4200,56 @@ ORDER BY n_occurrences DESC, gram
 """
 
 
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health dashboard (ext.text.corpus_report):
+    volume, exact-dup rate, language mix — the documents-table twin of
+    health_report (reference A10, health_check.py:19-22)."""
+    from methyl_data_pipeline_spark.ext.text import corpus_report
+
+    docs = _t(spark, sf_dir, "documents")
+    out = corpus_report(docs)
+    return out.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        "n_unique_bodies",
+        _r(F.col("dup_rate")).alias("dup_rate"),
+        "n_langs",
+        "top_lang",
+        _r(F.col("top_lang_share")).alias("top_lang_share"),
+    ).orderBy("source")
+
+
+SQL_CORPUS_REPORT = r"""
+WITH base AS (
+  SELECT source, lang,
+         len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))
+           AS toks,
+         ('0x' || substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')),
+                         1, 15))::BIGINT AS fp
+  FROM documents
+),
+per_shard AS (
+  SELECT source, COUNT(*) AS n_docs, SUM(toks) AS total_tokens,
+         COUNT(DISTINCT fp) AS n_unique_bodies,
+         COUNT(DISTINCT lang) AS n_langs
+  FROM base GROUP BY source
+),
+lc AS (SELECT source, lang, COUNT(*) AS n FROM base GROUP BY source, lang),
+top AS (
+  SELECT source, lang AS top_lang, n AS top_lang_docs,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n DESC, lang ASC) AS rn
+  FROM lc
+)
+SELECT p.source, p.n_docs, p.total_tokens, p.n_unique_bodies,
+       ROUND(1.0 - p.n_unique_bodies * 1.0 / p.n_docs + 1e-9, 6) AS dup_rate,
+       p.n_langs, t.top_lang,
+       ROUND(t.top_lang_docs * 1.0 / p.n_docs + 1e-9, 6) AS top_lang_share
+FROM per_shard p JOIN top t ON p.source = t.source AND t.rn = 1
+ORDER BY p.source
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract
 # --------------------------------------------------------------------------
@@ -4274,7 +4324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r3 AND r4, untouched — yield their slots)
         "bh_grouped": q_bh_grouped,
         "hot_ngrams": q_hot_ngrams,
-        "ivf_ann": q_ivf_ann,
+        "corpus_report": q_corpus_report,
         "dedup_clusters": q_dedup_clusters,
         "multimodal_features": q_multimodal_features,
         # promoted this round: r4 additions (first driver rows)
@@ -4294,6 +4344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # demoted r5: driver-green in CORRECTNESS_r01-r04, untouched
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_neardup": q_embedding_neardup,
+        "ivf_ann": q_ivf_ann,
         "meth_qc_detp": q_meth_qc_detp,
         "meth_complete_probes": q_meth_complete_probes,
         "meth_group_delta": q_meth_group_delta,
@@ -4406,6 +4457,7 @@ def oracle_sql() -> dict[str, str]:
         "bh_adjust_scalable": SQL_BH_ADJUST,
         "bh_grouped": SQL_BH_ADJUST,
         "hot_ngrams": SQL_HOT_NGRAMS,
+        "corpus_report": SQL_CORPUS_REPORT,
         "combat_priors": SQL_COMBAT_PRIORS,
         "text_tokens": SQL_TEXT_TOKENS,
         "text_quality": SQL_TEXT_QUALITY,

@@ -74,6 +74,7 @@ EXTENDED = [
     # r5 additions
     "bloom_decontaminate",
     "outlier_mad",
+    "hot_ngrams",
 ]
 
 

@@ -8,7 +8,7 @@ SQL-expressible so the DuckDB oracle can replay it exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # Tiny per-language stopword sets for the heuristic language scorer.
 # Deliberately small + hard-coded: the scorer is a deterministic
@@ -838,3 +838,63 @@ def heavy_hitters_approx(
     grams = df.select(F.explode(shingles(text_col, ngram_n)).alias("gram"))
     row = grams.stat.freqItems(["gram"], support=min_share).collect()[0]
     return sorted(row[0])
+
+
+def corpus_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shard_col: str = "source",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-shard corpus health dashboard — the one-pass operational
+    report a curation team tracks daily (the documents-table analogue
+    of ``operators.qc.health_report``): doc/token volume, exact-dup
+    rate (distinct normalized bodies vs docs), and the dominant
+    language with its share.
+
+    Plan: ONE scan computing tokens + the md5 body fingerprint, then
+    two shard-keyed aggregates (counts/distincts and the language
+    mode via a window over the tiny (shard, lang) frame). No joins
+    against the fact table; everything after the scan is
+    dimension-sized.
+    """
+    base = df.select(
+        F.col(shard_col),
+        F.col(lang_col),
+        F.size(words(F.col(text_col))).cast("long").alias("_toks"),
+        md5_long(
+            F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+        ).alias("_fp"),
+    )
+    per_shard = base.groupBy(shard_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_toks").alias("total_tokens"),
+        F.countDistinct("_fp").alias("n_unique_bodies"),
+        F.countDistinct(lang_col).alias("n_langs"),
+    )
+    lang_counts = base.groupBy(shard_col, lang_col).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    w = Window.partitionBy(shard_col).orderBy(
+        F.col("_n").desc(), F.col(lang_col).asc()
+    )
+    top_lang = (
+        lang_counts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            shard_col,
+            F.col(lang_col).alias("top_lang"),
+            F.col("_n").alias("top_lang_docs"),
+        )
+    )
+    return per_shard.join(F.broadcast(top_lang), shard_col).select(
+        shard_col,
+        "n_docs",
+        "total_tokens",
+        "n_unique_bodies",
+        (1.0 - F.col("n_unique_bodies") / F.col("n_docs")).alias("dup_rate"),
+        "n_langs",
+        "top_lang",
+        (F.col("top_lang_docs") / F.col("n_docs")).alias("top_lang_share"),
+    )

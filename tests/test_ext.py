@@ -874,3 +874,30 @@ def test_heavy_hitters_finds_planted_boilerplate(spark):
                or "unique words" in g for g in got), got
     approx = set(heavy_hitters_approx(df, ngram_n=3, min_share=0.02))
     assert got <= approx  # sketch superset guarantee
+
+
+def test_corpus_report_planted_duplicates_and_langs(spark):
+    """dup_rate and the language mode are exact on a corpus with
+    planted duplicates and a known language mix."""
+    import pandas as pd
+
+    from methyl_data_pipeline_spark.ext.text import corpus_report
+
+    rows = []
+    for i in range(30):
+        rows.append((i, "shared duplicate body" if i < 10 else f"unique body {i}",
+                     "en" if i % 3 else "fr", "web"))
+    for i in range(30, 40):
+        rows.append((i, f"news body {i}", "de", "news"))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    )
+    got = {r.source: r for r in corpus_report(df).collect()}
+    web = got["web"]
+    # 30 docs, 10 of them share one body -> 21 unique bodies
+    assert web.n_docs == 30 and web.n_unique_bodies == 21
+    assert abs(web.dup_rate - (1 - 21 / 30)) < 1e-12
+    assert web.top_lang == "en" and web.n_langs == 2
+    news = got["news"]
+    assert news.n_docs == 10 and news.dup_rate == 0.0 and news.top_lang == "de"
+    assert news.top_lang_share == 1.0
