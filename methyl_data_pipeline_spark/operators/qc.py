@@ -136,7 +136,7 @@ def filter_probes_by_detp(
 def probe_quality_gate(
     meth: DataFrame,
     detp_threshold: float,
-    n_samples: int,
+    n_samples: int | DataFrame,
     value_col: str = "beta",
     detp_col: str = "det_p",
 ) -> DataFrame:
@@ -148,24 +148,53 @@ def probe_quality_gate(
     the fact table for no semantic difference. The good-probe list is
     bounded by the probe dimension (~10^6 at platform scale), hence the
     explicit broadcast: the fact table is never shuffled at all.
+
+    ``n_samples`` may be an int (driver-side known count) or a 1-row
+    DataFrame with column ``_ns`` — the lazy form, letting a caller
+    keep the whole QC chain action-free (see ``sample_quality_gate``).
+    """
+    agg = meth.groupBy("probe_id").agg(
+        F.sum(
+            F.when(F.col(detp_col) >= detp_threshold, 1).otherwise(0)
+        ).alias("_n_fail"),
+        F.count(F.lit(1)).alias("_n_obs"),
+        F.count(F.col(value_col)).alias("_n_val"),
+    )
+    if isinstance(n_samples, DataFrame):
+        agg = agg.crossJoin(F.broadcast(n_samples))
+        expected = F.col("_ns")
+    else:
+        expected = F.lit(n_samples)
+    good = agg.filter(
+        (F.col("_n_fail") == 0)
+        & (F.col("_n_obs") == expected)
+        & (F.col("_n_val") == expected)
+    ).select("probe_id")
+    return meth.join(F.broadcast(good), "probe_id", "left_semi")
+
+
+def sample_quality_gate(
+    meth: DataFrame, threshold: float, detp_col: str = "det_p"
+) -> tuple[DataFrame, DataFrame]:
+    """Lazy twin of :func:`detp_retained_samples`: returns
+    ``(filtered_fact, n_samples_df)`` with NO driver action — the
+    retained-sample dimension joins back by broadcast and the count
+    rides along as a 1-row frame for :func:`probe_quality_gate`.
+
+    Use this form when the fact table is already materialized (a
+    persisted frame or a curated table), where an ``isin`` literal
+    cannot push into a parquet scan anyway; use
+    :func:`detp_retained_samples` on raw scans, where the collected
+    id list becomes a scan-pushed predicate.
     """
     good = (
-        meth.groupBy("probe_id")
-        .agg(
-            F.sum(
-                F.when(F.col(detp_col) >= detp_threshold, 1).otherwise(0)
-            ).alias("_n_fail"),
-            F.count(F.lit(1)).alias("_n_obs"),
-            F.count(F.col(value_col)).alias("_n_val"),
-        )
-        .filter(
-            (F.col("_n_fail") == 0)
-            & (F.col("_n_obs") == n_samples)
-            & (F.col("_n_val") == n_samples)
-        )
-        .select("probe_id")
+        meth.groupBy("sample_id")
+        .agg(F.avg(F.col(detp_col)).alias("_mean_detp"))
+        .filter(F.col("_mean_detp") < threshold)
+        .select("sample_id")
     )
-    return meth.join(F.broadcast(good), "probe_id", "left_semi")
+    n_df = good.agg(F.count(F.lit(1)).alias("_ns"))
+    return meth.join(F.broadcast(good), "sample_id", "left_semi"), n_df
 
 
 def dedup_samples(samples: DataFrame, key: str = "basename") -> DataFrame:

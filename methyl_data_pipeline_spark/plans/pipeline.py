@@ -187,19 +187,24 @@ def run_core_chain(
     decimals before BH so both engines feed BIT-identical p-values into
     the rank arithmetic.
 
-    One bounded scalar action (the retained-sample count); everything
-    else is lazy until the caller's action.
+    ZERO driver actions: the sample gate is the lazy
+    ``qc.sample_quality_gate`` (broadcast semi-join + 1-row count
+    frame) — appropriate here because the input is a materialized
+    fact table, where an ``isin`` literal could not push into a
+    parquet scan anyway — so the entire chain is one Catalyst plan
+    from scan to result. (``run_methylation_pipeline`` keeps the
+    collected-id variant: its QC feeds multiple downstream consumers
+    and benefits from the scan-pushed predicate on raw inputs.)
     """
     from methyl_data_pipeline_spark.stats.quantile_norm import quantile_normalize
 
-    kept = qc.detp_retained_samples(meth, detp_sample_threshold)
-    n_samples = len(kept)
+    gated, n_df = qc.sample_quality_gate(meth, detp_sample_threshold)
     # cg predicate first (pushes to the scan), then the FUSED probe
     # gate: detp-in-all-samples + completeness share one per-probe
     # aggregate and one broadcast semi-join instead of two full
     # shuffle+join passes of the fact table.
-    stage = qc.filter_cg_probes(meth.filter(F.col("sample_id").isin(kept)))
-    complete = qc.probe_quality_gate(stage, detp_probe_threshold, n_samples)
+    stage = qc.filter_cg_probes(gated)
+    complete = qc.probe_quality_gate(stage, detp_probe_threshold, n_df)
 
     qn = quantile_normalize(complete)
     with_m = qn.withColumn("mval", model.mvalue("beta_qn"))
