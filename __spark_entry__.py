@@ -4250,6 +4250,50 @@ ORDER BY p.source
 """
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot audit (ext.dedup.snapshot_diff): two deterministic
+    views of the documents table (old = ids not divisible by 7;
+    new = ids not divisible by 5, bodies edited where id % 11 == 0)
+    diffed by body fingerprint into added/removed/changed/unchanged —
+    the reprocess-decision step of an incremental ingest."""
+    from methyl_data_pipeline_spark.ext.dedup import snapshot_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 7 != 0)
+    new = docs.filter(F.col("doc_id") % 5 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.lit("edited: "), F.col("text")),
+        ).otherwise(F.col("text")),
+    )
+    return snapshot_diff(old, new).orderBy("doc_id")
+
+
+SQL_SNAPSHOT_DIFF = r"""
+WITH fp AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')),
+                         1, 15))::BIGINT AS fp_old
+  FROM documents WHERE doc_id % 7 != 0
+),
+fn AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(regexp_replace(lower(trim(
+             CASE WHEN doc_id % 11 = 0 THEN 'edited: ' || text ELSE text END
+         )), '\s+', ' ', 'g')), 1, 15))::BIGINT AS fp_new
+  FROM documents WHERE doc_id % 5 != 0
+)
+SELECT COALESCE(fp.doc_id, fn.doc_id) AS doc_id, fp_old, fp_new,
+       CASE WHEN fp_old IS NULL THEN 'added'
+            WHEN fp_new IS NULL THEN 'removed'
+            WHEN fp_old = fp_new THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM fp FULL OUTER JOIN fn ON fp.doc_id = fn.doc_id
+ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract
 # --------------------------------------------------------------------------
@@ -4325,7 +4369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bh_grouped": q_bh_grouped,
         "hot_ngrams": q_hot_ngrams,
         "corpus_report": q_corpus_report,
-        "dedup_clusters": q_dedup_clusters,
+        "snapshot_diff": q_snapshot_diff,
         "multimodal_features": q_multimodal_features,
         # promoted this round: r4 additions (first driver rows)
         "combat_cov_prefix": q_combat_cov_prefix,
@@ -4345,6 +4389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_neardup": q_embedding_neardup,
         "ivf_ann": q_ivf_ann,
+        "dedup_clusters": q_dedup_clusters,
         "meth_qc_detp": q_meth_qc_detp,
         "meth_complete_probes": q_meth_complete_probes,
         "meth_group_delta": q_meth_group_delta,
@@ -4458,6 +4503,7 @@ def oracle_sql() -> dict[str, str]:
         "bh_grouped": SQL_BH_ADJUST,
         "hot_ngrams": SQL_HOT_NGRAMS,
         "corpus_report": SQL_CORPUS_REPORT,
+        "snapshot_diff": SQL_SNAPSHOT_DIFF,
         "combat_priors": SQL_COMBAT_PRIORS,
         "text_tokens": SQL_TEXT_TOKENS,
         "text_quality": SQL_TEXT_QUALITY,

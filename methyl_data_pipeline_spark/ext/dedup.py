@@ -563,3 +563,39 @@ def bloom_decontaminate(
             (F.coalesce("n_bloom_hits", F.lit(0)) > 0).alias("maybe_contaminated"),
         )
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus snapshot comparison: per document id, ``added`` /
+    ``removed`` / ``changed`` / ``unchanged`` by normalized-body
+    fingerprint — the audit step between two ingest snapshots that
+    decides what an incremental pipeline must reprocess (the
+    companion of :func:`incremental_dedup`, which handles novelty
+    WITHIN a growing corpus; this compares two corpus VERSIONS).
+
+    One fingerprint projection per side and a single full-outer join
+    on ``id_col`` — at 100 TB both sides bucket by id, making the
+    join co-partitioned; nothing else shuffles. Output carries both
+    fingerprints (null on the missing side).
+    """
+    def fp(df: DataFrame, out: str) -> DataFrame:
+        normalized = F.regexp_replace(
+            F.lower(F.trim(F.col(text_col))), r"\s+", " "
+        )
+        return df.select(F.col(id_col), md5_long(normalized).alias(out))
+
+    o = fp(old, "fp_old")
+    n = fp(new, "fp_new")
+    joined = o.join(n, id_col, "full_outer")
+    status = (
+        F.when(F.col("fp_old").isNull(), "added")
+        .when(F.col("fp_new").isNull(), "removed")
+        .when(F.col("fp_old") == F.col("fp_new"), "unchanged")
+        .otherwise("changed")
+    )
+    return joined.select(id_col, "fp_old", "fp_new", status.alias("status"))

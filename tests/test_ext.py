@@ -901,3 +901,22 @@ def test_corpus_report_planted_duplicates_and_langs(spark):
     news = got["news"]
     assert news.n_docs == 10 and news.dup_rate == 0.0 and news.top_lang == "de"
     assert news.top_lang_share == 1.0
+
+
+def test_snapshot_diff_statuses(spark):
+    """added/removed/changed/unchanged are each exercised and exact."""
+    import pandas as pd
+
+    from methyl_data_pipeline_spark.ext.dedup import snapshot_diff
+
+    old = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3], "text": ["a b", "keep me", "will change"]})
+    )
+    new = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [2, 3, 4], "text": ["Keep  ME", "changed now", "brand new"]}
+        )
+    )
+    got = {r.doc_id: r.status for r in snapshot_diff(old, new).collect()}
+    # doc 2: same normalized body (case/whitespace noise) -> unchanged
+    assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
