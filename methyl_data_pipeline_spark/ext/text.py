@@ -790,6 +790,7 @@ def heavy_hitters(
     text_col: str = "text",
     ngram_n: int = 3,
     min_share: float = 0.002,
+    prefilter: bool = True,
 ) -> DataFrame:
     """Corpus-level hot n-grams: word ``ngram_n``-grams whose share of
     ALL n-gram occurrences is at least ``min_share`` — the boilerplate
@@ -797,20 +798,39 @@ def heavy_hitters(
     that corpus curation runs BEFORE dedup, complementing the per-doc
     ``repetition_signals``.
 
-    Exact path: explode → one map-side-combining groupBy(gram) → a
-    1-row total joined by broadcast. The groupBy key space is the
-    n-gram vocabulary; heavy hitters by definition dominate counts, so
-    partial aggregation collapses them map-side and the shuffle
-    carries near-distinct grams only. Returns (gram, n_occurrences,
-    share), share ≥ min_share, descending.
+    The naive exact plan shuffles the full exploded gram stream — and
+    since most grams are near-unique, map-side partial aggregation
+    collapses almost nothing, so at corpus scale the shuffle IS the
+    gram stream. ``prefilter=True`` (default) first runs the one-pass
+    ``freqItems`` sketch (no shuffle, bounded memory), whose guarantee
+    is a SUPERSET of every gram with share > ``min_share``; the exact
+    count pass then only shuffles occurrences of the ≤1/min_share
+    candidates. The result is IDENTICAL to the naive plan (the sketch
+    cannot miss a true hitter; false candidates die on the exact share
+    filter) — only the shuffle shrinks from the gram stream to the hot
+    tail. The denominator still counts every gram (a 1-row map-side
+    aggregate). Returns (gram, n_occurrences, share), share ≥
+    min_share, descending.
     """
     from methyl_data_pipeline_spark.ext.dedup import shingles
 
     grams = df.select(
         F.explode(shingles(text_col, ngram_n)).alias("gram")
     )
-    counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n_occurrences"))
-    total = counts.agg(F.sum("n_occurrences").alias("_total"))
+    total = grams.agg(F.count(F.lit(1)).alias("_total"))
+    counted = grams
+    # The sketch guarantee is STRICT (share > support) while the exact
+    # filter below is >=, so a gram sitting exactly on the threshold
+    # may legally vanish from the sketch — run it at 0.9x the target
+    # share so every >= hitter is strictly above the sketch support.
+    # Spark's freqItems floor is support >= 1e-4; below that the
+    # margined sketch cannot express the guarantee, so fall back to
+    # the naive exact shuffle rather than silently lose true hitters.
+    support = min_share * 0.9
+    if prefilter and support >= 1e-4:
+        cands = grams.stat.freqItems(["gram"], support=support).collect()[0][0]
+        counted = grams.filter(F.col("gram").isin(list(cands)))
+    counts = counted.groupBy("gram").agg(F.count(F.lit(1)).alias("n_occurrences"))
     return (
         counts.crossJoin(F.broadcast(total))
         .withColumn("share", F.col("n_occurrences") / F.col("_total"))
