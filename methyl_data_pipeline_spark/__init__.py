@@ -36,6 +36,7 @@ _EXPORTS = {
     "moderated_t_two_group": "methyl_data_pipeline_spark.stats.limma",
     "bh_adjust": "methyl_data_pipeline_spark.stats.bh",
     "bh_adjust_scalable": "methyl_data_pipeline_spark.stats.bh",
+    "bh_adjust_grouped": "methyl_data_pipeline_spark.stats.bh",
     "pca_scores": "methyl_data_pipeline_spark.stats.pca",
     "mds_coords": "methyl_data_pipeline_spark.stats.pca",
     "kde_density": "methyl_data_pipeline_spark.stats.density",

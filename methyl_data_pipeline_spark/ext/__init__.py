@@ -18,6 +18,15 @@ from methyl_data_pipeline_spark.ext.dedup import (  # noqa: F401
     minhash_candidate_pairs,
     ngram_jaccard_pairs,
     simhash,
+    bloom_build,
+    bloom_test,
+    bloom_decontaminate,
+    snapshot_diff,
+)
+from methyl_data_pipeline_spark.ext.text import (  # noqa: F401
+    heavy_hitters,
+    heavy_hitters_approx,
+    corpus_report,
 )
 from methyl_data_pipeline_spark.ext.similarity import (  # noqa: F401
     cosine_topk_bruteforce,
