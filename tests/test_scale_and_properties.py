@@ -482,3 +482,40 @@ def test_property_bh_grouped_equals_window(spark, raw_ps):
     ref = {r.k: r.adj_p for r in bh_adjust(df).collect()}
     got = {r.k: r.adj_p for r in bh_adjust_grouped(df).collect()}
     assert got == ref
+
+
+def test_run_corpus_pipeline_end_to_end(spark, tmp_path):
+    """curate -> hash split -> pack -> clustered parquet write:
+    splits are disjoint, exhaustive over the curated set, and
+    byte-reproducible on a re-run."""
+    from pyspark.sql import functions as F
+
+    from methyl_data_pipeline_spark.plans.corpus import run_corpus_pipeline
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.filter(F.col("doc_id") < 10)
+    corpus = docs.filter(F.col("doc_id") >= 10)
+
+    out = str(tmp_path / "corpus_v1")
+    res = run_corpus_pipeline(
+        corpus, bench, out_dir=out, window_tokens=512,
+        weights=(0.8, 0.1, 0.1), files_per_split=2,
+    )
+    total = res.placements.count()
+    assert sum(res.split_counts.values()) == total > 300
+    # disjoint: every doc id appears in exactly one split dir
+    ids = {}
+    for name, path in res.split_paths.items():
+        for r in spark.read.parquet(path).select("doc_id").collect():
+            assert r.doc_id not in ids, (r.doc_id, name, ids[r.doc_id])
+            ids[r.doc_id] = name
+    assert len(ids) == total
+    # deterministic re-run: identical placements and splits
+    out2 = str(tmp_path / "corpus_v2")
+    res2 = run_corpus_pipeline(
+        corpus, bench, out_dir=out2, window_tokens=512,
+        weights=(0.8, 0.1, 0.1), files_per_split=2,
+    )
+    a = sorted(map(tuple, res.placements.collect()))
+    b = sorted(map(tuple, res2.placements.collect()))
+    assert a == b
