@@ -75,6 +75,8 @@ EXTENDED = [
     "bloom_decontaminate",
     "outlier_mad",
     "hot_ngrams",
+    "corpus_report",
+    "snapshot_diff",
 ]
 
 
