@@ -15,6 +15,7 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 from methyl_data_pipeline_spark import cache
 
 from methyl_data_pipeline_spark.ext.text import md5_long
+from methyl_data_pipeline_spark.functions.scalar import normalize_label
 
 
 def _spread(df: DataFrame, key: str) -> DataFrame:
@@ -42,8 +43,7 @@ def dedup_exact(
     One shuffle on the 60-bit fingerprint; at 100 TB the min-id winner
     is a cheap min-agg + semi-join rather than a full sort.
     """
-    normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    keyed = df.withColumn("_fp", md5_long(normalized))
+    keyed = df.withColumn("_fp", md5_long(normalize_label(F.col(text_col))))
     winners = keyed.groupBy("_fp").agg(F.min(id_col).alias(id_col))
     return keyed.join(winners, ["_fp", id_col], "left_semi").drop("_fp")
 
@@ -65,7 +65,7 @@ def shingles(text_col: str, n: int = 3) -> Column:
     """Word n-gram shingles of lowercased, whitespace-normalized text.
     Documents shorter than n words yield the whole text as one shingle
     (so they still participate in dedup)."""
-    ws = F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
+    ws = F.split(normalize_label(F.col(text_col)), " ")
     return shingles_from_words(ws, n)
 
 
@@ -217,7 +217,7 @@ def simhash(
     array — verbose but fully JVM-side and oracle-reproducible.
     """
     df = _spread(df, id_col)
-    ws = F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
+    ws = F.split(normalize_label(F.col(text_col)), " ")
     hashes = F.transform(
         ws, lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long")
     )
@@ -310,7 +310,7 @@ def segment_dedup(
     never n².
     """
     ws = F.split(
-        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
+        normalize_label(F.col(text_col)), " "
     )
     n_seg = F.ceil(F.size(ws) / F.lit(chunk_words)).cast("int")
     segs = F.transform(
@@ -412,8 +412,7 @@ def incremental_dedup(
     ``seen_fingerprints`` schema: ``fingerprint long`` (extra columns
     ignored). The returned ledger carries ``fingerprint`` only.
     """
-    normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    keyed = new_docs.withColumn("_fp", md5_long(normalized))
+    keyed = new_docs.withColumn("_fp", md5_long(normalize_label(F.col(text_col))))
     winners = keyed.groupBy("_fp").agg(F.min(id_col).alias(id_col))
     shard_unique = keyed.join(winners, ["_fp", id_col], "left_semi")
     ledger = seen_fingerprints.select(F.col("fingerprint").alias("_fp"))
@@ -459,8 +458,8 @@ def bloom_build(
     positions, OR them into 64-bit words with a map-side-combining
     ``bit_or`` aggregate, and collect the dense word list.
 
-    The driver round-trip is m_bits/64 longs (8 KiB at the default
-    m = 2^16) — CONSTANT in the input size, so at 100 TB the build is
+    The driver round-trip is m_bits/64 longs (32 KiB at the default
+    m = 2^18) — CONSTANT in the input size, so at 100 TB the build is
     one scan + one tiny aggregate, and the filter ships to executors as
     a broadcast-sized literal. This is the membership plan for
     benchmark sets too large to broadcast as an exact hash set."""
@@ -583,19 +582,25 @@ def snapshot_diff(
     join co-partitioned; nothing else shuffles. Output carries both
     fingerprints (null on the missing side).
     """
-    def fp(df: DataFrame, out: str) -> DataFrame:
-        normalized = F.regexp_replace(
-            F.lower(F.trim(F.col(text_col))), r"\s+", " "
+    def fp(df: DataFrame, out: str, present: str) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            md5_long(normalize_label(F.col(text_col))).alias(out),
+            F.lit(True).alias(present),
         )
-        return df.select(F.col(id_col), md5_long(normalized).alias(out))
 
-    o = fp(old, "fp_old")
-    n = fp(new, "fp_new")
+    # presence is carried as an explicit flag, NOT inferred from
+    # fingerprint nullness — a NULL text yields a NULL fingerprint,
+    # which must read as "present with unknown body" (classified
+    # 'changed' unless both sides are null-text), never as "side
+    # missing".
+    o = fp(old, "fp_old", "_in_old")
+    n = fp(new, "fp_new", "_in_new")
     joined = o.join(n, id_col, "full_outer")
     status = (
-        F.when(F.col("fp_old").isNull(), "added")
-        .when(F.col("fp_new").isNull(), "removed")
-        .when(F.col("fp_old") == F.col("fp_new"), "unchanged")
+        F.when(F.col("_in_old").isNull(), "added")
+        .when(F.col("_in_new").isNull(), "removed")
+        .when(F.col("fp_old").eqNullSafe(F.col("fp_new")), "unchanged")
         .otherwise("changed")
     )
     return joined.select(id_col, "fp_old", "fp_new", status.alias("status"))

@@ -10,6 +10,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from methyl_data_pipeline_spark.functions.scalar import normalize_label
+
 
 def pack_sequences(
     df: DataFrame,
@@ -170,7 +172,7 @@ def chunk_documents(
     if stride <= 0 or window <= 0 or stride > window:
         raise ValueError("need 0 < stride <= window")
     ws = F.split(
-        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
+        normalize_label(F.col(text_col)), " "
     )
     n = F.size(ws)
     n_chunks = F.when(n <= window, F.lit(1)).otherwise(

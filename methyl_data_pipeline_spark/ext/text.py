@@ -10,6 +10,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from methyl_data_pipeline_spark.functions.scalar import normalize_label
+
 # Tiny per-language stopword sets for the heuristic language scorer.
 # Deliberately small + hard-coded: the scorer is a deterministic
 # hit-count argmax, not a trained model.
@@ -153,8 +155,11 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: 60-bit hash of whitespace-normalized,
     lowercased text — the exact-dedup key that survives formatting
     noise."""
-    normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    return df.withColumn("fingerprint", md5_long(normalized))
+    from methyl_data_pipeline_spark.functions.scalar import normalize_label
+
+    return df.withColumn(
+        "fingerprint", md5_long(normalize_label(F.col(text_col)))
+    )
 
 
 def winnow_fingerprints(
@@ -188,7 +193,7 @@ def winnow_fingerprints(
     from methyl_data_pipeline_spark.ext.dedup import _spread
 
     df = _spread(df, id_col)
-    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    norm = normalize_label(F.col(text_col))
     t = df.select(F.col(id_col), norm.alias("_t"))
     starts = t.select(
         F.col(id_col),
@@ -709,7 +714,7 @@ def language_id_ngram(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     stopword-argmax :func:`language_id` (trigram profiles survive
     texts with few function words)."""
     norm = F.concat(
-        F.lit(" "), F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), F.lit(" ")
+        F.lit(" "), normalize_label(F.col(text_col)), F.lit(" ")
     )
     out = df.withColumn("_t", norm)
     # Explicit empty-array guard: Spark's sequence(1, 0) yields the
@@ -817,8 +822,6 @@ def heavy_hitters(
     grams = df.select(
         F.explode(shingles(text_col, ngram_n)).alias("gram")
     )
-    total = grams.agg(F.count(F.lit(1)).alias("_total"))
-    counted = grams
     # The sketch guarantee is STRICT (share > support) while the exact
     # filter below is >=, so a gram sitting exactly on the threshold
     # may legally vanish from the sketch — run it at 0.9x the target
@@ -829,8 +832,30 @@ def heavy_hitters(
     support = min_share * 0.9
     if prefilter and support >= 1e-4:
         cands = grams.stat.freqItems(["gram"], support=support).collect()[0][0]
-        counted = grams.filter(F.col("gram").isin(list(cands)))
-    counts = counted.groupBy("gram").agg(F.count(F.lit(1)).alias("n_occurrences"))
+        counts = (
+            grams.filter(F.col("gram").isin(list(cands)))
+            .groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        )
+        # denominator WITHOUT re-materializing gram strings: per doc
+        # the gram count is just greatest(n_words - (n-1), 1), so the
+        # total is word-count arithmetic over the raw docs — the
+        # prefilter path's second full pass stays string-free
+        ws = F.split(
+            normalize_label(F.col(text_col)), " "
+        )
+        total = df.agg(
+            F.sum(
+                F.greatest(F.size(ws) - (ngram_n - 1), F.lit(1)).cast("long")
+            ).alias("_total")
+        )
+    else:
+        counts = grams.groupBy("gram").agg(
+            F.count(F.lit(1)).alias("n_occurrences")
+        )
+        # naive path: the denominator folds out of the counts frame —
+        # no extra scan at all
+        total = counts.agg(F.sum("n_occurrences").alias("_total"))
     return (
         counts.crossJoin(F.broadcast(total))
         .withColumn("share", F.col("n_occurrences") / F.col("_total"))
@@ -884,7 +909,7 @@ def corpus_report(
         F.col(lang_col),
         F.size(words(F.col(text_col))).cast("long").alias("_toks"),
         md5_long(
-            F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+            normalize_label(F.col(text_col))
         ).alias("_fp"),
     )
     per_shard = base.groupBy(shard_col).agg(

@@ -70,17 +70,26 @@ def drop_sex_chromosomes(meth: DataFrame, probes: DataFrame) -> DataFrame:
     return meth.join(F.broadcast(sex), "probe_id", "left_anti")
 
 
-def filter_samples_by_detp(
-    meth: DataFrame, threshold: float = 0.05, detp_col: str = "det_p"
+def _good_samples(
+    meth: DataFrame, threshold: float, detp_col: str = "det_p"
 ) -> DataFrame:
-    """Drop samples whose mean detection p >= threshold. Reference P8
-    (workflow.R:44-49)."""
-    good = (
+    """The retained-sample dimension: samples whose mean detection p
+    stays under ``threshold`` (workflow.R:44-49). Single source of the
+    sample-gate predicate for the three gate forms below."""
+    return (
         meth.groupBy("sample_id")
         .agg(F.avg(F.col(detp_col)).alias("_mean_detp"))
         .filter(F.col("_mean_detp") < threshold)
         .select("sample_id")
     )
+
+
+def filter_samples_by_detp(
+    meth: DataFrame, threshold: float = 0.05, detp_col: str = "det_p"
+) -> DataFrame:
+    """Drop samples whose mean detection p >= threshold. Reference P8
+    (workflow.R:44-49)."""
+    good = _good_samples(meth, threshold, detp_col)
     return meth.join(F.broadcast(good), "sample_id", "left_semi")
 
 
@@ -97,13 +106,7 @@ def detp_retained_samples(
     count that the probe-completeness filters need — replacing the
     pipeline's former extra full-table ``distinct().count()`` pass.
     """
-    rows = (
-        meth.groupBy("sample_id")
-        .agg(F.avg(F.col(detp_col)).alias("_mean_detp"))
-        .filter(F.col("_mean_detp") < threshold)
-        .select("sample_id")
-        .collect()
-    )
+    rows = _good_samples(meth, threshold, detp_col).collect()
     return sorted(r[0] for r in rows)
 
 
@@ -187,12 +190,7 @@ def sample_quality_gate(
     :func:`detp_retained_samples` on raw scans, where the collected
     id list becomes a scan-pushed predicate.
     """
-    good = (
-        meth.groupBy("sample_id")
-        .agg(F.avg(F.col(detp_col)).alias("_mean_detp"))
-        .filter(F.col("_mean_detp") < threshold)
-        .select("sample_id")
-    )
+    good = _good_samples(meth, threshold, detp_col)
     n_df = good.agg(F.count(F.lit(1)).alias("_ns"))
     return meth.join(F.broadcast(good), "sample_id", "left_semi"), n_df
 

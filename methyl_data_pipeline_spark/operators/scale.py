@@ -121,10 +121,12 @@ def layout_sorted_write(
     parallelism). This is the "compact + cluster" maintenance pass a
     hot table gets after heavy appends.
     """
+    if n_files is not None and n_files < 1:
+        raise ValueError(f"n_files must be >= 1, got {n_files}")
     cols = [F.col(c) for c in layout_cols]
     part = (
         df.repartitionByRange(n_files, *cols)
-        if n_files
+        if n_files is not None
         else df.repartitionByRange(*cols)
     )
     part.sortWithinPartitions(*cols).write.mode(mode).parquet(path)

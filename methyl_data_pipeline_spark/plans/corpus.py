@@ -69,6 +69,12 @@ def run_corpus_pipeline(
     split_paths: dict[str, str] = {}
     split_counts: dict[str, int] = {}
     if out_dir is not None:
+        # persist once: each split's write and the count aggregate
+        # otherwise re-run the whole curation DAG (decontamination
+        # joins, dedup, packing windows) per split
+        from methyl_data_pipeline_spark import cache
+
+        placed = cache.track(placed)
         for name in names:
             path = os.path.join(out_dir, name)
             part = placed.filter(F.col("split") == name)
@@ -76,7 +82,11 @@ def run_corpus_pipeline(
                 part, path, [shard_col, id_col], n_files=files_per_split
             )
             split_paths[name] = path
-            split_counts[name] = (
-                placed.sparkSession.read.parquet(path).count()
-            )
+        # one aggregate over the persisted frame, not a re-read of the
+        # freshly written parquet per split
+        counts = {
+            r["split"]: r["n"]
+            for r in placed.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        split_counts = {name: int(counts.get(name, 0)) for name in names}
     return CorpusResult(placed, split_paths, split_counts)

@@ -73,9 +73,9 @@ def curate(
     # count) reuse them instead of re-running the regex chain per
     # consumer — at 100 TB the regex scans are the dominant CPU cost
     # of this plan, and this caps them at exactly one pass.
-    norm = F.regexp_replace(
-        F.lower(F.trim(redact_pii_text(F.col(text_col)))), r"\s+", " "
-    )
+    from methyl_data_pipeline_spark.functions.scalar import normalize_label
+
+    norm = normalize_label(redact_pii_text(F.col(text_col)))
     red = cache.track(
         kept.select(F.col(id_col), F.col(shard_col), norm.alias("_norm"))
         .withColumn("_ws", F.split(F.col("_norm"), " "))

@@ -129,6 +129,33 @@ def combat_priors(
     )
 
 
+def eb_update_exprs(n, gh, d0, gamma_bar, t2, a_prior, b_prior):
+    """THE closed-form EB update algebra (sva ``it.sol``, reference
+    workflow.R:139-145), as a (gamma_update, delta_update) pair of
+    Column-expression factories::
+
+        gamma(d) = (t2·n·gamma_hat + d·gamma_bar) / (t2·n + d)
+        delta(g) = (b + ½[(n−1)·d0 + n·(gamma_hat − g)²]) / (n/2 + a − 1)
+
+    Single source for :func:`combat_onestep`, :func:`combat_twostep`
+    and :func:`combat_converged` — the certificate chain asserts
+    residuals against exactly this algebra, so it must not fork. (The
+    Arrow ``eb_fixed_point`` kernels re-express it in NumPy; the
+    certificates exist to pin those against this form.)
+    """
+
+    def gamma(d_prev):
+        return (t2 * n * gh + d_prev * gamma_bar) / (t2 * n + d_prev)
+
+    def delta(g_new):
+        sum2 = (n - F.lit(1.0)) * d0 + n * F.pow(gh - g_new, 2)
+        return (F.lit(0.5) * sum2 + b_prior) / (
+            n / F.lit(2.0) + a_prior - F.lit(1.0)
+        )
+
+    return gamma, delta
+
+
 def combat_onestep(
     long_df: DataFrame,
     value_col: str = "beta",
@@ -161,11 +188,12 @@ def combat_onestep(
     n = F.col("n_b").cast("double")
     gh = F.col("gamma_hat")
     d0 = F.coalesce(F.col("delta_hat_sq"), F.lit(1.0))
-    g1 = (F.col("t2") * n * gh + d0 * F.col("gamma_bar")) / (F.col("t2") * n + d0)
-    sum2 = (n - F.lit(1.0)) * d0 + n * F.pow(gh - g1, 2)
-    d1 = (F.lit(0.5) * sum2 + F.col("b_prior")) / (
-        n / F.lit(2.0) + F.col("a_prior") - F.lit(1.0)
+    _gamma, _delta = eb_update_exprs(
+        n, gh, d0, F.col("gamma_bar"), F.col("t2"),
+        F.col("a_prior"), F.col("b_prior"),
     )
+    g1 = _gamma(d0)
+    d1 = _delta(g1)
     return j.select(
         key_col,
         batch_col,
@@ -206,17 +234,10 @@ def combat_twostep(
     n = F.col("n_b").cast("double")
     gh = F.col("gamma_hat")
     d0 = F.coalesce(F.col("delta_hat_sq"), F.lit(1.0))
-    denom = n / F.lit(2.0) + F.col("a_prior") - F.lit(1.0)
-
-    def _gamma(d_prev):
-        return (F.col("t2") * n * gh + d_prev * F.col("gamma_bar")) / (
-            F.col("t2") * n + d_prev
-        )
-
-    def _delta(g_new):
-        sum2 = (n - F.lit(1.0)) * d0 + n * F.pow(gh - g_new, 2)
-        return (F.lit(0.5) * sum2 + F.col("b_prior")) / denom
-
+    _gamma, _delta = eb_update_exprs(
+        n, gh, d0, F.col("gamma_bar"), F.col("t2"),
+        F.col("a_prior"), F.col("b_prior"),
+    )
     g1 = _gamma(d0)
     d1 = _delta(g1)
     g2 = _gamma(d1)
@@ -378,13 +399,12 @@ def combat_converged(
     gh = F.col("gamma_hat")
     dh2 = F.coalesce(F.col("delta_hat_sq"), F.lit(1.0))
     gs, ds = F.col("gamma_star"), F.col("delta_star_sq")
-    g_rhs = (F.col("t2") * n * gh + ds * F.col("gamma_bar")) / (
-        F.col("t2") * n + ds
+    _gamma, _delta = eb_update_exprs(
+        n, gh, dh2, F.col("gamma_bar"), F.col("t2"),
+        F.col("a_prior"), F.col("b_prior"),
     )
-    d_rhs = (
-        F.lit(0.5) * ((n - F.lit(1.0)) * dh2 + n * F.pow(gh - gs, 2))
-        + F.col("b_prior")
-    ) / (n / F.lit(2.0) + F.col("a_prior") - F.lit(1.0))
+    g_rhs = _gamma(ds)
+    d_rhs = _delta(gs)
     return s.select(
         key_col,
         batch_col,

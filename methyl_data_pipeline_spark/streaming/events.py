@@ -172,18 +172,27 @@ def stream_dedup(
     ts_col: str = "ts",
     watermark: str = "10 minutes",
 ) -> DataFrame:
-    """Streaming exact dedup with bounded state: ``dropDuplicates``
-    keyed on ``key_cols``, state expired by the event-time watermark —
-    a duplicate arriving later than the watermark lag is not caught,
-    which is the standard state/recall trade (without the watermark the
-    key-set state grows without bound at 100-TB stream volumes).
+    """Streaming exact dedup with bounded state:
+    ``dropDuplicatesWithinWatermark`` keyed on ``key_cols``, state
+    expired as the event-time watermark advances — a duplicate arriving
+    later than the watermark lag is not caught, which is the standard
+    state/recall trade (without the watermark the key-set state grows
+    without bound at 100-TB stream volumes).
+
+    ``dropDuplicatesWithinWatermark``, not plain ``dropDuplicates``:
+    with the event-time column absent from the dedup subset, plain
+    dropDuplicates never evicts its state even under a watermark — the
+    within-watermark variant is the form whose state the watermark
+    actually bounds.
 
     The batch twin is ``ext.dedup.dedup_exact``; this is the
     Structured Streaming path for continuous ingest.
     """
     if key_cols is None:
         key_cols = ["event_id"]
-    return stream.withWatermark(ts_col, watermark).dropDuplicates(key_cols)
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
 
 
 def stream_quality_gate(
@@ -283,10 +292,12 @@ def stream_curate(
        re-aggregation (illegal/stateful in append mode); the filter
        literal makes it a pure projection. Build ``bloom_words`` once
        from the (static) benchmark with ``ext.dedup.bloom_build``.
-    3. exact dedup: ``dropDuplicates`` on the normalized-body
-       fingerprint with watermark-bounded state (the stream keeps the
-       FIRST arrival; the batch twin's min-id winner coincides when
-       ingest is id-ordered).
+    3. exact dedup: ``dropDuplicatesWithinWatermark`` on the
+       normalized-body fingerprint — the variant whose state the
+       watermark actually evicts (plain ``dropDuplicates`` without the
+       event-time column in its subset keeps every key forever). The
+       stream keeps the FIRST arrival; the batch twin's min-id winner
+       coincides when ingest is id-ordered.
 
     Emits the per-doc curation verdict columns (``n_tokens``,
     fingerprint) for surviving docs; window PACKING stays batch-side —
@@ -301,10 +312,10 @@ def stream_curate(
     from methyl_data_pipeline_spark.ext.text import md5_long, quality_reject_reasons
     from methyl_data_pipeline_spark.plans.curation import redact_pii_text
 
+    from methyl_data_pipeline_spark.functions.scalar import normalize_label
+
     kept = stream.filter(quality_reject_reasons(text_col=text_col) == F.lit(""))
-    norm = F.regexp_replace(
-        F.lower(F.trim(redact_pii_text(F.col(text_col)))), r"\s+", " "
-    )
+    norm = normalize_label(redact_pii_text(F.col(text_col)))
     red = kept.select(
         F.col(id_col),
         F.col(ts_col),
@@ -317,7 +328,9 @@ def stream_curate(
         )
         red = red.filter(~contaminated)
     red = red.withColumn("fingerprint", md5_long(F.col("_norm")))
-    deduped = red.withWatermark(ts_col, watermark).dropDuplicates(["fingerprint"])
+    deduped = red.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["fingerprint"]
+    )
     return deduped.select(
         id_col,
         ts_col,

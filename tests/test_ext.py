@@ -920,3 +920,12 @@ def test_snapshot_diff_statuses(spark):
     got = {r.doc_id: r.status for r in snapshot_diff(old, new).collect()}
     # doc 2: same normalized body (case/whitespace noise) -> unchanged
     assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+    # null-text docs are PRESENT (unknown body), not missing: a doc
+    # whose text nulls out must read changed/removed, never added
+    old2 = spark.createDataFrame(
+        [(1, None), (2, "x")], "doc_id long, text string"
+    )
+    new2 = spark.createDataFrame([(2, None)], "doc_id long, text string")
+    got2 = {r.doc_id: r.status for r in snapshot_diff(old2, new2).collect()}
+    assert got2 == {1: "removed", 2: "changed"}
