@@ -25,6 +25,46 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _first_dim(vectors: DataFrame, vec_col: str) -> int:
+    """Embedding dimensionality from the first row, with a clear error
+    instead of a TypeError when the corpus is empty or the first
+    embedding is null."""
+    row = vectors.select(vec_col).first()
+    if row is None or row[0] is None:
+        raise ValueError(
+            "cannot infer embedding dimension: empty vectors frame or "
+            f"null first {vec_col!r}"
+        )
+    return len(row[0])
+
+
+def _plane_bucket(planes):
+    """Sign-pattern bucket closure for a hyperplane matrix — the ONE
+    definition both LSH variants share (a drifted copy would silently
+    put the two variants in different bucket spaces)."""
+
+    def bucket(vc: Column) -> Column:
+        bits = [
+            F.when(
+                F.aggregate(
+                    F.zip_with(
+                        vc,
+                        F.array(*[F.lit(float(x)) for x in row]),
+                        lambda a, b: a * b,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                >= 0,
+                F.lit("1"),
+            ).otherwise(F.lit("0"))
+            for row in planes
+        ]
+        return F.concat(*bits)
+
+    return bucket
+
+
 def cosine_topk_bruteforce(
     vectors: DataFrame,
     queries: DataFrame,
@@ -41,20 +81,27 @@ def cosine_topk_bruteforce(
     """
     # cast float32 storage to float64 before arithmetic so results are
     # reproducible against external double-precision oracles
+    # norms are precomputed ONCE PER ROW on each side — Catalyst does
+    # not CSE across join rows, so folding them into the pair
+    # expression would re-run two O(d) aggregates per (query, corpus)
+    # pair; same doubles, ~3x less per-pair compute
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("_qv"),
-    )
+    ).withColumn("_qn", _norm(F.col("_qv")))
     from methyl_data_pipeline_spark.ext.dedup import _spread
 
     c = _spread(vectors, id_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("_cv"),
-    )
+    ).withColumn("_cn", _norm(F.col("_cv")))
     pairs = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine(F.col("_qv"), F.col("_cv")))
+        .withColumn(
+            "cosine",
+            _dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -104,44 +151,31 @@ def cosine_neardup_pairs(
     Hyperplanes come from :func:`md5_planes` → external oracles
     reproduce bucket membership exactly.
     """
-    dim = len(vectors.select(vec_col).first()[0])
+    dim = _first_dim(vectors, vec_col)
     planes = md5_planes(n_planes, dim)
-
-    def bucket(vc: Column) -> Column:
-        bits = [
-            F.when(
-                F.aggregate(
-                    F.zip_with(
-                        vc,
-                        F.array(*[F.lit(float(x)) for x in planes[p]]),
-                        lambda a, b: a * b,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                )
-                >= 0,
-                F.lit("1"),
-            ).otherwise(F.lit("0"))
-            for p in range(n_planes)
-        ]
-        return F.concat(*bits)
+    bucket = _plane_bucket(planes)
 
     from methyl_data_pipeline_spark.ext.dedup import _spread
 
     vec_d = F.col(vec_col).cast("array<double>")
     keyed = _spread(vectors, id_col).select(
         F.col(id_col), vec_d.alias("_v"), bucket(vec_d).alias("_bucket")
-    )
+    ).withColumn("_nrm", _norm(F.col("_v")))
     a = keyed.select(
-        F.col("_bucket"), F.col(id_col).alias("id_a"), F.col("_v").alias("_va")
+        F.col("_bucket"), F.col(id_col).alias("id_a"),
+        F.col("_v").alias("_va"), F.col("_nrm").alias("_na"),
     )
     b = keyed.select(
-        F.col("_bucket"), F.col(id_col).alias("id_b"), F.col("_v").alias("_vb")
+        F.col("_bucket"), F.col(id_col).alias("id_b"),
+        F.col("_v").alias("_vb"), F.col("_nrm").alias("_nb"),
     )
     return (
         a.join(b, "_bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", cosine(F.col("_va"), F.col("_vb")))
+        .withColumn(
+            "cosine",
+            _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")),
+        )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
@@ -158,6 +192,7 @@ def ivf_topk(
     seed: int = 42,
     max_iter: int = 8,
     fit_fraction: float = 1.0,
+    normalize: bool = False,
 ) -> DataFrame:
     """IVF (inverted-file) approximate nearest neighbors: a seeded
     KMeans coarse quantizer partitions the corpus into ``n_centroids``
@@ -182,7 +217,27 @@ def ivf_topk(
     from methyl_data_pipeline_spark.ext.dedup import _spread
 
     vec_d = F.col(vec_col).cast("array<double>")
-    corpus = _spread(vectors, id_col).select(F.col(id_col), vec_d.alias("_v"))
+
+    def _maybe_unit(df: DataFrame, col: str) -> DataFrame:
+        # cells are assigned by L2 distance while the final ranking is
+        # cosine; for unit vectors the two orders coincide, so
+        # ``normalize=True`` L2-normalizes corpus/query/fit points and
+        # makes the probed cells the right cells for the cosine metric.
+        # Off by default: heterogeneous-magnitude corpora should opt in
+        # knowingly (cosine VALUES are scale-invariant either way —
+        # only cell recall changes).
+        if not normalize:
+            return df
+        n = F.when(F.col("_n0") > 0, F.col("_n0")).otherwise(F.lit(1.0))
+        return (
+            df.withColumn("_n0", _norm(F.col(col)))
+            .withColumn(col, F.transform(F.col(col), lambda x: x / n))
+            .drop("_n0")
+        )
+
+    corpus = _maybe_unit(
+        _spread(vectors, id_col).select(F.col(id_col), vec_d.alias("_v")), "_v"
+    )
 
     # Fit sample comes from the RAW input, not the repartitioned corpus:
     # collecting through the _spread exchange would shuffle the whole
@@ -193,6 +248,11 @@ def ivf_topk(
     if fit_fraction < 1.0:
         fit_src = fit_src.sample(fraction=fit_fraction, seed=seed)
     pts = np.array([r[0] for r in fit_src.limit(max_fit_rows).collect()])
+    if pts.size == 0:
+        raise ValueError("ivf_topk: empty fit sample — vectors frame has no rows")
+    if normalize:
+        nrm = np.linalg.norm(pts, axis=1, keepdims=True)
+        pts = pts / np.where(nrm > 0, nrm, 1.0)
 
     # Lloyd's iterations, deterministic seeded init (k-means++ light:
     # distinct random picks). Empty cells re-seed from the farthest
@@ -241,7 +301,9 @@ def ivf_topk(
 
     # each query probes its n_probe nearest cells: rank the centroid
     # distance array and explode the winning cell ids
-    qd = queries.select(F.col(id_col).alias("query_id"), vec_d.alias("_qv"))
+    qd = _maybe_unit(
+        queries.select(F.col(id_col).alias("query_id"), vec_d.alias("_qv")), "_qv"
+    )
     q_dists = dists_to_all(F.col("_qv"))
     probe_cells = F.slice(
         F.expr(
@@ -260,9 +322,13 @@ def ivf_topk(
     )
 
     pairs = (
-        assigned.join(probes, "_cell")
+        assigned.withColumn("_cn", _norm(F.col("_v")))
+        .join(probes.withColumn("_qn", _norm(F.col("_qv"))), "_cell")
         .filter(F.col("query_id") != F.col(id_col))
-        .withColumn("cosine", cosine(F.col("_qv"), F.col("_v")))
+        .withColumn(
+            "cosine",
+            _dot(F.col("_qv"), F.col("_v")) / (F.col("_qn") * F.col("_cn")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()
@@ -294,44 +360,29 @@ def lsh_bucketed_topk(
     """
     import numpy as np
 
-    dim = len(vectors.select(vec_col).first()[0])
+    dim = _first_dim(vectors, vec_col)
     rng = np.random.RandomState(seed)
     planes = rng.normal(size=(n_planes, dim))
-
-    def bucket(vc: Column) -> Column:
-        bits = [
-            F.when(
-                F.aggregate(
-                    F.zip_with(
-                        vc,
-                        F.array(*[F.lit(float(x)) for x in planes[p]]),
-                        lambda a, b: a * b,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                )
-                >= 0,
-                F.lit(1),
-            ).otherwise(F.lit(0)).cast("string")
-            for p in range(n_planes)
-        ]
-        return F.concat(*bits)
+    bucket = _plane_bucket(planes)
 
     vec_d = F.col(vec_col).cast("array<double>")
     c = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         vec_d.alias("_cv"),
         bucket(vec_d).alias("_bucket"),
-    )
+    ).withColumn("_cn", _norm(F.col("_cv")))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         vec_d.alias("_qv"),
         bucket(vec_d).alias("_bucket"),
-    )
+    ).withColumn("_qn", _norm(F.col("_qv")))
     pairs = (
         c.join(F.broadcast(q), "_bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine(F.col("_qv"), F.col("_cv")))
+        .withColumn(
+            "cosine",
+            _dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()

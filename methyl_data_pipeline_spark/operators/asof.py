@@ -30,9 +30,17 @@ def asof_join_prior(
     recent at-or-before; right rows at the same instant are visible).
 
     Plan: union(left ∪ right) → window per ``by`` ordered by
-    (``on``, right-first) → ``last(value, ignorenulls)`` carries the
-    latest right values forward → keep left rows. Cost: one shuffle +
+    (``on``, right-first) → ``last(row_struct, ignorenulls)`` carries
+    the latest right ROW forward → keep left rows. Cost: one shuffle +
     one sort per key group.
+
+    The carried unit is one STRUCT of all right value columns, not the
+    columns individually: a right row whose value is NULL must still
+    win (the docstring's "the right row with the greatest on" — what
+    ``pd.merge_asof`` does), and multi-column carries must stay
+    row-atomic. Per-column ``last(ignorenulls)`` would instead skip
+    null values (serving stale data) and could mix columns from
+    different right rows.
     """
     lcols = left.columns
     l = left.withColumn("_side", F.lit(1))
@@ -40,7 +48,7 @@ def asof_join_prior(
         F.col(by),
         F.col(on),
         F.lit(0).alias("_side"),
-        *[F.col(c).alias(f"{c}{suffix}") for c in right_value_cols],
+        F.struct(*[F.col(c) for c in right_value_cols]).alias("_rrow"),
     )
     unioned = l.unionByName(r, allowMissingColumns=True)
     # right rows sort before left rows at the same timestamp, so a
@@ -50,20 +58,17 @@ def asof_join_prior(
         .orderBy(F.col(on).asc(), F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = unioned.select(
-        "*",
-        *[
-            F.last(F.col(f"{c}{suffix}"), ignorenulls=True)
-            .over(w)
-            .alias(f"_carry_{c}")
-            for c in right_value_cols
-        ],
+    carried = unioned.withColumn(
+        "_carry", F.last(F.col("_rrow"), ignorenulls=True).over(w)
     )
     return (
         carried.filter(F.col("_side") == 1)
         .select(
             *lcols,
-            *[F.col(f"_carry_{c}").alias(f"{c}{suffix}") for c in right_value_cols],
+            *[
+                F.col("_carry").getField(c).alias(f"{c}{suffix}")
+                for c in right_value_cols
+            ],
         )
     )
 
@@ -80,8 +85,11 @@ def asof_join_pandas(
     semantics the window-carry form doesn't express."""
     import pandas as pd
 
+    # output types mirror the RIGHT schema (a hardcoded type would
+    # crash Arrow conversion for strings and silently downcast longs)
+    rtypes = {f.name: f.dataType.simpleString() for f in right.schema}
     out_fields = ", ".join(
-        f"`{c}{suffix}` double" for c in right_value_cols
+        f"`{c}{suffix}` {rtypes[c]}" for c in right_value_cols
     )
     left_schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in left.schema)
     schema = f"{left_schema}, {out_fields}"

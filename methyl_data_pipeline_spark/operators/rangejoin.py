@@ -48,6 +48,16 @@ def range_join(
     if how != "inner":
         raise ValueError("range_join supports inner joins only")
     w = float(bucket_width)
+    if not w > 0:
+        # floor(x / 0) is NULL in non-ANSI mode -> sequence(NULL, NULL)
+        # -> every interval silently drops; fail loudly instead
+        raise ValueError(f"bucket_width must be > 0, got {bucket_width}")
+    for df, side in ((points, "points"), (intervals, "intervals")):
+        if "_bucket" in df.columns:
+            raise ValueError(
+                f"{side} already has a column named '_bucket' "
+                "(reserved by range_join); rename it first"
+            )
     join_cols = (keys or []) + ["_bucket"]
     b_int = intervals.withColumn(
         "_bucket",
@@ -84,6 +94,14 @@ def interval_overlap_join(
     overlapping pair match exactly once with no distinct pass.
     """
     w = float(bucket_width)
+    if not w > 0:
+        raise ValueError(f"bucket_width must be > 0, got {bucket_width}")
+    for df, side in ((left, "left"), (right, "right")):
+        if "_bucket" in df.columns:
+            raise ValueError(
+                f"{side} already has a column named '_bucket' "
+                "(reserved by interval_overlap_join); rename it first"
+            )
 
     def buckets(df: DataFrame, lo: str, hi: str) -> DataFrame:
         return df.withColumn(

@@ -15,9 +15,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 STATE_SCHEMA = "n long, total double, total_sq double"
-OUTPUT_SCHEMA = (
-    "user_id long, n long, mean double, m2 double, is_anomalous boolean"
-)
 
 
 def running_user_stats(
@@ -35,9 +32,24 @@ def running_user_stats(
     (production setting so abandoned keys don't leak state). When
     enabled the engine schedules continuous timeout-evaluation batches,
     so ``processAllAvailable()`` never drains — tests and one-shot
-    replays should leave it off."""
+    replays should leave it off.
+
+    The output key column is ``user_col`` with the stream's own key
+    type (not a hardcoded name/type), and a timed-out invocation
+    REMOVES the state and emits nothing — the eviction the knob
+    promises (handling ``state.hasTimedOut`` first matters: treating
+    the timeout callback as a data batch would re-arm the timer and
+    re-emit a stale summary forever)."""
+    key_type = dict(stream.dtypes)[user_col]
+    output_schema = (
+        f"`{user_col}` {key_type}, n long, mean double, m2 double, "
+        "is_anomalous boolean"
+    )
 
     def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
         n0, s0, ss0 = (state.get if state.exists else (0, 0.0, 0.0))
         batch_n, batch_s, batch_ss = 0, 0.0, 0.0
         for pdf in pdfs:
@@ -61,7 +73,7 @@ def running_user_stats(
             anomalous = abs(batch_mean - prev_mean) > z_threshold * (prev_var ** 0.5)
         yield pd.DataFrame(
             {
-                "user_id": [key[0]],
+                user_col: [key[0]],
                 "n": [n],
                 "mean": [mean],
                 "m2": [m2],
@@ -71,7 +83,7 @@ def running_user_stats(
 
     return stream.groupBy(user_col).applyInPandasWithState(
         update,
-        outputStructType=OUTPUT_SCHEMA,
+        outputStructType=output_schema,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
         timeoutConf=(

@@ -119,3 +119,32 @@ def test_interval_overlap_join_matches_theta(spark):
         got = [(r.lid, r.rid) for r in rows]
         assert len(got) == len(set(got)), f"duplicate matches at w={w}"
         assert set(got) == ref, f"mismatch at w={w}"
+
+
+def test_asof_null_right_value_is_not_skipped(spark):
+    """A more recent right row with a NULL value must WIN (and deliver
+    its null), not be skipped in favor of an older non-null value —
+    and both implementations must agree, including non-double types."""
+    from pyspark.sql import functions as F
+
+    from methyl_data_pipeline_spark.operators.asof import (
+        asof_join_pandas,
+        asof_join_prior,
+    )
+
+    right = spark.createDataFrame(
+        [("k", 1.0, 5.0, "open"), ("k", 2.0, None, None)],
+        "by string, t double, v double, status string",
+    )
+    left = spark.createDataFrame([("k", 3.0)], "by string, t double")
+    a = asof_join_prior(left, right, "t", "by", ["v", "status"]).collect()[0]
+    assert a["v_asof"] is None and a["status_asof"] is None
+    b = asof_join_pandas(left, right, "t", "by", ["v", "status"]).collect()[0]
+    assert b["v_asof"] is None and b["status_asof"] is None
+    # row atomicity: (v from t=2, status from t=2) — never mixed eras
+    right2 = spark.createDataFrame(
+        [("k", 1.0, 5.0, "open"), ("k", 2.0, None, "closed")],
+        "by string, t double, v double, status string",
+    )
+    c = asof_join_prior(left, right2, "t", "by", ["v", "status"]).collect()[0]
+    assert c["v_asof"] is None and c["status_asof"] == "closed"
