@@ -100,6 +100,11 @@ def parse_idat(buf: bytes) -> dict:
 
     if _N_PROBES not in fields:
         raise ValueError("IDAT missing probe-count field (1000)")
+    if _ILLUMINA_ID not in fields:
+        # DECODED_SCHEMA declares address_id non-nullable; failing here
+        # gives a format diagnosis instead of an AttributeError on
+        # NoneType deep inside the mapInPandas worker
+        raise ValueError("IDAT missing IlluminaID field (102)")
     (n,) = struct.unpack_from("<i", buf, fields[_N_PROBES])
 
     def arr(code: int, dtype: str, itemsize: int) -> np.ndarray | None:

@@ -103,6 +103,11 @@ def read_sample_tables(
     """
     if run_numbers is None:
         run_numbers = [str(i + 1) for i in range(len(paths))]
+    if len(run_numbers) != len(paths):
+        raise ValueError(
+            f"run_numbers has {len(run_numbers)} entries for {len(paths)} "
+            "paths — a short list would silently drop trailing files"
+        )
     outs: list[DataFrame] = []
     for path, run in zip(paths, run_numbers):
         lines = (
@@ -203,6 +208,7 @@ def stage_idat_tree(
     raise instead of printing-and-continuing — silent skips upstream
     of QC are how samples go missing.
     """
+    import re
     import shutil
     import zipfile
 
@@ -220,15 +226,31 @@ def stage_idat_tree(
 
     os.makedirs(staging_dir, exist_ok=True)
     staged: list[str] = []
+    chan_re = re.compile(r"_(Red|Grn)$")
     for root, _dirs, files in os.walk(source_dir):
         for fn in sorted(files):
             if not fn.lower().endswith(".idat"):
                 continue
-            base, ext = os.path.splitext(fn)
-            dest_path = os.path.join(staging_dir, fn)
+            base, _ext = os.path.splitext(fn)
+            # normalize the extension to lowercase so the reader's
+            # '*.idat' glob (case-sensitive) sees every staged file —
+            # vendor archives ship .IDAT too, and a staged-but-unread
+            # file is exactly the silent sample loss this staging
+            # exists to prevent
+            ext = ".idat"
+            # collision suffix goes BEFORE the _Grn/_Red channel
+            # suffix: read_idat_dir derives (basename, channel) from
+            # '..._{Red|Grn}.idat', so 'S1_Grn_1.idat' would parse as
+            # channel-less basename 'S1_Grn_1' and silently unpair the
+            # sample; 'S1_1_Grn.idat' keeps the contract intact.
+            m = chan_re.search(base)
+            stem, chan = (base[: m.start()], m.group(0)) if m else (base, "")
+            dest_path = os.path.join(staging_dir, f"{stem}{chan}{ext}")
             counter = 1
             while os.path.exists(dest_path):
-                dest_path = os.path.join(staging_dir, f"{base}_{counter}{ext}")
+                dest_path = os.path.join(
+                    staging_dir, f"{stem}_{counter}{chan}{ext}"
+                )
                 counter += 1
             shutil.copy2(os.path.join(root, fn), dest_path)
             staged.append(dest_path)

@@ -103,9 +103,19 @@ def moderated_t_two_group(
     if prior_method == "fitFDist":
         prior = _fit_f_dist_prior(per_key)
     else:
+        # degenerate guard mirroring the fitFDist path (limma caps the
+        # prior df when between-key variance vanishes): var_samp is 0
+        # when all pooled variances are equal and NULL with a single
+        # key — either would otherwise null out d0 and silently null
+        # every downstream statistic.
         prior = per_key.agg(
             F.avg("s2").alias("s0_sq"),
-            (2.0 * F.pow(F.avg("s2"), 2) / F.var_samp("s2")).alias("d0"),
+            F.when(
+                F.var_samp("s2") > 0,
+                2.0 * F.pow(F.avg("s2"), 2) / F.var_samp("s2"),
+            )
+            .otherwise(F.lit(1e12))
+            .alias("d0"),
         )
 
     # Phase 3 — closed-form moderated statistics.
@@ -219,6 +229,11 @@ def moderated_t_contrasts(
     shuffles).
     """
     groups = sorted({g for p in pairs for g in p})
+    # internal wide-column suffixes are ordinals, NOT raw labels: a
+    # label containing '.' (e.g. 'WT.young') inside F.col("n_WT.young")
+    # parses as struct-field access and fails resolution — the output
+    # 'contrast' column still carries the original labels
+    sfx = {g: str(i) for i, g in enumerate(groups)}
     v = F.col(value_col)
 
     per_group = (
@@ -234,23 +249,23 @@ def moderated_t_contrasts(
     for g in groups:
         cond = F.col(group_col) == g
         aggs += [
-            F.sum(F.when(cond, F.col("n"))).alias(f"n_{g}"),
-            F.sum(F.when(cond, F.col("mean"))).alias(f"mean_{g}"),
-            F.sum(F.when(cond, F.col("var"))).alias(f"var_{g}"),
+            F.sum(F.when(cond, F.col("n"))).alias(f"n_{sfx[g]}"),
+            F.sum(F.when(cond, F.col("mean"))).alias(f"mean_{sfx[g]}"),
+            F.sum(F.when(cond, F.col("var"))).alias(f"var_{sfx[g]}"),
         ]
     per_key = per_group.groupBy(key_col).agg(*aggs)
 
     # pooled residual variance over all groups present for the probe
-    n_terms = [F.coalesce(F.col(f"n_{g}"), F.lit(0)) for g in groups]
+    n_terms = [F.coalesce(F.col(f"n_{sfx[g]}"), F.lit(0)) for g in groups]
     ss_terms = [
         F.when(
-            F.col(f"n_{g}").isNotNull(),
-            (F.col(f"n_{g}") - 1) * F.col(f"var_{g}"),
+            F.col(f"n_{sfx[g]}").isNotNull(),
+            (F.col(f"n_{sfx[g]}") - 1) * F.col(f"var_{sfx[g]}"),
         ).otherwise(0.0)
         for g in groups
     ]
     k_present = sum(
-        (F.when(F.col(f"n_{g}").isNotNull(), 1).otherwise(0) for g in groups),
+        (F.when(F.col(f"n_{sfx[g]}").isNotNull(), 1).otherwise(0) for g in groups),
         F.lit(0),
     )
     n_total = sum(n_terms[1:], n_terms[0])
@@ -265,7 +280,12 @@ def moderated_t_contrasts(
 
     prior = per_key.agg(
         F.avg("s2").alias("s0_sq"),
-        (2.0 * F.pow(F.avg("s2"), 2) / F.var_samp("s2")).alias("d0"),
+        F.when(
+            F.var_samp("s2") > 0,
+            2.0 * F.pow(F.avg("s2"), 2) / F.var_samp("s2"),
+        )
+        .otherwise(F.lit(1e12))  # degenerate guard, same as the t path
+        .alias("d0"),
     )
     based = per_key.crossJoin(F.broadcast(prior)).withColumn(
         "s2_post",
@@ -276,16 +296,19 @@ def moderated_t_contrasts(
     outs = []
     for ga, gb in pairs:
         pair = (
-            based.filter(F.col(f"n_{ga}").isNotNull() & F.col(f"n_{gb}").isNotNull())
+            based.filter(
+                F.col(f"n_{sfx[ga]}").isNotNull()
+                & F.col(f"n_{sfx[gb]}").isNotNull()
+            )
             .select(
                 key_col,
                 F.lit(f"{ga}_vs_{gb}").alias("contrast"),
-                (F.col(f"mean_{ga}") - F.col(f"mean_{gb}")).alias("logFC"),
+                (F.col(f"mean_{sfx[ga]}") - F.col(f"mean_{sfx[gb]}")).alias("logFC"),
                 (
-                    (F.col(f"mean_{ga}") - F.col(f"mean_{gb}"))
+                    (F.col(f"mean_{sfx[ga]}") - F.col(f"mean_{sfx[gb]}"))
                     / F.sqrt(
                         F.col("s2_post")
-                        * (1.0 / F.col(f"n_{ga}") + 1.0 / F.col(f"n_{gb}"))
+                        * (1.0 / F.col(f"n_{sfx[ga]}") + 1.0 / F.col(f"n_{sfx[gb]}"))
                     )
                 ).alias("t_mod"),
                 (F.col("d0") + F.col("df")).alias("df_mod"),
@@ -379,7 +402,12 @@ def moderated_f_anova(
     """
     v = F.col(value_col)
     per_group = (
-        long_df.groupBy(key_col, group_col)
+        # null group annotations would otherwise form a phantom group
+        # (Spark groupBy keeps the null key), inflating n_groups/df1
+        # and distorting every F — the two-group path excludes them via
+        # its isin filter; the omnibus path must do it explicitly
+        long_df.filter(F.col(group_col).isNotNull())
+        .groupBy(key_col, group_col)
         .agg(F.count(v).alias("n"), F.avg(v).alias("mean"), F.var_samp(v).alias("var"))
     )
     if moment_round is not None:

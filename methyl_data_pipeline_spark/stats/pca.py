@@ -72,7 +72,14 @@ def _centered(long_df: DataFrame, value_col: str, key_col: str, sample_col: str,
     driver action — the whole centering stays one Catalyst plan. The
     per-probe stats join is broadcast: probe stats are dimension-
     bounded (~10⁶ rows ≈ tens of MB) while the fact side is the
-    100 TB axis that must not shuffle."""
+    100 TB axis that must not shuffle.
+
+    PRECONDITION: input is at the model.METH_SCHEMA grain — one row
+    per (probe, sample). The completeness gate compares a row count to
+    the distinct-sample count, so duplicate (probe, sample) rows would
+    both distort the gate and double-count in the Gram sums; dedup
+    (operators.qc.dedup_samples / ext.dedup) upstream if the grain is
+    not guaranteed."""
     n_df = long_df.select(F.countDistinct(sample_col).alias("_ns"))
     stats = (
         long_df.filter(F.col(value_col).isNotNull())
@@ -188,6 +195,26 @@ def gram_matrix(
     )
 
 
+def _gram_eigensolve(gram_rows):
+    """Collect-side eigensolve shared by :func:`pca_scores` (small-n
+    path) and :func:`pca_eigen_certificate` — the certificate's claim
+    is that it runs the EXACT decomposition the scores path runs, so
+    the block must not fork. Returns (samples, kmat, eigvals_desc,
+    eigvecs_desc)."""
+    import numpy as np
+
+    samples = sorted({r["s1"] for r in gram_rows} | {r["s2"] for r in gram_rows})
+    n = len(samples)
+    sidx = {s: i for i, s in enumerate(samples)}
+    kmat = np.zeros((n, n))
+    for r in gram_rows:
+        i, j = sidx[r["s1"]], sidx[r["s2"]]
+        kmat[i, j] = kmat[j, i] = r["gram"]
+    eigvals, eigvecs = np.linalg.eigh(kmat)  # ascending
+    order = np.argsort(eigvals)[::-1]
+    return samples, kmat, eigvals[order], eigvecs[:, order]
+
+
 def pca_eigen_certificate(
     long_df: DataFrame,
     value_col: str = "mval",
@@ -217,17 +244,8 @@ def pca_eigen_certificate(
         long_df, value_col=value_col, key_col=key_col,
         sample_col=sample_col, scale=scale,
     ).collect()
-    samples = sorted({r["s1"] for r in gram_rows} | {r["s2"] for r in gram_rows})
+    samples, kmat, eigvals, eigvecs = _gram_eigensolve(gram_rows)
     n = len(samples)
-    sidx = {s: i for i, s in enumerate(samples)}
-    kmat = np.zeros((n, n))
-    for r in gram_rows:
-        i, j = sidx[r["s1"]], sidx[r["s2"]]
-        kmat[i, j] = kmat[j, i] = r["gram"]
-
-    eigvals, eigvecs = np.linalg.eigh(kmat)
-    order = np.argsort(eigvals)[::-1]
-    eigvals, eigvecs = eigvals[order], eigvecs[:, order]
     eig_resid = np.abs(kmat @ eigvecs - eigvecs * eigvals).max(axis=0)
     orth_resid = np.abs(eigvecs.T @ eigvecs - np.eye(n)).max(axis=1)
     trace = float(eigvals.sum())
@@ -269,9 +287,13 @@ def pca_scores(
     """
     import numpy as np
 
-    centered = _centered(long_df, value_col, key_col, sample_col, scale)
-    n_samples = centered.select(sample_col).distinct().count()
+    # strategy pick: the SAMPLE-dimension cardinality — counted on the
+    # raw frame, not on the centered plan, which would execute the full
+    # per-probe-stats join once just to pick a branch (the Gram path
+    # re-derives the centering internally anyway)
+    n_samples = long_df.select(sample_col).distinct().count()
     if n_samples > gram_threshold:
+        centered = _centered(long_df, value_col, key_col, sample_col, scale)
         return _pca_scores_distributed(centered, k, sample_col, key_col)
     # Gram matrix: one shuffle on the probe key; n(n+1)/2 output cells
     # (upper triangle — K is symmetric, mirror driver-side). Shares
@@ -281,18 +303,9 @@ def pca_scores(
         long_df, value_col=value_col, key_col=key_col,
         sample_col=sample_col, scale=scale,
     ).collect()
-    samples = sorted({r["s1"] for r in gram_rows} | {r["s2"] for r in gram_rows})
+    samples, _kmat, eigvals, eigvecs = _gram_eigensolve(gram_rows)
     n = len(samples)
-    sidx = {s: i for i, s in enumerate(samples)}
-    kmat = np.zeros((n, n))
-    for r in gram_rows:
-        i, j = sidx[r["s1"]], sidx[r["s2"]]
-        kmat[i, j] = kmat[j, i] = r["gram"]
-
-    eigvals, eigvecs = np.linalg.eigh(kmat)  # ascending
-    order = np.argsort(eigvals)[::-1]
-    eigvals = np.clip(eigvals[order], 0.0, None)
-    eigvecs = eigvecs[:, order]
+    eigvals = np.clip(eigvals, 0.0, None)
     k_eff = min(k, n - 1 if n > 1 else 1)
     scores = eigvecs[:, :k_eff] * np.sqrt(eigvals[:k_eff])
     _normalize_signs(scores)

@@ -304,3 +304,35 @@ def test_idat_staged_tree_to_dmp_end_to_end(spark, tmp_path):
     assert dmp["t_mod"].abs().idxmax() == "cg00000000"
     assert dmp["adj_p"].idxmin() == "cg00000000"
     assert len(res.explained_variance) == 2
+
+
+def test_staging_collision_preserves_channel_contract(spark, tmp_path):
+    """Collision suffixes must land on the BASENAME (S1_1_Grn.idat),
+    never after the channel (S1_Grn_1.idat would parse channel-less and
+    silently unpair the sample), and uppercase .IDAT files must be
+    staged readable by the reader's lowercase glob."""
+    import numpy as np
+
+    from methyl_data_pipeline_spark.io.readers import (
+        read_idat_dir,
+        stage_idat_tree,
+    )
+
+    src = tmp_path / "src"
+    stg = tmp_path / "stage"
+    (src / "a").mkdir(parents=True)
+    (src / "b").mkdir(parents=True)
+    blob = make_idat(np.array([10, 20, 30]), np.array([100, 200, 300]))
+    for p in ["a/S1_Grn.idat", "a/S1_Red.idat", "b/S1_Grn.idat"]:
+        (src / p).write_bytes(blob)
+    (src / "b/S1_Red.IDAT").write_bytes(blob)  # uppercase vendor file
+
+    stage_idat_tree(str(src), str(stg), extract_zips=False)
+    rows = sorted(
+        (r.basename, r.channel)
+        for r in read_idat_dir(spark, str(stg)).select("basename", "channel").collect()
+    )
+    # both samples fully paired, all channels parsed
+    assert rows == [
+        ("S1", "Grn"), ("S1", "Red"), ("S1_1", "Grn"), ("S1_1", "Red"),
+    ]
