@@ -167,10 +167,12 @@ def test_stage_idat_tree(tmp_path):
 
     staged = stage_idat_tree(str(src), str(tmp_path / "staged"))
     names = sorted(p.split("/")[-1] for p in staged)
-    assert names == ["chip1_Red.idat", "chip1_Red_1.idat", "chip2_Grn.idat"]
+    # collision suffix lands on the BASENAME (before the channel
+    # suffix) so read_idat_dir still parses channel='Red' for the twin
+    assert names == ["chip1_1_Red.idat", "chip1_Red.idat", "chip2_Grn.idat"]
     # both collision twins survive with distinct contents
     contents = {p.split("/")[-1]: open(p, "rb").read() for p in staged}
-    assert contents["chip1_Red.idat"] != contents["chip1_Red_1.idat"]
+    assert contents["chip1_Red.idat"] != contents["chip1_1_Red.idat"]
 
     import pytest as _pytest
 
