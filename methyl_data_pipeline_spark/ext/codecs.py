@@ -121,6 +121,11 @@ def decode_wav(raw: bytes) -> tuple[int, "np.ndarray"]:
         cid, size = struct.unpack_from("<4sI", raw, pos)
         body = raw[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:
+                # declared size overran the buffer — a truncated upload
+                # must surface as the ValueError the decode fallbacks
+                # catch, not a struct.error that kills the task
+                raise ValueError("truncated WAV fmt chunk")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
             data = body
@@ -188,12 +193,16 @@ def decode_avi(raw: bytes) -> tuple[float, list[bytes]]:
 
     def walk(pos: int, end: int) -> None:
         nonlocal fps
+        # declared chunk sizes in a corrupt container can overrun the
+        # buffer — clamp every traversal bound so the parse degrades to
+        # "fewer frames" instead of struct.error past the end
+        end = min(end, len(raw))
         while pos + 8 <= end:
             cid, size = struct.unpack_from("<4sI", raw, pos)
             body_start = pos + 8
             if cid == b"LIST":
-                walk(body_start + 4, body_start + size)
-            elif cid == b"avih" and size >= 4:
+                walk(body_start + 4, min(body_start + size, len(raw)))
+            elif cid == b"avih" and size >= 4 and body_start + 4 <= len(raw):
                 (us_per_frame,) = struct.unpack_from("<I", raw, body_start)
                 if us_per_frame:
                     fps = 1_000_000 / us_per_frame

@@ -106,8 +106,14 @@ def decode_features(media: DataFrame, feature_dim: int = 8) -> DataFrame:
                     except ValueError:
                         pass
                 if fv is None:
+                    # md5 yields 16 byte-pairs; extend by re-hashing so
+                    # feature_dim > 16 keeps working instead of raising
+                    # int('', 16)
+                    hx = d
+                    while len(hx) < 2 * feature_dim:
+                        hx += hashlib.md5(hx.encode()).hexdigest()
                     fv = [
-                        int(d[2 * i : 2 * i + 2], 16) / 255.0
+                        int(hx[2 * i : 2 * i + 2], 16) / 255.0
                         for i in range(feature_dim)
                     ]
                 kinds.append(kind)
@@ -235,13 +241,19 @@ def decode_image(
             rows = {"id": [], "width": [], "height": [], "mode": [], "pixels": []}
             for rid, content in zip(pdf["id"], pdf["content"]):
                 raw = bytes(content) if content is not None else b""
+                pixels, mode = None, "FAKE"
                 if raw[:2] == b"BM":
-                    src_w, src_h, rgb = decode_bmp(raw)
-                    pixels = resize_nearest(rgb, src_w, src_h, width, height)
-                    mode = "RGB"
-                else:
+                    # magic match is not validity: a corrupt/truncated
+                    # BMP must fall back like every other non-decodable
+                    # payload, not kill the job
+                    try:
+                        src_w, src_h, rgb = decode_bmp(raw)
+                        pixels = resize_nearest(rgb, src_w, src_h, width, height)
+                        mode = "RGB"
+                    except ValueError:
+                        pixels = None
+                if pixels is None:
                     pixels = _digest_bytes(raw, n_px, b"img|")
-                    mode = "FAKE"
                 rows["id"].append(rid)
                 rows["width"].append(width)
                 rows["height"].append(height)
@@ -293,15 +305,23 @@ def decode_audio(
             rows = {"id": [], "sample_rate": [], "n_samples": [], "waveform": []}
             for rid, content in zip(pdf["id"], pdf["content"]):
                 raw = bytes(content) if content is not None else b""
+                waveform = None
                 if raw[:4] == b"RIFF":
-                    src_rate, wave = decode_wav(raw)
-                    wave = resample_nearest(wave, src_rate, sample_rate)
-                    if len(wave) < n_samples:
-                        wave = np.pad(wave, (0, n_samples - len(wave)))
-                    waveform = [float(v) for v in wave[:n_samples]]
-                else:
+                    # RIFF magic also matches AVI (and corrupt WAVs) —
+                    # fall back instead of failing the task
+                    try:
+                        src_rate, wave = decode_wav(raw)
+                        wave = resample_nearest(wave, src_rate, sample_rate)
+                        if len(wave) < n_samples:
+                            wave = np.pad(wave, (0, n_samples - len(wave)))
+                        waveform = wave[:n_samples].astype(float).tolist()
+                    except ValueError:
+                        waveform = None
+                if waveform is None:
                     pcm = _digest_bytes(raw, n_samples, b"aud|")
-                    waveform = [b / 127.5 - 1.0 for b in pcm]
+                    waveform = (
+                        np.frombuffer(pcm, dtype=np.uint8) / 127.5 - 1.0
+                    ).tolist()
                 rows["id"].append(rid)
                 rows["sample_rate"].append(sample_rate)
                 rows["n_samples"].append(n_samples)
@@ -337,8 +357,18 @@ def frame_sample(
             rows = {"id": [], "frame_idx": [], "t_offset": [], "frame_digest": []}
             for rid, content, n_bytes in zip(pdf["id"], pdf["content"], pdf["n_bytes"]):
                 raw = bytes(content) if content is not None else b""
-                if raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
-                    fps, frames = decode_avi(raw)
+                is_avi = raw[:4] == b"RIFF" and raw[8:12] == b"AVI "
+                if is_avi:
+                    # a corrupt container falls back to the fake stream
+                    # (same as codec-less formats) instead of failing
+                    # the whole job on one bad row
+                    try:
+                        fps, frames = decode_avi(raw)
+                        if not frames:  # corrupt container, no chunks
+                            is_avi = False
+                    except ValueError:
+                        is_avi = False
+                if is_avi:
                     for idx in range(0, len(frames), every_n):
                         rows["id"].append(rid)
                         rows["frame_idx"].append(idx)

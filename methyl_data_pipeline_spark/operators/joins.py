@@ -39,9 +39,14 @@ def intersect_probes_inner(run_dfs: list[DataFrame], key: str = "probe_id") -> D
     Long form: union all, then semi-join on probes whose distinct source
     count equals the run count.
     """
+    from methyl_data_pipeline_spark import cache
+
     n = len(run_dfs)
     tagged = [df.withColumn("_src", F.lit(i)) for i, df in enumerate(run_dfs)]
-    unioned = reduce(lambda a, b: a.unionByName(b), tagged)
+    # persisted: the union lineage feeds BOTH the completeness
+    # aggregate and the semi-join's left side — without it every run's
+    # upstream (possibly an ingest parse) executes twice per action
+    unioned = cache.track(reduce(lambda a, b: a.unionByName(b), tagged))
     complete = (
         unioned.groupBy(key)
         .agg(F.countDistinct("_src").alias("_n_src"))
@@ -55,8 +60,15 @@ def enrich_with_samples(
     fact: DataFrame, samples: DataFrame, key: str = "sample_id", how: str = "left"
 ) -> DataFrame:
     """Broadcast-join the sample dimension onto a fact/result table.
-    Reference J3 (analysis/pca_analysis.py:52-56)."""
-    return fact.join(F.broadcast(samples), key, how)
+    Reference J3 (analysis/pca_analysis.py:52-56).
+
+    Dimension columns the fact already carries (e.g. ``run``, present
+    in BOTH canonical schemas) are dropped from the dimension side —
+    otherwise the join result holds two same-named columns and any
+    later reference raises AMBIGUOUS_REFERENCE."""
+    overlap = [c for c in samples.columns if c != key and c in fact.columns]
+    dim = samples.drop(*overlap) if overlap else samples
+    return fact.join(F.broadcast(dim), key, how)
 
 
 def enrich_with_probes(fact: DataFrame, probes: DataFrame, how: str = "inner") -> DataFrame:

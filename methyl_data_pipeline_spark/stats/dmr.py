@@ -43,7 +43,14 @@ def call_dmrs(
     cand = stats_df.filter(F.abs(F.col(stat_col)) >= cutoff).withColumn(
         "_sign", F.signum(F.col(stat_col))
     )
-    w = Window.partitionBy(chrom_col).orderBy(pos_col)
+    # deterministic under position ties: order carries the statistic
+    # as tiebreak, and the segment-id cumsum uses a ROWS frame — the
+    # default RANGE frame would hand tied rows a shared cumulative sum
+    # (and lag() an arbitrary peer), letting one region swallow
+    # opposite-sign probes at the same locus with partition-dependent
+    # output.
+    w = Window.partitionBy(chrom_col).orderBy(pos_col, stat_col)
+    w_seg = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     marked = (
         cand.withColumn("_prev_pos", F.lag(pos_col).over(w))
         .withColumn("_prev_sign", F.lag("_sign").over(w))
@@ -56,7 +63,7 @@ def call_dmrs(
                 1,
             ).otherwise(0),
         )
-        .withColumn("_seg", F.sum("_brk").over(w))
+        .withColumn("_seg", F.sum("_brk").over(w_seg))
     )
     return (
         marked.groupBy(chrom_col, "_seg")

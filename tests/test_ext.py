@@ -929,3 +929,38 @@ def test_snapshot_diff_statuses(spark):
     new2 = spark.createDataFrame([(2, None)], "doc_id long, text string")
     got2 = {r.doc_id: r.status for r in snapshot_diff(old2, new2).collect()}
     assert got2 == {1: "removed", 2: "changed"}
+
+
+def test_multimodal_corrupt_payloads_fall_back(spark):
+    """Magic-matching but corrupt payloads must degrade to the digest
+    fallback on every decode path instead of failing the job."""
+    import pandas as pd
+
+    from methyl_data_pipeline_spark.ext.multimodal import (
+        decode_audio,
+        decode_features,
+        decode_image,
+        frame_sample,
+    )
+
+    bad = [
+        (1, "image", b"BM" + b"\x00" * 10, 12),            # truncated BMP
+        (2, "audio", b"RIFF\xff\xff\xff\xffWAVE" + b"fmt " + b"\x10\x00\x00\x00" + b"\x01\x00", 22),  # truncated fmt
+        (3, "video", b"RIFF\x00\x10\x00\x00AVI LIST\xff\xff\xff\x7fzzzz", 28),  # overrunning LIST
+        (4, "text", b"plain bytes", 11),
+    ]
+    media = spark.createDataFrame(
+        pd.DataFrame(bad, columns=["id", "modality", "content", "n_bytes"])
+    )
+    feats = decode_features(media).collect()
+    assert len(feats) == 4 and all(r.kind == "digest" for r in feats)
+    imgs = decode_image(media, width=4, height=4).collect()
+    assert len(imgs) == 4 and all(r.mode == "FAKE" for r in imgs)
+    auds = decode_audio(media, sample_rate=100, clip_seconds=0.1).collect()
+    assert len(auds) == 4 and all(r.n_samples == 10 for r in auds)
+    frames = frame_sample(media, every_n=2).collect()
+    assert {r.id for r in frames} == {1, 2, 3, 4}  # fallback frames emitted
+
+    # feature_dim > 16 extends the digest instead of raising
+    wide = decode_features(media, feature_dim=20).collect()
+    assert all(len(r.features) == 20 for r in wide)
