@@ -3635,7 +3635,7 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_CHUNK_DOCUMENTS = r"""
 WITH ws AS (
-  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
   FROM documents
 ),
 n AS (
@@ -3896,7 +3896,7 @@ def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_SEGMENT_DEDUP = r"""
 WITH ws AS (
-  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
   FROM documents
 ),
 ex AS (

@@ -43,7 +43,10 @@ def pack_sequences(
         (F.col("_start") % window_tokens).alias("bin_offset"),
         (
             (F.col("_start") / window_tokens).cast("long")
-            != ((F.col("_start") + F.col(token_col) - 1) / window_tokens).cast("long")
+            != (
+                (F.col("_start") + F.greatest(F.col(token_col), F.lit(1)) - 1)
+                / window_tokens
+            ).cast("long")
         ).alias("spans_boundary"),
     )
     return out
@@ -171,8 +174,11 @@ def chunk_documents(
     """
     if stride <= 0 or window <= 0 or stride > window:
         raise ValueError("need 0 < stride <= window")
+    # whitespace squeeze ONLY — chunk_text feeds training/RAG, so case
+    # must survive (normalize_label's lowercasing is for join keys and
+    # fingerprints, not content)
     ws = F.split(
-        normalize_label(F.col(text_col)), " "
+        F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "), " "
     )
     n = F.size(ws)
     n_chunks = F.when(n <= window, F.lit(1)).otherwise(

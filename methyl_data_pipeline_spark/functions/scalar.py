@@ -37,7 +37,12 @@ def strip_r_prefix(col: Column | str) -> Column:
     """Undo R's `X`-prefix mangling of numeric column names and the
     `.AVG_Beta` suffix (reference F4: analysis/pca_analysis.py:25-26,
     workflow.R:112)."""
-    return F.regexp_replace(F.regexp_replace(_c(col), r"^X", ""), r"\.AVG_Beta$", "")
+    # only strip the X that R's make.names PREPENDS (names starting
+    # with a digit/dot) — a legitimate X-initial id like 'X27_plate1'
+    # was never mangled and must survive
+    return F.regexp_replace(
+        F.regexp_replace(_c(col), r"^X(?=[0-9.])", ""), r"\.AVG_Beta$", ""
+    )
 
 
 def normalize_label(col: Column | str) -> Column:
@@ -52,8 +57,11 @@ def sanitize_filename(col: Column | str) -> Column:
 
 
 def neg_log10(col: Column | str) -> Column:
-    """-log10(p) for volcano prep (reference F11: volcano.R:166)."""
-    return -F.log10(_c(col))
+    """-log10(p) for volcano prep (reference F11: volcano.R:166).
+    p is floored at 1e-300: Spark's log10 yields NULL for non-positive
+    input, which would silently drop the STRONGEST hits (p underflowed
+    to 0) from the volcano instead of plotting them at the top."""
+    return -F.log10(F.greatest(_c(col), F.lit(1e-300)))
 
 
 def significance_flag(

@@ -59,7 +59,13 @@ def expect_complete_matrix(
     every probe observed non-null in every sample. Long-form semantics —
     count-vs-expected per probe, not a null scan (SURVEY §7.3 #3).
     Raises on the first incomplete probe set; returns ``meth``."""
-    per = meth.groupBy(key_col).agg(F.count(F.col(value_col)).alias("_n"))
+    # distinct SAMPLES with a non-null value — a plain row count would
+    # let duplicate (probe, sample) rows mask a missing sample
+    per = meth.groupBy(key_col).agg(
+        F.countDistinct(
+            F.when(F.col(value_col).isNotNull(), F.col("sample_id"))
+        ).alias("_n")
+    )
     row = per.agg(
         F.sum(F.when(F.col("_n") != n_samples, 1).otherwise(0)).alias("bad")
     ).collect()[0]

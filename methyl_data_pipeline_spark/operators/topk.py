@@ -57,6 +57,10 @@ def approx_quantiles_per_group(
         f"approx_percentile({value_col}, array({probs}), {int(1 / relative_error)})"
     ).alias("_qs")
     out = df.groupBy(*group_cols).agg(agg_expr)
-    for i, p in enumerate(probabilities):
-        out = out.withColumn(f"q{int(p * 100)}", F.col("_qs")[i])
+    names = [f"q{round(p * 100)}" if round(p * 100) == p * 100
+             else f"q{str(p).replace('0.', '')}" for p in probabilities]
+    if len(set(names)) != len(names):
+        raise ValueError(f"probabilities map to colliding column names: {names}")
+    for i, name in enumerate(names):
+        out = out.withColumn(name, F.col("_qs")[i])
     return out.drop("_qs")

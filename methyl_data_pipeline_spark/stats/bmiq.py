@@ -47,8 +47,12 @@ def _prep_fit_values(values: np.ndarray, nfit: int | None, seed: int):
     if v.size < 10:
         return None
     if nfit is not None and v.size > nfit:
+        # sort BEFORE the positional draw: applyInPandas delivers the
+        # group in shuffle-fetch order, so seeded positions over the
+        # raw order would pick different VALUES run-to-run — sorting
+        # makes the documented determinism hold on the subsample path
         rng = np.random.RandomState(seed)
-        v = v[rng.choice(v.size, nfit, replace=False)]
+        v = np.sort(v)[rng.choice(v.size, nfit, replace=False)]
     return np.clip(v, 1e-6, 1.0 - 1e-6)
 
 
@@ -235,11 +239,6 @@ def bmiq_normalize(
     joined = meth.join(
         F.broadcast(probes.select("probe_id", "design_type")), "probe_id", "left"
     )
-    schema = (
-        "probe_id string, sample_id string, run string, "
-        f"{value_col} double, det_p double, design_type int, "
-        "beta_bmiq double, bmiq_ok boolean"
-    )
 
     def per_sample(pdf: pd.DataFrame) -> pd.DataFrame:
         import zlib
@@ -258,6 +257,14 @@ def bmiq_normalize(
 
     cols = ["probe_id", "sample_id", "run", value_col, "det_p", "design_type"]
     present = [c for c in cols if c in joined.columns]
+    # the declared schema mirrors the SELECTED columns — a hardcoded
+    # run/det_p entry would crash inputs that legitimately lack them
+    types = {
+        "probe_id": "string", "sample_id": "string", "run": "string",
+        value_col: "double", "det_p": "double", "design_type": "int",
+    }
+    schema = ", ".join(f"{c} {types[c]}" for c in present)
+    schema += ", beta_bmiq double, bmiq_ok boolean"
     return joined.select(*present).groupBy("sample_id").applyInPandas(per_sample, schema)
 
 

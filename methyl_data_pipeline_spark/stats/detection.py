@@ -42,8 +42,11 @@ def ecdf_detection_p(
         .withColumn("_oob_n", F.sum(oob_int).over(w_all))
         .withColumn(
             out_col,
+            # a NULL intensity has no rank — fabricating det_p for it
+            # (NULLs sort first and only see null-ordered peers) would
+            # report a confident p-value for a failed read
             F.when(
-                F.col("_oob_n") > 0,
+                F.col(value_col).isNotNull() & (F.col("_oob_n") > 0),
                 1.0 - F.col("_oob_le") / F.col("_oob_n"),
             ).otherwise(F.lit(None).cast("double")),
         )
