@@ -65,6 +65,20 @@ def _r(col, digits: int = 6):
     return F.round(col + F.lit(1e-9), digits) + F.lit(0.0)
 
 
+def _ri(col, scale: int = 1_000_000):
+    """Hash-SAFE float output: scaled-integer (micro-unit) encoding of
+    a float column. ``_r``'s ROUND(float, d) still emits a double, and
+    a cross-environment ulp in an upstream sum can land the value on
+    the other side of the rounding boundary (CORRECTNESS_r04/r05:
+    ``moderated_f`` et al were bit-identical locally yet hash-red on
+    the driver). Emitting ``CAST(ROUND((x + 1e-9) * scale) AS BIGINT)``
+    on BOTH engines removes floats from the hash channel entirely: the
+    1e-9 nudge keeps grid values off the half-boundary, and the integer
+    carries no formatting/-0.0/ulp ambiguity. Mirror in SQL with
+    ``CAST(ROUND((x + 1e-9) * scale) AS BIGINT)``."""
+    return F.round((col + F.lit(1e-9)) * F.lit(float(scale))).cast("long")
+
+
 # --------------------------------------------------------------------------
 # Shared derived views
 # --------------------------------------------------------------------------
@@ -3520,17 +3534,18 @@ def q_moderated_f(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     # moment_round=9: both engines aggregate the SAME 9-dp per-group
-    # moments, so second-level sums can't drift apart; subtract-before-
-    # square ms_between + 6-dp output kill the r4 ulp-boundary hash miss.
+    # moments, so second-level sums can't drift apart. Outputs are
+    # scaled-integer (_ri) — r4/r5 were bit-identical to DuckDB locally
+    # yet hash-red on the driver, so floats leave the hash channel.
     out = moderated_f_anova(grouped, "grp", moment_round=9)
     return out.select(
         "probe_id",
         F.col("n_groups").cast("long").alias("n_groups"),
         F.col("df1").cast("long").alias("df1"),
         F.col("df2").cast("long").alias("df2"),
-        _r(F.col("s2"), 6).alias("s2"),
-        _r(F.col("ms_between"), 6).alias("ms_between"),
-        _r(F.col("f_mod"), 4).alias("f_mod"),
+        _ri(F.col("s2")).alias("s2"),
+        _ri(F.col("ms_between")).alias("ms_between"),
+        _ri(F.col("f_mod"), 10_000).alias("f_mod"),
     ).orderBy("probe_id")
 
 
@@ -3575,10 +3590,10 @@ prior AS (
   FROM stats
 )
 SELECT probe_id, n_groups, n_groups - 1 AS df1, df2,
-       ROUND(s2 + 1e-9, 6) AS s2,
-       ROUND(ms_between + 1e-9, 6) AS ms_between,
-       ROUND(ms_between / ((d0 * s0_sq + df2 * s2) / (d0 + df2)) + 1e-9, 4)
-         AS f_mod
+       CAST(ROUND((s2 + 1e-9) * 1000000) AS BIGINT) AS s2,
+       CAST(ROUND((ms_between + 1e-9) * 1000000) AS BIGINT) AS ms_between,
+       CAST(ROUND((ms_between / ((d0 * s0_sq + df2 * s2) / (d0 + df2))
+                   + 1e-9) * 10000) AS BIGINT) AS f_mod
 FROM stats, prior ORDER BY probe_id
 """
 
@@ -4077,18 +4092,20 @@ def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust outlier QC (stats.robust.mad_outlier_summary): per
     event_type, median/MAD and the count of values beyond 3 robust
     sds — the data-driven generalization of the reference's fixed
-    detP sample gate (scripts/qc.py:24-31)."""
+    detP sample gate (workflow.R:44-49)."""
     from methyl_data_pipeline_spark.stats.robust import mad_outlier_summary
 
     ev = _events(spark, sf_dir)
     out = mad_outlier_summary(ev, "value", ["event_type"], c=3.0)
+    # scaled-integer outputs (_ri): r5 was bit-identical to DuckDB
+    # locally yet hash-red on the driver — floats leave the channel
     return out.select(
         "event_type",
         "n",
-        _r(F.col("grp_median")).alias("grp_median"),
-        _r(F.col("grp_mad")).alias("grp_mad"),
+        _ri(F.col("grp_median")).alias("grp_median"),
+        _ri(F.col("grp_mad")).alias("grp_mad"),
         "n_outliers",
-        _r(F.col("outlier_rate")).alias("outlier_rate"),
+        _ri(F.col("outlier_rate")).alias("outlier_rate"),
     ).orderBy("event_type")
 
 
@@ -4112,11 +4129,13 @@ flagged AS (
 )
 SELECT event_type,
        COUNT(*)                                   AS n,
-       ROUND(ANY_VALUE(grp_median) + 1e-9, 6)     AS grp_median,
-       ROUND(ANY_VALUE(grp_mad) + 1e-9, 6)        AS grp_mad,
+       CAST(ROUND((ANY_VALUE(grp_median) + 1e-9) * 1000000) AS BIGINT)
+                                                  AS grp_median,
+       CAST(ROUND((ANY_VALUE(grp_mad) + 1e-9) * 1000000) AS BIGINT)
+                                                  AS grp_mad,
        SUM(CASE WHEN robust_z > 3.0 THEN 1 ELSE 0 END) AS n_outliers,
-       ROUND(SUM(CASE WHEN robust_z > 3.0 THEN 1 ELSE 0 END) * 1.0
-             / COUNT(*) + 1e-9, 6)                AS outlier_rate
+       CAST(ROUND((SUM(CASE WHEN robust_z > 3.0 THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*) + 1e-9) * 1000000) AS BIGINT) AS outlier_rate
 FROM flagged GROUP BY event_type ORDER BY event_type
 """
 
@@ -4208,15 +4227,17 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     out = corpus_report(docs)
+    # scaled-integer ratios (_ri): r5 was bit-identical to DuckDB
+    # locally yet hash-red on the driver — floats leave the channel
     return out.select(
         "source",
         "n_docs",
         "total_tokens",
         "n_unique_bodies",
-        _r(F.col("dup_rate")).alias("dup_rate"),
+        _ri(F.col("dup_rate")).alias("dup_rate"),
         "n_langs",
         "top_lang",
-        _r(F.col("top_lang_share")).alias("top_lang_share"),
+        _ri(F.col("top_lang_share")).alias("top_lang_share"),
     ).orderBy("source")
 
 
@@ -4242,9 +4263,11 @@ top AS (
   FROM lc
 )
 SELECT p.source, p.n_docs, p.total_tokens, p.n_unique_bodies,
-       ROUND(1.0 - p.n_unique_bodies * 1.0 / p.n_docs + 1e-9, 6) AS dup_rate,
+       CAST(ROUND((1.0 - p.n_unique_bodies * 1.0 / p.n_docs + 1e-9) * 1000000)
+            AS BIGINT) AS dup_rate,
        p.n_langs, t.top_lang,
-       ROUND(t.top_lang_docs * 1.0 / p.n_docs + 1e-9, 6) AS top_lang_share
+       CAST(ROUND((t.top_lang_docs * 1.0 / p.n_docs + 1e-9) * 1000000)
+            AS BIGINT) AS top_lang_share
 FROM per_shard p JOIN top t ON p.source = t.source AND t.rn = 1
 ORDER BY p.source
 """

@@ -308,9 +308,16 @@ def segment_dedup(
     (map-side partial min), a semi-join back on the same key, and one
     groupBy on doc id to reassemble — cost tracks corpus token count,
     never n².
+
+    Case-PRESERVING: ``text_dedup`` feeds training, so segments keep
+    their original casing (whitespace-only normalization) and the
+    dedup key is the exact segment text — same fidelity rationale as
+    ``ext.pack.chunk_documents``.
     """
+    from methyl_data_pipeline_spark.functions.scalar import normalize_ws
+
     ws = F.split(
-        normalize_label(F.col(text_col)), " "
+        normalize_ws(F.col(text_col)), " "
     )
     n_seg = F.ceil(F.size(ws) / F.lit(chunk_words)).cast("int")
     segs = F.transform(
@@ -537,8 +544,9 @@ def bloom_decontaminate(
 
     Returns one row per corpus doc: ``n_bloom_hits`` (distinct shingle
     hashes passing the filter) and ``maybe_contaminated``. Semantics
-    parallel the reference's membership gating (scripts/model.py:61-66
-    isin-style filters) lifted to probabilistic set membership.
+    parallel the reference's isin-style membership gating
+    (dataset.py:41, bmiq/DoBMIQ.R:57-63) lifted to probabilistic set
+    membership.
     """
     def shingled(df: DataFrame) -> DataFrame:
         return df.select(

@@ -817,11 +817,15 @@ def heavy_hitters(
     aggregate). Returns (gram, n_occurrences, share), share ≥
     min_share, descending.
     """
-    from methyl_data_pipeline_spark.ext.dedup import shingles
+    from methyl_data_pipeline_spark import cache
+    from methyl_data_pipeline_spark.ext.dedup import shingles, shingles_from_words
 
-    grams = df.select(
-        F.explode(shingles(text_col, ngram_n)).alias("gram")
-    )
+    # NULL texts produce no grams on the explode path (explode of a
+    # null array emits nothing), so they must contribute 0 to the
+    # denominator too — without this filter the word-count arithmetic
+    # below sees F.size(NULL) = -1 (non-ANSI legacy sizeOfNull) and
+    # greatest(-1 - (n-1), 1) would count 1 phantom gram per null doc.
+    nn = df.filter(F.col(text_col).isNotNull())
     # The sketch guarantee is STRICT (share > support) while the exact
     # filter below is >=, so a gram sitting exactly on the threshold
     # may legally vanish from the sketch — run it at 0.9x the target
@@ -831,6 +835,18 @@ def heavy_hitters(
     # the naive exact shuffle rather than silently lose true hitters.
     support = min_share * 0.9
     if prefilter and support >= 1e-4:
+        # materialize the normalized word arrays ONCE: the sketch
+        # pass, the exact candidate count, and the denominator all
+        # read this projection — without the persist each re-runs the
+        # regex/split chain, the dominant CPU cost of the plan
+        ws_df = cache.track(
+            nn.select(
+                F.split(normalize_label(F.col(text_col)), " ").alias("_ws")
+            )
+        )
+        grams = ws_df.select(
+            F.explode(shingles_from_words(F.col("_ws"), ngram_n)).alias("gram")
+        )
         cands = grams.stat.freqItems(["gram"], support=support).collect()[0][0]
         counts = (
             grams.filter(F.col("gram").isin(list(cands)))
@@ -839,17 +855,17 @@ def heavy_hitters(
         )
         # denominator WITHOUT re-materializing gram strings: per doc
         # the gram count is just greatest(n_words - (n-1), 1), so the
-        # total is word-count arithmetic over the raw docs — the
-        # prefilter path's second full pass stays string-free
-        ws = F.split(
-            normalize_label(F.col(text_col)), " "
-        )
-        total = df.agg(
+        # total is word-count arithmetic over the persisted arrays —
+        # the prefilter path's extra passes stay string-free
+        total = ws_df.agg(
             F.sum(
-                F.greatest(F.size(ws) - (ngram_n - 1), F.lit(1)).cast("long")
+                F.greatest(
+                    F.size("_ws") - (ngram_n - 1), F.lit(1)
+                ).cast("long")
             ).alias("_total")
         )
     else:
+        grams = nn.select(F.explode(shingles(text_col, ngram_n)).alias("gram"))
         counts = grams.groupBy("gram").agg(
             F.count(F.lit(1)).alias("n_occurrences")
         )

@@ -6,6 +6,7 @@ from methyl_data_pipeline_spark.functions.scalar import (  # noqa: F401
     parse_tb_sample,
     strip_r_prefix,
     normalize_label,
+    normalize_ws,
     sanitize_filename,
     neg_log10,
     significance_flag,

@@ -51,6 +51,15 @@ def normalize_label(col: Column | str) -> Column:
     return F.regexp_replace(F.lower(F.trim(_c(col))), r"\s+", " ")
 
 
+def normalize_ws(col: Column | str) -> Column:
+    """Trim + squeeze internal whitespace, CASE-PRESERVING — the body
+    normalization for operators whose output text feeds training
+    (segment dedup, chunking): casing is signal the model learns from,
+    so only whitespace is canonicalized. ``normalize_label``'s
+    lowercasing is for join/dedup KEYS and label matching."""
+    return F.regexp_replace(F.trim(_c(col)), r"\s+", " ")
+
+
 def sanitize_filename(col: Column | str) -> Column:
     """Replace non-word chars with `_` (reference dataset.py:48)."""
     return F.regexp_replace(_c(col), r"[^\w\-]", "_")

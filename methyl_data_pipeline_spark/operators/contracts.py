@@ -54,6 +54,7 @@ def expect_complete_matrix(
     n_samples: int,
     value_col: str = "beta",
     key_col: str = "probe_id",
+    sample_col: str = "sample_id",
 ) -> DataFrame:
     """ComBat/BMIQ precondition (combat_norm.py:36-37, workflow.R:119-126):
     every probe observed non-null in every sample. Long-form semantics —
@@ -63,7 +64,7 @@ def expect_complete_matrix(
     # let duplicate (probe, sample) rows mask a missing sample
     per = meth.groupBy(key_col).agg(
         F.countDistinct(
-            F.when(F.col(value_col).isNotNull(), F.col("sample_id"))
+            F.when(F.col(value_col).isNotNull(), F.col(sample_col))
         ).alias("_n")
     )
     row = per.agg(

@@ -1,7 +1,7 @@
 """Robust (median/MAD) outlier statistics.
 
 The reference screens bad samples with fixed detection-p thresholds
-(scripts/qc.py:24-31 mean-detP gating); this module generalizes that
+(workflow.R:44-49 mean-detP gating); this module generalizes that
 gate to a data-driven robust rule — flag values more than ``c`` robust
 standard deviations from the per-group median, where the robust sd is
 1.4826·MAD (the normal-consistency constant). Median/MAD resist the

@@ -306,7 +306,8 @@ def stream_curate(
     accumulated shard files instead).
 
     Reference semantics: the same gate chain as ``plans.curation``
-    (scripts/model.py:61-66 membership gating lifted to streams).
+    (dataset.py:41 / bmiq/DoBMIQ.R:57-63 isin membership gating,
+    lifted to streams).
     """
     from methyl_data_pipeline_spark.ext.dedup import bloom_test, shingles_from_words
     from methyl_data_pipeline_spark.ext.text import md5_long, quality_reject_reasons

@@ -572,20 +572,27 @@ def test_segment_dedup_removes_repeats(spark):
 
     docs = spark.createDataFrame(
         [
-            (1, "alpha beta gamma delta unique one two three"),
+            (1, "alpha beta gamma delta Unique One two three"),
             (2, "alpha beta gamma delta other words here now"),
             (3, "fresh content entirely new alpha beta gamma delta"),
+            # case differs from doc 1's first segment -> NOT a duplicate
+            # (case-preserving exact dedup; casing is training signal)
+            (4, "Alpha Beta Gamma Delta trailing words pad here"),
         ],
         "doc_id long, text string",
     )
     out = {r.doc_id: r for r in segment_dedup(docs, chunk_words=4).collect()}
     assert out[1].n_segs == 2 and out[1].n_kept == 2
-    assert out[1].text_dedup == "alpha beta gamma delta unique one two three"
+    # original casing survives into the reassembled text
+    assert out[1].text_dedup == "alpha beta gamma delta Unique One two three"
     # doc 2's first segment duplicates doc 1's -> dropped
     assert out[2].n_segs == 2 and out[2].n_kept == 1
     assert out[2].text_dedup == "other words here now"
     # doc 3's duplicate segment sits at position 1, not 0 -> only it drops
     assert out[3].n_kept == 1 and out[3].text_dedup == "fresh content entirely new"
+    # doc 4's differently-cased segment is a DISTINCT segment -> kept
+    assert out[4].n_kept == 2
+    assert out[4].text_dedup == "Alpha Beta Gamma Delta trailing words pad here"
 
 
 def test_segment_dedup_partitioning_invariant(spark):

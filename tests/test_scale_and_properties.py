@@ -344,7 +344,9 @@ def test_segment_dedup_skewed_boilerplate(spark):
     def local_oracle(rows):
         chunks = {}
         for d, t in rows:
-            words = re.sub(r"\s+", " ", t.strip().lower()).split(" ")
+            # case-preserving: only whitespace is normalized (ADVICE r5
+            # — dedup output feeds training, casing must survive)
+            words = re.sub(r"\s+", " ", t.strip()).split(" ")
             chunks[d] = [" ".join(words[k:k + 4]) for k in range(0, len(words), 4)]
         first = {}
         for d in sorted(chunks):
