@@ -309,26 +309,9 @@ def stream_curate(
     (dataset.py:41 / bmiq/DoBMIQ.R:57-63 isin membership gating,
     lifted to streams).
     """
-    from methyl_data_pipeline_spark.ext.dedup import bloom_test, shingles_from_words
-    from methyl_data_pipeline_spark.ext.text import md5_long, quality_reject_reasons
-    from methyl_data_pipeline_spark.plans.curation import redact_pii_text
-
-    from methyl_data_pipeline_spark.functions.scalar import normalize_label
-
-    kept = stream.filter(quality_reject_reasons(text_col=text_col) == F.lit(""))
-    norm = normalize_label(redact_pii_text(F.col(text_col)))
-    red = kept.select(
-        F.col(id_col),
-        F.col(ts_col),
-        norm.alias("_norm"),
-    ).withColumn("_ws", F.split(F.col("_norm"), " "))
-    if bloom_words is not None:
-        contaminated = F.exists(
-            F.array_distinct(shingles_from_words(F.col("_ws"), ngram_n)),
-            lambda s: bloom_test(md5_long(s), bloom_words, m_bits, k),
-        )
-        red = red.filter(~contaminated)
-    red = red.withColumn("fingerprint", md5_long(F.col("_norm")))
+    red = _curate_projection(
+        stream, bloom_words, text_col, id_col, [ts_col], ngram_n, m_bits, k
+    )
     deduped = red.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         ["fingerprint"]
     )
@@ -337,4 +320,74 @@ def stream_curate(
         ts_col,
         "fingerprint",
         F.size(F.col("_ws")).cast("long").alias("n_tokens"),
+    )
+
+
+def _curate_projection(
+    df: DataFrame,
+    bloom_words: list[int] | None,
+    text_col: str,
+    id_col: str,
+    keep_cols: list[str],
+    ngram_n: int,
+    m_bits: int,
+    k: int,
+) -> DataFrame:
+    """The STATELESS prefix shared by :func:`stream_curate` and
+    :func:`curate_batch_twin`: quality gate → PII redaction +
+    normalization → Bloom decontamination → body fingerprint. Pure
+    per-row expressions (streaming-legal in append mode); only the
+    dedup stage differs between the two callers."""
+    from methyl_data_pipeline_spark.ext.dedup import bloom_test, shingles_from_words
+    from methyl_data_pipeline_spark.ext.text import md5_long, quality_reject_reasons
+    from methyl_data_pipeline_spark.functions.scalar import normalize_label
+    from methyl_data_pipeline_spark.plans.curation import redact_pii_text
+
+    kept = df.filter(quality_reject_reasons(text_col=text_col) == F.lit(""))
+    norm = normalize_label(redact_pii_text(F.col(text_col)))
+    red = kept.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        norm.alias("_norm"),
+    ).withColumn("_ws", F.split(F.col("_norm"), " "))
+    if bloom_words is not None:
+        contaminated = F.exists(
+            F.array_distinct(shingles_from_words(F.col("_ws"), ngram_n)),
+            lambda s: bloom_test(md5_long(s), bloom_words, m_bits, k),
+        )
+        red = red.filter(~contaminated)
+    return red.withColumn("fingerprint", md5_long(F.col("_norm")))
+
+
+def curate_batch_twin(
+    docs: DataFrame,
+    bloom_words: list[int] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_n: int = 5,
+    m_bits: int = 1 << 18,
+    k: int = 5,
+) -> DataFrame:
+    """Batch twin of :func:`stream_curate`: the IDENTICAL stateless
+    stage chain (shared via :func:`_curate_projection`), with the
+    stream's first-arrival dedup winner replaced by the deterministic
+    min-id winner — the two coincide when ingest is id-ordered, which
+    the stream/batch parity test certifies. This is the frame the
+    driver's DuckDB oracle replays, binding the streaming chain's
+    semantics to an exact reference.
+
+    Emits one row per surviving doc: ``(id_col, fingerprint,
+    n_tokens)``. One groupBy shuffle on the 60-bit fingerprint.
+    """
+    red = _curate_projection(
+        docs, bloom_words, text_col, id_col, [], ngram_n, m_bits, k
+    )
+    winners = red.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
+    return (
+        red.join(winners, ["fingerprint", id_col], "left_semi")
+        .select(
+            id_col,
+            "fingerprint",
+            F.size(F.col("_ws")).cast("long").alias("n_tokens"),
+        )
     )

@@ -665,6 +665,7 @@ def test_stream_curate_parity_with_batch_chain(spark, tmp_path):
     )
     from methyl_data_pipeline_spark.plans.curation import redact_pii_text
     from methyl_data_pipeline_spark.streaming.events import (
+        curate_batch_twin,
         stream_curate,
         stream_events_from_parquet,
     )
@@ -724,3 +725,11 @@ def test_stream_curate_parity_with_batch_chain(spark, tmp_path):
     }
     assert len(want) > 50
     assert got == want
+
+    # the library batch twin (the frame the driver's oracle replays)
+    # must match both the stream and the hand-rolled reference
+    twin = {
+        r["doc_id"]: r["n_tokens"]
+        for r in curate_batch_twin(corpus, bloom_words=words).collect()
+    }
+    assert twin == want
