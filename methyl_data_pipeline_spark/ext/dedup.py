@@ -64,9 +64,17 @@ def shingles_from_words(ws: Column, n: int = 3) -> Column:
 def shingles(text_col: str, n: int = 3) -> Column:
     """Word n-gram shingles of lowercased, whitespace-normalized text.
     Documents shorter than n words yield the whole text as one shingle
-    (so they still participate in dedup)."""
-    ws = F.split(normalize_label(F.col(text_col)), " ")
-    return shingles_from_words(ws, n)
+    (so they still participate in dedup).
+
+    The split is BOUND ONCE as a lambda variable (single-element
+    ``transform`` wrapper): Catalyst does not common-subexpression-
+    eliminate inside higher-order functions, so inlining the
+    regex+split into the per-gram ``slice`` re-evaluates it O(words)
+    times per document — measured 5x slower on the trigram bench."""
+    split_expr = F.split(normalize_label(F.col(text_col)), " ")
+    return F.transform(
+        F.array(split_expr), lambda ws: shingles_from_words(ws, n)
+    )[0]
 
 
 # universal-hash mixing constants: one md5 per shingle, then
@@ -221,26 +229,31 @@ def simhash(
     hashes = F.transform(
         ws, lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long")
     )
-    def bit_vote(b: int):
-        # factory (not default-arg lambda): aggregate's merge fn must be
-        # exactly 2-ary or Spark rejects/misreads it
-        return F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
 
-    bit_terms = []
-    for bit in range(bits):
-        bit_terms.append(
-            F.when(bit_vote(bit) >= 0, F.lit(2 ** bit).cast("long")).otherwise(
-                F.lit(0).cast("long")
+    def simhash_of(hs):
+        # hs is a BOUND lambda variable: without the binding, the
+        # split+md5 transform tree is copied into each of the ``bits``
+        # aggregates and re-evaluated per bit (no CSE inside HOFs)
+        def bit_vote(b: int):
+            # factory (not default-arg lambda): aggregate's merge fn
+            # must be exactly 2-ary or Spark rejects/misreads it
+            return F.aggregate(
+                hs,
+                F.lit(0),
+                lambda acc, h: acc
+                + F.when(
+                    F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1),
             )
-        )
-    sim = bit_terms[0]
-    for t in bit_terms[1:]:
-        sim = sim + t
+
+        sim = F.lit(0).cast("long")
+        for bit in range(bits):
+            sim = sim + F.when(
+                bit_vote(bit) >= 0, F.lit(2 ** bit).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        return sim
+
+    sim = F.transform(F.array(hashes), simhash_of)[0]
     return df.select(F.col(id_col), sim.alias("simhash"))
 
 
@@ -316,16 +329,22 @@ def segment_dedup(
     """
     from methyl_data_pipeline_spark.functions.scalar import normalize_ws
 
-    ws = F.split(
-        normalize_ws(F.col(text_col)), " "
-    )
-    n_seg = F.ceil(F.size(ws) / F.lit(chunk_words)).cast("int")
+    # bind the split ONCE as a lambda variable (see shingles()):
+    # Catalyst does not CSE inside higher-order functions, so an
+    # inlined split would re-run the regex per segment slice
+    split_expr = F.split(normalize_ws(F.col(text_col)), " ")
     segs = F.transform(
-        F.sequence(F.lit(0), n_seg - 1),
-        lambda i: F.concat_ws(
-            " ", F.slice(ws, i * chunk_words + 1, chunk_words)
+        F.array(split_expr),
+        lambda ws: F.transform(
+            F.sequence(
+                F.lit(0),
+                F.ceil(F.size(ws) / F.lit(chunk_words)).cast("int") - 1,
+            ),
+            lambda i: F.concat_ws(
+                " ", F.slice(ws, i * chunk_words + 1, chunk_words)
+            ),
         ),
-    )
+    )[0]
     exploded = df.select(
         F.col(id_col), F.posexplode(segs).alias("_seg_idx", "_seg")
     )

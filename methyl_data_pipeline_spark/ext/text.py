@@ -848,22 +848,21 @@ def heavy_hitters(
             F.explode(shingles_from_words(F.col("_ws"), ngram_n)).alias("gram")
         )
         cands = grams.stat.freqItems(["gram"], support=support).collect()[0][0]
-        counts = (
-            grams.filter(F.col("gram").isin(list(cands)))
-            .groupBy("gram")
+        # ONE aggregation yields both the exact candidate counts AND
+        # the denominator: non-candidate grams collapse into a single
+        # NULL-key group (map-side combine reduces them to one row per
+        # map task), so the shuffle stays bounded by the candidate set
+        # while the full pass count drops to two (sketch + this agg)
+        is_cand = F.col("gram").isin(list(cands))
+        agg = (
+            grams.groupBy(
+                is_cand.alias("_is_cand"),
+                F.when(is_cand, F.col("gram")).alias("gram"),
+            )
             .agg(F.count(F.lit(1)).alias("n_occurrences"))
         )
-        # denominator WITHOUT re-materializing gram strings: per doc
-        # the gram count is just greatest(n_words - (n-1), 1), so the
-        # total is word-count arithmetic over the persisted arrays —
-        # the prefilter path's extra passes stay string-free
-        total = ws_df.agg(
-            F.sum(
-                F.greatest(
-                    F.size("_ws") - (ngram_n - 1), F.lit(1)
-                ).cast("long")
-            ).alias("_total")
-        )
+        counts = agg.filter(F.col("_is_cand")).drop("_is_cand")
+        total = agg.agg(F.sum("n_occurrences").alias("_total"))
     else:
         grams = nn.select(F.explode(shingles(text_col, ngram_n)).alias("gram"))
         counts = grams.groupBy("gram").agg(
