@@ -4516,6 +4516,74 @@ ORDER BY p.source
 """
 
 
+def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (ext.text.bm25_rank): docs 0-4 as queries
+    against the doc_id>=10 corpus, top-10 per query by the Okapi BM25
+    score (Lucene positive-idf variant, k1=1.2 b=0.75). Inverted-index
+    join plan — postings shuffle once, query vocabulary and its
+    document frequencies broadcast. Scores rank on the 6-dp rounded
+    value (cross-engine reproducible) and emit as micro-unit integers."""
+    from methyl_data_pipeline_spark.ext.text import bm25_rank
+
+    docs = _t(spark, sf_dir, "documents")
+    queries_df = docs.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    corpus = docs.filter(F.col("doc_id") >= 10)
+    out = bm25_rank(corpus, queries_df, top_k=10)
+    return out.select(
+        "query_id",
+        "rank",
+        "doc_id",
+        _ri(F.col("score")).alias("score"),
+    ).orderBy("query_id", "rank")
+
+
+SQL_BM25_RANK = r"""
+WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id >= 10),
+q AS (SELECT doc_id AS query_id, text FROM documents WHERE doc_id < 5),
+cw AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+  FROM corpus
+),
+postings AS (SELECT doc_id, t, COUNT(*) AS tf FROM cw GROUP BY 1, 2),
+dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM postings GROUP BY 1),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+qt AS (
+  SELECT DISTINCT query_id,
+         unnest(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))) AS t
+  FROM q
+),
+dfq AS (
+  SELECT t, COUNT(*) AS df FROM postings
+  WHERE t IN (SELECT t FROM qt) GROUP BY t
+),
+cand AS (
+  SELECT qt.query_id, p.doc_id,
+         ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * (p.tf * (1.2 + 1))
+           / (p.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS s
+  FROM postings p
+  JOIN qt ON p.t = qt.t
+  JOIN dl ON p.doc_id = dl.doc_id
+  JOIN dfq d ON p.t = d.t, stats s
+),
+scored AS (
+  SELECT query_id, doc_id, ROUND(SUM(s) + 1e-9, 6) AS score
+  FROM cand GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, doc_id,
+       CAST(ROUND((score + 1e-9) * 1000000) AS BIGINT) AS score
+FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+"""
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot audit (ext.dedup.snapshot_diff): two deterministic
     views of the documents table (old = ids not divisible by 7;
@@ -4642,13 +4710,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window to re-certify under the new semantics
         "segment_dedup": q_segment_dedup,
         "dedup_best": q_dedup_best,
-        "clean_text": q_clean_text,
         "hash_split": q_hash_split,
         "mixture_sample": q_mixture_sample,
         "lang_id_ngram": q_lang_id_ngram,
         "events_sliding": q_events_sliding,
+        # NEW r6: BM25 ranked retrieval (clean_text — green r5,
+        # untouched — yields its slot)
+        "bm25_rank": q_bm25_rank,
         "frame_sample": q_frame_sample,
         # ---- slot 51+ (past the driver's 50-entry window) ----
+        # demoted r6: driver-green r5, untouched since
+        "clean_text": q_clean_text,
         # demoted r6: each driver-green in r4 AND r5, untouched since
         "quantile_normalize": q_quantile_normalize,
         "dmr_regions": q_dmr_regions,
@@ -4822,6 +4894,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_pipeline": SQL_CORPUS_PIPELINE,
         "stream_curate": SQL_STREAM_CURATE,
         "layout_cert": SQL_LAYOUT_CERT,
+        "bm25_rank": SQL_BM25_RANK,
         "quantile_normalize": SQL_QUANTILE_NORMALIZE,
         "pca_gram": SQL_PCA_GRAM,
         "stream_interval_join": SQL_STREAM_INTERVAL_JOIN,

@@ -958,3 +958,91 @@ def corpus_report(
         "top_lang",
         (F.col("top_lang_docs") / F.col("n_docs")).alias("top_lang_share"),
     )
+
+
+def bm25_rank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+    score_round: int = 6,
+) -> DataFrame:
+    """BM25 ranked retrieval: for each query, the ``top_k`` corpus
+    documents by the Okapi BM25 score (Robertson/Sparck Jones; the
+    Lucene ``ln(1 + (N - df + 0.5)/(df + 0.5))`` idf variant, which is
+    always positive) — the standard relevance scorer for retrieval/
+    RAG corpus curation, complementing :func:`tfidf_top_terms` (which
+    ranks terms within a doc; this ranks docs against queries).
+
+    Plan shape at 100 TB — an inverted-index join, never a cartesian:
+    one explode + (doc, term) groupBy builds the postings (ONE fact
+    shuffle, reused for doc lengths via a second agg on the same
+    keys); query terms and their document frequencies are
+    query-vocabulary-sized and BROADCAST, so scoring touches only
+    postings of query terms; the final (query, doc) partial-sum agg
+    and per-query top-k window see candidate rows only.
+
+    Scores are rounded to ``score_round`` dp BEFORE ranking so rank
+    order (and therefore the emitted rows) is reproducible across
+    engines — a 1-ulp summation difference cannot flip a
+    ``row_number`` tie. Ties break by ascending doc id.
+    """
+    w = words(F.col(text_col))
+    postings = (
+        corpus.select(F.col(id_col), F.explode(w).alias("_t"))
+        .groupBy(id_col, "_t")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    doclen = postings.groupBy(id_col).agg(F.sum("_tf").alias("_dl"))
+    corpus_stats = doclen.agg(
+        F.count(F.lit(1)).alias("_n_docs"), F.avg("_dl").alias("_avgdl")
+    )
+
+    qterms = queries.select(
+        F.col(query_id_col),
+        F.explode(F.array_distinct(words(F.col(query_text_col)))).alias("_t"),
+    ).distinct()
+    # document frequency ONLY for query-vocabulary terms (bounded):
+    # semi-join the postings down first, then count docs per term
+    df_q = (
+        postings.join(
+            F.broadcast(qterms.select("_t").distinct()), "_t", "left_semi"
+        )
+        .groupBy("_t")
+        .agg(F.count(F.lit(1)).alias("_df"))
+    )
+
+    cand = (
+        postings.join(F.broadcast(qterms), "_t")
+        .join(F.broadcast(doclen), id_col)
+        .join(F.broadcast(df_q), "_t")
+        .crossJoin(F.broadcast(corpus_stats))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_n_docs") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+    )
+    tf_norm = (F.col("_tf") * (k1 + 1)) / (
+        F.col("_tf")
+        + k1 * (1 - b + b * F.col("_dl") / F.col("_avgdl"))
+    )
+    scored = cand.select(
+        query_id_col, id_col, (idf * tf_norm).alias("_s")
+    ).groupBy(query_id_col, id_col).agg(
+        (F.round(F.sum("_s") + F.lit(1e-9), score_round) + F.lit(0.0)).alias(
+            "score"
+        )
+    )
+    rw = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(rw))
+        .filter(F.col("rank") <= top_k)
+        .select(query_id_col, "rank", id_col, "score")
+    )

@@ -971,3 +971,85 @@ def test_multimodal_corrupt_payloads_fall_back(spark):
     # feature_dim > 16 extends the digest instead of raising
     wide = decode_features(media, feature_dim=20).collect()
     assert all(len(r.features) == 20 for r in wide)
+
+
+def test_bm25_rank_matches_hand_computation(spark):
+    """BM25 against a from-scratch python computation (Lucene
+    positive-idf variant, k1=1.2 b=0.75), including the rounded-score
+    rank determinism and the min-doc-id tie-break."""
+    import math
+    import re
+
+    from methyl_data_pipeline_spark.ext.text import bm25_rank
+
+    corpus_rows = [
+        (10, "the quick brown fox jumps over the lazy dog"),
+        (11, "a quick brown cat sleeps"),
+        (12, "dogs and cats living together"),
+        (13, "the fox the fox the fox"),
+        (14, "entirely unrelated words here"),
+    ]
+    query_rows = [(0, "quick fox"), (1, "lazy dog sleeps")]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    queries = spark.createDataFrame(
+        query_rows, "query_id long, query_text string"
+    )
+    got = {
+        (r.query_id, r.rank): (r.doc_id, r.score)
+        for r in bm25_rank(corpus, queries, top_k=3).collect()
+    }
+
+    def toks(t):
+        return re.split(r"\s+", t.strip().lower())
+
+    k1, b = 1.2, 0.75
+    postings = {}
+    for d, t in corpus_rows:
+        tf = {}
+        for w in toks(t):
+            tf[w] = tf.get(w, 0) + 1
+        postings[d] = tf
+    n_docs = len(postings)
+    avgdl = sum(sum(tf.values()) for tf in postings.values()) / n_docs
+    want = {}
+    for qid, qt in query_rows:
+        scores = {}
+        for d, tf in postings.items():
+            s = 0.0
+            for term in set(toks(qt)):
+                if term not in tf:
+                    continue
+                df = sum(1 for p in postings.values() if term in p)
+                idf = math.log(1 + (n_docs - df + 0.5) / (df + 0.5))
+                dl = sum(tf.values())
+                s += idf * tf[term] * (k1 + 1) / (
+                    tf[term] + k1 * (1 - b + b * dl / avgdl)
+                )
+            if s > 0:
+                scores[d] = round(s + 1e-9, 6)
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        for i, (d, s) in enumerate(ranked, start=1):
+            want[(qid, i)] = (d, s)
+    assert set(got) == set(want)
+    for key, (d, s) in want.items():
+        assert got[key][0] == d, (key, got[key], (d, s))
+        assert abs(got[key][1] - s) < 1e-9
+
+
+def test_bm25_rank_is_inverted_index_shaped(spark):
+    """The BM25 plan must broadcast the query side (no shuffle of the
+    postings against queries) and contain no cartesian product."""
+    from methyl_data_pipeline_spark.ext.text import bm25_rank
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    queries = docs.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    plan = (
+        bm25_rank(docs.filter(F.col("doc_id") >= 10), queries)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
