@@ -4546,13 +4546,17 @@ cw AS (
   SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
   FROM corpus
 ),
-postings AS (SELECT doc_id, t, COUNT(*) AS tf FROM cw GROUP BY 1, 2),
+postings AS (
+  SELECT doc_id, t, COUNT(*) AS tf FROM cw WHERE t <> '' GROUP BY 1, 2
+),
 dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM postings GROUP BY 1),
 stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
 qt AS (
-  SELECT DISTINCT query_id,
-         unnest(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))) AS t
-  FROM q
+  SELECT DISTINCT query_id, t FROM (
+    SELECT query_id,
+           unnest(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))) AS t
+    FROM q
+  ) WHERE t <> ''
 ),
 dfq AS (
   SELECT t, COUNT(*) AS df FROM postings

@@ -993,8 +993,11 @@ def bm25_rank(
     ``row_number`` tie. Ties break by ascending doc id.
     """
     w = words(F.col(text_col))
+    # '' is the split artifact of empty/blank text, not a term — an
+    # empty query must match nothing, and empty docs hold no postings
     postings = (
         corpus.select(F.col(id_col), F.explode(w).alias("_t"))
+        .filter(F.col("_t") != "")
         .groupBy(id_col, "_t")
         .agg(F.count(F.lit(1)).alias("_tf"))
     )
@@ -1003,10 +1006,16 @@ def bm25_rank(
         F.count(F.lit(1)).alias("_n_docs"), F.avg("_dl").alias("_avgdl")
     )
 
-    qterms = queries.select(
-        F.col(query_id_col),
-        F.explode(F.array_distinct(words(F.col(query_text_col)))).alias("_t"),
-    ).distinct()
+    qterms = (
+        queries.select(
+            F.col(query_id_col),
+            F.explode(
+                F.array_distinct(words(F.col(query_text_col)))
+            ).alias("_t"),
+        )
+        .filter(F.col("_t") != "")
+        .distinct()
+    )
     # document frequency ONLY for query-vocabulary terms (bounded):
     # semi-join the postings down first, then count docs per term
     df_q = (

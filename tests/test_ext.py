@@ -1053,3 +1053,21 @@ def test_bm25_rank_is_inverted_index_shaped(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_bm25_empty_and_null_inputs(spark):
+    """Empty/blank/null query text retrieves nothing; empty/blank/null
+    corpus docs hold no postings (the '' split artifact is not a term)."""
+    from methyl_data_pipeline_spark.ext.text import bm25_rank
+
+    corpus = spark.createDataFrame(
+        [(10, "quick brown fox"), (11, None), (12, ""), (13, "   ")],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(0, "quick"), (1, ""), (2, None), (3, "   ")],
+        "query_id long, query_text string",
+    )
+    got = bm25_rank(corpus, queries, top_k=5).collect()
+    assert {r.query_id for r in got} == {0}
+    assert [r.doc_id for r in got] == [10]
