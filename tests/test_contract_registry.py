@@ -78,3 +78,30 @@ def test_rounding_normalizer_applied():
                 f"{name}: ROUND at offset {j} missing normalization"
             )
             i = k + 1
+
+
+def test_integer_encoded_queries_partitioning_invariant(spark):
+    """The driver's only historical hash misses were summation-order
+    ulps crossing a float ROUND boundary in a different environment.
+    The three refitted queries emit scaled integers; this pins the
+    mechanism: outputs must be IDENTICAL (not just close) under 1-
+    vs 64-partition execution, where summation order genuinely differs,
+    and every non-string output column must be integral."""
+    sf = "/root/testdata/sf0.001"
+    qs = entry.queries()
+    for name in ("outlier_mad", "corpus_report", "moderated_f", "bm25_rank"):
+        frames = []
+        for parts in (1, 64):
+            old = spark.conf.get("spark.sql.shuffle.partitions")
+            spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+            try:
+                df = qs[name](spark, sf)
+                rows = sorted(tuple(r) for r in df.collect())
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", old)
+            for f in df.schema.fields:
+                assert f.dataType.typeName() in (
+                    "string", "long", "integer", "boolean"
+                ), f"{name}.{f.name} is {f.dataType.typeName()} — float in a hash-compared column"
+            frames.append(rows)
+        assert frames[0] == frames[1], f"{name} not partitioning-invariant"
