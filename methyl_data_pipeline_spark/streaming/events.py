@@ -391,3 +391,46 @@ def curate_batch_twin(
             F.size(F.col("_ws")).cast("long").alias("n_tokens"),
         )
     )
+
+
+def start_curated_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    bloom_words: list[int] | None = None,
+    schema=None,
+    available_now: bool = True,
+    **curate_kwargs,
+):
+    """Operational entry point for rolling corpus ingest: file-source
+    stream → :func:`stream_curate` → parquet sink, with EXACTLY-ONCE
+    semantics from the checkpoint. The checkpoint carries both the
+    source offsets (which files have been ingested) and the dedup
+    operator state, so a crash or planned restart resumes where it
+    left off — already-ingested files are never re-emitted, and a
+    duplicate arriving after a restart is still dropped because the
+    fingerprint state is restored, not rebuilt.
+
+    ``available_now=True`` (default) makes the same job the
+    INCREMENTAL BATCH formulation: each invocation drains files that
+    arrived since the last run, then terminates — the
+    checkpoint-driven twin of ``ext.dedup.incremental_dedup``'s
+    ledger, with the ledger managed by the engine. Pass ``False`` for
+    a long-running continuous query (production points the source at
+    Kafka instead of a directory).
+
+    Returns the started ``StreamingQuery``; callers own
+    ``awaitTermination``/``stop``.
+    """
+    stream = stream_events_from_parquet(spark, source_dir, schema=schema)
+    out = stream_curate(stream, bloom_words=bloom_words, **curate_kwargs)
+    writer = (
+        out.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
