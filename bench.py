@@ -77,6 +77,10 @@ EXTENDED = [
     "hot_ngrams",
     "corpus_report",
     "snapshot_diff",
+    # r6 additions
+    "bm25_rank",
+    "corpus_pipeline",
+    "stream_curate",
 ]
 
 
