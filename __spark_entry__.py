@@ -1494,11 +1494,12 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_QUALITY_FILTER = r"""
 WITH t AS (
   SELECT doc_id, trim(text) AS txt,
-         regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+         regexp_split_to_array(lower(trim(text)), '\s+') AS ws,
+         text IS NULL AS no_text
   FROM documents
 ),
 scan AS (
-  SELECT doc_id, len(ws) AS nw,
+  SELECT doc_id, no_text, len(ws) AS nw,
          length(regexp_replace(txt, '\s+', '', 'g')) * 1.0 / len(ws) AS mwl,
          len(list_filter(ws, w -> list_contains(
              ['the','and','of','to','a','in','is','that','it','for'], w))) AS stp
@@ -1516,21 +1517,21 @@ s AS (
   FROM c GROUP BY doc_id
 )
 SELECT scan.doc_id, s.n_words,
-       concat_ws(',',
+       CASE WHEN no_text THEN 'null_text' ELSE concat_ws(',',
          CASE WHEN nw < 10 THEN 'too_short' END,
          CASE WHEN nw > 100000 THEN 'too_long' END,
          CASE WHEN mwl < 2.0 OR mwl > 12.0 THEN 'word_len' END,
          CASE WHEN twf > 0.30 THEN 'repetitive' END,
          CASE WHEN ttr < 0.30 THEN 'low_diversity' END,
-         CASE WHEN stp < 1 THEN 'no_stopwords' END) AS reject_reasons,
-       concat_ws(',',
+         CASE WHEN stp < 1 THEN 'no_stopwords' END) END AS reject_reasons,
+       CASE WHEN no_text THEN 'null_text' ELSE concat_ws(',',
          CASE WHEN nw < 10 THEN 'too_short' END,
          CASE WHEN nw > 100000 THEN 'too_long' END,
          CASE WHEN mwl < 2.0 OR mwl > 12.0 THEN 'word_len' END,
          CASE WHEN twf > 0.30 THEN 'repetitive' END,
          CASE WHEN ttr < 0.30 THEN 'low_diversity' END,
-         CASE WHEN stp < 1 THEN 'no_stopwords' END) = '' AS keep
-FROM scan JOIN s USING (doc_id) ORDER BY doc_id
+         CASE WHEN stp < 1 THEN 'no_stopwords' END) END = '' AS keep
+FROM scan LEFT JOIN s USING (doc_id) ORDER BY doc_id
 """
 
 
@@ -4502,7 +4503,7 @@ per_shard AS (
 lc AS (SELECT source, lang, COUNT(*) AS n FROM base GROUP BY source, lang),
 top AS (
   SELECT source, lang AS top_lang, n AS top_lang_docs,
-         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n DESC, lang ASC) AS rn
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n DESC, lang ASC NULLS LAST) AS rn
   FROM lc
 )
 SELECT p.source, p.n_docs, p.total_tokens, p.n_unique_bodies,

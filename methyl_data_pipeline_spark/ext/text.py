@@ -29,6 +29,20 @@ def words(text: Column | str) -> Column:
     return F.split(F.lower(F.trim(c)), r"\s+")
 
 
+def n_words_nullsafe(text: Column | str) -> Column:
+    """NULL-safe whitespace token count: NULL text -> NULL.
+
+    ``F.size`` of a NULL array is **-1** under Spark's legacy
+    ``sizeOfNull`` (ANSI off), which silently feeds -1 into SUMs and
+    per-row outputs, while SQL engines (DuckDB ``len(string_split(
+    NULL, ...))``) propagate NULL and let aggregates skip the row.
+    Every token-count site must route through this helper so both
+    engines see the same NULL semantics on NULL-bearing corpora.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    return F.when(c.isNotNull(), F.size(words(c)))
+
+
 # GPT-2-style pre-tokenizer pattern (public: the regex published with
 # the GPT-2 BPE), restricted to ASCII classes so Java-regex (Spark) and
 # RE2 (external engines) agree on every boundary: contraction suffixes,
@@ -43,7 +57,7 @@ def tokenize(df: DataFrame, text_col: str = "text") -> DataFrame:
     what a GPT-2-family tokenizer would split before merges)."""
     return (
         df.withColumn("tokens", words(text_col))
-        .withColumn("n_tokens", F.size("tokens"))
+        .withColumn("n_tokens", n_words_nullsafe(text_col))
         .withColumn(
             "n_tokens_est",
             F.ceil(F.length(F.trim(F.col(text_col))) / F.lit(4.0)).cast("long"),
@@ -67,11 +81,17 @@ def text_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.trim(F.col(text_col))
     n_chars = F.length(t)
     ws = words(text_col)
-    n_words = F.size(ws)
+    # NULL-safe counts: F.size(NULL) = -1 under legacy sizeOfNull would
+    # turn every NULL-text ratio into a number while SQL engines emit
+    # NULL — count columns must be NULL for NULL text on both engines.
+    n_words = n_words_nullsafe(text_col)
     n_punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
     n_upper = n_chars - F.length(F.regexp_replace(t, r"[A-Z]", ""))
     en = F.array([F.lit(w) for w in STOPWORDS["en"]])
-    n_stop = F.size(F.filter(ws, lambda w: F.array_contains(en, w)))
+    n_stop = F.when(
+        F.col(text_col).isNotNull(),
+        F.size(F.filter(ws, lambda w: F.array_contains(en, w))),
+    )
     return (
         df.withColumn("n_chars_q", n_chars)
         .withColumn("n_words", n_words)
@@ -243,7 +263,7 @@ def domain_mix(
     a codegen expression, no explode), then a broadcast of the 1-row
     total — no data-sized shuffle beyond the per-domain agg.
     """
-    n_tok = F.size(words(text_col))
+    n_tok = n_words_nullsafe(text_col)
     per = df.groupBy(F.col(domain_col).alias("domain")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(n_tok).cast("long").alias("n_tokens"),
@@ -403,9 +423,15 @@ def repetition_signals_scan(
     (ZERO shuffles, stream-legal). Per-row cost is O(n log n) in
     document tokens vs the explode twin's shuffle of every (doc, gram)
     pair; at 100 TB the scan wins until documents stop fitting in a
-    row, which the corpus schema already forbids."""
+    row, which the corpus schema already forbids.
+
+    NULL-text docs are dropped, matching the explode twin (a NULL
+    array explodes to zero grams, so the doc never aggregates) and
+    NULL-propagating SQL engines."""
     ws = words(text_col)
-    base = df.select(F.col(id_col), ws.alias("_w")).withColumn(
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), ws.alias("_w")
+    ).withColumn(
         "_bg",
         F.expr(
             "CASE WHEN size(_w) >= 2 THEN "
@@ -459,6 +485,7 @@ def quality_filter(
     en = F.array([F.lit(w) for w in STOPWORDS["en"]])
     scan = df.select(
         F.col(id_col),
+        F.col(text_col).isNull().alias("_isnull"),
         F.size(ws).alias("_nw"),
         (
             F.length(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", ""))
@@ -466,9 +493,11 @@ def quality_filter(
         ).alias("_mwl"),
         F.size(F.filter(ws, lambda w: F.array_contains(en, w))).alias("_stop"),
     )
+    # LEFT join: a NULL-text doc explodes to zero grams and has no
+    # repetition row, but it must still receive a verdict (null_text).
     rep = repetition_signals(df, text_col=text_col, id_col=id_col)
-    j = scan.join(rep, id_col)
-    reasons = F.concat_ws(
+    j = scan.join(rep, id_col, "left")
+    plain_reasons = F.concat_ws(
         ",",
         F.when(F.col("_nw") < min_words, F.lit("too_short")),
         F.when(F.col("_nw") > max_words, F.lit("too_long")),
@@ -483,6 +512,9 @@ def quality_filter(
             F.lit("low_diversity"),
         ),
         F.when(F.col("_stop") < min_stopword_hits, F.lit("no_stopwords")),
+    )
+    reasons = F.when(F.col("_isnull"), F.lit("null_text")).otherwise(
+        plain_reasons
     )
     return j.select(
         F.col(id_col),
@@ -515,16 +547,23 @@ def quality_reject_reasons(
     twf = top_cnt / nw
     ttr = F.size(F.array_distinct(ws)) / nw
     stop = F.size(F.filter(ws, lambda w: F.array_contains(en, w)))
-    return F.concat_ws(
-        ",",
-        F.when(nw < min_words, F.lit("too_short")),
-        F.when(nw > max_words, F.lit("too_long")),
-        F.when(
-            (mwl < min_mean_word_len) | (mwl > max_mean_word_len), F.lit("word_len")
-        ),
-        F.when(twf > max_top_word_frac, F.lit("repetitive")),
-        F.when(ttr < min_type_token_ratio, F.lit("low_diversity")),
-        F.when(stop < min_stopword_hits, F.lit("no_stopwords")),
+    # NULL text gets its own explicit verdict: without this branch,
+    # Spark's legacy F.size(NULL)=-1 would synthesize
+    # "too_short,no_stopwords" while a NULL-propagating SQL engine
+    # omits every CASE — a cross-engine divergence on NULL corpora.
+    return F.when(F.col(text_col).isNull(), F.lit("null_text")).otherwise(
+        F.concat_ws(
+            ",",
+            F.when(nw < min_words, F.lit("too_short")),
+            F.when(nw > max_words, F.lit("too_long")),
+            F.when(
+                (mwl < min_mean_word_len) | (mwl > max_mean_word_len),
+                F.lit("word_len"),
+            ),
+            F.when(twf > max_top_word_frac, F.lit("repetitive")),
+            F.when(ttr < min_type_token_ratio, F.lit("low_diversity")),
+            F.when(stop < min_stopword_hits, F.lit("no_stopwords")),
+        )
     )
 
 
@@ -560,7 +599,7 @@ def quality_filter_scan(
     )
     return df.select(
         F.col(id_col),
-        F.size(words(text_col)).cast("long").alias("n_words"),
+        n_words_nullsafe(text_col).cast("long").alias("n_words"),
         reasons.alias("reject_reasons"),
         (reasons == "").alias("keep"),
     )
@@ -919,10 +958,13 @@ def corpus_report(
     against the fact table; everything after the scan is
     dimension-sized.
     """
+    # NULL-safe token count: F.size(NULL array) = -1 under legacy
+    # sizeOfNull and would silently skew SUM(total_tokens), while SQL
+    # engines propagate NULL and skip the row in the SUM.
     base = df.select(
         F.col(shard_col),
         F.col(lang_col),
-        F.size(words(F.col(text_col))).cast("long").alias("_toks"),
+        n_words_nullsafe(F.col(text_col)).cast("long").alias("_toks"),
         md5_long(
             normalize_label(F.col(text_col))
         ).alias("_fp"),
@@ -936,8 +978,11 @@ def corpus_report(
     lang_counts = base.groupBy(shard_col, lang_col).agg(
         F.count(F.lit(1)).alias("_n")
     )
+    # asc_nulls_last: Spark ASC is NULLS FIRST while ANSI-SQL engines
+    # default to NULLS LAST for ASC — a NULL-lang group tying the modal
+    # count must elect the same top_lang on both engines.
     w = Window.partitionBy(shard_col).orderBy(
-        F.col("_n").desc(), F.col(lang_col).asc()
+        F.col("_n").desc(), F.col(lang_col).asc_nulls_last()
     )
     top_lang = (
         lang_counts.withColumn("_rn", F.row_number().over(w))
