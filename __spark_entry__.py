@@ -1780,7 +1780,8 @@ bsh AS (
     ELSE [array_to_string(ws, ' ')] END) AS g
   FROM bw
 ),
-bh AS (SELECT DISTINCT ('0x' || substr(md5(g), 1, 15))::BIGINT AS h FROM bsh),
+bh AS (SELECT DISTINCT ('0x' || substr(md5(g), 1, 15))::BIGINT AS h
+       FROM bsh WHERE g IS NOT NULL),
 js AS (SELECT unnest(generate_series(0, 4)) AS j),
 bench_pos AS (
   SELECT DISTINCT ((h % 262144) + j * (1 + ((h >> 18) % 262143))) % 262144 AS p
@@ -4063,7 +4064,8 @@ def _sql_lang_id_ngram() -> str:
     return rf"""
 WITH t AS (
   SELECT doc_id,
-         ' ' || regexp_replace(lower(trim(text)), '\s+', ' ', 'g') || ' ' AS tt
+         ' ' || coalesce(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '')
+             || ' ' AS tt
   FROM documents
 ),
 g AS (
@@ -4193,7 +4195,13 @@ def q_dedup_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     ws = F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " ")
-    keyed = docs.withColumn("_key", F.concat_ws(" ", F.slice(ws, 1, 4)))
+    # NULL text keeps a NULL key (one SQL-style NULL group): concat_ws
+    # would silently collapse it to "" and merge NULL docs into the
+    # empty-text family, which SQL engines keep separate.
+    keyed = docs.withColumn(
+        "_key",
+        F.when(F.col("text").isNotNull(), F.concat_ws(" ", F.slice(ws, 1, 4))),
+    )
     out = dedup_keep_best(keyed, "_key", "n_chars")
     return out.select(
         "doc_id", F.col("_key").alias("prefix_key"), "n_chars"
@@ -4303,10 +4311,15 @@ h AS (
 ),
 js AS (SELECT unnest(generate_series(0, 4)) AS j),
 bench_pos AS (
+  -- h IS NOT NULL: a NULL-text benchmark doc yields h = NULL, and one
+  -- NULL inside the NOT IN set below would make the predicate
+  -- never-true (empty miss => every corpus doc "contaminated")
   SELECT DISTINCT ((h % 262144) + j * (1 + ((h >> 18) % 262143))) % 262144 AS p
-  FROM (SELECT DISTINCT h FROM h WHERE doc_id < 10) CROSS JOIN js
+  FROM (SELECT DISTINCT h FROM h WHERE doc_id < 10 AND h IS NOT NULL)
+  CROSS JOIN js
 ),
-corp AS (SELECT DISTINCT doc_id, h FROM h WHERE doc_id >= 10),
+corp AS (SELECT DISTINCT doc_id, h FROM h
+         WHERE doc_id >= 10 AND h IS NOT NULL),
 corp_pos AS (
   SELECT doc_id, h,
          ((h % 262144) + j * (1 + ((h >> 18) % 262143))) % 262144 AS p
@@ -4452,8 +4465,13 @@ sh AS (
               ELSE [array_to_string(ws, ' ')] END AS s
   FROM w
 ),
+-- gram IS NOT NULL: a NULL-text doc's ws is NULL, and the ELSE branch
+-- above would otherwise unnest [array_to_string(NULL)] = [NULL] into a
+-- phantom NULL gram (the Spark side filters NULL text before
+-- sharding, so it never counts one)
 g AS (SELECT unnest(s) AS gram FROM sh),
-c AS (SELECT gram, COUNT(*) AS n_occurrences FROM g GROUP BY gram),
+c AS (SELECT gram, COUNT(*) AS n_occurrences FROM g
+      WHERE gram IS NOT NULL GROUP BY gram),
 t AS (SELECT SUM(n_occurrences) AS total FROM c)
 SELECT gram, n_occurrences,
        ROUND(n_occurrences * 1.0 / t.total + 1e-9, 8) AS share
@@ -4624,9 +4642,12 @@ fn AS (
   FROM documents WHERE doc_id % 5 != 0
 )
 SELECT COALESCE(fp.doc_id, fn.doc_id) AS doc_id, fp_old, fp_new,
-       CASE WHEN fp_old IS NULL THEN 'added'
-            WHEN fp_new IS NULL THEN 'removed'
-            WHEN fp_old = fp_new THEN 'unchanged'
+       -- presence from the JOIN SIDE, not fingerprint nullness: a
+       -- NULL-text doc present on both sides has NULL fingerprints
+       -- but is 'unchanged', not 'added'
+       CASE WHEN fp.doc_id IS NULL THEN 'added'
+            WHEN fn.doc_id IS NULL THEN 'removed'
+            WHEN fp_old IS NOT DISTINCT FROM fp_new THEN 'unchanged'
             ELSE 'changed' END AS status
 FROM fp FULL OUTER JOIN fn ON fp.doc_id = fn.doc_id
 ORDER BY doc_id

@@ -56,8 +56,14 @@ def shingles_from_words(ws: Column, n: int = 3) -> Column:
         F.sequence(F.lit(0), F.size(ws) - n),
         lambda i: F.concat_ws(" ", F.slice(ws, i + 1, n)),
     )
+    # NULL word array (NULL text) -> NULL shingles, NOT [""]: without
+    # the isNotNull guard, F.size(NULL) = -1 falls to the otherwise
+    # branch where concat_ws SKIPS its NULL argument and fabricates a
+    # single empty-string shingle — a NULL doc would then minhash,
+    # band, and pair like a real (empty) document while SQL engines
+    # drop it from every unnest.
     return F.when(F.size(ws) >= n, ngrams).otherwise(
-        F.array(F.concat_ws(" ", ws))
+        F.when(ws.isNotNull(), F.array(F.concat_ws(" ", ws)))
     )
 
 
@@ -156,7 +162,12 @@ def minhash_candidate_pairs(
     hashed twice.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    # Drop NULL signatures (NULL-text docs): concat_ws SKIPS NULL
+    # columns, so two all-NULL signatures would otherwise band-hash to
+    # md5("") and pair every NULL doc with every other NULL doc.
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n).filter(
+        F.col("mh_0").isNotNull()
+    )
     band_cols = [
         F.md5(
             F.concat_ws(
@@ -223,8 +234,12 @@ def simhash(
 
     Expressed as ``bits`` conditional aggregates over the word-hash
     array — verbose but fully JVM-side and oracle-reproducible.
+
+    NULL-text docs are dropped (no words -> no signature): keeping
+    them would emit an all-zero-vote simhash of 0, a phantom value SQL
+    engines never produce.
     """
-    df = _spread(df, id_col)
+    df = _spread(df.filter(F.col(text_col).isNotNull()), id_col)
     ws = F.split(normalize_label(F.col(text_col)), " ")
     hashes = F.transform(
         ws, lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long")
@@ -411,7 +426,17 @@ def dedup_keep_best(
             )
         )["i"].alias(id_col)
     )
-    return df.join(winners, [key_col, id_col], "left_semi")
+    # eqNullSafe on the key: groupBy collects NULL keys into one group
+    # (SQL semantics), but a plain equi-semi-join would never match the
+    # NULL-group winner back, silently dropping that family. <=> keys
+    # still plan as a hash join.
+    d, w = df.alias("_d"), winners.alias("_w")
+    return d.join(
+        w,
+        F.col(f"_d.{key_col}").eqNullSafe(F.col(f"_w.{key_col}"))
+        & (F.col(f"_d.{id_col}") == F.col(f"_w.{id_col}")),
+        "left_semi",
+    )
 
 
 def incremental_dedup(

@@ -74,7 +74,14 @@ def decode_features(media: DataFrame, feature_dim: int = 8) -> DataFrame:
         for pdf in batches:
             kinds, digests, feats = [], [], []
             for content in pdf["content"]:
-                raw = bytes(content) if content is not None else b""
+                if content is None:
+                    # NULL payload: digest and features are NULL, like
+                    # md5(NULL) in any SQL engine — not the digest of b""
+                    kinds.append("digest")
+                    digests.append(None)
+                    feats.append(None)
+                    continue
+                raw = bytes(content)
                 d = hashlib.md5(raw).hexdigest()
                 kind, fv = "digest", None
                 if raw[:2] == b"BM":
@@ -182,12 +189,17 @@ def synthesize_media(
                     content = encode_wav(16_000, v / 32767.0, bits=16)
                     modality, mime = "audio", "audio/wav"
                 else:
-                    content = str(text).encode("utf-8")
+                    # NULL text -> NULL payload (str(None) would hash
+                    # the literal "None", a value no SQL engine derives)
+                    content = (
+                        None if text is None or (isinstance(text, float) and pd.isna(text))
+                        else str(text).encode("utf-8")
+                    )
                     modality, mime = "text", "text/plain"
                 rows["id"].append(rid)
                 rows["modality"].append(modality)
                 rows["mime"].append(mime)
-                rows["n_bytes"].append(len(content))
+                rows["n_bytes"].append(None if content is None else len(content))
                 rows["content"].append(content)
             yield pd.DataFrame(rows)
 

@@ -99,9 +99,15 @@ def text_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
             "mean_word_len",
             (F.length(F.regexp_replace(t, r"\s+", "")) / n_words).cast("double"),
         )
-        .withColumn("punct_ratio", (n_punct / n_chars).cast("double"))
+        .withColumn(
+            "punct_ratio",
+            F.when(n_chars > 0, n_punct / n_chars).cast("double"),
+        )
         .withColumn("stopword_ratio", (n_stop / n_words).cast("double"))
-        .withColumn("upper_ratio", (n_upper / n_chars).cast("double"))
+        .withColumn(
+            "upper_ratio",
+            F.when(n_chars > 0, n_upper / n_chars).cast("double"),
+        )
     )
 
 
@@ -212,7 +218,10 @@ def winnow_fingerprints(
 
     from methyl_data_pipeline_spark.ext.dedup import _spread
 
-    df = _spread(df, id_col)
+    # NULL text has no k-grams: without the filter, greatest(NULL, 1)
+    # = 1 (Spark greatest skips NULLs) fabricates one NULL fingerprint
+    # per NULL doc that unnest-based SQL engines never emit.
+    df = _spread(df.filter(F.col(text_col).isNotNull()), id_col)
     norm = normalize_label(F.col(text_col))
     t = df.select(F.col(id_col), norm.alias("_t"))
     starts = t.select(
@@ -752,8 +761,13 @@ def language_id_ngram(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     in SQL, unlike model-based language ID. Complements the
     stopword-argmax :func:`language_id` (trigram profiles survive
     texts with few function words)."""
+    # coalesce: F.concat is NULL if ANY arg is NULL, which would turn
+    # a NULL doc's score into size(NULL)=-1 junk; NULL text instead
+    # normalizes to "  " -> zero grams -> ('und', 0) on both engines.
     norm = F.concat(
-        F.lit(" "), normalize_label(F.col(text_col)), F.lit(" ")
+        F.lit(" "),
+        F.coalesce(normalize_label(F.col(text_col)), F.lit("")),
+        F.lit(" "),
     )
     out = df.withColumn("_t", norm)
     # Explicit empty-array guard: Spark's sequence(1, 0) yields the

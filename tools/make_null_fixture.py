@@ -1,0 +1,49 @@
+"""Build the NULL-bearing oracle fixture at /root/repo/.nullfix.
+
+Copies the sf0.001 testdata and injects NULL text, NULL lang, empty
+text, and whitespace-only text into the documents table — the data
+shapes that exposed the round-6 cross-engine divergences (F.size(NULL)
+= -1 token sums, NULLS FIRST tie-breaks, NOT IN vs NULL, concat_ws
+NULL-skipping). Run the full battery against it with:
+
+    python tools/make_null_fixture.py
+    python tools/check_oracle.py --sf-dir /root/repo/.nullfix
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SRC = os.environ.get("SPARK_GRAFT_NULLFIX_SRC", "/root/testdata/sf0.001")
+DST = "/root/repo/.nullfix"
+
+
+def main() -> None:
+    os.makedirs(DST, exist_ok=True)
+    for f in os.listdir(SRC):
+        if f.endswith(".parquet") and f != "documents.parquet":
+            shutil.copy(os.path.join(SRC, f), os.path.join(DST, f))
+    df = pq.read_table(os.path.join(SRC, "documents.parquet")).to_pandas()
+    df.loc[df.index[3], "text"] = None
+    df.loc[df.index[17], "text"] = None
+    df.loc[df.index[17], "lang"] = None
+    df.loc[df.index[29], "lang"] = None
+    df.loc[df.index[41], "text"] = ""
+    df.loc[df.index[53], "text"] = "   "
+    pq.write_table(
+        pa.Table.from_pandas(df, preserve_index=False),
+        os.path.join(DST, "documents.parquet"),
+    )
+    print(
+        f"wrote {DST}: {len(df)} docs, "
+        f"{int(df['text'].isna().sum())} null texts, "
+        f"{int(df['lang'].isna().sum())} null langs"
+    )
+
+
+if __name__ == "__main__":
+    main()
