@@ -72,9 +72,15 @@ def _ri(col, scale: int = 1_000_000):
     the other side of the rounding boundary (CORRECTNESS_r04/r05:
     ``moderated_f`` et al were bit-identical locally yet hash-red on
     the driver). Emitting ``CAST(ROUND((x + 1e-9) * scale) AS BIGINT)``
-    on BOTH engines removes floats from the hash channel entirely: the
-    1e-9 nudge keeps grid values off the half-boundary, and the integer
-    carries no formatting/-0.0/ulp ambiguity. Mirror in SQL with
+    on BOTH engines removes float FORMATTING and -0.0 ambiguity from
+    the hash channel — but NOT upstream ulp sensitivity: ROUND still
+    rounds a double, so an input sitting within an ulp of a .5/scale
+    boundary can flip the emitted BIGINT across environments. The 1e-9
+    nudge protects only grid-aligned values; real robustness comes
+    from pre-rounding the upstream aggregates to a decimal grid before
+    they reach ``_ri`` (moderated_f does this via moment_round=9 and
+    the other float queries now pre-round their aggregate inputs the
+    same way). Mirror in SQL with
     ``CAST(ROUND((x + 1e-9) * scale) AS BIGINT)``."""
     return F.round((col + F.lit(1e-9)) * F.lit(float(scale))).cast("long")
 
@@ -1838,12 +1844,20 @@ def q_layout_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from methyl_data_pipeline_spark.operators.scale import layout_sorted_write
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
-    path = os.path.join("/root/repo/spark-warehouse", "_layout_cert")
+    # output dir keyed by the scale factor (ADVICE r6): runs at
+    # different SFs (or concurrent driver + local runs) must not share
+    # and race on one directory
+    sf_tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join("/root/repo/spark-warehouse", f"_layout_cert_{sf_tag}")
     layout_sorted_write(docs, path, ["doc_id"], n_files=4)
 
     stats = []
     for f in glob.glob(os.path.join(path, "part-*.parquet")):
         md = pq.ParquetFile(f).metadata
+        if md.num_row_groups == 0:
+            # an empty range partition at tiny SF writes a footer with
+            # no row groups — nothing to certify, and min([]) crashes
+            continue
         col_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}[
             "doc_id"
         ]
@@ -3770,7 +3784,15 @@ def q_moderated_f(spark: SparkSession, sf_dir: str) -> DataFrame:
     from methyl_data_pipeline_spark import model
     from methyl_data_pipeline_spark.stats.limma import moderated_f_anova
 
-    meth = _meth(spark, sf_dir).withColumn("mval", model.mvalue("beta"))
+    # ROUND(mval, 9) BEFORE any aggregation (VERDICT r6 #7): the JVM's
+    # Math.log and DuckDB's C libm can disagree by an ulp on the same
+    # machine, and unrounded log2 values feed per-group AVG/VAR and a
+    # GLOBAL EB prior, where one ulp shifts every f_mod. Grid-aligned
+    # inputs make both engines aggregate the SAME doubles; the
+    # moment_round=9 and 1e4-scale f_mod gates absorb what remains.
+    meth = _meth(spark, sf_dir).withColumn(
+        "mval", F.round(model.mvalue("beta"), 9)
+    )
     grouped = meth.withColumn(
         "grp",
         F.concat(
@@ -3799,8 +3821,11 @@ WITH {METH_CTE},
 m AS (
   SELECT probe_id,
          'G' || CAST(CAST(substring(sample_id, 2) AS INT) % 4 AS VARCHAR) AS grp,
-         log2(least(greatest(beta, 0.001), 0.999)
-              / (1 - least(greatest(beta, 0.001), 0.999))) AS mval
+         -- ROUND 9dp before ANY aggregation: JVM Math.log vs C libm
+         -- can differ by an ulp; both engines must aggregate the SAME
+         -- grid-aligned doubles (mirrors the Spark-side ROUND(mval,9))
+         ROUND(log2(least(greatest(beta, 0.001), 0.999)
+              / (1 - least(greatest(beta, 0.001), 0.999))), 9) AS mval
   FROM meth
 ),
 per_group AS (
@@ -4352,7 +4377,12 @@ def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     detP sample gate (workflow.R:44-49)."""
     from methyl_data_pipeline_spark.stats.robust import mad_outlier_summary
 
-    ev = _events(spark, sf_dir)
+    # finite-value guard (VERDICT r6 #7): Spark `percentile` sorts NaN
+    # greatest and skips NULL, while quantile_cont engines order NaN
+    # differently — pin both engines to the same finite input set
+    ev = _events(spark, sf_dir).filter(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    )
     out = mad_outlier_summary(ev, "value", ["event_type"], c=3.0)
     # scaled-integer outputs (_ri): r5 was bit-identical to DuckDB
     # locally yet hash-red on the driver — floats leave the channel
@@ -4367,14 +4397,18 @@ def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_OUTLIER_MAD = """
-WITH med AS (
+WITH events_f AS (
+  SELECT event_type, value FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value)
+),
+med AS (
   SELECT event_type, quantile_cont(value, 0.5) AS grp_median
-  FROM events GROUP BY event_type
+  FROM events_f GROUP BY event_type
 ),
 mad AS (
   SELECT e.event_type,
          quantile_cont(abs(e.value - m.grp_median), 0.5) AS grp_mad
-  FROM events e JOIN med m USING (event_type)
+  FROM events_f e JOIN med m USING (event_type)
   GROUP BY e.event_type
 ),
 flagged AS (
@@ -4382,7 +4416,7 @@ flagged AS (
          CASE WHEN d.grp_mad > 0
               THEN abs(e.value - m.grp_median) / (1.4826 * d.grp_mad)
               ELSE 0.0 END AS robust_z
-  FROM events e JOIN med m USING (event_type) JOIN mad d USING (event_type)
+  FROM events_f e JOIN med m USING (event_type) JOIN mad d USING (event_type)
 )
 SELECT event_type,
        COUNT(*)                                   AS n,

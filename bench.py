@@ -1,23 +1,32 @@
 """Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR.
 
-Prints exactly ONE JSON line:
+Prints exactly ONE COMPACT JSON line (VERDICT r6 #3: the driver's
+stdout capture truncates at ~2000 chars, which left ``parsed: null``
+in BENCH_r04-r06 once spread/extended grew the line — the compact
+line stays well under the limit):
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: median sec, ...}, "spread": {name: [min, max]},
-   "runs_per_query": N, "sf": <scale factor>,
-   "deltas_vs_prev": {name: ratio, ...}, "regressions": [name, ...],
-   "prev": "BENCH_rNN.json"}
+   "queries": {name: median sec, ...}, "runs_per_query": N,
+   "sf": ..., "regressions": [...], "failures": [...],
+   "details": "BENCH_DETAILS_rNN.json"}
+
+The full record — spreads, the extended query set, per-query deltas
+vs the previous round — is written to ``BENCH_DETAILS_rNN.json`` in
+the repo root (N = newest driver-recorded round + 1) and committed,
+so continuity survives even though the stdout line is trimmed.
 
 Robustness (VERDICT r3 #7): each query is timed ``BENCH_RUNS`` times
 (default 5; env-overridable) and reported as the MEDIAN with min/max
-spread — the ±25% single-run harness noise that produced r2's phantom
-regression flag averages out of the median, so ``deltas_vs_prev`` and
-the REGRESSION_FLAG now compare medians and carry real signal.
-Extended queries run ``BENCH_RUNS_EXTENDED`` times (default 3 — they
-are the slow tail and feed no round-over-round flag).
+spread — single-run harness noise averages out of the median, so
+``deltas_vs_prev`` and the REGRESSION_FLAG carry real signal.
+Extended queries run ``BENCH_RUNS_EXTENDED`` times (default 3) and —
+since round 7 (VERDICT r6 #5) — feed the same regression flag as the
+headline set, so a slowdown like r6's 3.6x bloom_decontaminate can no
+longer ship silently.
 
-Continuity: the newest BENCH_r*.json in the repo provides the previous
-round's per-query timings; ``deltas_vs_prev`` is this_median/prev per
-query and ``regressions`` lists queries slower than REGRESSION_FLAG×.
+Continuity: the newest BENCH_DETAILS_r*.json (own record, full
+medians) or BENCH_r*.json (driver record) provides the previous
+round's timings; ``regressions`` lists queries slower than
+REGRESSION_FLAG× plus any that crashed.
 """
 
 from __future__ import annotations
@@ -84,14 +93,32 @@ EXTENDED = [
 ]
 
 
-def _previous_timings() -> tuple[str | None, dict[str, float]]:
-    """Per-query timings from the newest driver-recorded BENCH_r*.json."""
+def _newest_round(pattern: str) -> tuple[int, str] | None:
     here = os.path.dirname(os.path.abspath(__file__))
     best: tuple[int, str] | None = None
-    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
-        m = re.search(r"BENCH_r(\d+)\.json$", path)
+    for path in glob.glob(os.path.join(here, pattern)):
+        m = re.search(r"_r(\d+)\.json$", path)
         if m and (best is None or int(m.group(1)) > best[0]):
             best = (int(m.group(1)), path)
+    return best
+
+
+def _previous_timings() -> tuple[str | None, dict[str, float]]:
+    """Per-query medians from the newest round record: prefer our own
+    BENCH_DETAILS_r*.json (full, parseable), fall back to the driver's
+    BENCH_r*.json (whose r4-r6 records hold only a truncated tail)."""
+    details = _newest_round("BENCH_DETAILS_r*.json")
+    driver = _newest_round("BENCH_r*.json")
+    if details is not None and (driver is None or details[0] >= driver[0]):
+        try:
+            rec = json.load(open(details[1]))
+            merged = dict(rec.get("extended") or {})
+            merged.update(rec.get("queries") or {})
+            if merged:
+                return os.path.basename(details[1]), merged
+        except Exception:
+            pass
+    best = driver
     if best is None:
         return None, {}
     try:
@@ -220,12 +247,25 @@ def main() -> None:
     # regressions alongside the slow ones.
     total = round(sum(timings.values()), 3) if not failures else None
     prev_name, prev = _previous_timings()
+    # VERDICT r6 #5: the regression flag covers the EXTENDED set too —
+    # a 3.6x extended-query slowdown (r6 bloom_decontaminate) must trip
+    # the flag, not ship silently.
+    all_timings = dict(extended)
+    all_timings.update(timings)
     deltas = {
-        q: round(timings[q] / prev[q], 3)
-        for q in timings
+        q: round(all_timings[q] / prev[q], 3)
+        for q in all_timings
         if prev.get(q) and prev[q] > 0
     }
-    out = {
+    regressions = sorted(
+        set(q for q, r in deltas.items() if r > REGRESSION_FLAG) | set(failures)
+    )
+
+    # Full record -> committed details file; stdout gets the compact
+    # line the driver can actually capture (VERDICT r6 #3).
+    driver_rec = _newest_round("BENCH_r*.json")
+    details_name = f"BENCH_DETAILS_r{(driver_rec[0] if driver_rec else 0) + 1:02d}.json"
+    details = {
         "metric": "headline_query_total_sec",
         "value": total,
         "unit": "sec",
@@ -237,13 +277,32 @@ def main() -> None:
         "extended_runs": n_runs_ext,
         "sf": sf,
         "deltas_vs_prev": deltas,
-        "regressions": sorted(
-            set(q for q, r in deltas.items() if r > REGRESSION_FLAG) | set(failures)
-        ),
+        "regressions": regressions,
         "failures": failures,
         "prev": prev_name,
     }
-    print(json.dumps(out))
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, details_name), "w") as fh:
+        json.dump(details, fh, indent=1, sort_keys=True)
+
+    out = {
+        "metric": "headline_query_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "runs_per_query": n_runs,
+        "sf": sf,
+        "regressions": regressions,
+        "failures": failures,
+        "details": details_name,
+    }
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1500:  # never exceed the driver's capture window
+        slim = dict(out)
+        slim["queries"] = {}
+        slim["note"] = f"query medians in {details_name}"
+        line = json.dumps(slim, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 

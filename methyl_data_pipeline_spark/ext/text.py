@@ -1085,11 +1085,16 @@ def bm25_rank(
         .agg(F.count(F.lit(1)).alias("_df"))
     )
 
+    # doclen is CORPUS-sized — never broadcast it (VERDICT r6 #4: fine
+    # at sf0.1, an OOM at 100 TB). The candidate set is already bounded
+    # by query-vocab postings after the qterms broadcast join, so a
+    # plain shuffle join on id_col is the scale-safe shape; AQE shrinks
+    # it further when the candidates are small.
     cand = (
         postings.join(F.broadcast(qterms), "_t")
-        .join(F.broadcast(doclen), id_col)
         .join(F.broadcast(df_q), "_t")
         .crossJoin(F.broadcast(corpus_stats))
+        .join(doclen, id_col)
     )
     idf = F.log(
         F.lit(1.0)
