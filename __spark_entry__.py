@@ -31,6 +31,14 @@ from pyspark.sql import Window
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
+# Test hook (tests/test_contract_registry.py): a relative perturbation
+# applied to the float inputs of the formerly-driver-red queries
+# (moderated_f's mval, outlier_mad's value) BEFORE their grid-align
+# rounds. The ulp-insensitivity property test sets this to ±1e-13 and
+# asserts the emitted integers do not move — the empirical proof that
+# a libm/FMA-level environment difference cannot flip the outputs.
+_ULP_EPS = 0.0
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -3791,7 +3799,8 @@ def q_moderated_f(spark: SparkSession, sf_dir: str) -> DataFrame:
     # inputs make both engines aggregate the SAME doubles; the
     # moment_round=9 and 1e4-scale f_mod gates absorb what remains.
     meth = _meth(spark, sf_dir).withColumn(
-        "mval", F.round(model.mvalue("beta"), 9)
+        "mval",
+        F.round(model.mvalue("beta") * F.lit(1.0 + _ULP_EPS), 9),
     )
     grouped = meth.withColumn(
         "grp",
@@ -4380,8 +4389,10 @@ def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     # finite-value guard (VERDICT r6 #7): Spark `percentile` sorts NaN
     # greatest and skips NULL, while quantile_cont engines order NaN
     # differently — pin both engines to the same finite input set
-    ev = _events(spark, sf_dir).filter(
-        F.col("value").isNotNull() & ~F.isnan("value")
+    ev = (
+        _events(spark, sf_dir)
+        .filter(F.col("value").isNotNull() & ~F.isnan("value"))
+        .withColumn("value", F.col("value") * F.lit(1.0 + _ULP_EPS))
     )
     out = mad_outlier_summary(ev, "value", ["event_type"], c=3.0)
     # scaled-integer outputs (_ri): r5 was bit-identical to DuckDB

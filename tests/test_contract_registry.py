@@ -105,3 +105,25 @@ def test_integer_encoded_queries_partitioning_invariant(spark):
                 ), f"{name}.{f.name} is {f.dataType.typeName()} — float in a hash-compared column"
             frames.append(rows)
         assert frames[0] == frames[1], f"{name} not partitioning-invariant"
+
+
+def test_float_queries_ulp_insensitive(spark):
+    """VERDICT r6 #7: the grid-align rounds must absorb libm/FMA-level
+    environment differences, not merely survive re-partitioning. A
+    ±1e-13 relative perturbation of the float inputs (mval before its
+    9dp round, events.value) models a different libm producing
+    ulp-shifted doubles — the emitted integers must be IDENTICAL."""
+    sf = "/root/testdata/sf0.001"
+    qs = entry.queries()
+    for name in ("moderated_f", "outlier_mad"):
+        results = []
+        for eps in (0.0, 1e-13, -1e-13):
+            entry._ULP_EPS = eps
+            try:
+                rows = sorted(tuple(r) for r in qs[name](spark, sf).collect())
+            finally:
+                entry._ULP_EPS = 0.0
+            results.append(rows)
+        assert results[0] == results[1] == results[2], (
+            f"{name} output moved under a 1e-13 input perturbation"
+        )
