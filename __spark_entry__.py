@@ -1711,17 +1711,36 @@ def q_stream_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     certifies the streaming chain's semantics too. Reference semantics:
     the dataset.py:41 / bmiq/DoBMIQ.R:57-63 membership gates, lifted to
     continuous ingest."""
+    return _stream_curate_probe(
+        spark, sf_dir, _stream_curate_build(spark, sf_dir)
+    )
+
+
+def _stream_curate_build(spark: SparkSession, sf_dir: str) -> list[int]:
+    """BUILD phase of q_stream_curate: benchmark shingles -> Bloom
+    word list (one scan + constant-size bit_or collect). Split out so
+    bench.py can time build and probe separately (VERDICT r6 #9)."""
     from methyl_data_pipeline_spark.ext.dedup import bloom_build, shingles
     from methyl_data_pipeline_spark.ext.text import md5_long
-    from methyl_data_pipeline_spark.streaming.events import curate_batch_twin
 
     docs = _t(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") < 10)
-    corpus = docs.filter(F.col("doc_id") >= 10)
     bench_hashes = bench.select(
         F.explode(F.array_distinct(shingles("text", 5))).alias("_s")
     ).select(md5_long(F.col("_s")).alias("_h"))
-    words = bloom_build(bench_hashes, "_h")
+    return bloom_build(bench_hashes, "_h")
+
+
+def _stream_curate_probe(
+    spark: SparkSession, sf_dir: str, words: list[int]
+) -> DataFrame:
+    """PROBE phase of q_stream_curate: the stateless curation chain
+    (quality gate -> PII redact -> Bloom probe -> fingerprint dedup)
+    against a prebuilt Bloom word list."""
+    from methyl_data_pipeline_spark.streaming.events import curate_batch_twin
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") >= 10)
     return curate_batch_twin(corpus, bloom_words=words).orderBy("doc_id")
 
 

@@ -241,6 +241,32 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # stream_curate phase split (VERDICT r6 #9): it is the most
+    # expensive query in the suite, so time its Bloom BUILD (benchmark
+    # scan + constant-size bit_or collect) and PROBE (quality gate +
+    # redaction + per-shingle Bloom test + fingerprint dedup) phases
+    # separately — the regression machinery then sees which phase moved.
+    try:
+        build_s, probe_s = [], []
+        for _ in range(n_runs_ext):
+            t0 = time.time()
+            words = entrymod._stream_curate_build(spark, sf_dir)
+            t1 = time.time()
+            entrymod._stream_curate_probe(spark, sf_dir, words).count()
+            t2 = time.time()
+            build_s.append(t1 - t0)
+            probe_s.append(t2 - t1)
+            cache.release_all()
+        extended["stream_curate_build"] = round(_median(build_s), 3)
+        extended["stream_curate_probe"] = round(_median(probe_s), 3)
+        print(
+            f"# stream_curate phases: build {extended['stream_curate_build']:.2f}s"
+            f" probe {extended['stream_curate_probe']:.2f}s",
+            file=sys.stderr,
+        )
+    except Exception as exc:
+        print(f"# stream_curate phase split failed: {exc}", file=sys.stderr)
+
     # A crashed headline query must read as a failure, not a speedup:
     # with any failure the total is meaningless (it sums only the
     # survivors), so null it out and flag the failed names as
