@@ -288,8 +288,11 @@ SQL_SEMI_ANTI = """
 WITH w AS (SELECT c_mktsegment, COUNT(*) AS n_with
            FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
            GROUP BY 1),
+     -- NOT EXISTS, not NOT IN: matches Spark anti-join NULL
+     -- semantics (one NULL o_custkey would empty a NOT IN result)
      wo AS (SELECT c_mktsegment, COUNT(*) AS n_without
-            FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+            FROM customer c WHERE NOT EXISTS
+              (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
             GROUP BY 1)
 SELECT COALESCE(w.c_mktsegment, wo.c_mktsegment) AS c_mktsegment,
        COALESCE(n_with, 0) AS n_with, COALESCE(n_without, 0) AS n_without
@@ -1632,7 +1635,7 @@ rsh AS (
 contaminated AS (SELECT DISTINCT r.doc_id FROM rsh r JOIN bench_sh b USING (g)),
 clean AS (
   SELECT doc_id, source, array_to_string(ws, ' ') AS norm FROM rw
-  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+  WHERE NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = rw.doc_id)
 ),
 fp AS (SELECT doc_id, source, norm, md5(norm) AS f FROM clean),
 winners AS (SELECT f, MIN(doc_id) AS doc_id FROM fp GROUP BY f),
@@ -1837,7 +1840,8 @@ contaminated AS (
 clean AS (
   SELECT doc_id, array_to_string(ws, ' ') AS norm,
          CAST(len(ws) AS BIGINT) AS n_tokens
-  FROM rw WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+  FROM rw WHERE NOT EXISTS
+    (SELECT 1 FROM contaminated c WHERE c.doc_id = rw.doc_id)
 ),
 fp AS (
   SELECT doc_id, ('0x' || substr(md5(norm), 1, 15))::BIGINT AS fingerprint,
