@@ -24,9 +24,11 @@ DST = "/root/repo/.nullfix"
 
 def main() -> None:
     os.makedirs(DST, exist_ok=True)
+    mutated = {"documents.parquet", "events.parquet"}
     for f in os.listdir(SRC):
-        if f.endswith(".parquet") and f != "documents.parquet":
+        if f.endswith(".parquet") and f not in mutated:
             shutil.copy(os.path.join(SRC, f), os.path.join(DST, f))
+
     df = pq.read_table(os.path.join(SRC, "documents.parquet")).to_pandas()
     df.loc[df.index[3], "text"] = None
     df.loc[df.index[17], "text"] = None
@@ -42,6 +44,23 @@ def main() -> None:
         f"wrote {DST}: {len(df)} docs, "
         f"{int(df['text'].isna().sum())} null texts, "
         f"{int(df['lang'].isna().sum())} null langs"
+    )
+
+    # events: NULL values and a NaN — exercises percentile/median vs
+    # quantile_cont skip/order semantics (outlier_mad et al.) and the
+    # windowed/sessionized aggregates
+    ev = pq.read_table(os.path.join(SRC, "events.parquet")).to_pandas()
+    ev.loc[ev.index[5], "value"] = None
+    ev.loc[ev.index[23], "value"] = None
+    ev.loc[ev.index[47], "value"] = float("nan")
+    ev.loc[ev.index[11], "props"] = None
+    pq.write_table(
+        pa.Table.from_pandas(ev, preserve_index=False),
+        os.path.join(DST, "events.parquet"),
+    )
+    print(
+        f"wrote events: {len(ev)} rows, "
+        f"{int(ev['value'].isna().sum())} null/nan values"
     )
 
 
