@@ -195,6 +195,83 @@ def gram_matrix(
     )
 
 
+def gram_matrix_blocked(
+    long_df: DataFrame,
+    value_col: str = "mval",
+    key_col: str = "probe_id",
+    sample_col: str = "sample_id",
+    scale: bool = False,
+) -> DataFrame:
+    """100 TB scale-path twin of :func:`gram_matrix`: identical output
+    grid (s1 <= s2, same centering), different physical plan.
+
+    The exact twin's probe-keyed self-join shuffles O(probes · n²)
+    rows — right for oracle replay, quadratic-in-samples at scale. This
+    path instead (a) pivots each complete-case probe's centered values
+    into one sample-ordered array (ONE data-sized shuffle, rows =
+    probes), then (b) accumulates the n×n partial Gram ``Vᵀ·V`` per
+    Arrow batch in NumPy (BLAS syrk-shaped, zero per-pair rows) and
+    (c) sums the partials — n²-sized traffic regardless of corpus
+    size. Float caveat: partial-sum order differs from the self-join's
+    shuffle order, so agreement with the exact twin is tolerance-level
+    (ulp-accumulation), not bitwise — which is why the ORACLE query
+    stays on the exact twin and this is the deployment path.
+    """
+    import pandas as pd
+
+    centered = _centered(long_df, value_col, key_col, sample_col, scale)
+    samples = [
+        r[0]
+        for r in centered.select(sample_col).distinct().orderBy(sample_col).collect()
+    ]
+    n = len(samples)
+    # per-probe dense vector, globally sample-ordered; complete-cases
+    # guarantee (in _centered) makes every array length exactly n
+    vecs = (
+        centered.groupBy(key_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(sample_col).alias("s"), F.col("_vc").alias("v")))
+            ).alias("_sv")
+        )
+        .select(F.transform("_sv", lambda x: x["v"]).alias("_vec"))
+    )
+
+    def partial_gram(batches):
+        import numpy as np
+
+        acc = np.zeros((n, n))
+        seen = False
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.asarray([list(v) for v in pdf["_vec"]], dtype=np.float64)
+            if mat.shape[1] != n:
+                raise ValueError(
+                    f"probe vector length {mat.shape[1]} != n_samples {n}"
+                )
+            acc += mat.T @ mat
+            seen = True
+        if seen:
+            iu = [(i, j) for i in range(n) for j in range(i, n)]
+            yield pd.DataFrame(
+                {
+                    "i": [i for i, _ in iu],
+                    "j": [j for _, j in iu],
+                    "partial": [acc[i, j] for i, j in iu],
+                }
+            )
+
+    parts = vecs.mapInPandas(partial_gram, "i int, j int, partial double")
+    summed = parts.groupBy("i", "j").agg(F.sum("partial").alias("gram"))
+    sample_arr = F.array(*[F.lit(s) for s in samples])
+    return summed.select(
+        F.element_at(sample_arr, F.col("i") + 1).alias("s1"),
+        F.element_at(sample_arr, F.col("j") + 1).alias("s2"),
+        "gram",
+    )
+
+
 def _gram_eigensolve(gram_rows):
     """Collect-side eigensolve shared by :func:`pca_scores` (small-n
     path) and :func:`pca_eigen_certificate` — the certificate's claim
@@ -267,6 +344,7 @@ def pca_scores(
     key_col: str = "probe_id",
     sample_col: str = "sample_id",
     gram_threshold: int = 1024,
+    blocked_gram: bool = False,
 ) -> tuple[DataFrame, list[float]]:
     """Per-sample PCA scores (PC1..PCk) + explained-variance ratios.
 
@@ -275,6 +353,11 @@ def pca_scores(
     - ``n_samples <= gram_threshold``: the n×n Gram trick — one
       probe-keyed self-join shuffle, tiny K eigendecomposed driver-side.
       Exact, and the right call at the reference's n = 10²-10³.
+      ``blocked_gram=True`` swaps in :func:`gram_matrix_blocked` (the
+      mapInPandas partial-XᵀX plan, O(data) instead of O(probes·n²)
+      shuffle) — the deployment switch for huge corpora with moderate
+      n; defaults off so the oracle-checked certificate queries keep
+      exercising the exact plan this path runs.
     - above the threshold: distributed truncated SVD
       (:func:`_pca_scores_distributed`) — no n² collect, no d×d
       covariance; survives n = 10⁵ samples × d = 10⁶ probes.
@@ -299,7 +382,8 @@ def pca_scores(
     # (upper triangle — K is symmetric, mirror driver-side). Shares
     # gram_matrix so the oracle-checked contract query exercises the
     # exact plan this path runs.
-    gram_rows = gram_matrix(
+    gram_fn = gram_matrix_blocked if blocked_gram else gram_matrix
+    gram_rows = gram_fn(
         long_df, value_col=value_col, key_col=key_col,
         sample_col=sample_col, scale=scale,
     ).collect()

@@ -233,6 +233,38 @@ def test_pca_paths_parity(spark):
     assert np.allclose(ev_gram, ev_dist, atol=1e-9)
 
 
+def test_gram_matrix_blocked_matches_exact(spark):
+    """The blocked (mapInPandas partial XᵀX) Gram twin must agree with
+    the exact self-join formulation to float tolerance on the same
+    grid — it is the 100 TB physical plan, not a different operator."""
+    from methyl_data_pipeline_spark.stats.pca import (
+        gram_matrix,
+        gram_matrix_blocked,
+    )
+
+    rng = np.random.RandomState(11)
+    n_probes, n_samples = 60, 9
+    x = rng.normal(0, 2, size=(n_probes, n_samples))
+    rows = [
+        (f"cg{p:05d}", f"s{s:02d}", float(x[p, s]))
+        for p in range(n_probes)
+        for s in range(n_samples)
+    ]
+    df = spark.createDataFrame(rows, ["probe_id", "sample_id", "mval"]).repartition(7)
+
+    exact = {
+        (r["s1"], r["s2"]): r["gram"]
+        for r in gram_matrix(df, value_col="mval").collect()
+    }
+    blocked = {
+        (r["s1"], r["s2"]): r["gram"]
+        for r in gram_matrix_blocked(df, value_col="mval").collect()
+    }
+    assert set(exact) == set(blocked)
+    for k in exact:
+        assert abs(exact[k] - blocked[k]) < 1e-9 * max(1.0, abs(exact[k]))
+
+
 def test_mds_paths_parity(spark):
     """Torgerson MDS (n² distance collect) and the distributed-SVD
     route must agree: classical MDS on Euclidean distances IS PCA on
