@@ -259,6 +259,12 @@ def sample_correlation(
     shape as ``stats.pca.gram_matrix``, output n_samples² rows.
     ``corr`` is JVM-side Pearson (scale-invariant, n-1 cancels), so
     the whole operator is codegen expressions.
+
+    At corpus scale with complete cases, prefer the blocked route:
+    z-score per probe, run ``stats.pca.gram_matrix_blocked`` (partial
+    XᵀX per Arrow batch, O(data) not O(probes·n²)), and divide by
+    (n_probes − 1) — Pearson over shared probes is exactly the
+    standardized Gram. This exact-join form stays as the oracle plan.
     """
     a = meth.select(
         F.col(key_col).alias("_k"),
