@@ -144,12 +144,27 @@ def cosine_neardup_pairs(
     exact cosine confirms (two-stage prune+verify, same shape as the
     MinHash→Jaccard text pipeline in ``ext.dedup``).
 
-    Shuffle volume is one hash-join on the bucket key; only same-bucket
-    vectors ever pair. A vector and its near-duplicate agree on every
-    plane sign with probability ≈ 1 - distance/π per plane, so
-    high-threshold near-dups are rarely split across buckets.
-    Hyperplanes come from :func:`md5_planes` → external oracles
-    reproduce bucket membership exactly.
+    Pair generation is a grouped collect + pair-expansion HOF, NOT a
+    bucket-keyed self-join (same rewrite as
+    ``dedup.minhash_candidate_pairs``): each bucket's ``(id, vec,
+    norm)`` structs are collected once, pairs expand in-place, and the
+    exact-cosine verify runs inline on the struct fields — ONE shuffle
+    of the keyed rows, ONE evaluation of the plane-projection plan, and
+    ZERO joins, where the self-join shuffled both sides and re-ran the
+    O(planes·dim) bucket expression per side. Per-bucket expansion is
+    O(bucket²) — the same pair count the join emitted; route exact
+    duplicates through ``dedup_exact`` first so no mega-bucket
+    concentrates in one task (standard LSH hygiene either way).
+    (At toy scale AQE turns the old self-join into a broadcast join
+    that is equally fast — ~0.6 s vs ~0.85 s at sf0.1 — but a corpus
+    side cannot broadcast at scale; the one-shuffle shape is the plan
+    that survives 100 TB, so it wins despite the local tie.)
+
+    A vector and its near-duplicate agree on every plane sign with
+    probability ≈ 1 - distance/π per plane, so high-threshold near-dups
+    are rarely split across buckets. Hyperplanes come from
+    :func:`md5_planes` → external oracles reproduce bucket membership
+    exactly.
     """
     dim = _first_dim(vectors, vec_col)
     planes = md5_planes(n_planes, dim)
@@ -161,23 +176,40 @@ def cosine_neardup_pairs(
     keyed = _spread(vectors, id_col).select(
         F.col(id_col), vec_d.alias("_v"), bucket(vec_d).alias("_bucket")
     ).withColumn("_nrm", _norm(F.col("_v")))
-    a = keyed.select(
-        F.col("_bucket"), F.col(id_col).alias("id_a"),
-        F.col("_v").alias("_va"), F.col("_nrm").alias("_na"),
+    # array_sort on structs orders by the leading field (id) → the
+    # expansion below emits id_a < id_b without a filter pass
+    buckets = (
+        keyed.groupBy("_bucket")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(id_col).alias("i"),
+                        F.col("_v").alias("v"),
+                        F.col("_nrm").alias("n"),
+                    )
+                )
+            ).alias("_m")
+        )
+        .filter(F.size("_m") >= 2)
     )
-    b = keyed.select(
-        F.col("_bucket"), F.col(id_col).alias("id_b"),
-        F.col("_v").alias("_vb"), F.col("_nrm").alias("_nb"),
+    pairs = F.flatten(
+        F.transform(
+            F.col("_m"),
+            lambda a, i: F.transform(
+                F.slice(F.col("_m"), i + 2, F.size(F.col("_m"))),
+                lambda b: F.struct(
+                    a["i"].alias("id_a"),
+                    b["i"].alias("id_b"),
+                    (_dot(a["v"], b["v"]) / (a["n"] * b["n"])).alias("cosine"),
+                ),
+            ),
+        )
     )
     return (
-        a.join(b, "_bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "cosine",
-            _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")),
-        )
+        buckets.select(F.explode(pairs).alias("_p"))
+        .select("_p.id_a", "_p.id_b", "_p.cosine")
         .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
     )
 
 
