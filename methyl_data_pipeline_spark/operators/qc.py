@@ -281,3 +281,64 @@ def sample_correlation(
         F.corr("_v1", "_v2").alias("corr"),
         F.count(F.lit(1)).alias("n_probes"),
     )
+
+
+def sample_correlation_blocked(
+    meth: DataFrame,
+    value_col: str = "beta",
+    sample_col: str = "sample_id",
+    key_col: str = "probe_id",
+) -> DataFrame:
+    """100 TB scale-path twin of :func:`sample_correlation` over
+    COMPLETE CASES: Pearson over shared probes is exactly the
+    standardized Gram, so the n×n correlation matrix falls out of the
+    same blocked partial-XᵀX kernel PCA uses
+    (``stats.pca.blocked_crossprod``) — ONE data-sized shuffle plus an
+    n²-sized exchange, where the exact twin's probe-keyed self-join
+    shuffles O(probes · n²) rows.
+
+    Plan: complete-case gate (lazy countDistinct broadcast, same shape
+    as PCA's ``_centered``) → per-SAMPLE z-scores ((v − mean_s)/sd_s,
+    sample stats are an n-sized broadcast) → blocked Σ z₁z₂ → divide
+    by (n_probes − 1). With ``stddev_samp`` in the z-score this is
+    textbook Pearson; on complete-case input it matches the exact twin
+    to float tolerance (partial-sum order differs, so agreement is
+    ulp-level, not bitwise — the exact twin stays the oracle plan).
+    Constant-valued samples (sd = 0) yield NaN/inf correlations in
+    both twins; gate them upstream if the corpus can contain them.
+    """
+    from methyl_data_pipeline_spark.stats.pca import blocked_crossprod
+
+    clean = meth.filter(F.col(value_col).isNotNull() & ~F.isnan(value_col))
+    n_df = clean.select(F.countDistinct(sample_col).alias("_ns"))
+    complete = (
+        clean.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .join(F.broadcast(n_df), F.col("_n") == F.col("_ns"))
+        .select(key_col)
+    )
+    cc = clean.join(F.broadcast(complete), key_col)
+    sstats = cc.groupBy(sample_col).agg(
+        F.avg(value_col).alias("_m"),
+        F.stddev_samp(value_col).alias("_sd"),
+        F.count(F.lit(1)).alias("_nk"),
+    )
+    z = cc.join(F.broadcast(sstats), sample_col).select(
+        key_col,
+        sample_col,
+        ((F.col(value_col) - F.col("_m")) / F.col("_sd")).alias("_z"),
+    )
+    # every sample carries the same complete-probe count — take it from
+    # the n-sized stats frame, not a global agg over the fact table
+    nk_df = sstats.select(F.col("_nk")).limit(1)
+    gram = blocked_crossprod(z, "_z", key_col, sample_col)
+    return (
+        gram.filter(F.col("s1") < F.col("s2"))
+        .crossJoin(F.broadcast(nk_df))
+        .select(
+            "s1",
+            "s2",
+            (F.col("gram") / (F.col("_nk") - 1)).alias("corr"),
+            F.col("_nk").alias("n_probes"),
+        )
+    )

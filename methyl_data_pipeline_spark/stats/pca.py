@@ -217,21 +217,45 @@ def gram_matrix_blocked(
     (ulp-accumulation), not bitwise — which is why the ORACLE query
     stays on the exact twin and this is the deployment path.
     """
+    centered = _centered(long_df, value_col, key_col, sample_col, scale)
+    return blocked_crossprod(centered, "_vc", key_col, sample_col)
+
+
+def blocked_crossprod(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    sample_col: str,
+) -> DataFrame:
+    """The blocked partial-XᵀX kernel shared by
+    :func:`gram_matrix_blocked` (per-probe-centered values → PCA Gram)
+    and ``operators.qc.sample_correlation_blocked`` (per-sample
+    z-scores → Pearson numerators): given complete-case long rows
+    (key, sample, value), emit ``(s1, s2, gram)`` for the upper
+    triangle of Σ_keys v(s1)·v(s2).
+
+    One data-sized shuffle pivots each key's values into a globally
+    sample-ordered dense vector; each Arrow batch accumulates its n×n
+    partial in NumPy (BLAS-shaped, zero per-pair rows); the n²-sized
+    partials sum in one tiny exchange — traffic independent of corpus
+    size. Requires complete cases: every key must carry ALL n samples
+    (enforced with a hard error, not silent misalignment).
+    """
     import pandas as pd
 
-    centered = _centered(long_df, value_col, key_col, sample_col, scale)
     samples = [
-        r[0]
-        for r in centered.select(sample_col).distinct().orderBy(sample_col).collect()
+        r[0] for r in df.select(sample_col).distinct().orderBy(sample_col).collect()
     ]
     n = len(samples)
-    # per-probe dense vector, globally sample-ordered; complete-cases
-    # guarantee (in _centered) makes every array length exactly n
+    # per-key dense vector, globally sample-ordered; complete-cases
+    # guarantee makes every array length exactly n
     vecs = (
-        centered.groupBy(key_col)
+        df.groupBy(key_col)
         .agg(
             F.array_sort(
-                F.collect_list(F.struct(F.col(sample_col).alias("s"), F.col("_vc").alias("v")))
+                F.collect_list(
+                    F.struct(F.col(sample_col).alias("s"), F.col(value_col).alias("v"))
+                )
             ).alias("_sv")
         )
         .select(F.transform("_sv", lambda x: x["v"]).alias("_vec"))
@@ -248,7 +272,7 @@ def gram_matrix_blocked(
             mat = np.asarray([list(v) for v in pdf["_vec"]], dtype=np.float64)
             if mat.shape[1] != n:
                 raise ValueError(
-                    f"probe vector length {mat.shape[1]} != n_samples {n}"
+                    f"key vector length {mat.shape[1]} != n_samples {n}"
                 )
             acc += mat.T @ mat
             seen = True

@@ -184,3 +184,44 @@ def test_contracts_check_and_raise(spark):
     assert expect_aligned_samples(df, sheet) is df
     with pytest.raises(ContractViolation, match="1 in sheet only"):
         expect_aligned_samples(df.filter(F.col("sample_id") == "s1"), sheet)
+
+
+def test_sample_correlation_blocked_parity(spark):
+    """The blocked scale path (per-sample z-scores through the PCA
+    partial-X^T X kernel) matches the exact self-join twin to float
+    tolerance on complete-case input, including when incomplete and
+    NaN rows must be gated out first."""
+    import math
+
+    import numpy as np
+
+    from methyl_data_pipeline_spark.operators.qc import (
+        sample_correlation,
+        sample_correlation_blocked,
+    )
+
+    rng = np.random.RandomState(31)
+    rows = []
+    for s in ("s1", "s2", "s3", "s4", "s5"):
+        vals = rng.rand(80)
+        rows += [(f"cg{i:04d}", s, float(v)) for i, v in enumerate(vals)]
+    # incomplete probe (missing from s5) and a NaN cell: both must be
+    # excluded by the complete-case gate on BOTH paths' input
+    rows += [(f"cgx{i}", s, 0.5) for i in range(3) for s in ("s1", "s2")]
+    rows += [("cg0000x", "s3", float("nan"))]
+    df = spark.createDataFrame(rows, "probe_id string, sample_id string, beta double")
+
+    complete = df.filter(~F.isnan("beta"))
+    counts = complete.groupBy("probe_id").count().filter("count = 5")
+    cc = complete.join(counts.select("probe_id"), "probe_id")
+
+    exact = {(r.s1, r.s2): (r.corr, r.n_probes) for r in sample_correlation(cc).collect()}
+    blocked = {
+        (r.s1, r.s2): (r.corr, r.n_probes)
+        for r in sample_correlation_blocked(df).collect()
+    }
+    assert set(exact) == set(blocked)
+    for k in exact:
+        assert blocked[k][1] == exact[k][1] == 80
+        assert not math.isnan(blocked[k][0])
+        assert blocked[k][0] == pytest.approx(exact[k][0], abs=1e-9)
