@@ -104,10 +104,20 @@ def curate(
         .distinct()
     )
     clean = red.join(contaminated, id_col, "left_anti")
-    # exact dedup on the precomputed normalized body (min-id winner)
+    # exact dedup on the precomputed normalized body: min-id winner as
+    # a fingerprint-partitioned row_number — ONE fact shuffle, where
+    # the groupBy-min + semi-join form shuffles the fact table twice
+    # (the winners frame is corpus-sized, so AQE cannot broadcast it at
+    # scale); same rewrite curate_batch_twin measured 4.7 s -> 3.0 s on
+    from pyspark.sql import Window
+
     keyed = clean.withColumn("_fp", md5_long(F.col("_norm")))
-    winners = keyed.groupBy("_fp").agg(F.min(id_col).alias(id_col))
-    unique = keyed.join(winners, ["_fp", id_col], "left_semi")
+    w = Window.partitionBy("_fp").orderBy(id_col)
+    unique = (
+        keyed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
     toks = unique.select(
         F.col(id_col),
         F.col(shard_col),
