@@ -39,12 +39,22 @@ def dedup_exact(
     """Exact dedup on normalized text, keeping the smallest id per
     group (deterministic, unlike dropDuplicates' arbitrary winner).
 
-    One shuffle on the 60-bit fingerprint; at 100 TB the min-id winner
-    is a cheap min-agg + semi-join rather than a full sort.
+    ONE shuffle on the 60-bit fingerprint: the min-id winner is a
+    fingerprint-partitioned ``row_number`` (per-group sort over
+    duplicate-family-sized groups, never corpus-sized), replacing the
+    min-agg + semi-join form that shuffled the fact table twice AND
+    evaluated the md5/normalize projection once per join side — the
+    same rewrite ``curate_batch_twin`` measured 4.7 s -> 3.0 s on.
     """
+    from pyspark.sql import Window
+
     keyed = df.withColumn("_fp", md5_long(normalize_label(F.col(text_col))))
-    winners = keyed.groupBy("_fp").agg(F.min(id_col).alias(id_col))
-    return keyed.join(winners, ["_fp", id_col], "left_semi").drop("_fp")
+    w = Window.partitionBy("_fp").orderBy(id_col)
+    return (
+        keyed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_fp")
+    )
 
 
 def shingles_from_words(ws: Column, n: int = 3) -> Column:
@@ -422,29 +432,25 @@ def dedup_keep_best(
     duplicates keep the best-quality copy, not the arbitrary or
     smallest-id one (``dedup_exact``).
 
-    One groupBy shuffle with map-side partial max — no window over the
-    fact table. ``id_col`` must be numeric (the tiebreak negates it so
-    a single ``max(struct)`` resolves score-then-id ordering).
+    ONE shuffle: a key-partitioned ``row_number`` ordered by
+    (score DESC, id ASC) elects the winner in place — the max-struct +
+    semi-join form shuffled the fact table twice (the winners frame is
+    corpus-sized, so AQE cannot broadcast it at scale) and needed an
+    ``eqNullSafe`` join dance for NULL keys, which ``partitionBy``
+    handles natively (NULL keys form one window group, same as
+    groupBy). NULL scores sort last in the DESC order, matching the
+    old max(struct) semantics (NULL struct fields compare smallest);
+    an all-NULL-score family still elects its min-id row.
     """
-    winners = df.groupBy(key_col).agg(
-        F.max(
-            F.struct(
-                F.col(score_col).alias("s"),
-                (-F.col(id_col)).alias("ni"),
-                F.col(id_col).alias("i"),
-            )
-        )["i"].alias(id_col)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
     )
-    # eqNullSafe on the key: groupBy collects NULL keys into one group
-    # (SQL semantics), but a plain equi-semi-join would never match the
-    # NULL-group winner back, silently dropping that family. <=> keys
-    # still plan as a hash join.
-    d, w = df.alias("_d"), winners.alias("_w")
-    return d.join(
-        w,
-        F.col(f"_d.{key_col}").eqNullSafe(F.col(f"_w.{key_col}"))
-        & (F.col(f"_d.{id_col}") == F.col(f"_w.{id_col}")),
-        "left_semi",
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
     )
 
 
@@ -472,9 +478,15 @@ def incremental_dedup(
     ``seen_fingerprints`` schema: ``fingerprint long`` (extra columns
     ignored). The returned ledger carries ``fingerprint`` only.
     """
+    from pyspark.sql import Window
+
     keyed = new_docs.withColumn("_fp", md5_long(normalize_label(F.col(text_col))))
-    winners = keyed.groupBy("_fp").agg(F.min(id_col).alias(id_col))
-    shard_unique = keyed.join(winners, ["_fp", id_col], "left_semi")
+    w = Window.partitionBy("_fp").orderBy(id_col)
+    shard_unique = (
+        keyed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
     ledger = seen_fingerprints.select(F.col("fingerprint").alias("_fp"))
     novel = shard_unique.join(ledger, "_fp", "left_anti")
     updated = ledger.union(novel.select("_fp")).distinct().select(
