@@ -228,18 +228,47 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Near-dup pairs with exact n-gram Jaccard similarity, verified on
     LSH candidates only (two-stage: cheap banding prunes, exact Jaccard
-    confirms — the standard scale pattern)."""
+    confirms — the standard scale pattern).
+
+    Verify shape: melt each candidate pair into two (pair, member-id)
+    rows, broadcast-join the corpus shingle frame ONCE, and regroup —
+    one evaluation of the md5-shingling scan (the dominant CPU cost at
+    scale) and one candidate-sized shuffle, where joining the a/b
+    sides separately re-ran the shingle projection per side. (At sf0.1
+    the regroup shuffle costs ~0.4 s more than the re-scan it replaces
+    — toy docs make shingling cheap — but the re-scan grows with the
+    CORPUS while the regroup grows with the candidate set, so the
+    one-scan shape is the plan that survives 100 TB.)"""
     cands = minhash_candidate_pairs(df, text_col, id_col, num_hashes, bands, shingle_n)
     sh = df.select(
-        F.col(id_col), F.array_distinct(shingles(text_col, shingle_n)).alias("_sh")
+        F.col(id_col).alias("_id"),
+        F.array_distinct(shingles(text_col, shingle_n)).alias("_sh"),
     )
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b"))
+    melted = cands.select(
+        "id_a", "id_b", F.col("id_a").alias("_id"), F.lit("a").alias("_role")
+    ).unionAll(
+        cands.select(
+            "id_a", "id_b", F.col("id_b").alias("_id"), F.lit("b").alias("_role")
+        )
+    )
+    # no broadcast HINT: candidates are duplicate-rate-sized, usually
+    # small enough that AQE broadcasts them (corpus streams map-side,
+    # zero shuffle) — but dup-rate × corpus is not BOUNDED, so forcing
+    # the broadcast would be the bm25-doclen mistake; the AQE fallback
+    # is one corpus-sized shuffle, still strictly better than the old
+    # per-side double evaluation of the shingle scan
+    paired = (
+        sh.join(melted, "_id")
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.max(F.when(F.col("_role") == "a", F.col("_sh"))).alias("_sh_a"),
+            F.max(F.when(F.col("_role") == "b", F.col("_sh"))).alias("_sh_b"),
+        )
+    )
     inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
     union = F.size(F.array_union("_sh_a", "_sh_b"))
     return (
-        cands.join(a, "id_a").join(b, "id_b")
-        .withColumn("jaccard", (inter / union).cast("double"))
+        paired.withColumn("jaccard", (inter / union).cast("double"))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
