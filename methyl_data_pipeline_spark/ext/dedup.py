@@ -380,10 +380,13 @@ def segment_dedup(
     ``n_kept=0`` and an empty string).
 
     Plan shape at 100 TB: one posexplode (1:N, no shuffle), ONE
-    groupBy shuffle on segment text to elect first occurrences
-    (map-side partial min), a semi-join back on the same key, and one
-    groupBy on doc id to reassemble — cost tracks corpus token count,
-    never n².
+    shuffle on segment text electing first occurrences via a
+    segment-partitioned ``row_number`` (WindowGroupLimit prunes losers
+    map-side, so the exchange carries ~one row per distinct segment —
+    the old groupBy-min + join form shuffled the exploded frame TWICE,
+    and its winners frame was segment-corpus-sized, unbroadcastable),
+    and one groupBy on doc id to reassemble — cost tracks corpus token
+    count, never n².
 
     Case-PRESERVING: ``text_dedup`` feeds training, so segments keep
     their original casing (whitespace-only normalization) and the
@@ -411,19 +414,17 @@ def segment_dedup(
     exploded = df.select(
         F.col(id_col), F.posexplode(segs).alias("_seg_idx", "_seg")
     )
-    # first corpus occurrence: lexicographic min over (doc_id, position)
-    winners = exploded.groupBy("_seg").agg(
-        F.min(F.struct(F.col(id_col).alias("d"), F.col("_seg_idx").alias("p"))).alias(
-            "_first"
-        )
+    # first corpus occurrence: lexicographic min over (doc_id,
+    # position), elected in place by a segment-partitioned row_number
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_seg").orderBy(
+        F.col(id_col).asc(), F.col("_seg_idx").asc()
     )
     kept = (
-        exploded.join(winners, "_seg")
-        .filter(
-            (F.col(id_col) == F.col("_first.d"))
-            & (F.col("_seg_idx") == F.col("_first.p"))
-        )
-        .drop("_first")
+        exploded.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
     )
     reassembled = kept.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_kept"),
