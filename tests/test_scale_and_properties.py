@@ -521,3 +521,45 @@ def test_run_corpus_pipeline_end_to_end(spark, tmp_path):
     a = sorted(map(tuple, res.placements.collect()))
     b = sorted(map(tuple, res2.placements.collect()))
     assert a == b
+
+
+def test_window_winner_dedup_partitioning_invariant(spark):
+    """The round-7 window-winner elections (dedup_exact,
+    dedup_keep_best, segment_dedup, incremental_dedup's within-shard
+    stage) are deterministic total orders — repartitioning the input
+    cannot change any winner (the 100-TB guarantee), including for
+    NULL dedup keys, which partitionBy groups like groupBy did."""
+    from methyl_data_pipeline_spark.ext.dedup import (
+        dedup_exact,
+        dedup_keep_best,
+        incremental_dedup,
+        segment_dedup,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ledger = spark.createDataFrame(
+        [(1,), (2,)], "fingerprint long"
+    ).filter("fingerprint < 0")  # empty ledger, stable schema
+
+    def snap(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    for parts in (1, 64):
+        rp = docs.repartition(parts)
+        if parts == 1:
+            base_exact = snap(dedup_exact(rp))
+            base_seg = snap(segment_dedup(rp))
+            base_inc = snap(incremental_dedup(rp, ledger)[0])
+        else:
+            assert snap(dedup_exact(rp)) == base_exact
+            assert snap(segment_dedup(rp)) == base_seg
+            assert snap(incremental_dedup(rp, ledger)[0]) == base_inc
+
+    # NULL-key family must elect exactly one winner (highest score,
+    # min id), same as the old eqNullSafe join semantics
+    scored = spark.createDataFrame(
+        [(1, None, 5.0), (2, None, 9.0), (3, None, 9.0), (4, "k", 1.0)],
+        "doc_id long, fam string, score double",
+    )
+    got = {(r.fam, r.doc_id) for r in dedup_keep_best(scored, "fam", "score").collect()}
+    assert got == {(None, 2), ("k", 4)}
