@@ -4200,6 +4200,58 @@ ORDER BY d.doc_id
 """
 
 
+def q_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed dynamic batching (ext.pack.length_bucket_batches):
+    docs bucketed by token count, sharded by keyed hash so every
+    data-parallel worker assembles its own batches, cut into batches of
+    16; per-batch stats include the pad-to-longest token waste the
+    bucketing exists to minimize. One shuffle end-to-end."""
+    from methyl_data_pipeline_spark.ext.pack import length_bucket_batches
+
+    docs = _t(spark, sf_dir, "documents")
+    out = length_bucket_batches(docs, batch_size=16, n_shards=8)
+    return out.select(
+        "bucket", "shard", "batch_id", "n_docs", "max_tokens",
+        "sum_tokens", "padding",
+    ).orderBy("bucket", "shard", "batch_id")
+
+
+SQL_LENGTH_BATCHES = r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT)
+           AS n_tokens,
+         ('0x' || substr(md5('batch|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           AS h
+  FROM documents WHERE text IS NOT NULL
+),
+b AS (
+  SELECT doc_id, n_tokens, h,
+         CAST(h % 8 AS BIGINT) AS shard,
+         CAST(CASE WHEN n_tokens <= 16 THEN 16 WHEN n_tokens <= 32 THEN 32
+                   WHEN n_tokens <= 64 THEN 64 WHEN n_tokens <= 128 THEN 128
+                   WHEN n_tokens <= 256 THEN 256 WHEN n_tokens <= 512 THEN 512
+                   ELSE 1024 END AS BIGINT) AS bucket
+  FROM t
+),
+placed AS (
+  SELECT bucket, shard, n_tokens,
+         CAST((ROW_NUMBER() OVER (PARTITION BY bucket, shard
+                                  ORDER BY h ASC, doc_id ASC) - 1) // 16
+              AS BIGINT) AS batch_id
+  FROM b
+)
+SELECT bucket, shard, batch_id,
+       COUNT(*) AS n_docs,
+       MAX(n_tokens) AS max_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       COUNT(*) * MAX(n_tokens) - CAST(SUM(n_tokens) AS BIGINT) AS padding
+FROM placed
+GROUP BY bucket, shard, batch_id
+ORDER BY bucket, shard, batch_id
+"""
+
+
 def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Paragraph/segment-level exact dedup (Falcon/RefinedWeb line-dedup
     family): 4-word segments, first corpus occurrence wins, documents
@@ -4908,6 +4960,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # three queries above, so a future driver hash miss pinpoints
         # the diverging query and column instead of a whole-row mystery
         "column_digests": q_column_digests,
+        # NEW r7: length-bucketed dynamic batching (oracled; starts in
+        # the tail, candidate for a window slot once locally proven)
+        "length_batches": q_length_batches,
         # demoted r6: driver-green r5, untouched since
         "clean_text": q_clean_text,
         # demoted r5: driver-green in CORRECTNESS_r01-r04, untouched
@@ -5105,6 +5160,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_corr": SQL_SAMPLE_CORR,
         "hash_split": SQL_HASH_SPLIT,
         "mixture_sample": SQL_MIXTURE_SAMPLE,
+        "length_batches": SQL_LENGTH_BATCHES,
         "lang_id_ngram": _sql_lang_id_ngram(),
         "contract_report": SQL_CONTRACT_REPORT,
         "frame_sample": SQL_FRAME_SAMPLE,

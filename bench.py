@@ -90,6 +90,8 @@ EXTENDED = [
     "bm25_rank",
     "corpus_pipeline",
     "stream_curate",
+    # r7 additions
+    "length_batches",
 ]
 
 

@@ -153,6 +153,71 @@ def mixture_sample(
     )
 
 
+def length_bucket_batches(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    batch_size: int = 16,
+    n_shards: int = 8,
+    buckets: tuple[int, ...] = (16, 32, 64, 128, 256, 512),
+    salt: str = "batch",
+) -> DataFrame:
+    """Length-bucketed dynamic batching — the padding-efficiency
+    batch assembler for variable-length training/inference: documents
+    are bucketed by token count (geometric CASE ladder — integer
+    thresholds, so the bucket function is bit-identical in any
+    engine), sharded by keyed hash (each data-parallel worker
+    assembles its own batches — no per-bucket global order, so no
+    one-task bottleneck at corpus scale), deterministically ordered
+    inside each (bucket, shard) by the same hash, and cut into
+    batches of ``batch_size``. Emits per-batch stats; ``padding`` =
+    ``n_docs * max_tokens - sum_tokens`` is the token waste a
+    pad-to-longest collator would spend on that batch (the number
+    the bucketing exists to minimize).
+
+    Plan shape: one shuffle (the (bucket, shard) window) + the
+    per-batch partial aggregate; NULL-text docs are dropped up front
+    (nothing to batch). Deterministic end-to-end: md5 order, no RNG.
+    """
+    from methyl_data_pipeline_spark.ext.text import md5_long
+
+    if batch_size < 1 or n_shards < 1 or not buckets:
+        raise ValueError("need batch_size >= 1, n_shards >= 1, buckets")
+    ws = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
+    )
+    n = F.size(ws).cast("long")
+    bucket = F.when(n <= buckets[0], F.lit(buckets[0]))
+    for b in buckets[1:]:
+        bucket = bucket.when(n <= b, F.lit(b))
+    # overflow bucket: docs longer than the largest threshold still
+    # batch together (pad-to-longest within the open-ended bucket)
+    bucket = bucket.otherwise(F.lit(2 * buckets[-1])).cast("long")
+    h = md5_long(F.col(id_col).cast("string"), salt=salt)
+    toks = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        bucket.alias("bucket"),
+        (h % n_shards).cast("long").alias("shard"),
+        h.alias("_h"),
+    )
+    w = Window.partitionBy("bucket", "shard").orderBy(
+        F.col("_h").asc(), F.col(id_col).asc()
+    )
+    placed = toks.withColumn(
+        "batch_id",
+        ((F.row_number().over(w) - 1) / batch_size).cast("long"),
+    )
+    return placed.groupBy("bucket", "shard", "batch_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("n_tokens").alias("max_tokens"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        (F.count(F.lit(1)) * F.max("n_tokens") - F.sum("n_tokens")).alias(
+            "padding"
+        ),
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str = "text",

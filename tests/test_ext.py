@@ -649,6 +649,35 @@ def test_hash_split_deterministic_and_proportional(spark):
     assert a != c
 
 
+def test_length_bucket_batches(spark):
+    """Batches respect bucket caps and batch_size; padding is the
+    pad-to-longest waste; assignment is partitioning-invariant; NULL
+    text is dropped."""
+    from methyl_data_pipeline_spark.ext.pack import length_bucket_batches
+
+    rows = [(i, "w " * (1 + (i * 7) % 600)) for i in range(400)]
+    rows.append((400, None))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = length_bucket_batches(df, batch_size=4, n_shards=2).collect()
+    assert sum(r.n_docs for r in out) == 400          # NULL text dropped
+    for r in out:
+        assert 1 <= r.n_docs <= 4
+        assert r.max_tokens <= r.bucket               # bucket is a cap
+        assert r.padding == r.n_docs * r.max_tokens - r.sum_tokens
+        assert r.padding < r.n_docs * r.bucket        # bounded waste
+    # docs longer than the largest threshold land in the overflow bucket
+    assert any(r.bucket == 1024 for r in out)
+    # partitioning-invariant: identical batches at 1 vs 64 partitions
+    key = lambda rs: sorted(  # noqa: E731
+        (r.bucket, r.shard, r.batch_id, r.n_docs, r.max_tokens,
+         r.sum_tokens) for r in rs
+    )
+    assert key(out) == key(
+        length_bucket_batches(df.repartition(64), batch_size=4,
+                              n_shards=2).collect()
+    )
+
+
 def test_mixture_sample_hits_target_mixture(spark):
     """Discard-only rebalance: the scarcest domain keeps ~everything;
     kept token shares move toward uniform."""
