@@ -4252,6 +4252,94 @@ ORDER BY bucket, shard, batch_id
 """
 
 
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe split audit (ext.pack.leakage_safe_split): the same
+    corpus split by doc id vs by CONTENT fingerprint, with the count of
+    fingerprints whose duplicate docs straddle splits under each keying
+    — zero by construction for the fingerprint keying, which is the
+    certificate that exact dups cannot leak train→eval. One
+    fingerprint-keyed shuffle; all downstream frames are split-sized."""
+    from methyl_data_pipeline_spark.ext.pack import hash_split, leakage_safe_split
+
+    docs = _t(spark, sf_dir, "documents")
+    base = (
+        leakage_safe_split(docs)
+        .withColumnRenamed("split", "split_fp")
+        .transform(hash_split)
+        .withColumnRenamed("split", "split_id")
+    )
+    g = base.groupBy("fingerprint", "split_id", "split_fp").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    leaky = g.groupBy("fingerprint").agg(
+        F.countDistinct("split_id").alias("nd_id"),
+        F.countDistinct("split_fp").alias("nd_fp"),
+    ).agg(
+        F.sum((F.col("nd_id") > 1).cast("long")).alias("by_id"),
+        F.sum((F.col("nd_fp") > 1).cast("long")).alias("by_fingerprint"),
+    ).selectExpr(
+        "stack(2, 'by_id', by_id, 'by_fingerprint', by_fingerprint)"
+        " as (keying, leaky_fps)"
+    )
+    counts = (
+        g.groupBy(F.lit("by_id").alias("keying"), F.col("split_id").alias("split"))
+        .agg(F.sum("n").alias("n_docs"))
+        .unionByName(
+            g.groupBy(
+                F.lit("by_fingerprint").alias("keying"),
+                F.col("split_fp").alias("split"),
+            ).agg(F.sum("n").alias("n_docs"))
+        )
+    )
+    return (
+        counts.join(F.broadcast(leaky), "keying")
+        .select("keying", "split", "n_docs", "leaky_fps")
+        .orderBy("keying", "split")
+    )
+
+
+SQL_SPLIT_LEAKAGE = r"""
+WITH base AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('split|' || COALESCE(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+             CAST(doc_id AS VARCHAR))), 1, 15))::BIGINT AS fp,
+         ('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           AS hid
+  FROM documents
+),
+s AS (
+  SELECT fp,
+         CASE WHEN hid / 1152921504606846976.0 < 0.9 THEN 'train'
+              WHEN hid / 1152921504606846976.0 < 0.95 THEN 'val'
+              ELSE 'test' END AS split_id,
+         CASE WHEN fp / 1152921504606846976.0 < 0.9 THEN 'train'
+              WHEN fp / 1152921504606846976.0 < 0.95 THEN 'val'
+              ELSE 'test' END AS split_fp
+  FROM base
+),
+g AS (SELECT fp, split_id, split_fp, COUNT(*) AS n FROM s GROUP BY 1, 2, 3),
+leak AS (
+  SELECT 'by_id' AS keying,
+         (SELECT COUNT(*) FROM (SELECT fp FROM g GROUP BY fp
+                                HAVING COUNT(DISTINCT split_id) > 1)) AS leaky_fps
+  UNION ALL
+  SELECT 'by_fingerprint',
+         (SELECT COUNT(*) FROM (SELECT fp FROM g GROUP BY fp
+                                HAVING COUNT(DISTINCT split_fp) > 1))
+),
+counts AS (
+  SELECT 'by_id' AS keying, split_id AS split, CAST(SUM(n) AS BIGINT) AS n_docs
+  FROM g GROUP BY 2
+  UNION ALL
+  SELECT 'by_fingerprint', split_fp, CAST(SUM(n) AS BIGINT) FROM g GROUP BY 2
+)
+SELECT c.keying, c.split, c.n_docs, l.leaky_fps
+FROM counts c JOIN leak l USING (keying)
+ORDER BY keying, split
+"""
+
+
 def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Paragraph/segment-level exact dedup (Falcon/RefinedWeb line-dedup
     family): 4-word segments, first corpus occurrence wins, documents
@@ -4963,6 +5051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW r7: length-bucketed dynamic batching (oracled; starts in
         # the tail, candidate for a window slot once locally proven)
         "length_batches": q_length_batches,
+        "split_leakage": q_split_leakage,
         # demoted r6: driver-green r5, untouched since
         "clean_text": q_clean_text,
         # demoted r5: driver-green in CORRECTNESS_r01-r04, untouched
@@ -5161,6 +5250,7 @@ def oracle_sql() -> dict[str, str]:
         "hash_split": SQL_HASH_SPLIT,
         "mixture_sample": SQL_MIXTURE_SAMPLE,
         "length_batches": SQL_LENGTH_BATCHES,
+        "split_leakage": SQL_SPLIT_LEAKAGE,
         "lang_id_ngram": _sql_lang_id_ngram(),
         "contract_report": SQL_CONTRACT_REPORT,
         "frame_sample": SQL_FRAME_SAMPLE,

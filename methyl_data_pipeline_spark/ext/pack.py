@@ -94,12 +94,19 @@ def hash_split(
     """
     from methyl_data_pipeline_spark.ext.text import md5_long
 
-    if len(weights) != len(names) or len(names) < 2:
-        raise ValueError("need >= 2 (weight, name) pairs of equal length")
-    total = float(sum(weights))
     frac = md5_long(F.col(id_col).cast("string"), salt=salt) / F.lit(
         float(1 << 60)
     )
+    return df.withColumn("split", _split_ladder(frac, weights, names))
+
+
+def _split_ladder(frac, weights, names):
+    """Hash-fraction → split-name CASE ladder shared by the id-keyed
+    and fingerprint-keyed splits. Cumulative boundaries are rounded to
+    12 decimals (see ``hash_split``'s docstring)."""
+    if len(weights) != len(names) or len(names) < 2:
+        raise ValueError("need >= 2 (weight, name) pairs of equal length")
+    total = float(sum(weights))
     acc = 0.0
     expr = None
     for w_, nm in zip(weights[:-1], names[:-1]):
@@ -109,7 +116,38 @@ def hash_split(
             if expr is None
             else expr.when(frac < acc, nm)
         )
-    return df.withColumn("split", expr.otherwise(names[-1]))
+    return expr.otherwise(names[-1])
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    weights: tuple[float, ...] = (0.9, 0.05, 0.05),
+    names: tuple[str, ...] = ("train", "val", "test"),
+    salt: str = "split",
+) -> DataFrame:
+    """Train/val/test assignment keyed by the CONTENT fingerprint
+    (md5 of whitespace/case-normalized text) instead of the doc id:
+    exact duplicates — the classic train→eval leakage channel — land
+    in the same split by construction, at any partitioning and with no
+    dedup pass required first. NULL-text docs fall back to the id key
+    (nothing to leak). Zero-shuffle projection, same hash-space ladder
+    as ``hash_split`` so the two keyings are directly comparable.
+
+    Emits ``fingerprint`` alongside ``split`` so a downstream audit
+    can certify zero cross-split fingerprints.
+    """
+    from methyl_data_pipeline_spark.ext.text import md5_long
+
+    key = F.coalesce(
+        normalize_label(F.col(text_col)), F.col(id_col).cast("string")
+    )
+    fp = md5_long(key, salt=salt)
+    frac = fp / F.lit(float(1 << 60))
+    return df.withColumn("fingerprint", fp).withColumn(
+        "split", _split_ladder(frac, weights, names)
+    )
 
 
 def mixture_sample(

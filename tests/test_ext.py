@@ -678,6 +678,38 @@ def test_length_bucket_batches(spark):
     )
 
 
+def test_leakage_safe_split_colocates_duplicates(spark):
+    """Exact duplicates always share a split under the fingerprint
+    keying; id keying splits some of the same pairs (the leak the
+    operator exists to close); NULL text falls back to the id key."""
+    from methyl_data_pipeline_spark.ext.pack import hash_split, leakage_safe_split
+
+    # 300 duplicate pairs: ids 2k and 2k+1 carry the same text (modulo
+    # case/whitespace noise that normalize_label erases)
+    rows = []
+    for k in range(300):
+        rows.append((2 * k, f"document body number {k} with shared words"))
+        rows.append((2 * k + 1, f"  Document BODY number {k} with shared words "))
+    rows.append((1000, None))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = leakage_safe_split(df).collect()
+    assert len(out) == 601
+    by_fp = {}
+    for r in out:
+        if r.text is not None:
+            by_fp.setdefault(r.fingerprint, set()).add(r.split)
+    assert len(by_fp) == 300                       # pairs collapse to one fp
+    assert all(len(s) == 1 for s in by_fp.values())  # never straddle splits
+    # id keying DOES split some duplicate pairs — the leak being closed
+    ids = {r.doc_id: r.split for r in hash_split(df).collect()}
+    leaked = sum(1 for k in range(300) if ids[2 * k] != ids[2 * k + 1])
+    assert leaked > 0
+    # deterministic at any partitioning
+    again = {r.doc_id: r.split
+             for r in leakage_safe_split(df.repartition(64)).collect()}
+    assert again == {r.doc_id: r.split for r in out}
+
+
 def test_mixture_sample_hits_target_mixture(spark):
     """Discard-only rebalance: the scarcest domain keeps ~everything;
     kept token shares move toward uniform."""
