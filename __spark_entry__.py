@@ -4340,6 +4340,62 @@ ORDER BY keying, split
 """
 
 
+def q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked selection under a global token budget
+    (ext.pack.budget_select): rank docs by English-stopword hit count
+    (integer quality proxy) desc, keep the best-first prefix within
+    150k tokens. Distributed exact running sum — range partitions +
+    O(P) scalar offsets, no single global window task."""
+    from methyl_data_pipeline_spark.ext.pack import budget_select
+    from methyl_data_pipeline_spark.ext.text import (
+        STOPWORDS,
+        n_words_nullsafe,
+        words,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    en = F.array([F.lit(w) for w in STOPWORDS["en"]])
+    base = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(words("text"), lambda w: F.array_contains(en, w))
+        ).cast("long").alias("score"),
+        n_words_nullsafe("text").cast("long").alias("n_tokens"),
+    )
+    out = budget_select(base, "score", "n_tokens", budget=150_000)
+    return out.select(
+        "doc_id", "score", "n_tokens",
+        F.col("rank").cast("long").alias("rank"),
+        "cum_tokens",
+    ).orderBy("rank")
+
+
+def _sql_budget_select() -> str:
+    from methyl_data_pipeline_spark.ext.text import STOPWORDS
+
+    stops = ", ".join("'%s'" % w for w in STOPWORDS["en"])
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+             w -> list_contains([{stops}], w))) AS BIGINT) AS score,
+         CAST(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))
+              AS BIGINT) AS n_tokens
+  FROM documents WHERE text IS NOT NULL
+),
+r AS (
+  SELECT doc_id, score, n_tokens,
+         CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+         CAST(SUM(n_tokens) OVER (ORDER BY score DESC, doc_id ASC
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM t
+)
+SELECT doc_id, score, n_tokens, rank, cum_tokens
+FROM r WHERE cum_tokens <= 150000 ORDER BY rank
+"""
+
+
 def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Paragraph/segment-level exact dedup (Falcon/RefinedWeb line-dedup
     family): 4-word segments, first corpus occurrence wins, documents
@@ -5052,6 +5108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the tail, candidate for a window slot once locally proven)
         "length_batches": q_length_batches,
         "split_leakage": q_split_leakage,
+        "budget_select": q_budget_select,
         # demoted r6: driver-green r5, untouched since
         "clean_text": q_clean_text,
         # demoted r5: driver-green in CORRECTNESS_r01-r04, untouched
@@ -5251,6 +5308,7 @@ def oracle_sql() -> dict[str, str]:
         "mixture_sample": SQL_MIXTURE_SAMPLE,
         "length_batches": SQL_LENGTH_BATCHES,
         "split_leakage": SQL_SPLIT_LEAKAGE,
+        "budget_select": _sql_budget_select(),
         "lang_id_ngram": _sql_lang_id_ngram(),
         "contract_report": SQL_CONTRACT_REPORT,
         "frame_sample": SQL_FRAME_SAMPLE,

@@ -256,6 +256,82 @@ def length_bucket_batches(
     )
 
 
+def budget_select(
+    df: DataFrame,
+    score_col: str,
+    token_col: str = "n_tokens",
+    budget: int = 1_000_000,
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Quality-ranked data selection under a global token budget: rank
+    every document by (``score_col`` DESC, ``id_col`` ASC) — a total
+    order, so the result is unique — and keep the best-first prefix
+    whose running token total stays within ``budget``. The standard
+    "select the best N tokens for training" operator.
+
+    The naive formulation is one global running-sum window — a single
+    task holding the whole corpus. This is the distributed exact path
+    (same decomposition as :func:`stats.bh.bh_adjust_scalable`):
+    ``repartitionByRange`` on the rank key keeps rows globally ordered
+    ACROSS partitions while each partition windows locally; the
+    running total then equals the local prefix sum plus a
+    per-partition token-total offset — one O(num_partitions) scalar
+    collect, broadcast back as a literal map. Bit-identical to the
+    global window at any partition count.
+
+    Emits the kept rows with ``cum_tokens`` (running total including
+    the row) and global ``rank``; NULL scores/token counts are dropped
+    (unrankable).
+    """
+    from methyl_data_pipeline_spark import cache
+
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
+
+    order = [F.col(score_col).desc(), F.col(id_col).asc()]
+    ranged = (
+        df.filter(F.col(score_col).isNotNull() & F.col(token_col).isNotNull())
+        .repartitionByRange(num_partitions, *order)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w_local = Window.partitionBy("_pid").orderBy(*order)
+    local = cache.track(
+        ranged.withColumn("_lrank", F.row_number().over(w_local)).withColumn(
+            "_lsum", F.sum(token_col).over(w_local).cast("long")
+        )
+    )
+    # tiny aggregate: per-partition row counts + token totals -> offsets
+    stats = (
+        local.groupBy("_pid")
+        .agg(
+            F.count(F.lit(1)).alias("_cnt"),
+            F.sum(token_col).cast("long").alias("_tok"),
+        )
+        .orderBy("_pid")
+    ).collect()
+    rank_off: dict[int, int] = {}
+    tok_off: dict[int, int] = {}
+    racc = tacc = 0
+    for r in stats:
+        rank_off[r["_pid"]] = racc
+        tok_off[r["_pid"]] = tacc
+        racc += r["_cnt"]
+        tacc += r["_tok"]
+    rank_map = F.create_map(*[F.lit(x) for kv in rank_off.items() for x in kv])
+    tok_map = F.create_map(*[F.lit(x) for kv in tok_off.items() for x in kv])
+
+    return (
+        local.withColumn("rank", F.col("_lrank") + rank_map[F.col("_pid")])
+        .withColumn(
+            "cum_tokens", F.col("_lsum") + tok_map[F.col("_pid")]
+        )
+        .filter(F.col("cum_tokens") <= budget)
+        .drop("_pid", "_lrank", "_lsum")
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str = "text",

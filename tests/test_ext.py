@@ -710,6 +710,45 @@ def test_leakage_safe_split_colocates_duplicates(spark):
     assert again == {r.doc_id: r.split for r in out}
 
 
+def test_budget_select_matches_global_window(spark):
+    """The distributed range-partition + offset formulation is
+    bit-identical to the naive single-global-window prefix sum, at any
+    partition count, and never overshoots the budget."""
+    from pyspark.sql import Window
+    from methyl_data_pipeline_spark.ext.pack import budget_select
+
+    rows = [(i, (i * 13) % 50, 10 + (i * 7) % 90) for i in range(2000)]
+    rows.append((2000, None, 5))                  # NULL score dropped
+    df = spark.createDataFrame(rows, "doc_id long, score long, n_tokens long")
+    budget = 40_000
+    got = {
+        (r.doc_id, r.rank, r.cum_tokens)
+        for r in budget_select(df, "score", "n_tokens", budget=budget,
+                               num_partitions=7).collect()
+    }
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    naive = {
+        (r.doc_id, r.rank, r.cum_tokens)
+        for r in df.filter(F.col("score").isNotNull())
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn("cum_tokens",
+                    F.sum("n_tokens").over(w).cast("long"))
+        .filter(F.col("cum_tokens") <= budget)
+        .collect()
+    }
+    assert got == naive and len(got) > 0
+    assert max(c for _, _, c in got) <= budget
+    # greedy prefix: adding the next-ranked doc would overshoot
+    assert len(got) < 2000
+    # invariant under input partitioning and partition count
+    again = {
+        (r.doc_id, r.rank, r.cum_tokens)
+        for r in budget_select(df.repartition(64), "score", "n_tokens",
+                               budget=budget, num_partitions=3).collect()
+    }
+    assert again == got
+
+
 def test_mixture_sample_hits_target_mixture(spark):
     """Discard-only rebalance: the scarcest domain keeps ~everything;
     kept token shares move toward uniform."""
