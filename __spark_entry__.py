@@ -1218,6 +1218,49 @@ SELECT doc_id, CAST({terms} AS BIGINT) AS simhash
 FROM h GROUP BY doc_id ORDER BY doc_id"""
 
 
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash hamming near-dup pairs (ext.dedup.simhash_hamming_pairs):
+    pairs whose 32-bit signatures differ in <= 3 bits, found via the
+    LOSSLESS pigeonhole banding (4 bands of 8 bits — any <=3-bit pair
+    agrees exactly on some band), pair-expanded in-bucket with zero
+    joins and verified by bit_count(xor)."""
+    from methyl_data_pipeline_spark.ext.dedup import simhash_hamming_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    out = simhash_hamming_pairs(docs, bits=32, bands=4, max_hamming=3)
+    return out.orderBy("id_a", "id_b")
+
+
+def _sql_simhash_pairs() -> str:
+    terms = " + ".join(
+        f"(CASE WHEN SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) >= 0 THEN {2**b} ELSE 0 END)"
+        for b in range(32)
+    )
+    return rf"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS word
+  FROM documents
+),
+h AS (SELECT doc_id, ('0x' || substr(md5(word), 1, 15))::BIGINT AS h FROM w),
+sims AS (SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM h GROUP BY doc_id),
+m AS (
+  SELECT doc_id, simhash, band_idx,
+         (simhash >> (band_idx * 8)) & 255 AS band_val
+  FROM sims, (VALUES (0), (1), (2), (3)) b(band_idx)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM m a JOIN m b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+ORDER BY id_a, id_b"""
+
+
 def q_embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 neighbors for the first 20 vectors."""
     from methyl_data_pipeline_spark.ext.similarity import cosine_topk_bruteforce
@@ -5109,6 +5152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_batches": q_length_batches,
         "split_leakage": q_split_leakage,
         "budget_select": q_budget_select,
+        "simhash_pairs": q_simhash_pairs,
         # demoted r6: driver-green r5, untouched since
         "clean_text": q_clean_text,
         # demoted r5: driver-green in CORRECTNESS_r01-r04, untouched
@@ -5309,6 +5353,7 @@ def oracle_sql() -> dict[str, str]:
         "length_batches": SQL_LENGTH_BATCHES,
         "split_leakage": SQL_SPLIT_LEAKAGE,
         "budget_select": _sql_budget_select(),
+        "simhash_pairs": _sql_simhash_pairs(),
         "lang_id_ngram": _sql_lang_id_ngram(),
         "contract_report": SQL_CONTRACT_REPORT,
         "frame_sample": SQL_FRAME_SAMPLE,

@@ -320,6 +320,89 @@ def simhash(
     return df.select(F.col(id_col), sim.alias("simhash"))
 
 
+def simhash_hamming_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Bit-level near-dup pairs: documents whose SimHash signatures
+    differ in at most ``max_hamming`` bits (the Google news-dedup
+    family — catches small edits MinHash shingle sets also see, but at
+    64 bits per doc instead of a signature array).
+
+    Scale path is the pigeonhole banding: split the ``bits``-bit
+    signature into ``bands`` equal bands — any pair within
+    ``max_hamming <= bands - 1`` bit flips must agree EXACTLY on at
+    least one band, so grouping by (band_idx, band_value) is a
+    LOSSLESS candidate filter, not a probabilistic one. Candidates are
+    pair-expanded inside each bucket carrying both signatures in the
+    collected struct (zero joins, one O(docs × bands) shuffle — the
+    same shape as :func:`minhash_candidate_pairs`), then verified with
+    ``bit_count(xor)`` JVM-side. Same mega-bucket caveat as MinHash
+    banding: route exact duplicates through :func:`dedup_exact` first.
+    """
+    if not (0 <= max_hamming < bands):
+        raise ValueError("banding is lossless only for max_hamming <= bands-1")
+    if bits % bands:
+        raise ValueError("bits must divide evenly into bands")
+    width = bits // bands
+    mask = (1 << width) - 1
+    sigs = simhash(df, text_col, id_col, bits=bits)
+    band_cols = [
+        F.shiftright(F.col("simhash"), b * width)
+        .bitwiseAND(F.lit(mask))
+        .alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    melted = sigs.select(F.col(id_col), F.col("simhash"), *band_cols).unpivot(
+        ids=[id_col, "simhash"],
+        values=[f"band_{b}" for b in range(bands)],
+        variableColumnName="band_idx",
+        valueColumnName="band_val",
+    )
+    buckets = (
+        melted.groupBy("band_idx", "band_val")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(id_col).alias("id"), F.col("simhash").alias("sim")
+                    )
+                )
+            ).alias("_m")
+        )
+        .filter(F.size("_m") >= 2)
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("_m"),
+            lambda a, i: F.transform(
+                F.slice(F.col("_m"), i + 2, F.size(F.col("_m"))),
+                lambda b: F.struct(
+                    a["id"].alias("id_a"),
+                    b["id"].alias("id_b"),
+                    a["sim"].alias("_sa"),
+                    b["sim"].alias("_sb"),
+                ),
+            ),
+        )
+    )
+    cand = (
+        buckets.select(F.explode(pairs).alias("_p"))
+        .select("_p.id_a", "_p.id_b", "_p._sa", "_p._sb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))).cast("long")
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def dedup_clusters(
     df: DataFrame,
     text_col: str = "text",

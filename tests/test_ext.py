@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from methyl_data_pipeline_spark.ext.dedup import (
@@ -73,6 +74,29 @@ def test_simhash_hamming_close_for_near_dups(spark):
         return bin(a ^ b).count("1")
 
     assert ham(sh[0], sh[3]) < ham(sh[0], sh[5])
+
+
+def test_simhash_hamming_pairs_lossless_banding(spark):
+    """4-band banding over 32 bits finds EVERY pair at hamming <= 3
+    (pigeonhole: <=3 flips leave some 8-bit band untouched) — verified
+    against brute-force all-pairs hamming on the signatures."""
+    from methyl_data_pipeline_spark.ext.dedup import simhash, simhash_hamming_pairs
+
+    rows = [(i, f"sentence number {i % 40} with shared vocabulary body "
+                f"plus marker {i % 7}") for i in range(120)]
+    rows.append((120, None))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id_a, r.id_b, r.hamming)
+           for r in simhash_hamming_pairs(df, bands=4, max_hamming=3).collect()}
+    sh = {r.doc_id: r.simhash for r in simhash(df).collect()}
+    brute = {
+        (a, b, bin(sh[a] ^ sh[b]).count("1"))
+        for a in sh for b in sh
+        if a < b and bin(sh[a] ^ sh[b]).count("1") <= 3
+    }
+    assert got == brute and len(brute) > 0
+    with pytest.raises(ValueError):
+        simhash_hamming_pairs(df, bands=4, max_hamming=4)  # lossy config
 
 
 def test_cosine_topk_matches_numpy(spark):
