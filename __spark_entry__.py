@@ -1261,6 +1261,35 @@ FROM cand WHERE bit_count(xor(sa, sb)) <= 3
 ORDER BY id_a, id_b"""
 
 
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve (ext.text.vocab_coverage): top-200
+    words by corpus occurrence count with running cumulative count vs
+    the corpus token total — integer channels only, the word-level
+    step before BPE merges."""
+    from methyl_data_pipeline_spark.ext.text import vocab_coverage
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocab_coverage(docs, top_k=200).orderBy("rank")
+
+
+SQL_VOCAB_COVERAGE = r"""
+WITH w AS (
+  SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS word
+  FROM documents WHERE text IS NOT NULL
+),
+c AS (SELECT word, COUNT(*) AS n_occ FROM w GROUP BY word),
+tot AS (SELECT CAST(SUM(n_occ) AS BIGINT) AS total_tokens FROM c),
+top AS (SELECT word, n_occ FROM c ORDER BY n_occ DESC, word ASC LIMIT 200)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_occ DESC, word ASC) AS BIGINT) AS rank,
+       word,
+       CAST(n_occ AS BIGINT) AS n_occ,
+       CAST(SUM(n_occ) OVER (ORDER BY n_occ DESC, word ASC
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_occ,
+       total_tokens
+FROM top, tot ORDER BY rank
+"""
+
+
 def q_embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 neighbors for the first 20 vectors."""
     from methyl_data_pipeline_spark.ext.similarity import cosine_topk_bruteforce
@@ -5153,6 +5182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage": q_split_leakage,
         "budget_select": q_budget_select,
         "simhash_pairs": q_simhash_pairs,
+        "vocab_coverage": q_vocab_coverage,
         # demoted r6: driver-green r5, untouched since
         "clean_text": q_clean_text,
         # demoted r5: driver-green in CORRECTNESS_r01-r04, untouched
@@ -5354,6 +5384,7 @@ def oracle_sql() -> dict[str, str]:
         "split_leakage": SQL_SPLIT_LEAKAGE,
         "budget_select": _sql_budget_select(),
         "simhash_pairs": _sql_simhash_pairs(),
+        "vocab_coverage": SQL_VOCAB_COVERAGE,
         "lang_id_ngram": _sql_lang_id_ngram(),
         "contract_report": SQL_CONTRACT_REPORT,
         "frame_sample": SQL_FRAME_SAMPLE,

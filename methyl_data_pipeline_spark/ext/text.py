@@ -843,6 +843,45 @@ def perplexity_buckets(
     return scored.withColumn("bucket", bucket).drop("mean_logprob")
 
 
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 200,
+) -> DataFrame:
+    """Corpus vocabulary induction with cumulative coverage: the
+    ``top_k`` words by occurrence count, each with its running
+    cumulative count against the corpus token total — the "what vocab
+    size covers X% of tokens" curve that sizes a tokenizer vocabulary
+    (the word-level step before BPE merges).
+
+    One explode + word-keyed aggregate; map-side combining collapses
+    the Zipf head, so the shuffle carries the (bounded-cardinality)
+    vocabulary, not the token stream. Top-k is a distributed
+    take-ordered; the rank/cumsum window runs on the ``top_k``-row
+    frame only. All output channels are integers (counts, not
+    shares), so the result is hash-stable across engines — divide
+    ``cum_occ / total_tokens`` client-side for the coverage fraction.
+    """
+    from pyspark.sql import Window
+
+    wc = df.filter(F.col(text_col).isNotNull()).select(
+        F.explode(words(text_col)).alias("word")
+    )
+    counts = wc.groupBy("word").agg(F.count(F.lit(1)).alias("n_occ"))
+    total = counts.agg(F.sum("n_occ").cast("long").alias("total_tokens"))
+    top = counts.orderBy(F.col("n_occ").desc(), F.col("word").asc()).limit(top_k)
+    w = Window.orderBy(F.col("n_occ").desc(), F.col("word").asc())
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn("cum_occ", F.sum("n_occ").over(w).cast("long"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "rank", "word", F.col("n_occ").cast("long").alias("n_occ"),
+            "cum_occ", "total_tokens",
+        )
+    )
+
+
 def heavy_hitters(
     df: DataFrame,
     text_col: str = "text",

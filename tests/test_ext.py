@@ -734,6 +734,20 @@ def test_leakage_safe_split_colocates_duplicates(spark):
     assert again == {r.doc_id: r.split for r in out}
 
 
+def test_vocab_coverage_curve(spark):
+    """Monotone cumulative counts; ranks dense by (count desc, word);
+    total counts every token incl. beyond top_k; NULL text ignored."""
+    from methyl_data_pipeline_spark.ext.text import vocab_coverage
+
+    rows = [(0, "a a a b b c"), (1, "a b c d"), (2, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(vocab_coverage(df, top_k=3).collect(), key=lambda r: r.rank)
+    assert [(r.word, r.n_occ, r.cum_occ) for r in out] == [
+        ("a", 4, 4), ("b", 3, 7), ("c", 2, 9)
+    ]
+    assert all(r.total_tokens == 10 for r in out)  # 'd' counted in total
+
+
 def test_budget_select_matches_global_window(spark):
     """The distributed range-partition + offset formulation is
     bit-identical to the naive single-global-window prefix sum, at any
