@@ -4468,6 +4468,39 @@ FROM r WHERE cum_tokens <= 150000 ORDER BY rank
 """
 
 
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain sampling (ext.pack.temperature_sample,
+    alpha=0.5): keep each doc iff its keyed hash fraction is under
+    sqrt(min_domain_tokens / domain_tokens) — the closed-form
+    discard-only materialization of the multilingual alpha-mixture,
+    with no summation-order-dependent float normalization."""
+    from methyl_data_pipeline_spark.ext.pack import temperature_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = temperature_sample(docs, alpha=0.5)
+    return out.select("doc_id", "source").orderBy("doc_id")
+
+
+SQL_TEMPERATURE_SAMPLE = r"""
+WITH per AS (
+  SELECT source,
+         CAST(SUM(len(regexp_split_to_array(lower(trim(text)), '\s+'))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY source
+),
+r AS (
+  SELECT source,
+         sqrt((SELECT MIN(n_tokens) FROM per) * 1.0 / n_tokens) AS rate
+  FROM per
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN r USING (source)
+WHERE ('0x' || substr(md5('temp|' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+        / 1152921504606846976.0 < r.rate
+ORDER BY d.doc_id
+"""
+
+
 def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Paragraph/segment-level exact dedup (Falcon/RefinedWeb line-dedup
     family): 4-word segments, first corpus occurrence wins, documents
@@ -5183,6 +5216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "budget_select": q_budget_select,
         "simhash_pairs": q_simhash_pairs,
         "vocab_coverage": q_vocab_coverage,
+        "temperature_sample": q_temperature_sample,
         # demoted r6: driver-green r5, untouched since
         "clean_text": q_clean_text,
         # demoted r5: driver-green in CORRECTNESS_r01-r04, untouched
@@ -5385,6 +5419,7 @@ def oracle_sql() -> dict[str, str]:
         "budget_select": _sql_budget_select(),
         "simhash_pairs": _sql_simhash_pairs(),
         "vocab_coverage": SQL_VOCAB_COVERAGE,
+        "temperature_sample": SQL_TEMPERATURE_SAMPLE,
         "lang_id_ngram": _sql_lang_id_ngram(),
         "contract_report": SQL_CONTRACT_REPORT,
         "frame_sample": SQL_FRAME_SAMPLE,

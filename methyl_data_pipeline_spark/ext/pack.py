@@ -191,6 +191,59 @@ def mixture_sample(
     )
 
 
+def temperature_sample(
+    df: DataFrame,
+    text_col: str = "text",
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-scaled domain sampling (the multilingual-training
+    alpha-mixture: target share ∝ natural share^alpha, ``alpha < 1``
+    upweights scarce domains). Materialized discard-only: each doc is
+    kept iff its keyed hash fraction falls under its domain's rate
+    ``(min_tokens / domain_tokens)^(1 - alpha)`` — the closed form of
+    ``weight_i / max_j weight_j`` for the alpha target, so the
+    scarcest domain keeps everything and no cross-domain
+    normalization SUM exists (rates derive from two integers and one
+    root/power — bit-reproducible in any engine; a float sum over
+    domains would be summation-order-dependent).
+
+    ``alpha=1`` is a no-op (natural mixture), ``alpha=0`` is the
+    uniform rebalance of :func:`mixture_sample`. Plan: tiny per-domain
+    rate table broadcast onto the scan; the corpus is never shuffled.
+    """
+    from methyl_data_pipeline_spark.ext.text import md5_long, n_words_nullsafe
+
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError("alpha in [0, 1]")
+    per = df.groupBy(domain_col).agg(
+        F.sum(n_words_nullsafe(text_col)).cast("long").alias("_tok")
+    )
+    mn = per.agg(F.min("_tok").alias("_mn"))
+    ratio = F.col("_mn") / F.col("_tok")
+    e = 1.0 - alpha
+    # sqrt is IEEE-correctly-rounded (pow is not): use it when exact
+    rate = (
+        F.sqrt(ratio) if e == 0.5
+        else ratio if e == 1.0
+        else F.lit(1.0) if e == 0.0
+        else F.pow(ratio, F.lit(e))
+    )
+    rates = per.crossJoin(F.broadcast(mn)).select(
+        F.col(domain_col), rate.alias("_rate")
+    )
+    frac = md5_long(F.col(id_col).cast("string"), salt=salt) / F.lit(
+        float(1 << 60)
+    )
+    return (
+        df.join(F.broadcast(rates), domain_col)
+        .filter(frac < F.col("_rate"))
+        .drop("_rate")
+    )
+
+
 def length_bucket_batches(
     df: DataFrame,
     text_col: str = "text",

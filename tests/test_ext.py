@@ -787,6 +787,28 @@ def test_budget_select_matches_global_window(spark):
     assert again == got
 
 
+def test_temperature_sample_interpolates_alpha(spark):
+    """alpha=1 keeps everything (natural mixture); alpha=0.5 keeps the
+    scarcest domain fully and downsamples the big one by ~sqrt(share
+    ratio); deterministic re-run."""
+    from methyl_data_pipeline_spark.ext.pack import temperature_sample
+
+    rows = [(i, "w " * 20, "big") for i in range(900)]
+    rows += [(i + 900, "w " * 20, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    assert temperature_sample(df, alpha=1.0).count() == 1000
+    kept = temperature_sample(df, alpha=0.5)
+    by_src = {r["source"]: r["n"] for r in
+              kept.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by_src["small"] == 100                 # scarcest fully kept
+    assert 220 < by_src["big"] < 380              # ~sqrt(1/9) = 1/3 rate
+    again = {r.doc_id for r in
+             temperature_sample(df, alpha=0.5).select("doc_id").collect()}
+    assert again == {r.doc_id for r in kept.select("doc_id").collect()}
+    with pytest.raises(ValueError):
+        temperature_sample(df, alpha=1.5)
+
+
 def test_mixture_sample_hits_target_mixture(spark):
     """Discard-only rebalance: the scarcest domain keeps ~everything;
     kept token shares move toward uniform."""
