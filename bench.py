@@ -92,6 +92,8 @@ EXTENDED = [
     "stream_curate",
     # r7 additions
     "length_batches",
+    "budget_select",
+    "simhash_pairs",
 ]
 
 
