@@ -4340,32 +4340,43 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(hash_split)
         .withColumnRenamed("split", "split_id")
     )
-    g = base.groupBy("fingerprint", "split_id", "split_fp").agg(
-        F.count(F.lit(1)).alias("n")
+    # ONE fingerprint-keyed shuffle: per-fp doc counts per split via
+    # conditional sums, straddle test via min != max (a countDistinct
+    # here would Expand-double the shuffle; referencing a grouped frame
+    # from several downstream aggs would rerun the corpus scan+shuffle
+    # per branch). Everything after per_fp is a map-collapsed scalar.
+    names = ("train", "val", "test")
+    per_fp = base.groupBy("fingerprint").agg(
+        *[
+            F.sum(F.when(F.col("split_id") == nm, 1).otherwise(0)).alias(f"id_{nm}")
+            for nm in names
+        ],
+        *[
+            F.sum(F.when(F.col("split_fp") == nm, 1).otherwise(0)).alias(f"fp_{nm}")
+            for nm in names
+        ],
+        F.min("split_id").alias("_ia"),
+        F.max("split_id").alias("_ib"),
+        F.min("split_fp").alias("_fa"),
+        F.max("split_fp").alias("_fb"),
     )
-    leaky = g.groupBy("fingerprint").agg(
-        F.countDistinct("split_id").alias("nd_id"),
-        F.countDistinct("split_fp").alias("nd_fp"),
-    ).agg(
-        F.sum((F.col("nd_id") > 1).cast("long")).alias("by_id"),
-        F.sum((F.col("nd_fp") > 1).cast("long")).alias("by_fingerprint"),
-    ).selectExpr(
-        "stack(2, 'by_id', by_id, 'by_fingerprint', by_fingerprint)"
-        " as (keying, leaky_fps)"
+    tot = per_fp.agg(
+        *[F.sum(f"id_{nm}").cast("long").alias(f"nid_{nm}") for nm in names],
+        *[F.sum(f"fp_{nm}").cast("long").alias(f"nfp_{nm}") for nm in names],
+        F.sum((F.col("_ia") != F.col("_ib")).cast("long")).alias("leak_id"),
+        F.sum((F.col("_fa") != F.col("_fb")).cast("long")).alias("leak_fp"),
     )
-    counts = (
-        g.groupBy(F.lit("by_id").alias("keying"), F.col("split_id").alias("split"))
-        .agg(F.sum("n").alias("n_docs"))
-        .unionByName(
-            g.groupBy(
-                F.lit("by_fingerprint").alias("keying"),
-                F.col("split_fp").alias("split"),
-            ).agg(F.sum("n").alias("n_docs"))
+    stack_expr = (
+        "stack(6, "
+        + ", ".join(
+            [f"'by_id', '{nm}', nid_{nm}, leak_id" for nm in names]
+            + [f"'by_fingerprint', '{nm}', nfp_{nm}, leak_fp" for nm in names]
         )
+        + ") as (keying, split, n_docs, leaky_fps)"
     )
     return (
-        counts.join(F.broadcast(leaky), "keying")
-        .select("keying", "split", "n_docs", "leaky_fps")
+        tot.selectExpr(stack_expr)
+        .filter(F.col("n_docs") > 0)
         .orderBy("keying", "split")
     )
 

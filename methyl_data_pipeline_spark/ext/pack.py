@@ -170,9 +170,16 @@ def mixture_sample(
     Plan: the per-domain rate table is tiny (one row per source) and
     broadcast onto the scan — the fact table is never shuffled.
     """
+    from methyl_data_pipeline_spark import cache
     from methyl_data_pipeline_spark.ext.text import domain_mix, md5_long
 
-    rates = domain_mix(df, text_col=text_col, domain_col=domain_col, target=target)
+    # persisted: domain-cardinality-sized, but its lineage is a full
+    # corpus token aggregate — the max() branch and the rate join would
+    # otherwise each re-run that corpus scan (measured 5 scans at
+    # sf0.01 without the persist)
+    rates = cache.track(
+        domain_mix(df, text_col=text_col, domain_col=domain_col, target=target)
+    )
     maxw = rates.agg(F.max("weight").alias("_mw"))
     rates = (
         rates.crossJoin(F.broadcast(maxw))
@@ -214,12 +221,17 @@ def temperature_sample(
     uniform rebalance of :func:`mixture_sample`. Plan: tiny per-domain
     rate table broadcast onto the scan; the corpus is never shuffled.
     """
+    from methyl_data_pipeline_spark import cache
     from methyl_data_pipeline_spark.ext.text import md5_long, n_words_nullsafe
 
     if not 0.0 <= alpha <= 1.0:
         raise ValueError("alpha in [0, 1]")
-    per = df.groupBy(domain_col).agg(
-        F.sum(n_words_nullsafe(text_col)).cast("long").alias("_tok")
+    # persisted: domain-sized frame over a corpus-scan lineage — the
+    # min() branch would otherwise re-run the token aggregate scan
+    per = cache.track(
+        df.groupBy(domain_col).agg(
+            F.sum(n_words_nullsafe(text_col)).cast("long").alias("_tok")
+        )
     )
     mn = per.agg(F.min("_tok").alias("_mn"))
     ratio = F.col("_mn") / F.col("_tok")

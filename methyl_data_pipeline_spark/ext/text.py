@@ -864,10 +864,14 @@ def vocab_coverage(
     """
     from pyspark.sql import Window
 
+    from methyl_data_pipeline_spark import cache
+
     wc = df.filter(F.col(text_col).isNotNull()).select(
         F.explode(words(text_col)).alias("word")
     )
-    counts = wc.groupBy("word").agg(F.count(F.lit(1)).alias("n_occ"))
+    # persisted: vocabulary-sized, but the total and the top-k branch
+    # would otherwise each re-run the token-stream explode + aggregate
+    counts = cache.track(wc.groupBy("word").agg(F.count(F.lit(1)).alias("n_occ")))
     total = counts.agg(F.sum("n_occ").cast("long").alias("total_tokens"))
     top = counts.orderBy(F.col("n_occ").desc(), F.col("word").asc()).limit(top_k)
     w = Window.orderBy(F.col("n_occ").desc(), F.col("word").asc())
