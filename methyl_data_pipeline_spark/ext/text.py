@@ -146,6 +146,13 @@ def tfidf_top_terms(
     from pyspark.sql import Window
 
     w = df.select(F.col(id_col), F.explode(words(text_col)).alias("term"))
+    # The document-frequency branch re-runs the token explode + (doc,
+    # term) aggregate; persisting tf to avoid that measured SLOWER at
+    # sf0.1 (1.42s vs 0.92s) because tf is DATA-sized — the cache
+    # write costs about what the recompute saves. Lazy stays the
+    # default (contrast the vocab-/domain-sized caches in
+    # unigram_logprob/domain_mix, where the cached frame is tiny
+    # relative to its corpus-aggregate lineage).
     tf = w.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.select(F.countDistinct(id_col).alias("n"))
@@ -269,19 +276,23 @@ def domain_mix(
     ``weight`` yield the target token mixture in expectation.
 
     One map-side-combined aggregation over the scan (token counting is
-    a codegen expression, no explode), then a broadcast of the 1-row
-    total — no data-sized shuffle beyond the per-domain agg.
+    a codegen expression, no explode); the corpus totals come from an
+    unpartitioned window over the DOMAIN-sized aggregate — not a
+    separate ``per.agg`` branch crossJoined back, which would re-run
+    the corpus scan (Catalyst does not share a subplan across
+    branches). The single-task window holds one row per domain.
     """
+    from pyspark.sql import Window
+
     n_tok = n_words_nullsafe(text_col)
     per = df.groupBy(F.col(domain_col).alias("domain")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(n_tok).cast("long").alias("n_tokens"),
     )
-    totals = per.agg(
-        F.sum("n_tokens").alias("_tot"),
-        F.count(F.lit(1)).alias("_k"),
+    w = Window.partitionBy()
+    out = per.withColumn("_tot", F.sum("n_tokens").over(w)).withColumn(
+        "_k", F.count(F.lit(1)).over(w)
     )
-    out = per.crossJoin(F.broadcast(totals))
     if target is None:
         tgt = 1.0 / F.col("_k")
     else:
@@ -683,8 +694,14 @@ def unigram_logprob(
     At open-vocab web scale (10⁸ shingles), flip it off and the score
     join becomes a term-keyed shuffle that AQE handles.
     """
+    from methyl_data_pipeline_spark import cache
+
     toks = df.select(F.col(id_col), F.explode(words(text_col)).alias("term"))
-    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    # persisted: vocab-sized, but the totals branch and the model join
+    # would otherwise each re-run the token-stream explode + aggregate
+    counts = cache.track(
+        toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    )
     totals = counts.agg(
         F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("vocab")
     )
@@ -1073,6 +1090,7 @@ def bm25_rank(
     b: float = 0.75,
     top_k: int = 10,
     score_round: int = 6,
+    materialize_index: bool = False,
 ) -> DataFrame:
     """BM25 ranked retrieval: for each query, the ``top_k`` corpus
     documents by the Okapi BM25 score (Robertson/Sparck Jones; the
@@ -1103,6 +1121,18 @@ def bm25_rank(
         .groupBy(id_col, "_t")
         .agg(F.count(F.lit(1)).alias("_tf"))
     )
+    # The postings frame has three consumers (doc lengths, query-term
+    # document frequencies, the candidate join); lazily each re-runs
+    # the fact explode + shuffle. ``materialize_index=True`` persists
+    # the inverted index so the fact passes once — measured 2x SLOWER
+    # at sf0.1 (3.0s vs 1.6s: the index write dominates a small
+    # corpus) but the winning shape once the corpus dwarfs the index
+    # build, or when many query batches reuse one index. Per-call-site
+    # measurement over assumption (the bloom_test lesson).
+    if materialize_index:
+        from methyl_data_pipeline_spark import cache
+
+        postings = cache.track(postings)
     doclen = postings.groupBy(id_col).agg(F.sum("_tf").alias("_dl"))
     corpus_stats = doclen.agg(
         F.count(F.lit(1)).alias("_n_docs"), F.avg("_dl").alias("_avgdl")
