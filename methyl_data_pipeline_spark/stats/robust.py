@@ -47,18 +47,41 @@ def mad_outliers(
 
     Returns the input columns plus ``grp_median``, ``grp_mad``,
     ``robust_z`` (0 when MAD is 0 — degenerate constant groups never
-    flag) and ``is_outlier``. Two keyed aggregates + two broadcast-able
-    joins on the (small) group dimension; the fact table is scanned
-    twice, never shuffled on its own key.
+    flag) and ``is_outlier``.
+
+    Plan by path: the EXACT path runs both percentiles as window
+    aggregates over one group-keyed shuffle (two WindowExec passes,
+    one Exchange, one scan) — exact ``percentile`` partials carry the
+    full value list per group anyway, so the old two-agg + two-join
+    form shuffled the same data twice and scanned the fact four times
+    for no gain. The APPROX path keeps the agg + broadcast-join shape:
+    ``approx_percentile`` partials are mergeable t-digest sketches, so
+    there the fact is map-combined and never shuffled — the 100 TB
+    shape. Identical values either way (percentile is sort-based on
+    the group multiset; no summation-order sensitivity).
     """
     gcols = list(group_cols)
-    med = group_median(df, value_col, gcols, "grp_median", approx)
-    with_med = df.join(F.broadcast(med), gcols)
-    mad = group_median(
-        with_med.withColumn("_adev", F.abs(F.col(value_col) - F.col("grp_median"))),
-        "_adev", gcols, "grp_mad", approx,
-    )
-    out = with_med.join(F.broadcast(mad), gcols)
+    if not approx:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*gcols)
+        med_col = F.expr(f"percentile({value_col}, 0.5)").over(w)
+        with_med = df.withColumn("grp_median", med_col).withColumn(
+            "_adev", F.abs(F.col(value_col) - F.col("grp_median"))
+        )
+        out = with_med.withColumn(
+            "grp_mad", F.expr("percentile(_adev, 0.5)").over(w)
+        ).drop("_adev")
+    else:
+        med = group_median(df, value_col, gcols, "grp_median", approx)
+        with_med = df.join(F.broadcast(med), gcols)
+        mad = group_median(
+            with_med.withColumn(
+                "_adev", F.abs(F.col(value_col) - F.col("grp_median"))
+            ),
+            "_adev", gcols, "grp_mad", approx,
+        )
+        out = with_med.join(F.broadcast(mad), gcols)
     robust_z = F.when(
         F.col("grp_mad") > 0,
         F.abs(F.col(value_col) - F.col("grp_median")) / (MAD_K * F.col("grp_mad")),
