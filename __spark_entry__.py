@@ -2214,6 +2214,53 @@ GROUP BY 1, 2 ORDER BY window_start, event_type
 """
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (streaming.events.funnel_steps):
+    per-step user counts for view -> click -> purchase where each step
+    must follow the previous one strictly in time — one user-keyed
+    shuffle, chained conditional-MIN windows, integer channels only."""
+    from methyl_data_pipeline_spark.streaming.events import funnel_steps
+
+    ev = _events(spark, sf_dir)
+    per_user = funnel_steps(ev, steps=("view", "click", "purchase"))
+    counts = per_user.agg(
+        F.sum(F.col("t_view").isNotNull().cast("long")).alias("n0"),
+        F.sum(F.col("t_click").isNotNull().cast("long")).alias("n1"),
+        F.sum(F.col("t_purchase").isNotNull().cast("long")).alias("n2"),
+    )
+    return counts.selectExpr(
+        "stack(3, CAST(1 AS BIGINT), 'view', n0,"
+        " CAST(2 AS BIGINT), 'click', n1,"
+        " CAST(3 AS BIGINT), 'purchase', n2)"
+        " as (step_idx, step, n_users)"
+    ).orderBy("step_idx")
+
+
+SQL_FUNNEL = """
+WITH t0 AS (
+  SELECT user_id, MIN(ts) AS t FROM events
+  WHERE event_type = 'view' AND user_id IS NOT NULL GROUP BY user_id
+),
+t1 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN t0 ON e.user_id = t0.user_id
+  WHERE e.event_type = 'click' AND e.ts > t0.t GROUP BY e.user_id
+),
+t2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > t1.t GROUP BY e.user_id
+)
+SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step,
+       (SELECT COUNT(*) FROM t0) AS n_users
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'click', (SELECT COUNT(*) FROM t1)
+UNION ALL
+SELECT CAST(3 AS BIGINT), 'purchase', (SELECT COUNT(*) FROM t2)
+ORDER BY step_idx
+"""
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (lag + running sum of breaks)."""
     from methyl_data_pipeline_spark.streaming.events import sessionize_batch
@@ -5228,6 +5275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "vocab_coverage": q_vocab_coverage,
         "temperature_sample": q_temperature_sample,
+        "funnel": q_funnel,
         # demoted r6: driver-green r5, untouched since
         "clean_text": q_clean_text,
         # demoted r5: driver-green in CORRECTNESS_r01-r04, untouched
@@ -5431,6 +5479,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _sql_simhash_pairs(),
         "vocab_coverage": SQL_VOCAB_COVERAGE,
         "temperature_sample": SQL_TEMPERATURE_SAMPLE,
+        "funnel": SQL_FUNNEL,
         "lang_id_ngram": _sql_lang_id_ngram(),
         "contract_report": SQL_CONTRACT_REPORT,
         "frame_sample": SQL_FRAME_SAMPLE,

@@ -149,6 +149,47 @@ def sessionize_batch(
     )
 
 
+def funnel_steps(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel completion times: for each user, the earliest
+    timestamp at which each funnel step completes GIVEN the previous
+    step completed strictly earlier (the standard product-analytics
+    conversion funnel — a user who purchases before ever viewing does
+    not count as a view→purchase conversion).
+
+    One user-keyed shuffle; each step is a conditional MIN window over
+    the same partitioning (chained WindowExec passes, no re-exchange),
+    where the equivalent join formulation re-shuffles the fact once
+    per step. NULL users are dropped (not a funnel subject). Returns
+    one row per user with ``t_<step>`` completion times (NULL = step
+    never completed in order).
+    """
+    from pyspark.sql import Window
+
+    if len(steps) < 2:
+        raise ValueError("a funnel needs >= 2 steps")
+    w = Window.partitionBy(user_col)
+    cur = events.filter(F.col(user_col).isNotNull())
+    prev = None
+    outs = []
+    for i, s in enumerate(steps):
+        cond = F.col(type_col) == s
+        if prev is not None:
+            cond = cond & (F.col(ts_col) > F.col(prev))
+        name = f"t_{s}"
+        cur = cur.withColumn(name, F.min(F.when(cond, F.col(ts_col))).over(w))
+        prev = name
+        outs.append(name)
+    return cur.groupBy(user_col).agg(
+        *[F.first(n).alias(n) for n in outs]
+    )
+
+
 def stream_events_from_parquet(
     spark: SparkSession, path: str, schema=None
 ) -> DataFrame:

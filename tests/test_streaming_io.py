@@ -178,6 +178,35 @@ def test_sessionize(spark):
     assert per_user[8] == [1]
 
 
+def test_funnel_steps_order_matters(spark):
+    """A step counts only if it happens strictly AFTER the previous
+    step: purchase-before-view is no conversion; NULL users dropped."""
+    from methyl_data_pipeline_spark.streaming.events import funnel_steps
+
+    rows = [
+        # user 1: full ordered funnel
+        (1, "2024-01-01 00:00:00", 1, "view", 1.0),
+        (2, "2024-01-01 00:05:00", 1, "click", 1.0),
+        (3, "2024-01-01 00:10:00", 1, "purchase", 1.0),
+        # user 2: purchase BEFORE view -> view only
+        (4, "2024-01-01 00:00:00", 2, "purchase", 1.0),
+        (5, "2024-01-01 00:05:00", 2, "view", 1.0),
+        # user 3: click at the SAME instant as view -> strict > fails
+        (6, "2024-01-01 00:00:00", 3, "view", 1.0),
+        (7, "2024-01-01 00:00:00", 3, "click", 1.0),
+        # NULL user: ignored
+        (8, "2024-01-01 00:00:00", None, "view", 1.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r.user_id: r for r in funnel_steps(ev).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].t_view and out[1].t_click and out[1].t_purchase
+    assert out[2].t_view and out[2].t_click is None and out[2].t_purchase is None
+    assert out[3].t_view and out[3].t_click is None
+
+
 def test_multimodal_plumbing(spark):
     docs = spark.createDataFrame([(0, "hello"), (1, "world")], ["doc_id", "text"])
     media = attach_binary(docs)
