@@ -2261,6 +2261,31 @@ ORDER BY step_idx
 """
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle
+    (streaming.events.cohort_retention): distinct active users per
+    (first-event cohort week, week offset). Integer epoch-week keys,
+    one user window + one distinct-count agg."""
+    from methyl_data_pipeline_spark.streaming.events import cohort_retention
+
+    ev = _events(spark, sf_dir)
+    return cohort_retention(ev).orderBy("cohort_week", "week_offset")
+
+
+SQL_COHORT_RETENTION = """
+WITH f AS (
+  SELECT user_id, ts,
+         CAST(FLOOR(epoch(ts) / 604800) AS BIGINT) AS wk,
+         CAST(MIN(FLOOR(epoch(ts) / 604800)) OVER (PARTITION BY user_id) AS BIGINT)
+           AS cohort_week
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+)
+SELECT cohort_week, wk - cohort_week AS week_offset,
+       COUNT(DISTINCT user_id) AS n_users
+FROM f GROUP BY 1, 2 ORDER BY cohort_week, week_offset
+"""
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (lag + running sum of breaks)."""
     from methyl_data_pipeline_spark.streaming.events import sessionize_batch
@@ -5276,6 +5301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": q_vocab_coverage,
         "temperature_sample": q_temperature_sample,
         "funnel": q_funnel,
+        "cohort_retention": q_cohort_retention,
         # demoted r6: driver-green r5, untouched since
         "clean_text": q_clean_text,
         # demoted r5: driver-green in CORRECTNESS_r01-r04, untouched
@@ -5480,6 +5506,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_coverage": SQL_VOCAB_COVERAGE,
         "temperature_sample": SQL_TEMPERATURE_SAMPLE,
         "funnel": SQL_FUNNEL,
+        "cohort_retention": SQL_COHORT_RETENTION,
         "lang_id_ngram": _sql_lang_id_ngram(),
         "contract_report": SQL_CONTRACT_REPORT,
         "frame_sample": SQL_FRAME_SAMPLE,

@@ -190,6 +190,39 @@ def funnel_steps(
     )
 
 
+def cohort_retention(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Weekly cohort retention: users are cohorted by the epoch-week of
+    their FIRST event; each (cohort_week, week_offset) cell counts the
+    distinct cohort users active that many weeks later — the retention
+    triangle behind every product-analytics dashboard.
+
+    All time arithmetic is integer (epoch seconds // 604800), so the
+    cell keys are bit-identical in any engine. One user-keyed window
+    (first-event time, no join back) + one distinct-count aggregate;
+    NULL users/timestamps are dropped (uncohortable).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col)
+    wk = F.floor(F.unix_timestamp(F.col(ts_col)) / 604800).cast("long")
+    base = (
+        events.filter(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+        .withColumn("_wk", wk)
+        .withColumn("_cohort", F.min("_wk").over(w))
+    )
+    return (
+        base.groupBy(
+            F.col("_cohort").alias("cohort_week"),
+            (F.col("_wk") - F.col("_cohort")).alias("week_offset"),
+        )
+        .agg(F.countDistinct(user_col).alias("n_users"))
+    )
+
+
 def stream_events_from_parquet(
     spark: SparkSession, path: str, schema=None
 ) -> DataFrame:

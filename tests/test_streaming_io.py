@@ -207,6 +207,28 @@ def test_funnel_steps_order_matters(spark):
     assert out[3].t_view and out[3].t_click is None
 
 
+def test_cohort_retention_triangle(spark):
+    """Cohorts keyed by first-event week; offsets count distinct
+    returning users; NULL user/ts dropped."""
+    from methyl_data_pipeline_spark.streaming.events import cohort_retention
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "view", 1.0),   # u1 week A
+        (2, "2024-01-08 00:00:00", 1, "view", 1.0),   # u1 back week A+1
+        (3, "2024-01-01 12:00:00", 2, "view", 1.0),   # u2 week A only
+        (4, "2024-01-08 00:00:00", 3, "view", 1.0),   # u3 first week A+1
+        (5, "2024-01-01 00:00:00", None, "view", 1.0),
+        (6, None, 4, "view", 1.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {(r.cohort_week - 2817, r.week_offset): r.n_users
+           for r in cohort_retention(ev).collect()}
+    # 2024-01-01 is epoch week 2817; normalize for readability
+    assert out == {(0, 0): 2, (0, 1): 1, (1, 0): 1}
+
+
 def test_multimodal_plumbing(spark):
     docs = spark.createDataFrame([(0, "hello"), (1, "world")], ["doc_id", "text"])
     media = attach_binary(docs)
