@@ -4551,6 +4551,60 @@ FROM r WHERE cum_tokens <= 150000 ORDER BY rank
 """
 
 
+def q_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup (ext.dedup.exact_substring_dedup, Lee et al.
+    family): overlapping 5-gram spans repeated anywhere in the corpus
+    are cut from every non-first document; docs reassembled from
+    surviving tokens. Token-stream-sized plan, one gram shuffle."""
+    from methyl_data_pipeline_spark.ext.dedup import exact_substring_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    out = exact_substring_dedup(docs, gram_n=5)
+    return out.orderBy("doc_id")
+
+
+SQL_EXACT_SUBSTRING = r"""
+WITH t AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS w
+  FROM documents WHERE text IS NOT NULL
+),
+g AS (
+  SELECT doc_id, i - 1 AS pos,
+         md5(array_to_string(w[i:i+4], chr(31))) AS gh
+  FROM t, UNNEST(generate_series(1, len(w) - 4)) AS u(i)
+),
+f AS (SELECT gh, COUNT(*) AS n, MIN(doc_id) AS first_doc FROM g GROUP BY gh),
+rem AS (
+  SELECT g.doc_id, g.pos FROM g JOIN f USING (gh)
+  WHERE f.n > 1 AND g.doc_id <> f.first_doc
+),
+cov AS (
+  SELECT DISTINCT doc_id, pos + o AS cp
+  FROM rem, UNNEST(generate_series(0, 4)) AS oo(o)
+),
+tok AS (
+  SELECT doc_id, u.i - 1 AS p, w[u.i] AS tokn
+  FROM t, UNNEST(generate_series(1, len(w))) AS u(i)
+),
+keep AS (
+  SELECT tok.doc_id, tok.p, tok.tokn FROM tok
+  WHERE NOT EXISTS (SELECT 1 FROM cov
+                    WHERE cov.doc_id = tok.doc_id AND cov.cp = tok.p)
+),
+re AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(tokn, ' ' ORDER BY p) AS text_dedup
+  FROM keep GROUP BY doc_id
+)
+SELECT t.doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+       CAST(len(w) - COALESCE(re.n_kept, 0) AS BIGINT) AS n_removed,
+       COALESCE(re.text_dedup, '') AS text_dedup
+FROM t LEFT JOIN re USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled domain sampling (ext.pack.temperature_sample,
     alpha=0.5): keep each doc iff its keyed hash fraction is under
@@ -5302,6 +5356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_sample": q_temperature_sample,
         "funnel": q_funnel,
         "cohort_retention": q_cohort_retention,
+        "exact_substring": q_exact_substring,
         # demoted r6: driver-green r5, untouched since
         "clean_text": q_clean_text,
         # demoted r5: driver-green in CORRECTNESS_r01-r04, untouched
@@ -5507,6 +5562,7 @@ def oracle_sql() -> dict[str, str]:
         "temperature_sample": SQL_TEMPERATURE_SAMPLE,
         "funnel": SQL_FUNNEL,
         "cohort_retention": SQL_COHORT_RETENTION,
+        "exact_substring": SQL_EXACT_SUBSTRING,
         "lang_id_ngram": _sql_lang_id_ngram(),
         "contract_report": SQL_CONTRACT_REPORT,
         "frame_sample": SQL_FRAME_SAMPLE,

@@ -441,6 +441,99 @@ def dedup_clusters(
     )
 
 
+def exact_substring_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_n: int = 5,
+) -> DataFrame:
+    """ExactSubstr dedup (the Lee et al. "Deduplicating Training Data"
+    family): any token span of >= ``gram_n`` tokens that repeats
+    ANYWHERE in the corpus is removed from every document except the
+    span's first-occurrence document (min doc id) — finer than
+    :func:`segment_dedup`'s fixed windows because OVERLAPPING
+    ``gram_n``-grams tile arbitrary-length repeated substrings, and
+    repeated spans are cut mid-document rather than whole segments.
+
+    Mechanics: every overlapping ``gram_n``-gram is hashed; a gram
+    occurring more than once corpus-wide marks its ``gram_n`` covering
+    token positions as removable in every NON-first document; a doc's
+    surviving tokens reassemble in order. Within the first-occurrence
+    doc internal repeats are kept (one canonical copy survives, as in
+    the reference algorithm's keep-one mode).
+
+    Plan shape: token-stream-sized throughout, never n² — one gram
+    shuffle (count + min-doc election), one covered-position distinct,
+    one anti join at token granularity, one doc-keyed reassembly.
+    Case-preserving (output feeds training); matching is exact on
+    whitespace-normalized tokens. Returns ``(id_col, n_tokens,
+    n_removed, text_dedup)`` for every non-NULL-text document.
+    """
+    from methyl_data_pipeline_spark.functions.scalar import normalize_ws
+
+    sep = "\x1f"
+    ws = F.split(normalize_ws(F.col(text_col)), " ")
+    toks = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), ws.alias("_w")
+    )
+    n = F.size("_w")
+    gram_idx = F.when(
+        n >= gram_n, F.sequence(F.lit(0), n - gram_n)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = toks.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                gram_idx,
+                lambda i: F.md5(
+                    F.concat_ws(sep, F.slice(F.col("_w"), i + 1, gram_n))
+                ),
+            )
+        ).alias("_pos", "_gh"),
+    )
+    firsts = grams.groupBy("_gh").agg(
+        F.count(F.lit(1)).alias("_n"), F.min(id_col).alias("_first")
+    )
+    removable = (
+        grams.join(firsts.filter(F.col("_n") > 1), "_gh")
+        .filter(F.col(id_col) != F.col("_first"))
+        .select(id_col, "_pos")
+    )
+    covered = removable.select(
+        F.col(id_col).alias("_cid"),
+        F.explode(
+            F.sequence(F.col("_pos"), F.col("_pos") + (gram_n - 1))
+        ).alias("_cp"),
+    ).distinct()
+    tokpos = toks.select(
+        F.col(id_col), F.posexplode("_w").alias("_p", "_tok")
+    )
+    kept = tokpos.join(
+        covered,
+        (F.col(id_col) == F.col("_cid")) & (F.col("_p") == F.col("_cp")),
+        "left_anti",
+    )
+    reassembled = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_p", "_tok"))),
+                lambda s: s["_tok"],
+            ),
+        ).alias("text_dedup"),
+    )
+    base = toks.select(F.col(id_col), n.cast("long").alias("n_tokens"))
+    return base.join(reassembled, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+        F.coalesce(F.col("text_dedup"), F.lit("")).alias("text_dedup"),
+    )
+
+
 def segment_dedup(
     df: DataFrame,
     text_col: str = "text",

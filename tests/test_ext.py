@@ -76,6 +76,30 @@ def test_simhash_hamming_close_for_near_dups(spark):
     assert ham(sh[0], sh[3]) < ham(sh[0], sh[5])
 
 
+def test_exact_substring_dedup_cuts_repeated_spans(spark):
+    """A >=5-token span shared by two docs is cut from the non-first
+    doc only; unique text survives; short docs pass through."""
+    from methyl_data_pipeline_spark.ext.dedup import exact_substring_dedup
+
+    boiler = "all rights reserved by the example corporation today"  # 8 tokens
+    rows = [
+        (1, f"alpha beta gamma {boiler} delta"),
+        (2, f"unique opening words here {boiler} and a unique tail"),
+        (3, "too short"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in exact_substring_dedup(df, gram_n=5).collect()}
+    assert set(out) == {1, 2, 3}
+    # first-occurrence doc (min id) keeps everything
+    assert out[1].n_removed == 0 and boiler in out[1].text_dedup
+    # doc 2 loses exactly the 8 boilerplate tokens, keeps its own words
+    assert out[2].n_removed == 8
+    assert boiler not in out[2].text_dedup
+    assert out[2].text_dedup == "unique opening words here and a unique tail"
+    assert out[3].n_removed == 0 and out[3].text_dedup == "too short"
+
+
 def test_simhash_hamming_pairs_lossless_banding(spark):
     """4-band banding over 32 bits finds EVERY pair at hamming <= 3
     (pigeonhole: <=3 flips leave some 8-bit band untouched) — verified
