@@ -94,6 +94,7 @@ EXTENDED = [
     "length_batches",
     "budget_select",
     "simhash_pairs",
+    "exact_substring",
 ]
 
 

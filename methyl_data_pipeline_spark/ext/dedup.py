@@ -45,10 +45,19 @@ def dedup_exact(
     min-agg + semi-join form that shuffled the fact table twice AND
     evaluated the md5/normalize projection once per join side — the
     same rewrite ``curate_batch_twin`` measured 4.7 s -> 3.0 s on.
+
+    NULL-text docs are DROPPED — the pinned cross-engine contract: the
+    old semi-join form dropped them implicitly (a NULL key never
+    equi-joins), and the SQL oracle still does; ``partitionBy`` would
+    instead group every NULL fingerprint into one family and elect a
+    single NULL-text "winner", silently diverging on NULL-bearing
+    corpora (caught by the NULL-fixture sweep).
     """
     from pyspark.sql import Window
 
-    keyed = df.withColumn("_fp", md5_long(normalize_label(F.col(text_col))))
+    keyed = df.filter(F.col(text_col).isNotNull()).withColumn(
+        "_fp", md5_long(normalize_label(F.col(text_col)))
+    )
     w = Window.partitionBy("_fp").orderBy(id_col)
     return (
         keyed.withColumn("_rn", F.row_number().over(w))

@@ -45,6 +45,18 @@ def test_dedup_exact_normalizes_ws_and_case(spark):
     assert kept == [0, 3, 4, 5, 6]
 
 
+def test_dedup_exact_drops_null_text(spark):
+    """Pinned cross-engine contract: NULL-text docs are dropped — the
+    window winner must not elect one NULL doc as a 'family' (the SQL
+    oracle's equi-join never matches a NULL key)."""
+    df = spark.createDataFrame(
+        [(1, "same words"), (2, "same words"), (3, None), (4, None)],
+        "doc_id long, text string",
+    )
+    kept = sorted(r.doc_id for r in dedup_exact(df).collect())
+    assert kept == [1]
+
+
 def test_minhash_finds_near_dups(spark):
     pairs = {
         (r["id_a"], r["id_b"])
