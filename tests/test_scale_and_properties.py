@@ -563,3 +563,35 @@ def test_window_winner_dedup_partitioning_invariant(spark):
     )
     got = {(r.fam, r.doc_id) for r in dedup_keep_best(scored, "fam", "score").collect()}
     assert got == {(None, 2), ("k", 4)}
+
+
+def test_r7_operators_partitioning_invariant(spark):
+    """The newest corpus operators must emit identical results at any
+    input partitioning — no winner, span cut, batch, or pair may
+    depend on physical row placement."""
+    from methyl_data_pipeline_spark.ext.dedup import (
+        exact_substring_dedup,
+        simhash_hamming_pairs,
+    )
+    from methyl_data_pipeline_spark.ext.pack import temperature_sample
+    from methyl_data_pipeline_spark.ext.text import vocab_coverage
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def snap(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    base = {}
+    for parts in (1, 64):
+        rp = docs.repartition(parts)
+        outs = {
+            "exact_substring": snap(exact_substring_dedup(rp)),
+            "simhash_pairs": snap(simhash_hamming_pairs(rp)),
+            "temperature": snap(temperature_sample(rp).select("doc_id", "source")),
+            "vocab": snap(vocab_coverage(rp, top_k=50)),
+        }
+        if parts == 1:
+            base = outs
+        else:
+            for k, v in outs.items():
+                assert v == base[k], k
