@@ -2261,6 +2261,38 @@ ORDER BY step_idx
 """
 
 
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic (operators.scale.skew_report) over the
+    events user_id key: distinct-key count, median/p99/max key
+    frequency and the 5 heaviest keys — the report that decides
+    between plain AQE, salted_aggregate, and with_salted_key."""
+    from methyl_data_pipeline_spark.operators.scale import skew_report
+
+    ev = _events(spark, sf_dir)
+    return skew_report(ev, ["user_id"], top_k=5)
+
+
+SQL_SKEW_REPORT = """
+WITH c AS (
+  SELECT COALESCE(CAST(user_id AS VARCHAR), '') AS key, COUNT(*) AS n
+  FROM events GROUP BY 1
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(n) AS BIGINT) AS n_rows,
+         CAST(FLOOR(quantile_cont(n, 0.5)) AS BIGINT) AS p50_rows,
+         CAST(FLOOR(quantile_cont(n, 0.99)) AS BIGINT) AS p99_rows,
+         CAST(MAX(n) AS BIGINT) AS max_rows
+  FROM c
+),
+t AS (SELECT key, n FROM c ORDER BY n DESC, key ASC LIMIT 5)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, key ASC) AS BIGINT) AS rank,
+       key, CAST(n AS BIGINT) AS n_rows_key,
+       n_keys, n_rows, p50_rows, p99_rows, max_rows
+FROM t, s ORDER BY rank
+"""
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention triangle
     (streaming.events.cohort_retention): distinct active users per
@@ -5357,6 +5389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "cohort_retention": q_cohort_retention,
         "exact_substring": q_exact_substring,
+        "skew_report": q_skew_report,
         # demoted r6: driver-green r5, untouched since
         "clean_text": q_clean_text,
         # demoted r5: driver-green in CORRECTNESS_r01-r04, untouched
@@ -5563,6 +5596,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel": SQL_FUNNEL,
         "cohort_retention": SQL_COHORT_RETENTION,
         "exact_substring": SQL_EXACT_SUBSTRING,
+        "skew_report": SQL_SKEW_REPORT,
         "lang_id_ngram": _sql_lang_id_ngram(),
         "contract_report": SQL_CONTRACT_REPORT,
         "frame_sample": SQL_FRAME_SAMPLE,

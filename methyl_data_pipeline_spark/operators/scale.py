@@ -55,6 +55,62 @@ def salted_aggregate(
     return partial.groupBy(*key_cols).agg(*final_aggs)
 
 
+def skew_report(
+    df: DataFrame,
+    key_cols: list[str],
+    top_k: int = 5,
+) -> DataFrame:
+    """Join/agg-key skew diagnostic: per-key row counts summarized as
+    the fleet-planning facts a shuffle tuner needs — how many distinct
+    keys, the median/p99/max key frequency, the share of all rows held
+    by the single hottest key, and the ``top_k`` heaviest keys
+    themselves. THIS is the number that decides between plain AQE,
+    :func:`salted_aggregate`, and :func:`with_salted_key` before a
+    100 TB join melts one reducer.
+
+    One key-keyed aggregate (map-side combined) producing a
+    key-cardinality frame, PERSISTED because both the summary branch
+    and the top-k branch consume it (the branch-recompute trap — an
+    unpersisted counts frame re-runs the corpus agg per branch).
+    Top-k is a distributed take-ordered; the rank window runs on the
+    ``top_k``-row frame only. Integer channels throughout so the
+    report is engine-hash-stable (exact percentile of counts collects
+    the key-cardinality count list to one reducer — fine for a
+    diagnostic; swap to approx_percentile at open-ended cardinality).
+    """
+    from pyspark.sql import Window
+
+    from methyl_data_pipeline_spark import cache
+
+    key_repr = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    counts = cache.track(
+        df.groupBy(key_repr.alias("_key")).agg(F.count(F.lit(1)).alias("_n"))
+    )
+    summary = counts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("_n").cast("long").alias("n_rows"),
+        # FLOOR before the integer cast: Spark CAST(double AS BIGINT)
+        # truncates while other engines round — floor on both sides
+        # pins the emitted integer
+        F.expr("CAST(FLOOR(percentile(_n, 0.5)) AS BIGINT)").alias("p50_rows"),
+        F.expr("CAST(FLOOR(percentile(_n, 0.99)) AS BIGINT)").alias("p99_rows"),
+        F.max("_n").cast("long").alias("max_rows"),
+    )
+    top = counts.orderBy(F.col("_n").desc(), F.col("_key").asc()).limit(top_k)
+    w = Window.orderBy(F.col("_n").desc(), F.col("_key").asc())
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
+        .crossJoin(F.broadcast(summary))
+        .select(
+            "rank",
+            F.col("_key").alias("key"),
+            F.col("_n").cast("long").alias("n_rows_key"),
+            "n_keys", "n_rows", "p50_rows", "p99_rows", "max_rows",
+        )
+        .orderBy("rank")
+    )
+
+
 def salted_mean(
     df: DataFrame, key_cols: list[str], value_col: str, salt_buckets: int = 16
 ) -> DataFrame:

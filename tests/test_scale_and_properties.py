@@ -55,6 +55,22 @@ def test_partitioned_write_prunes(spark, tmp_path):
     assert back.count() == 100
 
 
+def test_skew_report_facts(spark):
+    """Hand-built skewed frame: one hot key with half the rows; the
+    report must name it, rank it first, and get the quantiles right."""
+    from methyl_data_pipeline_spark.operators.scale import skew_report
+
+    rows = [(i, "hot") for i in range(100)]
+    rows += [(100 + i, f"k{i % 20}") for i in range(100)]  # 20 keys x 5
+    df = spark.createDataFrame(rows, "row_id long, k string")
+    out = sorted(skew_report(df, ["k"], top_k=3).collect(),
+                 key=lambda r: r.rank)
+    assert out[0].key == "hot" and out[0].n_rows_key == 100
+    assert all(r.n_keys == 21 and r.n_rows == 200 for r in out)
+    assert out[0].max_rows == 100 and out[0].p50_rows == 5
+    assert len(out) == 3 and out[1].n_rows_key == 5
+
+
 def test_bucketed_join_avoids_shuffle(spark, tmp_path):
     """Bucketed layout: joining two tables bucketed on the same key
     must not shuffle either side (SURVEY §4.3 decision (a))."""
