@@ -92,3 +92,85 @@ def running_user_stats(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+FUNNEL_STATE_SCHEMA = "stage long, stage_us long"
+
+
+def streaming_funnel(
+    stream: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Streaming twin of :func:`streaming.events.funnel_steps`: a
+    per-user funnel state machine that survives micro-batches. State
+    is (highest completed stage index, its event time) — O(1) per
+    user. Each batch's events are processed in event-time order and
+    the machine advances when the NEXT step's event arrives strictly
+    after the current stage's time; an advance emits one update row
+    ``(user, stage, step, stage_ts)``.
+
+    Exactness contract: processed over batches that respect event-time
+    order (or one batch covering everything), the greedy in-order scan
+    equals the batch twin's nested conditional MINs exactly — the
+    first qualifying event of the next step IS that nested minimum. A
+    late event older than the committed stage time cannot rewind the
+    machine (first-arrival semantics, same tradeoff as stream_curate's
+    first-arrival dedup); the batch twin is the offline ground truth.
+
+    State time is an exact INTEGER microsecond count, not float
+    seconds: sources deliver nanosecond timestamps (the testdata
+    does), float64 seconds resolve only ~100 ns at current epochs, and
+    Arrow rejects the lossy ns→us cast a float-round-tripped emit
+    produces. Microsecond truncation also matches the batch twin's
+    micros-typed ts column, so the strict `>` comparisons agree.
+    """
+    if len(steps) < 2:
+        raise ValueError("a funnel needs >= 2 steps")
+    key_type = dict(stream.dtypes)[user_col]
+    out_schema = (
+        f"`{user_col}` {key_type}, stage long, step string, stage_ts timestamp"
+    )
+    step_list = list(steps)
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        stage, stage_us = (state.get if state.exists else (-1, -(2 ** 62)))
+        batches = [pdf[[ts_col, type_col]].dropna() for pdf in pdfs]
+        ev = (
+            pd.concat(batches, ignore_index=True)
+            if batches
+            else pd.DataFrame(columns=[ts_col, type_col])
+        )
+        ev = ev.sort_values(ts_col)
+        advanced = False
+        for ts, et in zip(ev[ts_col], ev[type_col]):
+            nxt = stage + 1
+            if nxt >= len(step_list):
+                break
+            t = int(pd.Timestamp(ts).value) // 1000  # exact micros
+            if et == step_list[nxt] and t > stage_us:
+                stage, stage_us = nxt, t
+                advanced = True
+        if advanced:
+            state.update((stage, stage_us))
+            yield pd.DataFrame(
+                {
+                    user_col: [key[0]],
+                    "stage": [stage],
+                    "step": [step_list[stage]],
+                    "stage_ts": [pd.Timestamp(stage_us * 1000)],
+                }
+            )
+
+    return stream.groupBy(user_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -57,6 +57,53 @@ def test_stateful_running_stats_across_batches(spark, tmp_path):
         q.stop()
 
 
+def test_streaming_funnel_state_across_batches(spark, tmp_path):
+    """Funnel state survives micro-batches (view in batch 1, click in
+    batch 2 advances to stage 1) and matches the batch twin when
+    batches respect event-time order."""
+    from methyl_data_pipeline_spark.streaming.events import funnel_steps
+    from methyl_data_pipeline_spark.streaming.stateful import streaming_funnel
+
+    src = str(tmp_path / "fsrc")
+    os.makedirs(src)
+
+    def write_batch(rows):
+        pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(src)
+
+    # batch 1: u7 views; u8 purchases (wrong first step -> no advance)
+    write_batch([(1, "2024-01-01 00:00:00", 7, "view"),
+                 (2, "2024-01-01 00:00:30", 8, "purchase")])
+    stream = stream_events_from_parquet(spark, src)
+    out = streaming_funnel(stream)
+    q = (out.writeStream.outputMode("update").format("memory")
+         .queryName("funnel_test").start())
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM funnel_test").collect()
+        assert {(r.user_id, r.stage) for r in rows} == {(7, 0)}
+        # batch 2: u7 clicks then purchases -> jumps to stage 2
+        write_batch([(3, "2024-01-01 00:01:00", 7, "click"),
+                     (4, "2024-01-01 00:02:00", 7, "purchase")])
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM funnel_test").collect()
+        latest = {}
+        for r in rows:
+            if r.user_id not in latest or r.stage > latest[r.user_id].stage:
+                latest[r.user_id] = r
+        assert latest[7].stage == 2 and latest[7].step == "purchase"
+        assert 8 not in latest
+        # parity with the batch twin over the full event set
+        ev = spark.read.parquet(src)
+        twin = {r.user_id: r for r in funnel_steps(ev).collect()}
+        assert twin[7].t_purchase is not None
+        assert twin[7].t_purchase == latest[7].stage_ts
+        assert twin[8].t_view is None
+    finally:
+        q.stop()
+
+
 def test_entry_point_a_ingest(spark, tmp_path):
     """SURVEY §3.1: reproduce main.main()'s combine semantics from wide
     CSVs — AVG_Beta projection (P1), n-way full outer (J1), NaN-block
