@@ -57,6 +57,8 @@ def read_any(spark: SparkSession, path: str) -> DataFrame:
         return spark.read.csv(path, header=True, inferSchema=True)
     if ext in (".jsonl", ".json"):
         return read_jsonl(spark, path)
+    if ext == ".orc":
+        return spark.read.orc(path)
     raise ValueError(f"unsupported extension: {ext}")
 
 
@@ -187,6 +189,12 @@ def read_jsonl(
     if schema:
         r = r.schema(schema)
     return r.option("multiLine", multiline).json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source (engine-native): same pushdown/pruning contract as
+    the parquet scan — filters and projections reach the reader."""
+    return spark.read.orc(path)
 
 
 def stage_idat_tree(

@@ -37,6 +37,19 @@ def write_excel(df: DataFrame, path: str, max_rows: int = 1_000_000) -> None:
         write_xlsx(pdf, path)
 
 
+def write_orc(
+    df: DataFrame, path: str, mode: str = "overwrite",
+    partition_cols: list[str] | None = None,
+) -> None:
+    """ORC sink (engine-native; columnar alternative to parquet for
+    Hive-ecosystem consumers — predicate pushdown, column pruning, and
+    zlib/zstd compression all work the same way)."""
+    w = df.write.mode(mode)
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.orc(path)
+
+
 def write_jsonl(
     df: DataFrame, path: str, mode: str = "overwrite",
     compression: str | None = None,

@@ -137,6 +137,29 @@ def test_jsonl_round_trip(spark, tmp_path):
     )
 
 
+def test_orc_round_trip_with_pushdown(spark, tmp_path):
+    """ORC sink -> source round trip; a filter on the read must reach
+    the ORC scan as a pushed filter (same contract as parquet)."""
+    from methyl_data_pipeline_spark.io.readers import read_orc
+    from methyl_data_pipeline_spark.io.writers import write_orc
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}", f"src{i % 3}") for i in range(30)],
+        "doc_id long, text string, source string",
+    )
+    out = str(tmp_path / "docs_orc")
+    write_orc(df, out, partition_cols=["source"])
+    back = read_orc(spark, out)
+    assert back.count() == 30
+    filtered = back.filter(F.col("doc_id") < 10).select("doc_id")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,10)" in plan
+    assert filtered.count() == 10
+    # partition pruning: source predicate prunes directories
+    pruned = back.filter(F.col("source") == "src0")
+    assert pruned.count() == 10
+
+
 def test_read_any_dispatches_jsonl(spark, tmp_path):
     from methyl_data_pipeline_spark.io.readers import read_any
     from methyl_data_pipeline_spark.io.writers import write_jsonl
