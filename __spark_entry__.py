@@ -2446,7 +2446,7 @@ aud AS (
 ),
 txt AS (
   SELECT doc_id, 'digest' AS kind,
-         CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
          md5(text) AS digest,
          {hexpair(1)} AS f0, {hexpair(3)} AS f1,
          {hexpair(5)} AS f2, {hexpair(7)} AS f3

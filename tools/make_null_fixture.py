@@ -36,6 +36,18 @@ def main() -> None:
     df.loc[df.index[29], "lang"] = None
     df.loc[df.index[41], "text"] = ""
     df.loc[df.index[53], "text"] = "   "
+    # pathological-but-legal text shapes (r7): exact-dup pair of a
+    # NULL-adjacent doc (dedup winner semantics), tab/newline runs
+    # (the \s+ tokenizer must agree), a single very long token, a
+    # unicode doc with an NBSP (NOT \s in Java regex or RE2 — both
+    # engines must treat it as a token char), and duplicated
+    # empty-normalized texts ("" vs "   " share a fingerprint)
+    df.loc[df.index[61], "text"] = "dup pair body shared exactly"
+    df.loc[df.index[67], "text"] = "dup pair body shared exactly"
+    df.loc[df.index[71], "text"] = "tab\tseparated\twords\nand\nnewlines"
+    df.loc[df.index[79], "text"] = "x" * 4000
+    df.loc[df.index[83], "text"] = "café naïve résumé and nbsp"
+    df.loc[df.index[89], "lang"] = ""
     pq.write_table(
         pa.Table.from_pandas(df, preserve_index=False),
         os.path.join(DST, "documents.parquet"),
