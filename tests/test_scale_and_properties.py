@@ -581,6 +581,64 @@ def test_window_winner_dedup_partitioning_invariant(spark):
     assert got == {(None, 2), ("k", 4)}
 
 
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=100),   # score
+            st.integers(min_value=1, max_value=500),   # n_tokens
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(min_value=1, max_value=20_000),        # budget
+)
+def test_property_budget_select_exact_prefix(spark, rows, budget):
+    """For ANY scores/token counts/budget, the distributed budget
+    selection equals the Python-computed greedy prefix exactly."""
+    from methyl_data_pipeline_spark.ext.pack import budget_select
+
+    data = [(i, s, t) for i, (s, t) in enumerate(rows)]
+    df = spark.createDataFrame(data, "doc_id long, score long, n_tokens long")
+    got = sorted(
+        (r.doc_id, r.rank, r.cum_tokens)
+        for r in budget_select(df, "score", "n_tokens", budget=budget,
+                               num_partitions=3).collect()
+    )
+    ordered = sorted(data, key=lambda x: (-x[1], x[0]))
+    want, acc = [], 0
+    for rank, (i, s, t) in enumerate(ordered, 1):
+        acc += t
+        if acc > budget:
+            break
+        want.append((i, rank, acc))
+    assert got == sorted(want)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=700), min_size=1, max_size=60),
+    st.integers(min_value=1, max_value=8),
+)
+def test_property_length_batches_accounting(spark, lengths, batch_size):
+    """For ANY doc lengths/batch size: every doc lands in exactly one
+    batch, batches never exceed batch_size, bucket caps hold, and
+    padding reconciles."""
+    from methyl_data_pipeline_spark.ext.pack import length_bucket_batches
+
+    rows = [(i, "w " * n if n else "") for i, n in enumerate(lengths)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = length_bucket_batches(df, batch_size=batch_size, n_shards=3).collect()
+    assert sum(r.n_docs for r in out) == len(lengths)
+    total_tokens = sum(r.sum_tokens for r in out)
+    for r in out:
+        assert 1 <= r.n_docs <= batch_size
+        assert r.max_tokens <= r.bucket
+        assert r.padding == r.n_docs * r.max_tokens - r.sum_tokens
+    # token accounting: "" tokenizes to one empty token (size 1)
+    assert total_tokens == sum(max(n, 1) for n in lengths)
+
+
 def test_r7_operators_partitioning_invariant(spark):
     """The newest corpus operators must emit identical results at any
     input partitioning — no winner, span cut, batch, or pair may
