@@ -95,6 +95,12 @@ EXTENDED = [
     "budget_select",
     "simhash_pairs",
     "exact_substring",
+    "split_leakage",
+    "temperature_sample",
+    "vocab_coverage",
+    "funnel",
+    "cohort_retention",
+    "skew_report",
 ]
 
 
