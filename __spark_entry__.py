@@ -2293,6 +2293,100 @@ FROM t, s ORDER BY rank
 """
 
 
+def q_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split contamination audit: distinct word-5-grams shared
+    between the train and test splits, under the id-keyed vs the
+    fingerprint-keyed (leakage-safe) split — the n-gram-level sequel
+    to split_leakage's exact-dup audit (near-dup contamination can
+    survive even a dup-safe split; this measures how much). One gram
+    shuffle computes both keyings' membership flags; integer channels."""
+    from methyl_data_pipeline_spark.ext.dedup import shingles
+    from methyl_data_pipeline_spark.ext.pack import hash_split, leakage_safe_split
+
+    docs = _t(spark, sf_dir, "documents")
+    base = (
+        leakage_safe_split(docs)
+        .withColumnRenamed("split", "split_fp")
+        .transform(hash_split)
+        .withColumnRenamed("split", "split_id")
+        .filter(F.col("text").isNotNull())
+    )
+    grams = base.select(
+        "split_id", "split_fp",
+        F.explode(F.array_distinct(shingles("text", 5))).alias("_g"),
+    )
+    per_gram = grams.groupBy("_g").agg(
+        F.max((F.col("split_id") == "train").cast("int")).alias("a_tr"),
+        F.max((F.col("split_id") == "test").cast("int")).alias("a_te"),
+        F.max((F.col("split_fp") == "train").cast("int")).alias("b_tr"),
+        F.max((F.col("split_fp") == "test").cast("int")).alias("b_te"),
+    )
+    tot = per_gram.agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.sum((F.col("a_tr") * F.col("a_te")).cast("long")).alias("a_shared"),
+        F.sum((F.col("b_tr") * F.col("b_te")).cast("long")).alias("b_shared"),
+    )
+    return tot.selectExpr(
+        "stack(2, 'by_id', a_shared, n_grams,"
+        " 'by_fingerprint', b_shared, n_grams)"
+        " as (keying, shared_5grams, total_5grams)"
+    ).orderBy("keying")
+
+
+SQL_SPLIT_CONTAMINATION = r"""
+WITH base AS (
+  SELECT doc_id, text,
+         CASE WHEN h / 1152921504606846976.0 < 0.9 THEN 'train'
+              WHEN h / 1152921504606846976.0 < 0.95 THEN 'val'
+              ELSE 'test' END AS split_id,
+         CASE WHEN f / 1152921504606846976.0 < 0.9 THEN 'train'
+              WHEN f / 1152921504606846976.0 < 0.95 THEN 'val'
+              ELSE 'test' END AS split_fp
+  FROM (
+    SELECT doc_id, text,
+           ('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h,
+           ('0x' || substr(md5('split|' || COALESCE(
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+               CAST(doc_id AS VARCHAR))), 1, 15))::BIGINT AS f
+    FROM documents
+  ) WHERE text IS NOT NULL
+),
+t AS (
+  SELECT split_id, split_fp,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+  FROM base
+),
+g AS (
+  SELECT split_id, split_fp, array_to_string(w[i:i+4], ' ') AS gram
+  FROM t, UNNEST(generate_series(1, len(w) - 4)) AS u(i)
+  WHERE len(w) >= 5
+  UNION ALL
+  -- docs shorter than 5 words shingle to their whole text (the
+  -- Spark shingles() short-doc rule)
+  SELECT split_id, split_fp, array_to_string(w, ' ')
+  FROM t WHERE len(w) < 5
+),
+per AS (
+  SELECT gram,
+         MAX(CASE WHEN split_id = 'train' THEN 1 ELSE 0 END) AS a_tr,
+         MAX(CASE WHEN split_id = 'test' THEN 1 ELSE 0 END) AS a_te,
+         MAX(CASE WHEN split_fp = 'train' THEN 1 ELSE 0 END) AS b_tr,
+         MAX(CASE WHEN split_fp = 'test' THEN 1 ELSE 0 END) AS b_te
+  FROM g GROUP BY gram
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(SUM(a_tr * a_te) AS BIGINT) AS a_shared,
+         CAST(SUM(b_tr * b_te) AS BIGINT) AS b_shared
+  FROM per
+)
+SELECT 'by_fingerprint' AS keying, b_shared AS shared_5grams, n_grams AS total_5grams FROM tot
+UNION ALL
+SELECT 'by_id', a_shared, n_grams FROM tot
+ORDER BY keying
+"""
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention triangle
     (streaming.events.cohort_retention): distinct active users per
@@ -5390,6 +5484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "exact_substring": q_exact_substring,
         "skew_report": q_skew_report,
+        "split_contamination": q_split_contamination,
         # demoted r6: driver-green r5, untouched since
         "clean_text": q_clean_text,
         # demoted r5: driver-green in CORRECTNESS_r01-r04, untouched
@@ -5597,6 +5692,7 @@ def oracle_sql() -> dict[str, str]:
         "cohort_retention": SQL_COHORT_RETENTION,
         "exact_substring": SQL_EXACT_SUBSTRING,
         "skew_report": SQL_SKEW_REPORT,
+        "split_contamination": SQL_SPLIT_CONTAMINATION,
         "lang_id_ngram": _sql_lang_id_ngram(),
         "contract_report": SQL_CONTRACT_REPORT,
         "frame_sample": SQL_FRAME_SAMPLE,
