@@ -101,6 +101,7 @@ EXTENDED = [
     "funnel",
     "cohort_retention",
     "skew_report",
+    "split_contamination",
 ]
 
 
