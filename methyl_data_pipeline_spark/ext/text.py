@@ -1100,12 +1100,14 @@ def bm25_rank(
     ranks terms within a doc; this ranks docs against queries).
 
     Plan shape at 100 TB — an inverted-index join, never a cartesian:
-    one explode + (doc, term) groupBy builds the postings (ONE fact
-    shuffle, reused for doc lengths via a second agg on the same
-    keys); query terms and their document frequencies are
-    query-vocabulary-sized and BROADCAST, so scoring touches only
-    postings of query terms; the final (query, doc) partial-sum agg
-    and per-query top-k window see candidate rows only.
+    one explode + (doc, term) groupBy builds the postings; its three
+    consumers re-run that build lazily (Catalyst shares no subplan
+    across branches) unless ``materialize_index=True`` persists the
+    index once — see the measurement note at the build site. Query
+    terms and their document frequencies are query-vocabulary-sized
+    and BROADCAST, so scoring touches only postings of query terms;
+    the final (query, doc) partial-sum agg and per-query top-k window
+    see candidate rows only.
 
     Scores are rounded to ``score_round`` dp BEFORE ranking so rank
     order (and therefore the emitted rows) is reproducible across
