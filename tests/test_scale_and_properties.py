@@ -639,6 +639,56 @@ def test_property_length_batches_accounting(spark, lengths, batch_size):
     assert total_tokens == sum(max(n, 1) for n in lengths)
 
 
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc"]), min_size=0, max_size=12),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_property_exact_substring_matches_reference(spark, token_docs):
+    """On tiny-vocab corpora (dense gram collisions), the distributed
+    ExactSubstr cut equals a brute-force Python reference exactly:
+    same kept text, same removal counts, first-occurrence doc keeps
+    its copy."""
+    from methyl_data_pipeline_spark.ext.dedup import exact_substring_dedup
+
+    n = 3  # gram size
+    docs = {i: toks for i, toks in enumerate(token_docs)}
+    # reference: gram -> (count, first doc); covered positions per doc
+    occ: dict[tuple, list] = {}
+    for i, toks in docs.items():
+        for p in range(max(len(toks) - n + 1, 0)):
+            occ.setdefault(tuple(toks[p:p + n]), []).append((i, p))
+    covered: dict[int, set] = {i: set() for i in docs}
+    for gram, sites in occ.items():
+        if len(sites) < 2:
+            continue
+        first_doc = min(i for i, _ in sites)
+        for i, p in sites:
+            if i != first_doc:
+                covered[i].update(range(p, p + n))
+    want = {}
+    for i, toks in docs.items():
+        kept = [t for j, t in enumerate(toks) if j not in covered[i]]
+        want[i] = (len(toks), len(toks) - len(kept), " ".join(kept))
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in docs.items()],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.text_dedup)
+        for r in exact_substring_dedup(df, gram_n=n).collect()
+    }
+    # empty token list writes as "" which tokenizes to [''] (1 token)
+    for i, toks in docs.items():
+        if not toks:
+            want[i] = (1, 0, "")
+    assert got == want
+
+
 def test_r7_operators_partitioning_invariant(spark):
     """The newest corpus operators must emit identical results at any
     input partitioning — no winner, span cut, batch, or pair may
