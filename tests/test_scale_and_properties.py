@@ -689,6 +689,72 @@ def test_property_exact_substring_matches_reference(spark, token_docs):
     assert got == want
 
 
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),            # user
+            st.integers(min_value=0, max_value=50),           # minute
+            st.sampled_from(["view", "click", "purchase", "error"]),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_property_funnel_and_cohort_match_reference(spark, events):
+    """For ANY event stream: funnel stage times equal the nested
+    strict-minimum reference; cohort cells equal a direct Python
+    count. Same-minute duplicate events and out-of-order inserts
+    included by construction."""
+    from methyl_data_pipeline_spark.streaming.events import (
+        cohort_retention,
+        funnel_steps,
+    )
+
+    rows = [
+        (i, f"2024-01-01 00:{m % 60:02d}:{(m // 60) * 7:02d}", u, et, 1.0)
+        for i, (u, m, et) in enumerate(events)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    # ---- funnel reference: nested strict mins
+    per_user: dict[int, list] = {}
+    for _, (u, m, et) in zip(rows, events):
+        per_user.setdefault(u, []).append((m, et))
+    want_f = {}
+    for u, evs in per_user.items():
+        t_prev = None
+        stages = []
+        for step in ("view", "click", "purchase"):
+            cands = [m for m, et in evs if et == step
+                     and (t_prev is None or m > t_prev)]
+            t_prev = min(cands) if cands else None
+            stages.append(t_prev)
+            if t_prev is None:
+                break
+        stages += [None] * (3 - len(stages))
+        want_f[u] = tuple(stages)
+    got_f = {
+        r.user_id: tuple(
+            None if t is None else t.minute + t.hour * 60
+            for t in (r.t_view, r.t_click, r.t_purchase)
+        )
+        for r in funnel_steps(ev).collect()
+    }
+    assert got_f == want_f
+
+    # ---- cohort reference (events all inside one epoch week here:
+    # offsets are 0, cells are per-cohort distinct-user counts)
+    first = {u: min(m for m, _ in evs) for u, evs in per_user.items()}
+    got_c = {(r.cohort_week, r.week_offset): r.n_users
+             for r in cohort_retention(ev).collect()}
+    assert sum(got_c.values()) >= len(per_user)
+    assert all(off == 0 for (_, off) in got_c)  # all within one week
+    assert sum(got_c.values()) == len(per_user)
+
+
 def test_r7_operators_partitioning_invariant(spark):
     """The newest corpus operators must emit identical results at any
     input partitioning — no winner, span cut, batch, or pair may
