@@ -399,6 +399,13 @@ def simhash_hamming_pairs(
             ),
         )
     )
+    # distinct(), deliberately: the classic lowest-matching-band
+    # "responsibility" filter (emit a pair only from its first agreeing
+    # band, no dedup needed) measured SLOWER head-to-head at sf0.1
+    # (3.7-4.5 s vs 3.3 s) — distinct's map-side partial aggregation
+    # collapses the cross-band duplicates before the exchange, so the
+    # dedup shuffle is already output-sized, while the responsibility
+    # predicate pays 4 bands of bit math on every EMITTED duplicate.
     cand = (
         buckets.select(F.explode(pairs).alias("_p"))
         .select("_p.id_a", "_p.id_b", "_p._sa", "_p._sb")
