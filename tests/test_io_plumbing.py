@@ -160,6 +160,26 @@ def test_orc_round_trip_with_pushdown(spark, tmp_path):
     assert pruned.count() == 10
 
 
+def test_csv_sink_and_sanitize_filename(spark, tmp_path):
+    """CSV sink round-trips with header; sanitize_filename maps every
+    non-word char to underscore (reference dataset.py:48 semantics)."""
+    from methyl_data_pipeline_spark.functions.scalar import sanitize_filename
+    from methyl_data_pipeline_spark.io.writers import write_csv
+
+    df = spark.createDataFrame(
+        [(1, "a b/c:d"), (2, "safe-name_9")], "id long, name string"
+    )
+    out = str(tmp_path / "csv_out")
+    write_csv(df, out)
+    back = spark.read.csv(out, header=True, inferSchema=True)
+    assert sorted(tuple(r) for r in back.collect()) == sorted(
+        tuple(r) for r in df.collect()
+    )
+    got = {r.id: r.s for r in
+           df.select("id", sanitize_filename("name").alias("s")).collect()}
+    assert got == {1: "a_b_c_d", 2: "safe-name_9"}
+
+
 def test_read_any_dispatches_jsonl(spark, tmp_path):
     from methyl_data_pipeline_spark.io.readers import read_any
     from methyl_data_pipeline_spark.io.writers import write_jsonl
