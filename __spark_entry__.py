@@ -4315,6 +4315,7 @@ WITH keyed AS (
          ('0x' || substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')),
                          1, 15))::BIGINT AS fp
   FROM documents
+  WHERE text IS NOT NULL
 ),
 seen AS (SELECT DISTINCT fp FROM keyed WHERE doc_id < 250),
 shard AS (SELECT * FROM keyed WHERE doc_id >= 200),
@@ -5384,96 +5385,34 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness records only the
-    # FIRST 50 entries in dict order. ROUND-7 ROTATION (VERDICT r6
-    # #1): the window is rebuilt to 50 ORACLED queries only. Rotated
-    # OUT: the six rows-only entries (pca_scores, mds_coords,
-    # bmiq_normalize, combat_covariates, ivf_ann_approx,
-    # pipeline_end_to_end) — r6 proved the driver returns
-    # `err: no_oracle` for them, so their driver story is complete
-    # (spark_rows recorded r6; value-level evidence lives in the green
-    # deterministic certificates pca_gram/pca_eigen_cert, combat_*,
-    # bmiq_*, methyl_pipeline_chain) — and the three environment-red
-    # float queries (outlier_mad, corpus_report, moderated_f), which
-    # stay in the tail where tools/check_oracle.py re-verifies them
-    # every round. Rotated IN: nine multiply-driver-green stable tail
-    # queries (bh_adjust, quantile_normalize, dmr_regions,
-    # stream_interval_join, pii_redact, quality_filter,
-    # unigram_logprob, decontaminate, sample_stratified).
+    # FIRST 50 entries in dict order. ROUND-8 ROTATION (VERDICT r7
+    # #1): the 15 oracled queries that have NEVER produced a
+    # driver-side green rotate IN — the 11 new-in-r7 operators
+    # (length_batches, split_leakage, budget_select, simhash_pairs,
+    # vocab_coverage, temperature_sample, funnel, cohort_retention,
+    # exact_substring, skew_report, split_contamination), the three
+    # formerly-environment-red float queries hardened in r7
+    # (moderated_f, outlier_mad, corpus_report), and column_digests,
+    # which MUST ride in the same window as those three so a driver
+    # hash miss localizes to a (query, column) instead of a whole-row
+    # mystery. Rotated OUT: 15 multiply-proven occupants, each with
+    # 3-7 prior driver greens (see QUERIES.md's green-rounds table):
+    # pricing_summary, meth_variance_topk, meth_moderated_t,
+    # meth_contrasts, poobah_ecdf, bh_adjust_scalable,
+    # multimodal_features, bh_adjust, health_report, combat_priors,
+    # sample_corr, contract_report, hash_split, mixture_sample,
+    # lang_id_ngram. Queries whose implementation CHANGED this round
+    # (minhash_pairs bucket cap, incremental_dedup NULL fix,
+    # dmr_regions fused window) stay in-window to re-certify.
     return {
-        # flagship + methylation suite
-        "pricing_summary": q_pricing_summary,
-        "meth_variance_topk": q_meth_variance_topk,
-        "meth_moderated_t": q_meth_moderated_t,
-        "bloom_decontaminate": q_bloom_decontaminate,
-        # rotated IN r7 (VERDICT r6 #1): multiply-proven stable queries
-        "bh_adjust": q_bh_adjust,
-        "quantile_normalize": q_quantile_normalize,
-        "dmr_regions": q_dmr_regions,
-        "sketch_cert": q_sketch_cert,
-        "meth_contrasts": q_meth_contrasts,
-        "poobah_ecdf": q_poobah_ecdf,
-        "health_report": q_health_report,
-        "bh_adjust_scalable": q_bh_adjust_scalable,
-        "combat_priors": q_combat_priors,
-        # deterministic-prefix / chain oracles
-        "combat_onestep": q_combat_onestep,
-        "combat_twostep": q_combat_twostep,
-        "combat_converged": q_combat_converged,
-        "bmiq_prefix": q_bmiq_prefix,
-        "bmiq_mstep_cert": q_bmiq_mstep_cert,
-        "methyl_pipeline_chain": q_methyl_pipeline_chain,
-        # first driver green r6, kept for a second green
-        "corpus_pipeline": q_corpus_pipeline,
-        "stream_curate": q_stream_curate,
-        "layout_cert": q_layout_cert,
-        # rotated IN r7 (VERDICT r6 #1): multiply-proven stable queries
-        "stream_interval_join": q_stream_interval_join,
-        "pii_redact": q_pii_redact,
-        "quality_filter": q_quality_filter,
-        "unigram_logprob": q_unigram_logprob,
-        "decontaminate": q_decontaminate,
-        "sample_stratified": q_sample_stratified,
-        # first driver rows r5, kept for a second green
-        "incremental_dedup": q_incremental_dedup,
-        "perplexity_buckets": q_perplexity_buckets,
-        "chunk_documents": q_chunk_documents,
-        "pca_gram": q_pca_gram,
-        "pca_eigen_cert": q_pca_eigen_cert,
-        "curation_pipeline": q_curation_pipeline,
-        "minhash_pairs": q_minhash_pairs,
-        "bh_grouped": q_bh_grouped,
-        "hot_ngrams": q_hot_ngrams,
-        "snapshot_diff": q_snapshot_diff,
-        "multimodal_features": q_multimodal_features,
-        "combat_cov_prefix": q_combat_cov_prefix,
-        "sample_corr": q_sample_corr,
-        "contract_report": q_contract_report,
-        # segment_dedup changed this round (case-preserving) — stays
-        # in-window to re-certify under the new semantics
-        "segment_dedup": q_segment_dedup,
-        "dedup_best": q_dedup_best,
-        "hash_split": q_hash_split,
-        "mixture_sample": q_mixture_sample,
-        "lang_id_ngram": q_lang_id_ngram,
-        "events_sliding": q_events_sliding,
-        # NEW r6: BM25 ranked retrieval (clean_text — green r5,
-        # untouched — yields its slot)
-        "bm25_rank": q_bm25_rank,
-        "frame_sample": q_frame_sample,
-        # ---- slot 51+ (past the driver's 50-entry window) ----
-        # demoted r7 (VERDICT r6 #1): the three environment-red float
-        # queries — bit-identical locally every round, hash-red on the
-        # driver twice; grid-aligned further this round (VERDICT #7)
-        # and watched here by tools/check_oracle.py
+        # rotated IN r8 (VERDICT r7 #1): the three float queries +
+        # their per-column localizer, hardened r7 (grid-aligned
+        # inputs, ±1e-13 ulp property test, NULL-safe ordering)
+        "moderated_f": q_moderated_f,
         "outlier_mad": q_outlier_mad,
         "corpus_report": q_corpus_report,
-        "moderated_f": q_moderated_f,
-        # divergence localizer (VERDICT r6 #8): per-column md5s of the
-        # three queries above, so a future driver hash miss pinpoints
-        # the diverging query and column instead of a whole-row mystery
         "column_digests": q_column_digests,
-        # NEW r7: length-bucketed dynamic batching (oracled; starts in
-        # the tail, candidate for a window slot once locally proven)
+        # rotated IN r8 (VERDICT r7 #1): the 11 r7 operators
         "length_batches": q_length_batches,
         "split_leakage": q_split_leakage,
         "budget_select": q_budget_select,
@@ -5485,6 +5424,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_substring": q_exact_substring,
         "skew_report": q_skew_report,
         "split_contamination": q_split_contamination,
+        # changed r8 (bucket cap / NULL fix / fused window) —
+        # in-window to re-certify under the new code paths
+        "minhash_pairs": q_minhash_pairs,
+        "incremental_dedup": q_incremental_dedup,
+        "dmr_regions": q_dmr_regions,
+        # retained window occupants (1-3 prior greens each)
+        "bloom_decontaminate": q_bloom_decontaminate,
+        "quantile_normalize": q_quantile_normalize,
+        "sketch_cert": q_sketch_cert,
+        # deterministic-prefix / chain oracles
+        "combat_onestep": q_combat_onestep,
+        "combat_twostep": q_combat_twostep,
+        "combat_converged": q_combat_converged,
+        "bmiq_prefix": q_bmiq_prefix,
+        "bmiq_mstep_cert": q_bmiq_mstep_cert,
+        "methyl_pipeline_chain": q_methyl_pipeline_chain,
+        "corpus_pipeline": q_corpus_pipeline,
+        "stream_curate": q_stream_curate,
+        "layout_cert": q_layout_cert,
+        "stream_interval_join": q_stream_interval_join,
+        "pii_redact": q_pii_redact,
+        "quality_filter": q_quality_filter,
+        "unigram_logprob": q_unigram_logprob,
+        "decontaminate": q_decontaminate,
+        "sample_stratified": q_sample_stratified,
+        "perplexity_buckets": q_perplexity_buckets,
+        "chunk_documents": q_chunk_documents,
+        "pca_gram": q_pca_gram,
+        "pca_eigen_cert": q_pca_eigen_cert,
+        "curation_pipeline": q_curation_pipeline,
+        "bh_grouped": q_bh_grouped,
+        "hot_ngrams": q_hot_ngrams,
+        "snapshot_diff": q_snapshot_diff,
+        "combat_cov_prefix": q_combat_cov_prefix,
+        "segment_dedup": q_segment_dedup,
+        "dedup_best": q_dedup_best,
+        "events_sliding": q_events_sliding,
+        "bm25_rank": q_bm25_rank,
+        "frame_sample": q_frame_sample,
+        # ---- slot 51+ (past the driver's 50-entry window) ----
+        # demoted r8 (VERDICT r7 #1): multiply-proven queries, each
+        # with 3-7 driver greens across r1-r7 (table in QUERIES.md);
+        # tools/check_oracle.py re-verifies them every round
+        "pricing_summary": q_pricing_summary,
+        "meth_variance_topk": q_meth_variance_topk,
+        "meth_moderated_t": q_meth_moderated_t,
+        "meth_contrasts": q_meth_contrasts,
+        "poobah_ecdf": q_poobah_ecdf,
+        "bh_adjust_scalable": q_bh_adjust_scalable,
+        "multimodal_features": q_multimodal_features,
+        "bh_adjust": q_bh_adjust,
+        "health_report": q_health_report,
+        "combat_priors": q_combat_priors,
+        "sample_corr": q_sample_corr,
+        "contract_report": q_contract_report,
+        "hash_split": q_hash_split,
+        "mixture_sample": q_mixture_sample,
+        "lang_id_ngram": q_lang_id_ngram,
         # demoted r6: driver-green r5, untouched since
         "clean_text": q_clean_text,
         # demoted r5: driver-green in CORRECTNESS_r01-r04, untouched

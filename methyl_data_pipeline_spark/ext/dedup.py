@@ -160,6 +160,110 @@ def minhash_signatures(
     return hashed.select(F.col(id_col), *sig_cols)
 
 
+def bucket_pair_expand(
+    melted: DataFrame,
+    bucket_cols: list,
+    member: Column,
+    max_bucket: int = 4096,
+    num_salts: int = 16,
+) -> DataFrame:
+    """Within-bucket unordered-pair expansion with an ENFORCED
+    mega-bucket guard — the shared kernel of
+    :func:`minhash_candidate_pairs`, :func:`simhash_hamming_pairs`, and
+    ``similarity.cosine_neardup_pairs``.
+
+    Input: one row per (bucket, member); ``member`` must be a struct
+    whose LEADING field is the unique id (struct ordering ≡ id
+    ordering). Output: ``(_a, _b)`` struct pairs with ``_a < _b`` for
+    every unordered within-bucket pair, each bucket's pairs emitted
+    exactly once.
+
+    Two paths, identical output (pinned by a planted-mega-bucket
+    pytest):
+
+    - bucket size ≤ ``max_bucket``: grouped ``collect_list`` +
+      pair-expansion HOF — one shuffle, pairs expand in place (the
+      winner measured against the bucket-keyed self-join: 2.58 →
+      1.76 s at sf0.1).
+    - bucket size > ``max_bucket``: the rows NEVER pass through
+      ``collect_list``. They stream through a salted triangle
+      self-join: each member gets a salt ``hash(member) % S``; a pair
+      with salts (i ≤ j) meets in exactly block ``i*S + j`` (the
+      lower-salt member replicated right-ward, the higher-salt member
+      left-ward), so the O(bucket²) pair space splits into S(S+1)/2
+      join tasks of ~(bucket/S)² pairs each — bounded heap, bounded
+      task output — instead of bucket² rows plus an O(bucket) array in
+      ONE task. This closes the LSH hazard where one boilerplate band
+      value (empty/templated docs that survive exact dedup) used to
+      concentrate a corpus-scale bucket in a single executor.
+
+    Bucket sizing is a count window over the SAME shuffle the small
+    path's groupBy needs (partitioning is reused; no extra exchange),
+    so the guard costs one within-partition sort, not a second pass.
+    """
+    from pyspark.sql import Window
+
+    bl = [F.col(c) for c in bucket_cols]
+    keyed = melted.select(*bl, member.alias("_m"))
+    sized = keyed.withColumn(
+        "_bsz", F.count(F.lit(1)).over(Window.partitionBy(*bucket_cols))
+    )
+
+    small = (
+        sized.filter((F.col("_bsz") >= 2) & (F.col("_bsz") <= max_bucket))
+        .groupBy(*bucket_cols)
+        .agg(F.array_sort(F.collect_list("_m")).alias("_ms"))
+    )
+    expand = F.flatten(
+        F.transform(
+            F.col("_ms"),
+            lambda a, i: F.transform(
+                F.slice(F.col("_ms"), i + 2, F.size(F.col("_ms"))),
+                lambda b: F.struct(a.alias("_a"), b.alias("_b")),
+            ),
+        )
+    )
+    small_pairs = small.select(F.explode(expand).alias("_p")).select(
+        "_p._a", "_p._b"
+    )
+
+    big = sized.filter(F.col("_bsz") > max_bucket).drop("_bsz")
+    salted = big.withColumn("_s", F.pmod(F.hash("_m"), F.lit(num_salts)))
+    lhs = salted.select(
+        *bl,
+        F.col("_m").alias("_a"),
+        F.col("_s").alias("_sa"),
+        F.explode(
+            F.transform(
+                F.sequence(F.col("_s"), F.lit(num_salts - 1)),
+                lambda j: F.col("_s") * num_salts + j,
+            )
+        ).alias("_blk"),
+    )
+    rhs = salted.select(
+        *bl,
+        F.col("_m").alias("_b"),
+        F.col("_s").alias("_sb"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("_s")),
+                lambda i: i * num_salts + F.col("_s"),
+            )
+        ).alias("_blk"),
+    )
+    # unequal salts meet in exactly one orientation (block fixes who is
+    # left); equal salts meet twice, so the id order breaks the tie
+    big_pairs = (
+        lhs.join(rhs, [*bucket_cols, "_blk"])
+        .filter((F.col("_sa") != F.col("_sb")) | (F.col("_a") < F.col("_b")))
+        .select(
+            F.least("_a", "_b").alias("_a"),
+            F.greatest("_a", "_b").alias("_b"),
+        )
+    )
+    return small_pairs.unionAll(big_pairs)
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -167,21 +271,20 @@ def minhash_candidate_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    max_bucket: int = 4096,
 ) -> DataFrame:
     """LSH banding: split the signature into ``bands`` bands, hash each
     band, group same-bucket docs, and emit the within-bucket pairs
     (id_a < id_b, deduped across bands).
 
-    Pair generation is a grouped collect + pair-expansion HOF, NOT a
-    bucket-keyed self-join: one shuffle of O(docs × bands) rows and one
-    evaluation of the signature plan, where the self-join needed the
-    banded frame persisted (Catalyst cannot reuse the shuffle across a
-    join's two sides) and a second shuffle — measured 2.58 s -> 1.76 s
-    at sf0.1 with identical output. Per-bucket pair expansion is
-    O(bucket²), the same total as the join emitted; at 100 TB a
-    pathological mega-bucket (boilerplate band) concentrates in one
-    task, so cap it upstream by routing exact duplicates through
-    ``dedup_exact`` first — the standard LSH hygiene either way.
+    Pair generation goes through :func:`bucket_pair_expand`: one
+    shuffle of O(docs × bands) rows and one evaluation of the signature
+    plan for sane buckets (measured 2.58 s -> 1.76 s at sf0.1 vs the
+    persisted-melt self-join), with buckets over ``max_bucket`` routed
+    through the kernel's salted triangle join so a boilerplate band
+    value can never concentrate O(bucket²) work in one task. Routing
+    exact duplicates through ``dedup_exact`` first remains the standard
+    LSH hygiene — the cap is the enforced backstop, not the plan.
     """
     rows_per_band = num_hashes // bands
     # Drop NULL signatures (NULL-text docs): concat_ws SKIPS NULL
@@ -205,23 +308,14 @@ def minhash_candidate_pairs(
         variableColumnName="band_idx",
         valueColumnName="band_hash",
     )
-    buckets = (
-        melted.groupBy("band_idx", "band_hash")
-        .agg(F.sort_array(F.collect_list(id_col)).alias("_ids"))
-        .filter(F.size("_ids") >= 2)
-    )
-    pairs = F.flatten(
-        F.transform(
-            F.col("_ids"),
-            lambda a, i: F.transform(
-                F.slice(F.col("_ids"), i + 2, F.size(F.col("_ids"))),
-                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
-            ),
-        )
+    pairs = bucket_pair_expand(
+        melted,
+        ["band_idx", "band_hash"],
+        F.struct(F.col(id_col).alias("id")),
+        max_bucket=max_bucket,
     )
     return (
-        buckets.select(F.explode(pairs).alias("_p"))
-        .select("_p.id_a", "_p.id_b")
+        pairs.select(F.col("_a.id").alias("id_a"), F.col("_b.id").alias("id_b"))
         .distinct()
     )
 
@@ -336,6 +430,7 @@ def simhash_hamming_pairs(
     bits: int = 32,
     bands: int = 4,
     max_hamming: int = 3,
+    max_bucket: int = 4096,
 ) -> DataFrame:
     """Bit-level near-dup pairs: documents whose SimHash signatures
     differ in at most ``max_hamming`` bits (the Google news-dedup
@@ -349,9 +444,14 @@ def simhash_hamming_pairs(
     LOSSLESS candidate filter, not a probabilistic one. Candidates are
     pair-expanded inside each bucket carrying both signatures in the
     collected struct (zero joins, one O(docs × bands) shuffle — the
-    same shape as :func:`minhash_candidate_pairs`), then verified with
-    ``bit_count(xor)`` JVM-side. Same mega-bucket caveat as MinHash
-    banding: route exact duplicates through :func:`dedup_exact` first.
+    same :func:`bucket_pair_expand` kernel as
+    :func:`minhash_candidate_pairs`), then verified with
+    ``bit_count(xor)`` JVM-side. The kernel's ``max_bucket`` guard
+    matters MORE here than for MinHash: the SimHash of empty/templated
+    text is a constant, so one boilerplate band value is the expected
+    failure mode at corpus scale, not a tail case. Routing exact
+    duplicates through :func:`dedup_exact` first remains the hygiene
+    step; the cap is the enforced backstop.
     """
     if not (0 <= max_hamming < bands):
         raise ValueError("banding is lossless only for max_hamming <= bands-1")
@@ -372,32 +472,11 @@ def simhash_hamming_pairs(
         variableColumnName="band_idx",
         valueColumnName="band_val",
     )
-    buckets = (
-        melted.groupBy("band_idx", "band_val")
-        .agg(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(
-                        F.col(id_col).alias("id"), F.col("simhash").alias("sim")
-                    )
-                )
-            ).alias("_m")
-        )
-        .filter(F.size("_m") >= 2)
-    )
-    pairs = F.flatten(
-        F.transform(
-            F.col("_m"),
-            lambda a, i: F.transform(
-                F.slice(F.col("_m"), i + 2, F.size(F.col("_m"))),
-                lambda b: F.struct(
-                    a["id"].alias("id_a"),
-                    b["id"].alias("id_b"),
-                    a["sim"].alias("_sa"),
-                    b["sim"].alias("_sb"),
-                ),
-            ),
-        )
+    pairs = bucket_pair_expand(
+        melted,
+        ["band_idx", "band_val"],
+        F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sim")),
+        max_bucket=max_bucket,
     )
     # distinct(), deliberately: the classic lowest-matching-band
     # "responsibility" filter (emit a pair only from its first agreeing
@@ -406,11 +485,12 @@ def simhash_hamming_pairs(
     # collapses the cross-band duplicates before the exchange, so the
     # dedup shuffle is already output-sized, while the responsibility
     # predicate pays 4 bands of bit math on every EMITTED duplicate.
-    cand = (
-        buckets.select(F.explode(pairs).alias("_p"))
-        .select("_p.id_a", "_p.id_b", "_p._sa", "_p._sb")
-        .distinct()
-    )
+    cand = pairs.select(
+        F.col("_a.id").alias("id_a"),
+        F.col("_b.id").alias("id_b"),
+        F.col("_a.sim").alias("_sa"),
+        F.col("_b.sim").alias("_sb"),
+    ).distinct()
     ham = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))).cast("long")
     return (
         cand.withColumn("hamming", ham)
@@ -699,17 +779,30 @@ def incremental_dedup(
 
     ``seen_fingerprints`` schema: ``fingerprint long`` (extra columns
     ignored). The returned ledger carries ``fingerprint`` only.
+
+    NULL-text docs are DROPPED before the winner election — the same
+    pinned contract as :func:`dedup_exact`. Electing a NULL-fingerprint
+    winner instead would break idempotence: the left-anti ledger probe
+    never equi-matches a NULL fingerprint, so the same NULL-text doc
+    would be re-emitted as "novel" on every shard replay while its NULL
+    fingerprint accumulated uselessly in the ledger. NULL fingerprints
+    are likewise scrubbed from the incoming ledger so the returned
+    ledger is always NULL-free.
     """
     from pyspark.sql import Window
 
-    keyed = new_docs.withColumn("_fp", md5_long(normalize_label(F.col(text_col))))
+    keyed = new_docs.filter(F.col(text_col).isNotNull()).withColumn(
+        "_fp", md5_long(normalize_label(F.col(text_col)))
+    )
     w = Window.partitionBy("_fp").orderBy(id_col)
     shard_unique = (
         keyed.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
-    ledger = seen_fingerprints.select(F.col("fingerprint").alias("_fp"))
+    ledger = seen_fingerprints.select(F.col("fingerprint").alias("_fp")).filter(
+        F.col("_fp").isNotNull()
+    )
     novel = shard_unique.join(ledger, "_fp", "left_anti")
     updated = ledger.union(novel.select("_fp")).distinct().select(
         F.col("_fp").alias("fingerprint")

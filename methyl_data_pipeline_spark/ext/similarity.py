@@ -138,27 +138,28 @@ def cosine_neardup_pairs(
     n_planes: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int = 4096,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs at scale: random-hyperplane
     LSH buckets prune the O(n²) pair space to same-bucket pairs, then
     exact cosine confirms (two-stage prune+verify, same shape as the
     MinHash→Jaccard text pipeline in ``ext.dedup``).
 
-    Pair generation is a grouped collect + pair-expansion HOF, NOT a
-    bucket-keyed self-join (same rewrite as
-    ``dedup.minhash_candidate_pairs``): each bucket's ``(id, vec,
-    norm)`` structs are collected once, pairs expand in-place, and the
-    exact-cosine verify runs inline on the struct fields — ONE shuffle
-    of the keyed rows, ONE evaluation of the plane-projection plan, and
+    Pair generation goes through ``dedup.bucket_pair_expand`` (the
+    same kernel as ``minhash_candidate_pairs`` /
+    ``simhash_hamming_pairs``): each sane bucket's ``(id, vec, norm)``
+    structs are collected once and pairs expand in-place — ONE shuffle
+    of the keyed rows, ONE evaluation of the plane-projection plan,
     ZERO joins, where the self-join shuffled both sides and re-ran the
-    O(planes·dim) bucket expression per side. Per-bucket expansion is
-    O(bucket²) — the same pair count the join emitted; route exact
-    duplicates through ``dedup_exact`` first so no mega-bucket
-    concentrates in one task (standard LSH hygiene either way).
-    (At toy scale AQE turns the old self-join into a broadcast join
-    that is equally fast — ~0.6 s vs ~0.85 s at sf0.1 — but a corpus
-    side cannot broadcast at scale; the one-shuffle shape is the plan
-    that survives 100 TB, so it wins despite the local tie.)
+    O(planes·dim) bucket expression per side. Buckets over
+    ``max_bucket`` (e.g. a zero-vector pile-up, which buckets
+    constantly) route through the kernel's salted triangle join
+    instead of concentrating O(bucket²) in one task; the exact-cosine
+    verify runs on the paired struct fields either way. (At toy scale
+    AQE turns the old self-join into a broadcast join that is equally
+    fast — ~0.6 s vs ~0.85 s at sf0.1 — but a corpus side cannot
+    broadcast at scale; the one-shuffle shape is the plan that
+    survives 100 TB, so it wins despite the local tie.)
 
     A vector and its near-duplicate agree on every plane sign with
     probability ≈ 1 - distance/π per plane, so high-threshold near-dups
@@ -170,45 +171,31 @@ def cosine_neardup_pairs(
     planes = md5_planes(n_planes, dim)
     bucket = _plane_bucket(planes)
 
-    from methyl_data_pipeline_spark.ext.dedup import _spread
+    from methyl_data_pipeline_spark.ext.dedup import _spread, bucket_pair_expand
 
     vec_d = F.col(vec_col).cast("array<double>")
     keyed = _spread(vectors, id_col).select(
         F.col(id_col), vec_d.alias("_v"), bucket(vec_d).alias("_bucket")
     ).withColumn("_nrm", _norm(F.col("_v")))
-    # array_sort on structs orders by the leading field (id) → the
-    # expansion below emits id_a < id_b without a filter pass
-    buckets = (
-        keyed.groupBy("_bucket")
-        .agg(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(
-                        F.col(id_col).alias("i"),
-                        F.col("_v").alias("v"),
-                        F.col("_nrm").alias("n"),
-                    )
-                )
-            ).alias("_m")
-        )
-        .filter(F.size("_m") >= 2)
+    # the member struct leads with the id → the kernel's struct
+    # ordering emits id_a < id_b without a filter pass
+    pairs = bucket_pair_expand(
+        keyed,
+        ["_bucket"],
+        F.struct(
+            F.col(id_col).alias("i"),
+            F.col("_v").alias("v"),
+            F.col("_nrm").alias("n"),
+        ),
+        max_bucket=max_bucket,
     )
-    pairs = F.flatten(
-        F.transform(
-            F.col("_m"),
-            lambda a, i: F.transform(
-                F.slice(F.col("_m"), i + 2, F.size(F.col("_m"))),
-                lambda b: F.struct(
-                    a["i"].alias("id_a"),
-                    b["i"].alias("id_b"),
-                    (_dot(a["v"], b["v"]) / (a["n"] * b["n"])).alias("cosine"),
-                ),
-            ),
-        )
-    )
+    cos = _dot(F.col("_a.v"), F.col("_b.v")) / (F.col("_a.n") * F.col("_b.n"))
     return (
-        buckets.select(F.explode(pairs).alias("_p"))
-        .select("_p.id_a", "_p.id_b", "_p.cosine")
+        pairs.select(
+            F.col("_a.i").alias("id_a"),
+            F.col("_b.i").alias("id_b"),
+            cos.alias("cosine"),
+        )
         .filter(F.col("cosine") >= threshold)
     )
 

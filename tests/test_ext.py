@@ -907,6 +907,116 @@ def test_incremental_dedup_idempotent(spark):
     assert novel2.count() == 0
 
 
+def test_incremental_dedup_null_text_dropped_and_idempotent(spark):
+    """NULL-text docs are dropped (dedup_exact's pinned contract), NOT
+    elected as a NULL-fingerprint winner: the ledger anti-join can never
+    equi-match NULL, so the old behavior re-emitted the same NULL doc as
+    'novel' on every shard replay, breaking idempotence."""
+    from methyl_data_pipeline_spark.ext.dedup import incremental_dedup
+
+    shard = spark.createDataFrame(
+        [(1, None), (2, "real doc")], "doc_id long, text string"
+    )
+    empty_ledger = spark.createDataFrame([], "fingerprint long")
+    novel, updated = incremental_dedup(shard, empty_ledger)
+    assert [r.doc_id for r in novel.collect()] == [2]
+    assert updated.filter(F.col("fingerprint").isNull()).count() == 0
+    # replay the same shard: the NULL doc must NOT come back as novel
+    novel2, updated2 = incremental_dedup(shard, updated)
+    assert novel2.count() == 0
+    assert updated2.count() == updated.count()
+
+
+def test_bucket_pair_expand_mega_bucket_both_paths_identical(spark):
+    """The kernel's two paths (grouped HOF expansion vs salted triangle
+    self-join for buckets over max_bucket) emit IDENTICAL pair sets: a
+    planted 600-member mega-bucket plus sane buckets, run uncapped and
+    with max_bucket=64 (forcing the join path for the big bucket only)."""
+    from methyl_data_pipeline_spark.ext.dedup import bucket_pair_expand
+
+    rows = [(i, "big") for i in range(600)] + [
+        (1000 + i, f"s{i % 5}") for i in range(25)
+    ]
+    df = spark.createDataFrame(rows, "id long, bucket string")
+    member = F.struct(F.col("id").alias("id"))
+    fast = bucket_pair_expand(df, ["bucket"], member, max_bucket=10_000)
+    capped = bucket_pair_expand(df, ["bucket"], member, max_bucket=64)
+
+    def pairs(d):
+        return sorted((r["_a"]["id"], r["_b"]["id"]) for r in d.collect())
+
+    pf, pc = pairs(fast), pairs(capped)
+    assert pf == pc
+    # 600-bucket: C(600,2); five 5-member buckets: 5 * C(5,2)
+    assert len(pf) == 600 * 599 // 2 + 5 * 10
+    assert all(a < b for a, b in pf)
+    # the capped plan actually exercises the join path
+    assert "Join" in capped._jdf.queryExecution().executedPlan().toString()
+
+
+def test_minhash_pairs_mega_bucket_cap_identical(spark):
+    """Operator-level cap: 80 identical-text docs land in one band
+    bucket; max_bucket=16 must route them through the salted join with
+    pairs identical to the uncapped fast path."""
+    from methyl_data_pipeline_spark.ext.dedup import minhash_candidate_pairs
+
+    boiler = "lorem ipsum dolor sit amet boiler plate text here we go now"
+    rows = [(i, boiler) for i in range(80)] + [
+        (200, "unique doc about spark shuffles"),
+        (201, "unique doc about spark engines"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def pairs(d):
+        return sorted((r.id_a, r.id_b) for r in d.collect())
+
+    fast = pairs(minhash_candidate_pairs(df))
+    capped = pairs(minhash_candidate_pairs(df, max_bucket=16))
+    assert fast == capped
+    assert len(fast) >= 80 * 79 // 2
+
+
+def test_simhash_pairs_mega_bucket_cap_identical(spark):
+    """Same cap contract for the SimHash banding (whose boilerplate
+    failure mode — constant simhash of templated text — is exactly the
+    planted input here)."""
+    from methyl_data_pipeline_spark.ext.dedup import simhash_hamming_pairs
+
+    boiler = "standard template header repeated across the whole corpus body"
+    rows = [(i, boiler) for i in range(60)] + [
+        (200, "der hund läuft und das ist nicht ein problem für die katze"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def pairs(d):
+        return sorted((r.id_a, r.id_b, r.hamming) for r in d.collect())
+
+    fast = pairs(simhash_hamming_pairs(df))
+    capped = pairs(simhash_hamming_pairs(df, max_bucket=8))
+    assert fast == capped
+    assert len(fast) == 60 * 59 // 2  # identical docs -> hamming 0
+
+
+def test_cosine_neardup_mega_bucket_cap_identical(spark):
+    """Cap contract for the embedding LSH path: identical vectors bucket
+    together; the capped run must emit the same verified pairs."""
+    from methyl_data_pipeline_spark.ext.similarity import cosine_neardup_pairs
+
+    vec = [1.0, 0.25, -0.5, 0.75]
+    rows = [(i, vec) for i in range(30)] + [(100, [-1.0, 0.5, 0.5, -0.75])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def pairs(d):
+        return sorted(
+            (r.id_a, r.id_b, round(r.cosine, 9)) for r in d.collect()
+        )
+
+    fast = pairs(cosine_neardup_pairs(df))
+    capped = pairs(cosine_neardup_pairs(df, max_bucket=4))
+    assert fast == capped
+    assert len(fast) == 30 * 29 // 2
+
+
 def test_perplexity_buckets_terciles(spark):
     """Rank terciles per partition; repeated tokens score high (head),
     rare-token docs land in the tail."""
@@ -1250,8 +1360,13 @@ def test_bm25_rank_is_inverted_index_shaped(spark):
     # 1-row corpus_stats (4 hints) — never the corpus-sized doclen
     # frame (an OOM at 100 TB). AQE may still choose to broadcast it
     # at tiny SF; the hint count is the scale-safety contract.
+    # Count HINT NODES, not the raw substring 'broadcast' (an alias or
+    # column name containing it would skew the raw count).
+    import re
+
     analyzed = out._jdf.queryExecution().analyzed().toString()
-    assert analyzed.count("broadcast") == 4
+    hints = re.findall(r"(?:Resolved|Unresolved)Hint [^\n]*BROADCAST", analyzed, re.I)
+    assert len(hints) == 4, analyzed
 
 
 def test_bm25_empty_and_null_inputs(spark):
