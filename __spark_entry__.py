@@ -443,10 +443,15 @@ WHERE rank <= 5 ORDER BY o_orderpriority, rank
 
 
 def q_running_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running per-user cumulative sum over event time (window frame)."""
+    """Running per-user cumulative sum over event time (window frame).
+    NULL-ts rows sort LAST explicitly — Spark's asc default is NULLS
+    FIRST, DuckDB's NULLS LAST, so an unpinned order diverges on any
+    timeless event (caught by the NULL-events fixture)."""
     ev = _events(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc_nulls_last(), "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
         ev.withColumn("running_value", _r(F.sum("value").over(w)))
@@ -457,7 +462,8 @@ def q_running_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_RUNNING_WINDOW = """
 SELECT event_id, user_id,
-       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       ROUND(SUM(value) OVER (PARTITION BY user_id
+                              ORDER BY ts NULLS LAST, event_id
                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1e-9, 6)
          AS running_value
 FROM events ORDER BY event_id
@@ -2176,9 +2182,11 @@ def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_EVENTS_WINDOWED = """
+-- ts IS NOT NULL: Spark's window() drops un-windowable NULL-ts rows;
+-- time_bucket(NULL) would instead emit a NULL bucket group
 SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type, COUNT(*) AS n_events, ROUND(SUM(value) + 1e-9, 6) AS sum_value
-FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
+FROM events WHERE ts IS NOT NULL GROUP BY 1, 2 ORDER BY window_start, event_type
 """
 
 
@@ -2430,12 +2438,15 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_SESSIONIZE = """
+-- ts IS NOT NULL mirrors sessionize_batch's pinned drop of
+-- un-sessionizable timeless events (NULLS FIRST vs NULLS LAST would
+-- otherwise merge them into different sessions per engine)
 WITH marked AS (
   SELECT user_id, value,
          CASE WHEN lag(ts) OVER w IS NULL
                    OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
               THEN 1 ELSE 0 END AS new_session
-  FROM events
+  FROM events WHERE ts IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ),
 sessions AS (
@@ -2448,7 +2459,7 @@ sessions AS (
                      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                                OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
                           THEN 1 ELSE 0 END AS new_session
-              FROM events) x) y
+              FROM events WHERE ts IS NOT NULL) x) y
 ),
 agg AS (
   SELECT user_id, session_seq, COUNT(*) AS n_events, SUM(value) AS sum_value
@@ -5004,10 +5015,12 @@ med AS (
   SELECT event_type, quantile_cont(value, 0.5) AS grp_median
   FROM events_f GROUP BY event_type
 ),
+-- IS NOT DISTINCT FROM: a NULL event_type is a real QC group (Spark's
+-- groupBy keeps it); a USING join would silently drop its rows
 mad AS (
   SELECT e.event_type,
          quantile_cont(abs(e.value - m.grp_median), 0.5) AS grp_mad
-  FROM events_f e JOIN med m USING (event_type)
+  FROM events_f e JOIN med m ON e.event_type IS NOT DISTINCT FROM m.event_type
   GROUP BY e.event_type
 ),
 flagged AS (
@@ -5015,7 +5028,9 @@ flagged AS (
          CASE WHEN d.grp_mad > 0
               THEN abs(e.value - m.grp_median) / (1.4826 * d.grp_mad)
               ELSE 0.0 END AS robust_z
-  FROM events_f e JOIN med m USING (event_type) JOIN mad d USING (event_type)
+  FROM events_f e
+  JOIN med m ON e.event_type IS NOT DISTINCT FROM m.event_type
+  JOIN mad d ON e.event_type IS NOT DISTINCT FROM d.event_type
 )
 SELECT event_type,
        COUNT(*)                                   AS n,

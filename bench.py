@@ -26,7 +26,11 @@ longer ship silently.
 Continuity: the newest BENCH_DETAILS_r*.json (own record, full
 medians) or BENCH_r*.json (driver record) provides the previous
 round's timings; ``regressions`` lists queries slower than
-REGRESSION_FLAG× plus any that crashed.
+REGRESSION_FLAG×, queries slower than SPREAD_FLAG× whose min/max
+spread is disjoint from the previous round's (VERDICT r7 #4 — a real
+mover one tick under the hard flag no longer ships silently), plus
+any that crashed. The per-query overlap test is recorded under
+``spread_overlap_test`` in the details file.
 """
 
 from __future__ import annotations
@@ -67,6 +71,58 @@ HEADLINE = [
 ]
 
 REGRESSION_FLAG = 1.3
+# VERDICT r7 #4: the hard 1.3x flag let a 1.30x dmr_regions drift sail
+# through one tick under the line. Below it, a softer test: a query
+# moving more than SPREAD_FLAG x whose min/max spread is DISJOINT from
+# the previous round's (current min strictly above previous max) is a
+# real mover, not harness noise, and flags too.
+SPREAD_FLAG = 1.25
+
+
+def flag_regressions(
+    deltas: dict[str, float],
+    cur_spread: dict[str, list[float]],
+    prev_spread: dict[str, list[float]],
+    failures: list[str],
+) -> tuple[list[str], dict[str, dict]]:
+    """(regressions, overlap_test_record). Pure so the seeded-slowdown
+    pytest can trip it without a bench run."""
+    overlap_test: dict[str, dict] = {}
+    flagged = set(failures)
+    for q, r in deltas.items():
+        if r > REGRESSION_FLAG:
+            flagged.add(q)
+            continue
+        if r <= SPREAD_FLAG:
+            continue
+        cur, prev = cur_spread.get(q), prev_spread.get(q)
+        if not cur or not prev:
+            continue
+        disjoint = cur[0] > prev[1]
+        overlap_test[q] = {
+            "delta": r,
+            "cur_spread": cur,
+            "prev_spread": prev,
+            "disjoint": disjoint,
+        }
+        if disjoint:
+            flagged.add(q)
+    return sorted(flagged), overlap_test
+
+
+def _previous_spreads() -> dict[str, list[float]]:
+    """Per-query [min, max] from the newest own details record (the
+    driver's BENCH_r*.json does not carry spreads)."""
+    details = _newest_round("BENCH_DETAILS_r*.json")
+    if details is None:
+        return {}
+    try:
+        rec = json.load(open(details[1]))
+        merged = dict(rec.get("extended_spread") or {})
+        merged.update(rec.get("spread") or {})
+        return merged
+    except Exception:
+        return {}
 
 # Timed after HEADLINE and reported under "extended": keeps the
 # headline total comparable round-over-round (the continuity signal)
@@ -295,8 +351,10 @@ def main() -> None:
         for q in all_timings
         if prev.get(q) and prev[q] > 0
     }
-    regressions = sorted(
-        set(q for q, r in deltas.items() if r > REGRESSION_FLAG) | set(failures)
+    all_spread = dict(extended_spread)
+    all_spread.update(spread)
+    regressions, overlap_test = flag_regressions(
+        deltas, all_spread, _previous_spreads(), failures
     )
 
     # Full record -> committed details file; stdout gets the compact
@@ -316,6 +374,7 @@ def main() -> None:
         "sf": sf,
         "deltas_vs_prev": deltas,
         "regressions": regressions,
+        "spread_overlap_test": overlap_test,
         "failures": failures,
         "prev": prev_name,
     }

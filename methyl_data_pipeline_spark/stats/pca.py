@@ -269,11 +269,15 @@ def blocked_crossprod(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            mat = np.asarray([list(v) for v in pdf["_vec"]], dtype=np.float64)
-            if mat.shape[1] != n:
-                raise ValueError(
-                    f"key vector length {mat.shape[1]} != n_samples {n}"
-                )
+            rows = [list(v) for v in pdf["_vec"]]
+            # validate lengths BEFORE asarray: a ragged batch would
+            # build an object-dtype 1-D array, bypass a shape check,
+            # and surface as an opaque numpy error in mat.T @ mat
+            # instead of the hard error this docstring promises
+            bad = next((len(r) for r in rows if len(r) != n), None)
+            if bad is not None:
+                raise ValueError(f"key vector length {bad} != n_samples {n}")
+            mat = np.asarray(rows, dtype=np.float64)
             acc += mat.T @ mat
             seen = True
         if seen:

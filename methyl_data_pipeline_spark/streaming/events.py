@@ -118,13 +118,21 @@ def sessionize_batch(
     """Batch sessionization: session = maximal run of a user's events
     with inter-event gap <= gap. Window lag + running sum of
     gap-breaks — one shuffle on user, no UDF. (Streaming twin:
-    ``session_window(ts, gap)``.)"""
+    ``session_window(ts, gap)``.)
+
+    NULL-ts events are DROPPED (un-sessionizable) — the pinned
+    cross-engine contract: without the filter, each engine's NULL sort
+    placement (Spark NULLS FIRST vs DuckDB NULLS LAST) silently merges
+    the timeless event into a DIFFERENT session (caught by the
+    NULL-events fixture). NULL users stay: both engines group them
+    into one anonymous-user partition identically."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(user_col).orderBy(ts_col)
     gap_s = gap_minutes * 60
     with_break = (
-        events.withColumn("_prev", F.lag(ts_col).over(w))
+        events.filter(F.col(ts_col).isNotNull())
+        .withColumn("_prev", F.lag(ts_col).over(w))
         .withColumn(
             "_new_session",
             F.when(

@@ -11,7 +11,7 @@ key per batch.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 STATE_SCHEMA = "n long, total double, total_sq double"
@@ -129,6 +129,12 @@ def streaming_funnel(
     """
     if len(steps) < 2:
         raise ValueError("a funnel needs >= 2 steps")
+    # NULL users are dropped BEFORE the state grouping — the batch twin
+    # filters them (not a funnel subject), and without this the state
+    # store would dedicate a key group to user NULL and emit rows the
+    # twin never produces (pinned by the .nullfix parity pytest).
+    # NULL ts/type rows drop inside update() via dropna.
+    stream = stream.filter(F.col(user_col).isNotNull())
     key_type = dict(stream.dtypes)[user_col]
     out_schema = (
         f"`{user_col}` {key_type}, stage long, step string, stage_ts timestamp"

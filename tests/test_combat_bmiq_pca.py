@@ -233,6 +233,23 @@ def test_pca_paths_parity(spark):
     assert np.allclose(ev_gram, ev_dist, atol=1e-9)
 
 
+def test_blocked_crossprod_ragged_key_hard_error(spark):
+    """An incomplete key (missing one sample) must fail with the
+    promised ValueError, not an opaque numpy shape error: ragged rows
+    previously built an object-dtype 1-D array that bypassed the
+    mat.shape[1] check entirely."""
+    from methyl_data_pipeline_spark.stats.pca import blocked_crossprod
+
+    rows = [
+        ("k1", "s1", 1.0), ("k1", "s2", 2.0), ("k1", "s3", 3.0),
+        ("k2", "s1", 4.0), ("k2", "s2", 5.0),  # s3 missing -> ragged
+    ]
+    df = spark.createDataFrame(rows, "key string, sample string, value double")
+    out = blocked_crossprod(df, "value", "key", "sample")
+    with pytest.raises(Exception, match="key vector length 2 != n_samples 3"):
+        out.collect()
+
+
 def test_gram_matrix_blocked_matches_exact(spark):
     """The blocked (mapInPandas partial XᵀX) Gram twin must agree with
     the exact self-join formulation to float tolerance on the same

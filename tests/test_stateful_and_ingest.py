@@ -104,6 +104,72 @@ def test_streaming_funnel_state_across_batches(spark, tmp_path):
         q.stop()
 
 
+def test_streaming_funnel_nullfix_parity(spark, tmp_path):
+    """Batch-twin parity on the NULL-events fixture (VERDICT r7 #5):
+    NULL user / NULL ts / NULL event_type rows must be dropped
+    identically by the stateful state machine and the offline
+    conditional-MIN twin — the streaming side must not dedicate a state
+    key group to user NULL."""
+    import shutil
+    import subprocess
+    import sys
+
+    from methyl_data_pipeline_spark.streaming.events import funnel_steps
+    from methyl_data_pipeline_spark.streaming.stateful import streaming_funnel
+
+    fixture = "/root/repo/.nullfix/events.parquet"
+    if not os.path.exists(fixture):
+        subprocess.run(
+            [sys.executable, "/root/repo/tools/make_null_fixture.py"], check=True
+        )
+    src = str(tmp_path / "nullev")
+    os.makedirs(src)
+    shutil.copy(fixture, os.path.join(src, "events.parquet"))
+
+    ev = spark.read.parquet(src)
+    assert ev.filter(F.col("user_id").isNull()).count() > 0
+    assert ev.filter(F.col("ts").isNull()).count() > 0
+    assert ev.filter(F.col("event_type").isNull()).count() > 0
+
+    stream = stream_events_from_parquet(spark, src)
+    out = streaming_funnel(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("funnel_nullfix")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM funnel_nullfix").collect()
+    finally:
+        q.stop()
+    latest = {}
+    for r in rows:  # update sink appends; keep the highest stage per user
+        if r.user_id not in latest or r.stage > latest[r.user_id].stage:
+            latest[r.user_id] = r
+    assert None not in latest  # NULL user never gets a state row
+
+    twin = {r.user_id: r for r in funnel_steps(ev).collect()}
+    assert None not in twin
+    steps = ("view", "click", "purchase")
+    # one batch covers everything -> exact parity: the streaming side's
+    # highest stage & its timestamp equal the twin's deepest non-NULL
+    # t_<step>
+    twin_latest = {}
+    for uid, r in twin.items():
+        stage = -1
+        ts = None
+        for i, s in enumerate(steps):
+            t = r[f"t_{s}"]
+            if t is not None:
+                stage, ts = i, t
+        if stage >= 0:
+            twin_latest[uid] = (stage, ts)
+    got = {uid: (r.stage, r.stage_ts) for uid, r in latest.items()}
+    assert got == twin_latest
+
+
 def test_entry_point_a_ingest(spark, tmp_path):
     """SURVEY §3.1: reproduce main.main()'s combine semantics from wide
     CSVs — AVG_Beta projection (P1), n-way full outer (J1), NaN-block

@@ -66,6 +66,15 @@ def main() -> None:
     ev.loc[ev.index[23], "value"] = None
     ev.loc[ev.index[47], "value"] = float("nan")
     ev.loc[ev.index[11], "props"] = None
+    # NULL user/ts/type rows (r8, VERDICT r7 #5): pin the drop
+    # semantics of the funnel/cohort/session operators AND the
+    # streaming funnel's state grouping on both engines. Int64 keeps
+    # user_id an integer column (plain int64 + None would silently
+    # become float64 -> double in parquet).
+    ev["user_id"] = ev["user_id"].astype("Int64")
+    ev.loc[ev.index[31], "user_id"] = None
+    ev.loc[ev.index[59], "ts"] = None
+    ev.loc[ev.index[73], "event_type"] = None
     pq.write_table(
         pa.Table.from_pandas(ev, preserve_index=False),
         os.path.join(DST, "events.parquet"),

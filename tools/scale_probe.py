@@ -1,0 +1,173 @@
+"""100x scale probe (VERDICT r7 #6): replicate the sf0.1 inputs 100x
+with PERTURBED replicas and measure operator wall-time slopes.
+
+Replica model (materialized to parquet once, untimed, so the probe
+times the operator, not the replication):
+
+- documents: replica 0 is the original; replicas >= 1 replace every
+  word with a replica-salted md5 token. Within-replica duplicate
+  structure is PRESERVED (dup docs map to identical hashed words under
+  the same salt) so the per-replica dup rate stays realistic, while
+  cross-replica similarity is destroyed (no artificial O(factor^2)
+  near-dup blowup between replicas of the same doc).
+- events: replicas get fresh user/event id ranges (same per-user event
+  density — the realistic way a product grows), timestamps unchanged.
+
+Usage: python tools/scale_probe.py [--factor 100] [--runs 3] [op ...]
+Ops default to the four r8 probe targets: simhash_pairs budget_select
+funnel cohort_retention.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+WORK = "/tmp/scale_probe"
+
+
+def replicate(spark, factor: int) -> tuple[str, str]:
+    from pyspark.sql import functions as F
+
+    docs_path = f"{WORK}/documents_x{factor}"
+    ev_path = f"{WORK}/events_x{factor}"
+    # a dir without _SUCCESS is a half-written casualty: rebuild it
+    for p in (docs_path, ev_path):
+        if os.path.exists(p) and not os.path.exists(f"{p}/_SUCCESS"):
+            shutil.rmtree(p)
+    if not os.path.exists(docs_path):
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        rep = docs.withColumn(
+            "_r", F.explode(F.sequence(F.lit(0), F.lit(factor - 1)))
+        ).withColumn("_r", F.col("_r").cast("long"))
+        scrambled = F.concat_ws(
+            " ",
+            F.transform(
+                F.split(F.col("text"), r"\s+"),
+                lambda w: F.substring(
+                    F.md5(F.concat(w, F.col("_r").cast("string"))), 1, 8
+                ),
+            ),
+        )
+        rep.select(
+            (F.col("doc_id") + F.col("_r") * F.lit(10_000_000)).alias("doc_id"),
+            F.when(F.col("_r") == 0, F.col("text"))
+            .when(F.col("text").isNull(), F.lit(None).cast("string"))
+            .otherwise(scrambled)
+            .alias("text"),
+            "lang",
+            "source",
+        ).write.mode("overwrite").parquet(docs_path)
+    if not os.path.exists(ev_path):
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        rep = ev.withColumn(
+            "_r", F.explode(F.sequence(F.lit(0), F.lit(factor - 1)))
+        ).withColumn("_r", F.col("_r").cast("long"))
+        rep.select(
+            (F.col("event_id") + F.col("_r") * F.lit(100_000_000)).alias(
+                "event_id"
+            ),
+            "ts",
+            (F.col("user_id") + F.col("_r") * F.lit(10_000_000)).alias(
+                "user_id"
+            ),
+            "event_type",
+            "value",
+            "props",
+        ).write.mode("overwrite").parquet(ev_path)
+    return docs_path, ev_path
+
+
+def build_ops(spark, docs_path: str, ev_path: str, factor: int):
+    """op name -> zero-arg callable forcing a full computation."""
+    from pyspark.sql import functions as F
+
+    from methyl_data_pipeline_spark.ext.dedup import simhash_hamming_pairs
+    from methyl_data_pipeline_spark.ext.pack import budget_select
+    from methyl_data_pipeline_spark.ext.text import STOPWORDS
+    from methyl_data_pipeline_spark.streaming.events import (
+        cohort_retention,
+        funnel_steps,
+    )
+
+    docs = spark.read.parquet(docs_path)
+    ev = spark.read.parquet(ev_path)
+    en = F.array([F.lit(w) for w in STOPWORDS["en"]])
+
+    def scored():
+        d = docs.filter(F.col("text").isNotNull())
+        ws = F.split(F.lower(F.col("text")), r"\s+")
+        return d.select(
+            "doc_id",
+            F.size(ws).cast("long").alias("n_tokens"),
+            F.size(F.array_intersect(ws, en)).cast("long").alias("score"),
+        )
+
+    return {
+        "simhash_pairs": lambda: simhash_hamming_pairs(docs).count(),
+        # budget scales with the corpus so the selected FRACTION is
+        # constant (a fixed budget would degenerate to a tiny prefix)
+        "budget_select": lambda: budget_select(
+            scored(), "score", "n_tokens", budget=150_000 * factor
+        ).count(),
+        "funnel": lambda: funnel_steps(ev)
+        .agg(
+            F.sum(F.col("t_view").isNotNull().cast("long")),
+            F.sum(F.col("t_purchase").isNotNull().cast("long")),
+        )
+        .collect(),
+        "cohort_retention": lambda: cohort_retention(ev).count(),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factor", type=int, default=100)
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--fresh", action="store_true", help="rebuild replicas")
+    ap.add_argument("ops", nargs="*")
+    args = ap.parse_args()
+    if args.fresh and os.path.exists(WORK):
+        shutil.rmtree(WORK)
+
+    from methyl_data_pipeline_spark.session import get_session
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_session(
+        "scale_probe", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
+    )
+    docs100, ev100 = replicate(spark, args.factor)
+    base = {
+        "docs": f"{SF_DIR}/documents.parquet",
+        "ev": f"{SF_DIR}/events.parquet",
+    }
+
+    def timed(fn):
+        ts = []
+        fn()  # warm
+        for _ in range(args.runs):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        return ts[len(ts) // 2]
+
+    names = args.ops or ["simhash_pairs", "budget_select", "funnel", "cohort_retention"]
+    ops1 = build_ops(spark, base["docs"], base["ev"], 1)
+    opsN = build_ops(spark, docs100, ev100, args.factor)
+    print(f"op\tt_1x(s)\tt_{args.factor}x(s)\tslope")
+    for name in names:
+        t1 = timed(ops1[name])
+        tn = timed(opsN[name])
+        print(f"{name}\t{t1:.2f}\t{tn:.2f}\t{tn / t1:.2f}x")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
