@@ -1267,6 +1267,61 @@ FROM cand WHERE bit_count(xor(sa, sb)) <= 3
 ORDER BY id_a, id_b"""
 
 
+def q_simhash64_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at the SCALE configuration (new r8):
+    64-bit signatures (Manku et al. WWW'07 width; bit 63 packs as the
+    BIGINT sign bit, bits 60-63 vote from a second md5 slice) banded
+    into 4 x 16-bit bands — 65536 band values stay candidate-sparse at
+    corpus size where the 32-bit/8-bit-band toy config overflows every
+    bucket (measured: >600 s vs 38 s at 100x sf0.1; README probe
+    table). Same lossless pigeonhole guarantee, same bucket_pair_expand
+    kernel."""
+    from methyl_data_pipeline_spark.ext.dedup import simhash_hamming_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    out = simhash_hamming_pairs(docs, bits=64, bands=4, max_hamming=3)
+    return out.orderBy("id_a", "id_b")
+
+
+def _sql_simhash64_pairs() -> str:
+    def term(b: int) -> str:
+        src = "lo" if b < 60 else "hi"
+        shift = b if b < 60 else b - 60
+        val = -(2 ** 63) if b == 63 else 2 ** b
+        return (
+            f"(CASE WHEN SUM(CASE WHEN (({src} >> {shift}) & 1) = 1"
+            f" THEN 1 ELSE -1 END) >= 0 THEN ({val})::BIGINT ELSE 0 END)"
+        )
+
+    terms = " + ".join(term(b) for b in range(64))
+    return rf"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS word
+  FROM documents
+),
+h AS (SELECT doc_id,
+             ('0x' || substr(md5(word), 1, 15))::BIGINT AS lo,
+             ('0x' || substr(md5(word), 16, 15))::BIGINT AS hi
+      FROM w),
+sims AS (SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM h GROUP BY doc_id),
+m AS (
+  SELECT doc_id, simhash, band_idx,
+         (simhash >> (band_idx * 16)) & 65535 AS band_val
+  FROM sims, (VALUES (0), (1), (2), (3)) b(band_idx)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM m a JOIN m b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+ORDER BY id_a, id_b"""
+
+
 def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary coverage curve (ext.text.vocab_coverage): top-200
     words by corpus occurrence count with running cumulative count vs
@@ -5497,6 +5552,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "mixture_sample": q_mixture_sample,
         "lang_id_ngram": q_lang_id_ngram,
+        # NEW r8: the 64-bit scale configuration of the SimHash path
+        # (starts in the tail; window candidate next round)
+        "simhash64_pairs": q_simhash64_pairs,
         # demoted r6: driver-green r5, untouched since
         "clean_text": q_clean_text,
         # demoted r5: driver-green in CORRECTNESS_r01-r04, untouched
@@ -5698,6 +5756,7 @@ def oracle_sql() -> dict[str, str]:
         "split_leakage": SQL_SPLIT_LEAKAGE,
         "budget_select": _sql_budget_select(),
         "simhash_pairs": _sql_simhash_pairs(),
+        "simhash64_pairs": _sql_simhash64_pairs(),
         "vocab_coverage": SQL_VOCAB_COVERAGE,
         "temperature_sample": SQL_TEMPERATURE_SAMPLE,
         "funnel": SQL_FUNNEL,

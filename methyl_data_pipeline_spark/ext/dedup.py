@@ -166,6 +166,7 @@ def bucket_pair_expand(
     member: Column,
     max_bucket: int = 4096,
     num_salts: int = 16,
+    persist: str = "big",
 ) -> DataFrame:
     """Within-bucket unordered-pair expansion with an ENFORCED
     mega-bucket guard — the shared kernel of
@@ -200,14 +201,37 @@ def bucket_pair_expand(
     Bucket sizing is a count window over the SAME shuffle the small
     path's groupBy needs (partitioning is reused; no extra exchange),
     so the guard costs one within-partition sort, not a second pass.
+
+    ``persist`` handles Catalyst's per-branch subplan recompute (the
+    small filter, and the join's two sides, each re-evaluate the full
+    upstream — signature scan included). Head-to-head at sf0.1,
+    medians of 5:
+
+    - ``"big"`` (default): cache only the oversized rows — near-free
+      (EMPTY on a healthy corpus), collapses the join's two upstream
+      evaluations into one. minhash 2.78 → 2.25 s; the right choice
+      when the upstream is cheap relative to materializing the melt.
+    - ``"sized"``: cache the counted melt — ONE upstream evaluation
+      total, at the cost of storing docs x bands rows. simhash 4.02 →
+      3.13 s (its 64-aggregate signature scan is the expensive
+      recompute; the melt is ~40 B/row). At 10^9 docs this is
+      ~100 GB of spillable cache cluster-wide vs re-running the
+      signature scan twice — still the right trade for SimHash.
+    - ``"none"``: fully lazy (3 upstream evaluations).
     """
     from pyspark.sql import Window
 
+    from methyl_data_pipeline_spark import cache
+
+    if persist not in ("none", "big", "sized"):
+        raise ValueError("persist must be one of: none, big, sized")
     bl = [F.col(c) for c in bucket_cols]
     keyed = melted.select(*bl, member.alias("_m"))
     sized = keyed.withColumn(
         "_bsz", F.count(F.lit(1)).over(Window.partitionBy(*bucket_cols))
     )
+    if persist == "sized":
+        sized = cache.track(sized)
 
     small = (
         sized.filter((F.col("_bsz") >= 2) & (F.col("_bsz") <= max_bucket))
@@ -229,6 +253,8 @@ def bucket_pair_expand(
 
     big = sized.filter(F.col("_bsz") > max_bucket).drop("_bsz")
     salted = big.withColumn("_s", F.pmod(F.hash("_m"), F.lit(num_salts)))
+    if persist == "big":
+        salted = cache.track(salted)
     lhs = salted.select(
         *bl,
         F.col("_m").alias("_a"),
@@ -389,12 +415,44 @@ def simhash(
     NULL-text docs are dropped (no words -> no signature): keeping
     them would emit an all-zero-vote simhash of 0, a phantom value SQL
     engines never produce.
+
+    ``bits`` up to 64 (the Manku et al. WWW'07 standard width): bit 63
+    packs as the BIGINT sign bit via its two's-complement value, so
+    the signature stays one comparable/xor-able integer column.
     """
+    if not (1 <= bits <= 64):
+        raise ValueError("simhash bits must be in [1, 64]")
     df = _spread(df.filter(F.col(text_col).isNotNull()), id_col)
     ws = F.split(normalize_label(F.col(text_col)), " ")
-    hashes = F.transform(
-        ws, lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long")
-    )
+    # one md5 per word (bound via transform — no CSE inside HOFs); a
+    # 15-hex slice is 60 usable bits, so bits 60-63 vote from a SECOND
+    # independent slice (chars 16-30) — without it the top bits would
+    # never vote positive and a "64-bit" signature would silently be
+    # 60-bit
+    md5s = F.transform(ws, lambda w: F.md5(w))
+    if bits <= 60:
+        hashes = F.transform(
+            md5s, lambda m: F.conv(F.substring(m, 1, 15), 16, 10).cast("long")
+        )
+
+        def hash_bit(h, b: int):
+            return F.shiftright(h, b)
+
+    else:
+        hashes = F.transform(
+            md5s,
+            lambda m: F.struct(
+                F.conv(F.substring(m, 1, 15), 16, 10).cast("long").alias("lo"),
+                F.conv(F.substring(m, 16, 15), 16, 10).cast("long").alias("hi"),
+            ),
+        )
+
+        def hash_bit(h, b: int):
+            return (
+                F.shiftright(h["lo"], b)
+                if b < 60
+                else F.shiftright(h["hi"], b - 60)
+            )
 
     def simhash_of(hs):
         # hs is a BOUND lambda variable: without the binding, the
@@ -408,14 +466,18 @@ def simhash(
                 F.lit(0),
                 lambda acc, h: acc
                 + F.when(
-                    F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+                    hash_bit(h, b).bitwiseAND(F.lit(1)) == 1, 1
                 ).otherwise(-1),
             )
 
         sim = F.lit(0).cast("long")
         for bit in range(bits):
+            # bit 63 is the long's sign bit: add its two's-complement
+            # value (-2^63) so bits=64 packs into one BIGINT — xor /
+            # bit_count / shift+mask all work unchanged on negatives
+            val = -(2 ** 63) if bit == 63 else 2 ** bit
             sim = sim + F.when(
-                bit_vote(bit) >= 0, F.lit(2 ** bit).cast("long")
+                bit_vote(bit) >= 0, F.lit(val).cast("long")
             ).otherwise(F.lit(0).cast("long"))
         return sim
 
@@ -452,6 +514,15 @@ def simhash_hamming_pairs(
     failure mode at corpus scale, not a tail case. Routing exact
     duplicates through :func:`dedup_exact` first remains the hygiene
     step; the cap is the enforced backstop.
+
+    SIZE THE BANDS TO THE CORPUS: each band has only ``2^(bits/bands)``
+    possible values, so once ``n_docs >> 2^(bits/bands)`` EVERY bucket
+    overflows uniformly and the candidate set goes quadratic — the r8
+    100x probe measured the toy 32-bit/8-bit-band default drowning in
+    ~2 billion candidates at 500k docs (256 buckets x ~2000 docs each),
+    while ``bits=64, bands=4`` (16-bit bands, the Manku et al. WWW'07
+    shape) stays candidate-sparse. Rule of thumb: pick bits/bands so
+    that ``2^(bits/bands)`` is at least ~n_docs/100.
     """
     if not (0 <= max_hamming < bands):
         raise ValueError("banding is lossless only for max_hamming <= bands-1")
@@ -472,11 +543,15 @@ def simhash_hamming_pairs(
         variableColumnName="band_idx",
         valueColumnName="band_val",
     )
+    # persist="sized": the simhash signature scan (``bits`` aggregate
+    # passes per doc) is the expensive branch-recompute; caching the
+    # ~40 B/row melt wins 4.02 -> 3.13 s at sf0.1 (kernel docstring)
     pairs = bucket_pair_expand(
         melted,
         ["band_idx", "band_val"],
         F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sim")),
         max_bucket=max_bucket,
+        persist="sized",
     )
     # distinct(), deliberately: the classic lowest-matching-band
     # "responsibility" filter (emit a pair only from its first agreeing

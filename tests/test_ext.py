@@ -135,6 +135,32 @@ def test_simhash_hamming_pairs_lossless_banding(spark):
         simhash_hamming_pairs(df, bands=4, max_hamming=4)  # lossy config
 
 
+def test_simhash_64bit_lossless_and_sign_bit(spark):
+    """bits=64 (Manku-standard width, the scale configuration: 16-bit
+    bands keep buckets sparse at corpus size): banding is still
+    lossless vs brute force, and the sign bit (bit 63, packed as the
+    BIGINT two's-complement value) round-trips through xor/bit_count —
+    some signatures MUST be negative for the test to bite."""
+    from methyl_data_pipeline_spark.ext.dedup import simhash, simhash_hamming_pairs
+
+    rows = [(i, f"sentence number {i % 25} with shared vocabulary body "
+                f"plus marker {i % 6}") for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = {r.doc_id: r.simhash for r in simhash(df, bits=64).collect()}
+    assert any(v < 0 for v in sh.values())  # bit 63 exercised
+    got = {(r.id_a, r.id_b, r.hamming)
+           for r in simhash_hamming_pairs(df, bits=64, bands=4,
+                                          max_hamming=3).collect()}
+    brute = {
+        (a, b, bin((sh[a] ^ sh[b]) & (2 ** 64 - 1)).count("1"))
+        for a in sh for b in sh
+        if a < b and bin((sh[a] ^ sh[b]) & (2 ** 64 - 1)).count("1") <= 3
+    }
+    assert got == brute and len(brute) > 0
+    with pytest.raises(ValueError):
+        simhash(df, bits=65)
+
+
 def test_cosine_topk_matches_numpy(spark):
     rng = np.random.RandomState(9)
     vecs = rng.normal(size=(30, 16))

@@ -111,6 +111,12 @@ def build_ops(spark, docs_path: str, ev_path: str, factor: int):
 
     return {
         "simhash_pairs": lambda: simhash_hamming_pairs(docs).count(),
+        # the scale configuration: 16-bit bands stay candidate-sparse
+        # where the toy 8-bit default drowns at 500k docs (see the
+        # simhash_hamming_pairs docstring band-sizing rule)
+        "simhash_pairs_64": lambda: simhash_hamming_pairs(
+            docs, bits=64, bands=4
+        ).count(),
         # budget scales with the corpus so the selected FRACTION is
         # constant (a fixed budget would degenerate to a tiny prefix)
         "budget_select": lambda: budget_select(
