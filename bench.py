@@ -158,6 +158,7 @@ EXTENDED = [
     "cohort_retention",
     "skew_report",
     "split_contamination",
+    "simhash64_pairs",
 ]
 
 

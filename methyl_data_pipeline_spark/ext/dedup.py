@@ -165,7 +165,6 @@ def bucket_pair_expand(
     bucket_cols: list,
     member: Column,
     max_bucket: int = 4096,
-    num_salts: int = 16,
     persist: str = "big",
 ) -> DataFrame:
     """Within-bucket unordered-pair expansion with an ENFORCED
@@ -192,11 +191,17 @@ def bucket_pair_expand(
       with salts (i ≤ j) meets in exactly block ``i*S + j`` (the
       lower-salt member replicated right-ward, the higher-salt member
       left-ward), so the O(bucket²) pair space splits into S(S+1)/2
-      join tasks of ~(bucket/S)² pairs each — bounded heap, bounded
+      join blocks of ~max_bucket² pairs each — bounded heap, bounded
       task output — instead of bucket² rows plus an O(bucket) array in
-      ONE task. This closes the LSH hazard where one boilerplate band
-      value (empty/templated docs that survive exact dedup) used to
-      concentrate a corpus-scale bucket in a single executor.
+      ONE task. ``S = ceil(bucket_size / max_bucket)`` PER BUCKET (a
+      row expression over the window count — no fixed fan-out): a
+      10⁷-member bucket gets S≈2442 where a 10⁵ one gets S≈25, so the
+      per-block bound holds at ANY pathology size; the √pairs-bound
+      replication factor (each row appears in S+1 block rows) is the
+      standard triangle-join cost of covering bucket²/2 output with
+      bounded tasks. This closes the LSH hazard where one boilerplate
+      band value (empty/templated docs that survive exact dedup) used
+      to concentrate a corpus-scale bucket in a single executor.
 
     Bucket sizing is a count window over the SAME shuffle the small
     path's groupBy needs (partitioning is reused; no extra exchange),
@@ -251,8 +256,16 @@ def bucket_pair_expand(
         "_p._a", "_p._b"
     )
 
-    big = sized.filter(F.col("_bsz") > max_bucket).drop("_bsz")
-    salted = big.withColumn("_s", F.pmod(F.hash("_m"), F.lit(num_salts)))
+    big = sized.filter(F.col("_bsz") > max_bucket)
+    # adaptive salt count: ceil(bucket/max_bucket), constant within a
+    # bucket (the window count is), so block ids are consistent
+    n_salt = (F.floor((F.col("_bsz") - 1) / F.lit(max_bucket)) + 1).cast("int")
+    salted = big.select(
+        *bl,
+        F.col("_m"),
+        n_salt.alias("_ns"),
+        F.pmod(F.hash("_m"), n_salt).alias("_s"),
+    )
     if persist == "big":
         salted = cache.track(salted)
     lhs = salted.select(
@@ -261,8 +274,8 @@ def bucket_pair_expand(
         F.col("_s").alias("_sa"),
         F.explode(
             F.transform(
-                F.sequence(F.col("_s"), F.lit(num_salts - 1)),
-                lambda j: F.col("_s") * num_salts + j,
+                F.sequence(F.col("_s"), F.col("_ns") - 1),
+                lambda j: F.col("_s") * F.col("_ns") + j,
             )
         ).alias("_blk"),
     )
@@ -273,7 +286,7 @@ def bucket_pair_expand(
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.col("_s")),
-                lambda i: i * num_salts + F.col("_s"),
+                lambda i: i * F.col("_ns") + F.col("_s"),
             )
         ).alias("_blk"),
     )

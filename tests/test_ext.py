@@ -963,6 +963,10 @@ def test_bucket_pair_expand_mega_bucket_both_paths_identical(spark):
     rows = [(i, "big") for i in range(600)] + [
         (1000 + i, f"s{i % 5}") for i in range(25)
     ]
+    # second oversized bucket of a DIFFERENT size: the adaptive salt
+    # count (ceil(size/max_bucket)) must be derived per bucket —
+    # 600 -> S=10 while 150 -> S=3 under max_bucket=64
+    rows += [(2000 + i, "big2") for i in range(150)]
     df = spark.createDataFrame(rows, "id long, bucket string")
     member = F.struct(F.col("id").alias("id"))
     fast = bucket_pair_expand(df, ["bucket"], member, max_bucket=10_000)
@@ -973,8 +977,8 @@ def test_bucket_pair_expand_mega_bucket_both_paths_identical(spark):
 
     pf, pc = pairs(fast), pairs(capped)
     assert pf == pc
-    # 600-bucket: C(600,2); five 5-member buckets: 5 * C(5,2)
-    assert len(pf) == 600 * 599 // 2 + 5 * 10
+    # 600-bucket: C(600,2); 150-bucket: C(150,2); five 5-member: 5*10
+    assert len(pf) == 600 * 599 // 2 + 150 * 149 // 2 + 5 * 10
     assert all(a < b for a, b in pf)
     # the capped plan actually exercises the join path
     assert "Join" in capped._jdf.queryExecution().executedPlan().toString()
