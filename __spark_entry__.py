@@ -1363,10 +1363,23 @@ def q_embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
-SQL_EMBEDDING_COSINE = """
+# the similarity family's pinned vector-validity contract (mirrors
+# ext.similarity.valid_vector): non-NULL, non-empty, finite, nonzero
+# norm — NaN must be DROPPED, not compared (DuckDB sorts NaN greatest,
+# Spark does not propagate it through >=)
+def _sql_valid_vec(c: str) -> str:
+    return (
+        f"{c} IS NOT NULL AND len({c}) > 0"
+        f" AND len(list_filter({c}, x -> x IS NULL OR isnan(x))) = 0"
+        f" AND len(list_filter({c}, x -> x <> 0)) > 0"
+    )
+
+
+SQL_EMBEDDING_COSINE = f"""
 WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-           FROM embeddings WHERE vec_id < 20),
-e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+           FROM embeddings WHERE vec_id < 20 AND {_sql_valid_vec('embedding')}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+      WHERE {_sql_valid_vec('embedding')}),
 pairs AS (
   SELECT q.query_id, e.vec_id AS neighbor_id,
          list_sum(list_transform(generate_series(1, len(q.qv)),
@@ -2136,16 +2149,32 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     query plants near-dups: vectors with id < 50 re-enter the corpus as
     id+100000 with the first component shifted by +0.25 — an identical,
     engine-neutral construction on the oracle side."""
-    from methyl_data_pipeline_spark.ext.similarity import cosine_neardup_pairs
-
-    emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    from methyl_data_pipeline_spark.ext.similarity import (
+        cosine_neardup_pairs,
+        valid_vector,
     )
+
+    # the validity filter must run BEFORE the perturbation: the
+    # construction itself indexes embedding[0] (crashes on an empty
+    # array under ANSI); the oracle's base CTE carries the same clause
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(valid_vector(F.col("embedding")))
+        .select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+    )
+    # F.get (NULL on out-of-bounds), NOT embedding[0]: Catalyst pushes
+    # the operator's internal validity predicate through this Project
+    # and does not order combined filters, so the indexing expression
+    # can evaluate on a not-yet-filtered empty array — under ANSI,
+    # [0] aborts the job where get() yields NULL (and the NULL-bearing
+    # vector then drops at the validity gate, same final result)
     perturbed = emb.filter(F.col("vec_id") < 50).select(
         (F.col("vec_id") + 100000).alias("vec_id"),
         F.concat(
-            F.array(F.col("embedding")[0] + F.lit(_NEARDUP_PERTURB)),
-            F.expr("slice(embedding, 2, size(embedding) - 1)"),
+            F.array(F.get(F.col("embedding"), 0) + F.lit(_NEARDUP_PERTURB)),
+            F.expr("slice(embedding, 2, greatest(size(embedding) - 1, 0))"),
         ).alias("embedding"),
     )
     corpus = emb.unionByName(perturbed)
@@ -2168,7 +2197,8 @@ def _sql_embedding_neardup() -> str:
         for p in planes
     )
     return f"""
-WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+              WHERE {_sql_valid_vec('embedding')}),
 corpus AS (
   SELECT vec_id, v FROM base
   UNION ALL
@@ -4064,7 +4094,8 @@ def _sql_similarity_lsh(dim: int = 64, n_planes: int = 6, seed: int = 42) -> str
         return " || ".join(bits)
 
     return f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           WHERE {_sql_valid_vec('embedding')}),
 b AS (SELECT vec_id, v, {bucket_expr('v')} AS bucket FROM e),
 q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 20),
 pairs AS (

@@ -25,6 +25,29 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def valid_vector(c: Column) -> Column:
+    """The similarity family's pinned input contract: a usable vector
+    is non-NULL, non-empty, fully finite, and has nonzero norm.
+
+    Every operator below filters on this BEFORE any arithmetic — the
+    pathological shapes are not edge cases at corpus scale (failed
+    embedders emit NULLs, truncated rows emit empties, dead documents
+    emit zero vectors) and each one breaks a different layer: an empty
+    array crashes ``vec[0]`` under ANSI, a zero norm crashes the
+    cosine division, a NULL/empty reaching a driver-side
+    ``np.asarray`` goes ragged, and a NaN component DIVERGES
+    cross-engine instead of crashing (DuckDB sorts/compares NaN as
+    greatest — ``NaN >= threshold`` is TRUE there, false in Spark).
+    The DuckDB oracles replay the same four clauses.
+    """
+    return (
+        c.isNotNull()
+        & (F.size(c) > 0)
+        & ~F.exists(c, lambda x: x.isNull() | F.isnan(x))
+        & F.exists(c, lambda x: x != 0.0)
+    )
+
+
 def _first_dim(vectors: DataFrame, vec_col: str) -> int:
     """Embedding dimensionality from the first row, with a clear error
     instead of a TypeError when the corpus is empty or the first
@@ -79,6 +102,10 @@ def cosine_topk_bruteforce(
     the (query, corpus) pairs. Exact brute force is the correctness
     baseline; use :func:`lsh_bucketed_topk` at corpus scale.
     """
+    # pinned input contract (see valid_vector): NULL/empty/NaN/zero
+    # vectors drop on BOTH sides before any arithmetic
+    vectors = vectors.filter(valid_vector(F.col(vec_col)))
+    queries = queries.filter(valid_vector(F.col(vec_col)))
     # cast float32 storage to float64 before arithmetic so results are
     # reproducible against external double-precision oracles
     # norms are precomputed ONCE PER ROW on each side — Catalyst does
@@ -167,6 +194,8 @@ def cosine_neardup_pairs(
     :func:`md5_planes` → external oracles reproduce bucket membership
     exactly.
     """
+    # pinned input contract (see valid_vector)
+    vectors = vectors.filter(valid_vector(F.col(vec_col)))
     dim = _first_dim(vectors, vec_col)
     planes = md5_planes(n_planes, dim)
     bucket = _plane_bucket(planes)
@@ -235,6 +264,10 @@ def ivf_topk(
 
     from methyl_data_pipeline_spark.ext.dedup import _spread
 
+    # pinned input contract (see valid_vector) — also keeps the
+    # driver-side fit sample rectangular for np.asarray
+    vectors = vectors.filter(valid_vector(F.col(vec_col)))
+    queries = queries.filter(valid_vector(F.col(vec_col)))
     vec_d = F.col(vec_col).cast("array<double>")
 
     def _maybe_unit(df: DataFrame, col: str) -> DataFrame:
@@ -379,6 +412,9 @@ def lsh_bucketed_topk(
     """
     import numpy as np
 
+    # pinned input contract (see valid_vector)
+    vectors = vectors.filter(valid_vector(F.col(vec_col)))
+    queries = queries.filter(valid_vector(F.col(vec_col)))
     dim = _first_dim(vectors, vec_col)
     rng = np.random.RandomState(seed)
     planes = rng.normal(size=(n_planes, dim))

@@ -161,6 +161,45 @@ def test_simhash_64bit_lossless_and_sign_bit(spark):
         simhash(df, bits=65)
 
 
+def test_similarity_pathological_vectors_dropped(spark):
+    """The similarity family's pinned input contract (valid_vector):
+    NULL / empty / NaN-bearing / zero-norm vectors drop BEFORE any
+    arithmetic — each shape used to break a different layer (ANSI
+    index crash, divide-by-zero, ragged np.asarray, NaN cross-engine
+    comparison divergence)."""
+    from methyl_data_pipeline_spark.ext.similarity import (
+        cosine_neardup_pairs,
+        cosine_topk_bruteforce,
+        ivf_topk,
+        lsh_bucketed_topk,
+    )
+
+    good = [(i, [1.0 * (i + 1), 0.5, -0.25, 0.75]) for i in range(10)]
+    bad = [
+        (100, None),
+        (101, []),
+        (102, [0.0, 0.0, 0.0, 0.0]),
+        (103, [1.0, float("nan"), 0.5, 0.5]),
+    ]
+    df = spark.createDataFrame(good + bad, "vec_id long, embedding array<double>")
+    queries = df.filter(F.col("vec_id").isin(0, 100, 101, 102, 103))
+
+    cases = [
+        (lambda: cosine_topk_bruteforce(df, queries, k=3), True),
+        # LSH is approximate: an empty candidate bucket is a legal
+        # outcome at this corpus size, so only the no-leak half applies
+        (lambda: lsh_bucketed_topk(df, queries, k=3), False),
+        (lambda: ivf_topk(df, queries, k=3, n_centroids=2, n_probe=2), True),
+        (lambda: cosine_neardup_pairs(df, threshold=-1.0), True),
+    ]
+    for fn, must_produce in cases:
+        rows = fn().collect()
+        ids = {r[0] for r in rows} | {r[1] for r in rows}
+        if must_produce:
+            assert ids, "valid vectors must still produce results"
+        assert not ids & {100, 101, 102, 103}, f"pathological id leaked: {ids}"
+
+
 def test_cosine_topk_matches_numpy(spark):
     rng = np.random.RandomState(9)
     vecs = rng.normal(size=(30, 16))

@@ -24,7 +24,7 @@ DST = "/root/repo/.nullfix"
 
 def main() -> None:
     os.makedirs(DST, exist_ok=True)
-    mutated = {"documents.parquet", "events.parquet"}
+    mutated = {"documents.parquet", "events.parquet", "embeddings.parquet"}
     for f in os.listdir(SRC):
         if f.endswith(".parquet") and f not in mutated:
             shutil.copy(os.path.join(SRC, f), os.path.join(DST, f))
@@ -83,6 +83,27 @@ def main() -> None:
         f"wrote events: {len(ev)} rows, "
         f"{int(ev['value'].isna().sum())} null/nan values"
     )
+
+    # embeddings: NULL vector, empty vector, all-zero vector (undefined
+    # cosine -> NULL in both engines, and an LSH bucket constant), and
+    # a NaN component (r8) — exercises the ANN/cosine/near-dup family's
+    # cross-engine NULL/NaN arithmetic
+    em = pq.read_table(os.path.join(SRC, "embeddings.parquet")).to_pandas()
+    dim = len(em.loc[em.index[0], "embedding"])
+    em["embedding"] = em["embedding"].astype(object)
+    em.at[em.index[7], "embedding"] = None
+    em.at[em.index[19], "embedding"] = []
+    em.at[em.index[31], "embedding"] = [0.0] * dim
+    nanvec = list(em.loc[em.index[43], "embedding"])
+    nanvec[2] = float("nan")
+    em.at[em.index[43], "embedding"] = nanvec
+    schema = pq.read_table(os.path.join(SRC, "embeddings.parquet")).schema
+    pq.write_table(
+        pa.Table.from_pandas(em, schema=schema, preserve_index=False),
+        os.path.join(DST, "embeddings.parquet"),
+    )
+    n_null = int(em["embedding"].isna().sum())
+    print(f"wrote embeddings: {len(em)} rows, {n_null} null vectors")
 
 
 if __name__ == "__main__":
