@@ -4423,6 +4423,49 @@ ORDER BY w.doc_id
 """
 
 
+def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-ingest NEAR-dup candidate gate (new r8,
+    ext.dedup.incremental_neardup): a new shard (doc_id >= 200) probes
+    the MinHash band ledger of the already-ingested corpus
+    (doc_id < 250) — per shard doc, the count of its 4 LSH bands
+    already present, 0 = novel beyond near-duplication. The MinHash
+    analogue of incremental_dedup's exact ledger: the continuous-crawl
+    shape where each shard near-dup-checks against an ever-growing
+    corpus without re-banding it."""
+    from methyl_data_pipeline_spark.ext.dedup import (
+        incremental_neardup,
+        minhash_band_ledger,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    ledger = minhash_band_ledger(docs.filter(F.col("doc_id") < 250), num_hashes=8)
+    shard = docs.filter(F.col("doc_id") >= 200)
+    out = incremental_neardup(shard, ledger, num_hashes=8)
+    return out.orderBy("doc_id")
+
+
+def _sql_incremental_neardup() -> str:
+    base = _sql_minhash_sigs().rsplit("SELECT doc_id", 1)[0]
+    bands = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band_idx,"
+        f" md5(CAST(mh_{2*b} AS VARCHAR) || '_' || CAST(mh_{2*b+1} AS VARCHAR))"
+        f" AS band_hash FROM sigs"
+        for b in range(4)
+    )
+    return f"""{base},
+sigs AS (SELECT doc_id, {_minhash_mins_sql(8)} FROM hsh WHERE len(hs) > 0),
+banded AS ({bands}),
+ledger AS (SELECT DISTINCT band_idx, band_hash FROM banded WHERE doc_id < 250),
+shard AS (SELECT * FROM banded WHERE doc_id >= 200)
+SELECT s.doc_id,
+       CAST(SUM(CASE WHEN l.band_hash IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_band_hits,
+       SUM(CASE WHEN l.band_hash IS NOT NULL THEN 1 ELSE 0 END) = 0 AS is_novel
+FROM shard s
+LEFT JOIN ledger l ON s.band_idx = l.band_idx AND s.band_hash = l.band_hash
+GROUP BY s.doc_id ORDER BY s.doc_id"""
+
+
 def q_contract_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-contract violation report (operators.contracts) — the
     engine mapping of the reference's stopifnot preconditions
@@ -5584,8 +5627,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "lang_id_ngram": q_lang_id_ngram,
         # NEW r8: the 64-bit scale configuration of the SimHash path
-        # (starts in the tail; window candidate next round)
+        # and the rolling near-dup ingest gate (start in the tail;
+        # window candidates next round)
         "simhash64_pairs": q_simhash64_pairs,
+        "incremental_neardup": q_incremental_neardup,
         # demoted r6: driver-green r5, untouched since
         "clean_text": q_clean_text,
         # demoted r5: driver-green in CORRECTNESS_r01-r04, untouched
@@ -5788,6 +5833,7 @@ def oracle_sql() -> dict[str, str]:
         "budget_select": _sql_budget_select(),
         "simhash_pairs": _sql_simhash_pairs(),
         "simhash64_pairs": _sql_simhash64_pairs(),
+        "incremental_neardup": _sql_incremental_neardup(),
         "vocab_coverage": SQL_VOCAB_COVERAGE,
         "temperature_sample": SQL_TEMPERATURE_SAMPLE,
         "funnel": SQL_FUNNEL,

@@ -160,6 +160,107 @@ def minhash_signatures(
     return hashed.select(F.col(id_col), *sig_cols)
 
 
+def _minhash_bands(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Melted LSH bands: one row per (id, band_idx, band_hash) — the
+    shared banding of :func:`minhash_candidate_pairs` and the rolling
+    :func:`minhash_band_ledger` (a drifted copy would silently put the
+    batch and incremental paths in different band spaces).
+
+    NULL signatures (NULL-text docs) are dropped: concat_ws SKIPS NULL
+    columns, so two all-NULL signatures would otherwise band-hash to
+    md5("") and pair every NULL doc with every other NULL doc.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n).filter(
+        F.col("mh_0").isNotNull()
+    )
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "_",
+                *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)],
+            )
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = sigs.select(F.col(id_col), *band_cols)
+    return banded.unpivot(
+        ids=[id_col],
+        values=[f"band_{b}" for b in range(bands)],
+        variableColumnName="band_idx",
+        valueColumnName="band_hash",
+    )
+
+
+def minhash_band_ledger(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The rolling NEAR-dup ledger: distinct ``(band_idx, band_hash)``
+    of everything ingested so far — the MinHash analogue of
+    :func:`incremental_dedup`'s exact-fingerprint ledger. Append-only
+    (union + distinct with the new shard's bands); at 100 TB it lives
+    as a table bucketed by ``band_hash`` so the probe join in
+    :func:`incremental_neardup` is co-partitioned.
+    """
+    return _minhash_bands(
+        df, text_col, id_col, num_hashes, bands, shingle_n
+    ).select("band_idx", "band_hash").distinct()
+
+
+def incremental_neardup(
+    new_docs: DataFrame,
+    band_ledger: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Rolling-ingest NEAR-dup candidate gate: per new document, how
+    many of its LSH bands already exist in the corpus ledger.
+    ``n_band_hits = 0`` means no prior document agrees with it on any
+    band — novel beyond near-duplication at the banding's sensitivity;
+    any hit marks a candidate for the verify stage (exact n-gram
+    Jaccard against the matched corpus slice — the same prune→verify
+    pattern as ``decontaminate``/``bloom_decontaminate``, and the
+    candidate-gate framing means band collisions cost a verify, never
+    a wrong drop).
+
+    Completes the ingest story next to :func:`incremental_dedup`
+    (exact): the continuous-crawl shape where each shard must be
+    near-dup-checked against an ever-growing corpus WITHOUT re-banding
+    the corpus. Plan: the shard's bands (a map-only projection) left-
+    join the ledger on (band_idx, band_hash) — shard-sized probe
+    against a bucketed ledger — then one shard-keyed count. NULL-text
+    docs are dropped (no signature), matching ``incremental_dedup``'s
+    pinned contract.
+    """
+    shard_bands = _minhash_bands(
+        new_docs, text_col, id_col, num_hashes, bands, shingle_n
+    )
+    ledger = (
+        band_ledger.select("band_idx", "band_hash")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    joined = shard_bands.join(ledger, ["band_idx", "band_hash"], "left")
+    return joined.groupBy(id_col).agg(
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_band_hits"),
+    ).withColumn("is_novel", F.col("n_band_hits") == 0)
+
+
 def bucket_pair_expand(
     melted: DataFrame,
     bucket_cols: list,
@@ -325,28 +426,7 @@ def minhash_candidate_pairs(
     exact duplicates through ``dedup_exact`` first remains the standard
     LSH hygiene — the cap is the enforced backstop, not the plan.
     """
-    rows_per_band = num_hashes // bands
-    # Drop NULL signatures (NULL-text docs): concat_ws SKIPS NULL
-    # columns, so two all-NULL signatures would otherwise band-hash to
-    # md5("") and pair every NULL doc with every other NULL doc.
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n).filter(
-        F.col("mh_0").isNotNull()
-    )
-    band_cols = [
-        F.md5(
-            F.concat_ws(
-                "_", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-            )
-        ).alias(f"band_{b}")
-        for b in range(bands)
-    ]
-    banded = sigs.select(F.col(id_col), *band_cols)
-    melted = banded.unpivot(
-        ids=[id_col],
-        values=[f"band_{b}" for b in range(bands)],
-        variableColumnName="band_idx",
-        valueColumnName="band_hash",
-    )
+    melted = _minhash_bands(df, text_col, id_col, num_hashes, bands, shingle_n)
     pairs = bucket_pair_expand(
         melted,
         ["band_idx", "band_hash"],

@@ -992,6 +992,44 @@ def test_incremental_dedup_null_text_dropped_and_idempotent(spark):
     assert updated2.count() == updated.count()
 
 
+def test_incremental_neardup_gate(spark):
+    """Rolling near-dup ingest: a shard doc that near-dups a corpus doc
+    hits ledger bands; an unrelated doc is novel (0 hits); NULL-text
+    docs drop; appending the shard's bands to the ledger makes a replay
+    flag everything (the ingest loop's invariant)."""
+    from methyl_data_pipeline_spark.ext.dedup import (
+        incremental_neardup,
+        minhash_band_ledger,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "completely different corpus text about spark engines")],
+        "doc_id long, text string",
+    )
+    ledger = minhash_band_ledger(corpus, num_hashes=8)
+    shard = spark.createDataFrame(
+        [
+            (10, base.replace("today", "tomorrow")),  # near-dup of 1
+            (11, "der hund läuft und das ist nicht ein problem für die katze"),
+            (12, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in incremental_neardup(shard, ledger, num_hashes=8).collect()}
+    assert 12 not in got                      # NULL text dropped
+    assert got[10].n_band_hits > 0 and not got[10].is_novel
+    assert got[11].n_band_hits == 0 and got[11].is_novel
+    # ingest the shard: union its bands in, replay -> nothing novel
+    from methyl_data_pipeline_spark.ext.dedup import _minhash_bands
+
+    grown = ledger.unionByName(
+        _minhash_bands(shard, num_hashes=8).select("band_idx", "band_hash")
+    ).distinct()
+    replay = incremental_neardup(shard, grown, num_hashes=8)
+    assert replay.filter(F.col("is_novel")).count() == 0
+
+
 def test_bucket_pair_expand_mega_bucket_both_paths_identical(spark):
     """The kernel's two paths (grouped HOF expansion vs salted triangle
     self-join for buckets over max_bucket) emit IDENTICAL pair sets: a
