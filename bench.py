@@ -159,6 +159,7 @@ EXTENDED = [
     "skew_report",
     "split_contamination",
     "simhash64_pairs",
+    "incremental_neardup",
 ]
 
 

@@ -785,3 +785,49 @@ def test_r7_operators_partitioning_invariant(spark):
         else:
             for k, v in outs.items():
                 assert v == base[k], k
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),    # bucket id
+            st.integers(min_value=0, max_value=999),  # member id (deduped below)
+        ),
+        min_size=0,
+        max_size=80,
+    ),
+    st.integers(min_value=2, max_value=12),            # max_bucket
+)
+def test_property_bucket_pair_expand_equals_brute(spark, rows, cap):
+    """For ANY bucket assignment and ANY cap, the kernel's output —
+    across whichever mix of HOF-expansion and adaptive-salted-join
+    paths the cap induces — equals brute-force within-bucket pairs."""
+    from methyl_data_pipeline_spark.ext.dedup import bucket_pair_expand
+
+    data = sorted({(b, m) for b, m in rows})  # unique (bucket, member)
+    # a member may sit in several buckets (like a doc in several bands)
+    df = spark.createDataFrame(
+        [(m, f"b{b}") for b, m in data] or [(0, "b0")][:0],
+        "id long, bucket string",
+    )
+    if not data:
+        return
+    got = sorted(
+        (r["_a"]["id"], r["_b"]["id"])
+        for r in bucket_pair_expand(
+            df, ["bucket"], F.struct(F.col("id").alias("id")), max_bucket=cap
+        ).collect()
+    )
+    from collections import defaultdict
+
+    members = defaultdict(list)
+    for b, m in data:
+        members[b].append(m)
+    want = sorted(
+        (a, c)
+        for ms in members.values()
+        for i, a in enumerate(sorted(ms))
+        for c in sorted(ms)[i + 1:]
+    )
+    assert got == want

@@ -88,7 +88,11 @@ def build_ops(spark, docs_path: str, ev_path: str, factor: int):
     """op name -> zero-arg callable forcing a full computation."""
     from pyspark.sql import functions as F
 
-    from methyl_data_pipeline_spark.ext.dedup import simhash_hamming_pairs
+    from methyl_data_pipeline_spark.ext.dedup import (
+        incremental_neardup,
+        minhash_band_ledger,
+        simhash_hamming_pairs,
+    )
     from methyl_data_pipeline_spark.ext.pack import budget_select
     from methyl_data_pipeline_spark.ext.text import STOPWORDS
     from methyl_data_pipeline_spark.streaming.events import (
@@ -129,6 +133,12 @@ def build_ops(spark, docs_path: str, ev_path: str, factor: int):
         )
         .collect(),
         "cohort_retention": lambda: cohort_retention(ev).count(),
+        # rolling near-dup gate: corpus = first half of ids as the
+        # ledger, shard = a slice that overlaps it
+        "incremental_neardup": lambda: incremental_neardup(
+            docs.filter(F.col("doc_id") % 10 == 3),
+            minhash_band_ledger(docs.filter(F.col("doc_id") % 2 == 0)),
+        ).count(),
     }
 
 
