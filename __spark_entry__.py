@@ -4423,6 +4423,57 @@ ORDER BY w.doc_id
 """
 
 
+def q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter calibration (new r8, ext.text.threshold_sweep):
+    per distinct stopword-hit score taken as the keep-cutoff, the kept
+    / true-positive / false-positive counts against a gold label
+    (lang = 'en'), cumulated over the tiny per-score frame — the
+    precision/recall sweep that picks a curation threshold without a
+    global corpus sort. Integer channels only."""
+    from methyl_data_pipeline_spark.ext.text import STOPWORDS, threshold_sweep, words
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    en = F.array([F.lit(w) for w in STOPWORDS["en"]])
+    scored = docs.select(
+        F.size(F.filter(words("text"), lambda w: F.array_contains(en, w)))
+        .cast("long")
+        .alias("score"),
+        (F.col("lang") == "en").alias("label"),
+    )
+    return threshold_sweep(scored, "score", "label").orderBy(
+        F.col("threshold").desc()
+    )
+
+
+def _sql_threshold_sweep() -> str:
+    from methyl_data_pipeline_spark.ext.text import STOPWORDS
+
+    stops = ", ".join("'%s'" % w for w in STOPWORDS["en"])
+    return rf"""
+WITH scored AS (
+  SELECT CAST(len(list_filter(
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+             w -> list_contains([{stops}], w))) AS BIGINT) AS threshold,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS _pos
+  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+),
+per_score AS (
+  SELECT threshold, CAST(COUNT(*) AS BIGINT) AS _n,
+         CAST(SUM(_pos) AS BIGINT) AS _np
+  FROM scored GROUP BY threshold
+)
+SELECT threshold,
+       CAST(SUM(_n) OVER w AS BIGINT) AS n_kept,
+       CAST(SUM(_np) OVER w AS BIGINT) AS n_true_pos,
+       CAST(SUM(_n) OVER w - SUM(_np) OVER w AS BIGINT) AS n_false_pos,
+       CAST(SUM(_np) OVER (ORDER BY threshold DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_pos_total
+FROM per_score
+WINDOW w AS (ORDER BY threshold DESC ROWS UNBOUNDED PRECEDING)
+ORDER BY threshold DESC"""
+
+
 def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-ingest NEAR-dup candidate gate (new r8,
     ext.dedup.incremental_neardup): a new shard (doc_id >= 200) probes
@@ -5631,6 +5682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window candidates next round)
         "simhash64_pairs": q_simhash64_pairs,
         "incremental_neardup": q_incremental_neardup,
+        "threshold_sweep": q_threshold_sweep,
         # demoted r6: driver-green r5, untouched since
         "clean_text": q_clean_text,
         # demoted r5: driver-green in CORRECTNESS_r01-r04, untouched
@@ -5834,6 +5886,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _sql_simhash_pairs(),
         "simhash64_pairs": _sql_simhash64_pairs(),
         "incremental_neardup": _sql_incremental_neardup(),
+        "threshold_sweep": _sql_threshold_sweep(),
         "vocab_coverage": SQL_VOCAB_COVERAGE,
         "temperature_sample": SQL_TEMPERATURE_SAMPLE,
         "funnel": SQL_FUNNEL,

@@ -160,6 +160,7 @@ EXTENDED = [
     "split_contamination",
     "simhash64_pairs",
     "incremental_neardup",
+    "threshold_sweep",
 ]
 
 

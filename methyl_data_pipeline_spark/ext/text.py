@@ -1194,3 +1194,59 @@ def bm25_rank(
         .filter(F.col("rank") <= top_k)
         .select(query_id_col, "rank", id_col, "score")
     )
+
+
+def threshold_sweep(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Quality-filter calibration curve: for every distinct score
+    value taken as the cut ("keep docs with score >= t"), the kept
+    count and the true/false-positive tallies against a gold label —
+    the precision/recall sweep that picks a curation threshold at
+    corpus scale (the operator behind "what cutoff keeps 90% of good
+    docs?").
+
+    Scale shape: ONE distributed aggregate per score value (map-side
+    combining collapses the corpus to score-cardinality rows), then
+    the cumulative window runs on that tiny per-score frame only — no
+    global sort of the corpus, the same two-level trick as
+    ``vocab_coverage``. Scores are assumed discretized (integers or
+    buckets — bucketize continuous scores first); the per-score frame
+    is what bounds the single-partition window.
+
+    All output channels are integers (counts), hash-stable across
+    engines: ``threshold, n_kept, n_true_pos, n_false_pos,
+    n_pos_total`` — divide client-side for precision
+    (``n_true_pos / n_kept``) and recall (``n_true_pos /
+    n_pos_total``). NULL scores and NULL labels are dropped
+    (unrankable / unevaluable rows cannot enter the curve).
+    """
+    from pyspark.sql import Window
+
+    labeled = df.filter(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.col(score_col).alias("threshold"),
+        F.col(label_col).cast("long").alias("_pos"),
+    )
+    per_score = labeled.groupBy("threshold").agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("_pos").cast("long").alias("_np"),
+    )
+    # cumulative over the per-score frame (score-cardinality rows);
+    # the unpartitioned windows are deliberate — the frame is tiny
+    w = Window.orderBy(F.col("threshold").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy(F.col("threshold").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return per_score.select(
+        "threshold",
+        F.sum("_n").over(w).alias("n_kept"),
+        F.sum("_np").over(w).alias("n_true_pos"),
+        (F.sum("_n").over(w) - F.sum("_np").over(w)).alias("n_false_pos"),
+        F.sum("_np").over(w_all).alias("n_pos_total"),
+    )

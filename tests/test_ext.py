@@ -992,6 +992,25 @@ def test_incremental_dedup_null_text_dropped_and_idempotent(spark):
     assert updated2.count() == updated.count()
 
 
+def test_threshold_sweep_hand_computed(spark):
+    """PR-curve counts against a hand-worked example; NULL scores and
+    NULL labels drop (unrankable/unevaluable)."""
+    from methyl_data_pipeline_spark.ext.text import threshold_sweep
+
+    rows = [
+        (3, True), (3, False), (2, True), (1, False), (1, True), (1, True),
+        (None, True), (2, None),
+    ]
+    df = spark.createDataFrame(rows, "score long, label boolean")
+    got = {r.threshold: r for r in threshold_sweep(df, "score", "label").collect()}
+    assert set(got) == {3, 2, 1}
+    # >=3: kept 2 (1 pos); >=2: kept 3 (2 pos); >=1: kept 6 (4 pos)
+    assert (got[3].n_kept, got[3].n_true_pos, got[3].n_false_pos) == (2, 1, 1)
+    assert (got[2].n_kept, got[2].n_true_pos) == (3, 2)
+    assert (got[1].n_kept, got[1].n_true_pos, got[1].n_false_pos) == (6, 4, 2)
+    assert all(r.n_pos_total == 4 for r in got.values())
+
+
 def test_incremental_neardup_gate(spark):
     """Rolling near-dup ingest: a shard doc that near-dups a corpus doc
     hits ledger bands; an unrelated doc is novel (0 hits); NULL-text
