@@ -5624,12 +5624,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "incremental_dedup": q_incremental_dedup,
         "dmr_regions": q_dmr_regions,
+        # NEW r8 operators — integer-channel outputs (no float-driver
+        # risk), both-fixture + partition-stress green; in-window so
+        # their first driver evidence lands this round. Slots yielded
+        # by combat_onestep / pca_gram / curation_pipeline (4 greens
+        # each; the fixed point, eigen certificate, and curation chain
+        # stay covered in-window by combat_twostep/combat_converged,
+        # pca_eigen_cert, and corpus_pipeline/stream_curate)
+        "simhash64_pairs": q_simhash64_pairs,
+        "incremental_neardup": q_incremental_neardup,
+        "threshold_sweep": q_threshold_sweep,
         # retained window occupants (1-3 prior greens each)
         "bloom_decontaminate": q_bloom_decontaminate,
         "quantile_normalize": q_quantile_normalize,
         "sketch_cert": q_sketch_cert,
         # deterministic-prefix / chain oracles
-        "combat_onestep": q_combat_onestep,
         "combat_twostep": q_combat_twostep,
         "combat_converged": q_combat_converged,
         "bmiq_prefix": q_bmiq_prefix,
@@ -5646,9 +5655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "perplexity_buckets": q_perplexity_buckets,
         "chunk_documents": q_chunk_documents,
-        "pca_gram": q_pca_gram,
         "pca_eigen_cert": q_pca_eigen_cert,
-        "curation_pipeline": q_curation_pipeline,
         "bh_grouped": q_bh_grouped,
         "hot_ngrams": q_hot_ngrams,
         "snapshot_diff": q_snapshot_diff,
@@ -5677,12 +5684,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "mixture_sample": q_mixture_sample,
         "lang_id_ngram": q_lang_id_ngram,
-        # NEW r8: the 64-bit scale configuration of the SimHash path
-        # and the rolling near-dup ingest gate (start in the tail;
-        # window candidates next round)
-        "simhash64_pairs": q_simhash64_pairs,
-        "incremental_neardup": q_incremental_neardup,
-        "threshold_sweep": q_threshold_sweep,
+        # demoted r8 (slots yielded to the new r8 operators): 4 driver
+        # greens each, coverage duplicated by in-window siblings
+        "combat_onestep": q_combat_onestep,
+        "pca_gram": q_pca_gram,
+        "curation_pipeline": q_curation_pipeline,
         # demoted r6: driver-green r5, untouched since
         "clean_text": q_clean_text,
         # demoted r5: driver-green in CORRECTNESS_r01-r04, untouched
