@@ -1370,7 +1370,7 @@ def q_embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_valid_vec(c: str) -> str:
     return (
         f"{c} IS NOT NULL AND len({c}) > 0"
-        f" AND len(list_filter({c}, x -> x IS NULL OR isnan(x))) = 0"
+        f" AND len(list_filter({c}, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0"
         f" AND len(list_filter({c}, x -> x <> 0)) > 0"
     )
 
@@ -2331,8 +2331,12 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_FUNNEL = """
 WITH t0 AS (
+  -- ts IS NOT NULL: a user whose ONLY view events are timeless would
+  -- otherwise form a MIN(ts)=NULL group that COUNT(*) still counts,
+  -- while the Spark side's t_view IS NOT NULL excludes them
   SELECT user_id, MIN(ts) AS t FROM events
-  WHERE event_type = 'view' AND user_id IS NOT NULL GROUP BY user_id
+  WHERE event_type = 'view' AND user_id IS NOT NULL AND ts IS NOT NULL
+  GROUP BY user_id
 ),
 t1 AS (
   SELECT e.user_id, MIN(e.ts) AS t

@@ -110,14 +110,17 @@ def flag_regressions(
     return sorted(flagged), overlap_test
 
 
-def _previous_spreads() -> dict[str, list[float]]:
-    """Per-query [min, max] from the newest own details record (the
-    driver's BENCH_r*.json does not carry spreads)."""
-    details = _newest_round("BENCH_DETAILS_r*.json")
-    if details is None:
+def _previous_spreads(prev_name: str | None) -> dict[str, list[float]]:
+    """Per-query [min, max] from the SAME record the medians came from
+    — spreads exist only in our own details files, and mixing a stale
+    details round's spreads with a newer driver round's medians would
+    run the overlap test across mismatched rounds (a real r9-regressed
+    query could hide behind r7's wider spread)."""
+    if not prev_name or not prev_name.startswith("BENCH_DETAILS"):
         return {}
+    here = os.path.dirname(os.path.abspath(__file__))
     try:
-        rec = json.load(open(details[1]))
+        rec = json.load(open(os.path.join(here, prev_name)))
         merged = dict(rec.get("extended_spread") or {})
         merged.update(rec.get("spread") or {})
         return merged
@@ -357,7 +360,7 @@ def main() -> None:
     all_spread = dict(extended_spread)
     all_spread.update(spread)
     regressions, overlap_test = flag_regressions(
-        deltas, all_spread, _previous_spreads(), failures
+        deltas, all_spread, _previous_spreads(prev_name), failures
     )
 
     # Full record -> committed details file; stdout gets the compact

@@ -250,10 +250,14 @@ def incremental_neardup(
     shard_bands = _minhash_bands(
         new_docs, text_col, id_col, num_hashes, bands, shingle_n
     )
-    ledger = (
-        band_ledger.select("band_idx", "band_hash")
-        .distinct()
-        .withColumn("_hit", F.lit(1))
+    # NO defensive distinct: the ledger contract (minhash_band_ledger)
+    # already guarantees unique (band_idx, band_hash) rows, and a
+    # distinct here would shuffle the ever-growing corpus-scale ledger
+    # on EVERY shard ingest — the exact cost the bucketed-ledger plan
+    # exists to avoid. A ledger with duplicate rows would multiply
+    # n_band_hits through the join; keep it unique.
+    ledger = band_ledger.select("band_idx", "band_hash").withColumn(
+        "_hit", F.lit(1)
     )
     joined = shard_bands.join(ledger, ["band_idx", "band_hash"], "left")
     return joined.groupBy(id_col).agg(
@@ -331,6 +335,10 @@ def bucket_pair_expand(
 
     if persist not in ("none", "big", "sized"):
         raise ValueError("persist must be one of: none, big, sized")
+    if max_bucket < 1:
+        # a zero/negative cap would silently route EVERY bucket to the
+        # join path with a NULL salt divisor and emit nothing
+        raise ValueError("max_bucket must be >= 1")
     bl = [F.col(c) for c in bucket_cols]
     keyed = melted.select(*bl, member.alias("_m"))
     sized = keyed.withColumn(
@@ -359,13 +367,16 @@ def bucket_pair_expand(
 
     big = sized.filter(F.col("_bsz") > max_bucket)
     # adaptive salt count: ceil(bucket/max_bucket), constant within a
-    # bucket (the window count is), so block ids are consistent
-    n_salt = (F.floor((F.col("_bsz") - 1) / F.lit(max_bucket)) + 1).cast("int")
+    # bucket (the window count is), so block ids are consistent.
+    # LONG arithmetic throughout: _ns² must not wrap for buckets over
+    # ~46k·max_bucket members (an int _blk would silently collide
+    # distinct blocks and emit duplicate pairs, or abort under ANSI)
+    n_salt = F.floor((F.col("_bsz") - 1) / F.lit(max_bucket)) + 1
     salted = big.select(
         *bl,
         F.col("_m"),
-        n_salt.alias("_ns"),
-        F.pmod(F.hash("_m"), n_salt).alias("_s"),
+        n_salt.cast("long").alias("_ns"),
+        F.pmod(F.hash("_m").cast("long"), n_salt).alias("_s"),
     )
     if persist == "big":
         salted = cache.track(salted)
@@ -386,19 +397,28 @@ def bucket_pair_expand(
         F.col("_s").alias("_sb"),
         F.explode(
             F.transform(
-                F.sequence(F.lit(0), F.col("_s")),
+                F.sequence(F.lit(0).cast("long"), F.col("_s")),
                 lambda i: i * F.col("_ns") + F.col("_s"),
             )
         ).alias("_blk"),
     )
     # unequal salts meet in exactly one orientation (block fixes who is
-    # left); equal salts meet twice, so the id order breaks the tie
+    # left); equal salts meet twice, so the id order breaks the tie.
+    # eqNullSafe bucket keys: the small path's groupBy keeps a NULL
+    # bucket group, so the join path must pair it too — a plain
+    # equi-join would silently drop it and break the identical-output
+    # contract (none of the in-repo callers emit NULL buckets, but the
+    # kernel is public)
+    join_cond = F.col("l._blk") == F.col("r._blk")
+    for c in bucket_cols:
+        join_cond = join_cond & F.col(f"l.{c}").eqNullSafe(F.col(f"r.{c}"))
     big_pairs = (
-        lhs.join(rhs, [*bucket_cols, "_blk"])
-        .filter((F.col("_sa") != F.col("_sb")) | (F.col("_a") < F.col("_b")))
+        lhs.alias("l")
+        .join(rhs.alias("r"), join_cond)
+        .filter((F.col("l._sa") != F.col("r._sb")) | (F.col("l._a") < F.col("r._b")))
         .select(
-            F.least("_a", "_b").alias("_a"),
-            F.greatest("_a", "_b").alias("_b"),
+            F.least("l._a", "r._b").alias("_a"),
+            F.greatest("l._a", "r._b").alias("_b"),
         )
     )
     return small_pairs.unionAll(big_pairs)

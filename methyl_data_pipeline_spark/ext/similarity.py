@@ -35,15 +35,18 @@ def valid_vector(c: Column) -> Column:
     emit zero vectors) and each one breaks a different layer: an empty
     array crashes ``vec[0]`` under ANSI, a zero norm crashes the
     cosine division, a NULL/empty reaching a driver-side
-    ``np.asarray`` goes ragged, and a NaN component DIVERGES
-    cross-engine instead of crashing (DuckDB sorts/compares NaN as
-    greatest — ``NaN >= threshold`` is TRUE there, false in Spark).
-    The DuckDB oracles replay the same four clauses.
+    ``np.asarray`` goes ragged, and a NaN or ±Inf component DIVERGES
+    cross-engine instead of crashing (an Inf norm makes the cosine
+    Inf/Inf = NaN, and DuckDB sorts/compares NaN as greatest —
+    ``NaN >= threshold`` is TRUE there, false in Spark; Spark itself
+    ranks NaN greatest in ORDER BY, polluting top-k). The DuckDB
+    oracles replay the same clauses.
     """
+    inf = float("inf")
     return (
         c.isNotNull()
         & (F.size(c) > 0)
-        & ~F.exists(c, lambda x: x.isNull() | F.isnan(x))
+        & ~F.exists(c, lambda x: x.isNull() | F.isnan(x) | (F.abs(x) == inf))
         & F.exists(c, lambda x: x != 0.0)
     )
 

@@ -180,9 +180,11 @@ def test_similarity_pathological_vectors_dropped(spark):
         (101, []),
         (102, [0.0, 0.0, 0.0, 0.0]),
         (103, [1.0, float("nan"), 0.5, 0.5]),
+        (104, [float("inf"), 0.5, 0.5, 0.5]),
+        (105, [1.0, float("-inf"), 0.5, 0.5]),
     ]
     df = spark.createDataFrame(good + bad, "vec_id long, embedding array<double>")
-    queries = df.filter(F.col("vec_id").isin(0, 100, 101, 102, 103))
+    queries = df.filter(F.col("vec_id").isin(0, 100, 101, 102, 103, 104, 105))
 
     cases = [
         (lambda: cosine_topk_bruteforce(df, queries, k=3), True),
@@ -197,7 +199,9 @@ def test_similarity_pathological_vectors_dropped(spark):
         ids = {r[0] for r in rows} | {r[1] for r in rows}
         if must_produce:
             assert ids, "valid vectors must still produce results"
-        assert not ids & {100, 101, 102, 103}, f"pathological id leaked: {ids}"
+        assert not ids & {100, 101, 102, 103, 104, 105}, (
+            f"pathological id leaked: {ids}"
+        )
 
 
 def test_cosine_topk_matches_numpy(spark):
@@ -1076,6 +1080,8 @@ def test_bucket_pair_expand_mega_bucket_both_paths_identical(spark):
     # 600-bucket: C(600,2); 150-bucket: C(150,2); five 5-member: 5*10
     assert len(pf) == 600 * 599 // 2 + 150 * 149 // 2 + 5 * 10
     assert all(a < b for a, b in pf)
+    with pytest.raises(ValueError, match="max_bucket"):
+        bucket_pair_expand(df, ["bucket"], member, max_bucket=0)
     # the capped plan actually exercises the join path
     assert "Join" in capped._jdf.queryExecution().executedPlan().toString()
 

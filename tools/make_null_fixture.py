@@ -97,6 +97,9 @@ def main() -> None:
     nanvec = list(em.loc[em.index[43], "embedding"])
     nanvec[2] = float("nan")
     em.at[em.index[43], "embedding"] = nanvec
+    infvec = list(em.loc[em.index[47], "embedding"])
+    infvec[0] = float("inf")
+    em.at[em.index[47], "embedding"] = infvec
     schema = pq.read_table(os.path.join(SRC, "embeddings.parquet")).schema
     pq.write_table(
         pa.Table.from_pandas(em, schema=schema, preserve_index=False),
