@@ -4262,7 +4262,8 @@ prior AS (
   SELECT AVG(s2) AS s0_sq, 2.0 * AVG(s2) * AVG(s2) / VAR_SAMP(s2) AS d0
   FROM stats
 )
-SELECT probe_id, n_groups, n_groups - 1 AS df1, df2,
+SELECT probe_id, n_groups, n_groups - 1 AS df1,
+       CAST(df2 AS BIGINT) AS df2,
        CAST(ROUND((s2 + 1e-9) * 1000000) AS BIGINT) AS s2,
        CAST(ROUND((ms_between + 1e-9) * 1000000) AS BIGINT) AS ms_between,
        CAST(ROUND((ms_between / ((d0 * s0_sq + df2 * s2) / (d0 + df2))
@@ -5222,7 +5223,8 @@ SELECT event_type,
                                                   AS grp_median,
        CAST(ROUND((ANY_VALUE(grp_mad) + 1e-9) * 1000000) AS BIGINT)
                                                   AS grp_mad,
-       SUM(CASE WHEN robust_z > 3.0 THEN 1 ELSE 0 END) AS n_outliers,
+       CAST(SUM(CASE WHEN robust_z > 3.0 THEN 1 ELSE 0 END) AS BIGINT)
+                                                  AS n_outliers,
        CAST(ROUND((SUM(CASE WHEN robust_z > 3.0 THEN 1 ELSE 0 END) * 1.0
              / COUNT(*) + 1e-9) * 1000000) AS BIGINT) AS outlier_rate
 FROM flagged GROUP BY event_type ORDER BY event_type
@@ -5345,7 +5347,8 @@ WITH base AS (
   FROM documents
 ),
 per_shard AS (
-  SELECT source, COUNT(*) AS n_docs, SUM(toks) AS total_tokens,
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(toks) AS BIGINT) AS total_tokens,
          COUNT(DISTINCT fp) AS n_unique_bodies,
          COUNT(DISTINCT lang) AS n_langs
   FROM base GROUP BY source
