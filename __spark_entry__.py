@@ -32,11 +32,18 @@ from pyspark.sql import Window
 SF_SMOKE = "/root/testdata/sf0.001"
 
 # Test hook (tests/test_contract_registry.py): a relative perturbation
-# applied to the float inputs of the formerly-driver-red queries
-# (moderated_f's mval, outlier_mad's value) BEFORE their grid-align
-# rounds. The ulp-insensitivity property test sets this to ±1e-13 and
-# asserts the emitted integers do not move — the empirical proof that
-# a libm/FMA-level environment difference cannot flip the outputs.
+# applied to the float inputs of moderated_f's mval / outlier_mad's
+# value BEFORE their grid-align rounds. The ulp-insensitivity property
+# test sets this to ±1e-13 and asserts the emitted integers do not
+# move — proof that a libm/FMA-level environment difference cannot
+# flip the outputs. HISTORICAL NOTE (r9): the r4-r8 driver hash-reds
+# on these queries were NEVER a float problem — the actual cause was
+# DuckDB typing one output column HUGEINT (uncast SUM over integers)
+# against Spark's BIGINT, which a type-sensitive hash rejects even
+# with every value equal (fixed with CASTs; tools/audit_oracle_types.py
+# now forbids the class). The property test stays because the
+# invariant it pins — integer channels insensitive to input ulps — is
+# real and cheap, but it was not the fix-in-waiting r6/r7 hoped.
 _ULP_EPS = 0.0
 
 
@@ -1151,8 +1158,14 @@ def _minhash_mins_sql(num_hashes: int = 8) -> str:
     )
 
 
-def _sql_minhash_sigs() -> str:
-    shingle_cte = r"""
+def _sql_minhash_cte() -> str:
+    """Shared shingle->hash CTE prefix (`WITH w, sh, hsh`) composed by
+    the minhash-family oracles (`_sql_minhash_sigs`,
+    `_sql_minhash_pairs`, `_sql_incremental_neardup`). A dedicated
+    helper, NOT string surgery on a sibling's output: rsplit-ing on a
+    literal 'SELECT doc_id' silently corrupts the dependent oracle the
+    day the shared text is reworded (ADVICE r8)."""
+    return r"""
 WITH w AS (
   SELECT doc_id,
          string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
@@ -1173,7 +1186,13 @@ hsh AS (
   FROM sh
 )
 """
-    return f"{shingle_cte}\nSELECT doc_id,\n       {_minhash_mins_sql(8)}\nFROM hsh ORDER BY doc_id"
+
+
+def _sql_minhash_sigs() -> str:
+    return (
+        f"{_sql_minhash_cte()}\n"
+        f"SELECT doc_id,\n       {_minhash_mins_sql(8)}\nFROM hsh ORDER BY doc_id"
+    )
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1187,7 +1206,7 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_minhash_pairs() -> str:
-    base = _sql_minhash_sigs().rsplit("SELECT doc_id", 1)[0]
+    base = _sql_minhash_cte()
     bands = "\nUNION ALL\n".join(
         f"SELECT doc_id, {b} AS band_idx, md5(CAST(mh_{2*b} AS VARCHAR) || '_' || CAST(mh_{2*b+1} AS VARCHAR)) AS band_hash FROM sigs"
         for b in range(4)
@@ -4192,6 +4211,9 @@ def q_moderated_f(spark: SparkSession, sf_dir: str) -> DataFrame:
     # GLOBAL EB prior, where one ulp shifts every f_mod. Grid-aligned
     # inputs make both engines aggregate the SAME doubles; the
     # moment_round=9 and 1e4-scale f_mod gates absorb what remains.
+    # (This hardening did NOT cause the r4-r8 driver reds — that was
+    # the oracle's HUGEINT df2 column, cast to BIGINT in r9 — but it
+    # stays: same-doubles aggregation is the correct parity posture.)
     meth = _meth(spark, sf_dir).withColumn(
         "mval",
         F.round(model.mvalue("beta") * F.lit(1.0 + _ULP_EPS), 9),
@@ -4501,7 +4523,7 @@ def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_incremental_neardup() -> str:
-    base = _sql_minhash_sigs().rsplit("SELECT doc_id", 1)[0]
+    base = _sql_minhash_cte()
     bands = "\nUNION ALL\n".join(
         f"SELECT doc_id, {b} AS band_idx,"
         f" md5(CAST(mh_{2*b} AS VARCHAR) || '_' || CAST(mh_{2*b+1} AS VARCHAR))"
@@ -5179,8 +5201,10 @@ def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("value", F.col("value") * F.lit(1.0 + _ULP_EPS))
     )
     out = mad_outlier_summary(ev, "value", ["event_type"], c=3.0)
-    # scaled-integer outputs (_ri): r5 was bit-identical to DuckDB
-    # locally yet hash-red on the driver — floats leave the channel
+    # scaled-integer outputs (_ri): floats leave the channel. (The
+    # r4-r8 "bit-identical locally yet hash-red on the driver" mystery
+    # was the oracle's uncast SUM(CASE...) -> HUGEINT n_outliers, not
+    # floats; BIGINT cast landed r9 with a registry-wide type audit.)
     return out.select(
         "event_type",
         "n",

@@ -87,7 +87,11 @@ def flag_regressions(
 ) -> tuple[list[str], dict[str, dict]]:
     """(regressions, overlap_test_record). Pure so the seeded-slowdown
     pytest can trip it without a bench run."""
-    overlap_test: dict[str, dict] = {}
+    overlap_test: dict[str, object] = {}
+    if "__prev_unreadable__" in prev_spread:
+        # degraded mode must be VISIBLE in the committed record, not a
+        # silently-empty overlap test (ADVICE r8)
+        overlap_test["__status__"] = "prev_unreadable"
     flagged = set(failures)
     for q, r in deltas.items():
         if r > REGRESSION_FLAG:
@@ -124,8 +128,17 @@ def _previous_spreads(prev_name: str | None) -> dict[str, list[float]]:
         merged = dict(rec.get("extended_spread") or {})
         merged.update(rec.get("spread") or {})
         return merged
-    except Exception:
-        return {}
+    except Exception as exc:
+        # a swallowed load failure would silently DISABLE the
+        # spread-disjoint soft flag for the whole round — the exact
+        # regression class it exists to catch (ADVICE r8); make the
+        # degraded mode visible in stderr and in the details record
+        print(
+            f"# spread-overlap test disabled: previous details "
+            f"{prev_name} unreadable ({exc})",
+            file=sys.stderr,
+        )
+        return {"__prev_unreadable__": [float("nan"), float("nan")]}
 
 # Timed after HEADLINE and reported under "extended": keeps the
 # headline total comparable round-over-round (the continuity signal)

@@ -361,8 +361,16 @@ def bucket_pair_expand(
             ),
         )
     )
-    small_pairs = small.select(F.explode(expand).alias("_p")).select(
-        "_p._a", "_p._b"
+    # _a != _b: if the unique-leading-id precondition is violated
+    # (duplicate member structs in one bucket), array_sort makes the
+    # duplicates adjacent and the expansion would emit (x, x) self-
+    # pairs — which the join path suppresses (equal struct -> equal
+    # hash -> equal salt -> the l._a < r._b tiebreak fails). The guard
+    # keeps the two paths' identical-output contract even off-contract.
+    small_pairs = (
+        small.select(F.explode(expand).alias("_p"))
+        .filter(F.col("_p._a") != F.col("_p._b"))
+        .select("_p._a", "_p._b")
     )
 
     big = sized.filter(F.col("_bsz") > max_bucket)
@@ -602,7 +610,7 @@ def simhash_hamming_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    bits: int = 32,
+    bits: int = 64,
     bands: int = 4,
     max_hamming: int = 3,
     max_bucket: int = 4096,
@@ -631,11 +639,15 @@ def simhash_hamming_pairs(
     SIZE THE BANDS TO THE CORPUS: each band has only ``2^(bits/bands)``
     possible values, so once ``n_docs >> 2^(bits/bands)`` EVERY bucket
     overflows uniformly and the candidate set goes quadratic — the r8
-    100x probe measured the toy 32-bit/8-bit-band default drowning in
+    100x probe measured the toy 32-bit/8-bit-band config drowning in
     ~2 billion candidates at 500k docs (256 buckets x ~2000 docs each),
     while ``bits=64, bands=4`` (16-bit bands, the Manku et al. WWW'07
-    shape) stays candidate-sparse. Rule of thumb: pick bits/bands so
-    that ``2^(bits/bands)`` is at least ~n_docs/100.
+    shape) stays candidate-sparse — which is why 64/4 IS the default
+    (flipped in r9; a default that saturates at 500k docs is the wrong
+    default for a 100 TB engine, however well-documented). Pass
+    ``bits=32`` explicitly for the legacy narrow signature. Rule of
+    thumb: pick bits/bands so ``2^(bits/bands)`` is at least
+    ~n_docs/100.
     """
     if not (0 <= max_hamming < bands):
         raise ValueError("banding is lossless only for max_hamming <= bands-1")

@@ -1221,7 +1221,11 @@ def threshold_sweep(
     n_pos_total`` — divide client-side for precision
     (``n_true_pos / n_kept``) and recall (``n_true_pos /
     n_pos_total``). NULL scores and NULL labels are dropped
-    (unrankable / unevaluable rows cannot enter the curve).
+    (unrankable / unevaluable rows cannot enter the curve). The label
+    is normalized through BOOLEAN (any truthy value counts as exactly
+    1): summing a raw integer label would silently inflate
+    ``n_true_pos`` — and drive ``n_false_pos`` negative — the moment
+    someone passes a 1-5 quality grade as the gold column.
     """
     from pyspark.sql import Window
 
@@ -1229,7 +1233,7 @@ def threshold_sweep(
         F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
     ).select(
         F.col(score_col).alias("threshold"),
-        F.col(label_col).cast("long").alias("_pos"),
+        F.col(label_col).cast("boolean").cast("long").alias("_pos"),
     )
     per_score = labeled.groupBy("threshold").agg(
         F.count(F.lit(1)).cast("long").alias("_n"),

@@ -50,3 +50,27 @@ def test_missing_prev_spread_stays_conservative():
     regs, overlap = flag_regressions({"q": 1.29}, {"q": [2.0, 2.1]}, {}, [])
     assert regs == []
     assert overlap == {}
+
+
+def test_unreadable_prev_details_is_visible_not_silent(tmp_path, capsys):
+    """ADVICE r8: a corrupt previous details file must not silently
+    disable the soft flag — _previous_spreads warns and returns the
+    sentinel, and flag_regressions records degraded mode."""
+    import os
+
+    import bench
+    from bench import _previous_spreads
+
+    corrupt = tmp_path / "BENCH_DETAILS_r98.json"
+    corrupt.write_text("{not json")
+    orig = os.path.dirname(os.path.abspath(bench.__file__))
+    try:
+        bench.__file__ = str(tmp_path / "bench.py")
+        spreads = _previous_spreads("BENCH_DETAILS_r98.json")
+    finally:
+        bench.__file__ = os.path.join(orig, "bench.py")
+    assert "__prev_unreadable__" in spreads
+    assert "spread-overlap test disabled" in capsys.readouterr().err
+    regs, overlap = flag_regressions({"q": 1.29}, {"q": [2.0, 2.1]}, spreads, [])
+    assert regs == []
+    assert overlap["__status__"] == "prev_unreadable"

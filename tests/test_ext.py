@@ -123,7 +123,8 @@ def test_simhash_hamming_pairs_lossless_banding(spark):
     rows.append((120, None))
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {(r.id_a, r.id_b, r.hamming)
-           for r in simhash_hamming_pairs(df, bands=4, max_hamming=3).collect()}
+           for r in simhash_hamming_pairs(df, bits=32, bands=4,
+                                          max_hamming=3).collect()}
     sh = {r.doc_id: r.simhash for r in simhash(df).collect()}
     brute = {
         (a, b, bin(sh[a] ^ sh[b]).count("1"))
@@ -1013,6 +1014,16 @@ def test_threshold_sweep_hand_computed(spark):
     assert (got[2].n_kept, got[2].n_true_pos) == (3, 2)
     assert (got[1].n_kept, got[1].n_true_pos, got[1].n_false_pos) == (6, 4, 2)
     assert all(r.n_pos_total == 4 for r in got.values())
+    # non-0/1 integer labels (a 1-5 quality grade) normalize through
+    # boolean: any truthy grade counts as exactly 1 true-positive —
+    # summing the raw grade would inflate n_true_pos past n_kept and
+    # drive n_false_pos negative
+    graded = spark.createDataFrame(
+        [(2, 5), (2, 3), (2, 0), (1, 4)], "score long, label long"
+    )
+    g = {r.threshold: r for r in threshold_sweep(graded, "score", "label").collect()}
+    assert (g[2].n_kept, g[2].n_true_pos, g[2].n_false_pos) == (3, 2, 1)
+    assert g[1].n_pos_total == 3 and g[1].n_false_pos == 1
 
 
 def test_incremental_neardup_gate(spark):
@@ -1084,6 +1095,27 @@ def test_bucket_pair_expand_mega_bucket_both_paths_identical(spark):
         bucket_pair_expand(df, ["bucket"], member, max_bucket=0)
     # the capped plan actually exercises the join path
     assert "Join" in capped._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucket_pair_expand_duplicate_members_no_self_pairs(spark):
+    """Off-contract input (duplicate member structs in one bucket —
+    the documented unique-leading-id precondition violated): the small
+    HOF path must NOT emit (x, x) self-pairs, because the join path
+    suppresses them (equal struct -> equal salt -> the l._a < r._b
+    tiebreak fails) and the two paths promise identical output."""
+    from methyl_data_pipeline_spark.ext.dedup import bucket_pair_expand
+
+    rows = [(1, "b"), (1, "b"), (2, "b"), (3, "b"), (3, "b"), (9, "solo")]
+    df = spark.createDataFrame(rows, "id long, bucket string")
+    member = F.struct(F.col("id").alias("id"))
+
+    def pairs(d):
+        return sorted((r["_a"]["id"], r["_b"]["id"]) for r in d.collect())
+
+    small = pairs(bucket_pair_expand(df, ["bucket"], member, max_bucket=100))
+    joined = pairs(bucket_pair_expand(df, ["bucket"], member, max_bucket=2))
+    assert all(a != b for a, b in small)
+    assert set(small) == set(joined) == {(1, 2), (1, 3), (2, 3)}
 
 
 def test_minhash_pairs_mega_bucket_cap_identical(spark):

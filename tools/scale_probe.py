@@ -114,10 +114,12 @@ def build_ops(spark, docs_path: str, ev_path: str, factor: int):
         )
 
     return {
-        "simhash_pairs": lambda: simhash_hamming_pairs(docs).count(),
-        # the scale configuration: 16-bit bands stay candidate-sparse
-        # where the toy 8-bit default drowns at 500k docs (see the
-        # simhash_hamming_pairs docstring band-sizing rule)
+        # legacy narrow config, pinned explicitly (the DEFAULT is now
+        # bits=64 — r9 flip): 8-bit bands drown at 500k docs, which is
+        # exactly what this probe exists to show against _64 below
+        "simhash_pairs": lambda: simhash_hamming_pairs(docs, bits=32).count(),
+        # the scale configuration (now also the default): 16-bit bands
+        # stay candidate-sparse (see the docstring band-sizing rule)
         "simhash_pairs_64": lambda: simhash_hamming_pairs(
             docs, bits=64, bands=4
         ).count(),
