@@ -5611,38 +5611,47 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness records only the
-    # FIRST 50 entries in dict order. ROUND-8 ROTATION (VERDICT r7
-    # #1): the 15 oracled queries that have NEVER produced a
-    # driver-side green rotate IN — the 11 new-in-r7 operators
-    # (length_batches, split_leakage, budget_select, simhash_pairs,
-    # vocab_coverage, temperature_sample, funnel, cohort_retention,
-    # exact_substring, skew_report, split_contamination), the three
-    # formerly-environment-red float queries hardened in r7
-    # (moderated_f, outlier_mad, corpus_report), and column_digests,
-    # which MUST ride in the same window as those three so a driver
-    # hash miss localizes to a (query, column) instead of a whole-row
-    # mystery. Rotated OUT: 15 multiply-proven occupants, each with
-    # 3-7 prior driver greens (see QUERIES.md's green-rounds table):
-    # pricing_summary, meth_variance_topk, meth_moderated_t,
-    # meth_contrasts, poobah_ecdf, bh_adjust_scalable,
-    # multimodal_features, bh_adjust, health_report, combat_priors,
-    # sample_corr, contract_report, hash_split, mixture_sample,
-    # lang_id_ngram. Queries whose implementation CHANGED this round
-    # (minhash_pairs bucket cap, incremental_dedup NULL fix,
-    # dmr_regions fused window) stay in-window to re-certify.
+    # FIRST 50 entries in dict order. ROUND-9 WINDOW POLICY (VERDICT
+    # r8 #5): with every oracled query now driver-certifiable, the
+    # window shifts from "first evidence" to "re-certify what changed,
+    # then lowest-green-count first". Composition:
+    #   (a) changed in r9 — the three HUGEINT-cast oracles
+    #       (moderated_f, outlier_mad, corpus_report) + their
+    #       column_digests localizer; threshold_sweep (boolean label
+    #       normalization); every query routed through
+    #       bucket_pair_expand, whose small path gained the
+    #       struct-equal self-pair guard (minhash_pairs, simhash_pairs
+    #       — also the 64-bit default flip — simhash64_pairs,
+    #       embedding_neardup, dedup_clusters, ngram_jaccard);
+    #       incremental_neardup (oracle recomposed on the shared
+    #       _sql_minhash_cte helper);
+    #   (b) every 1-green query (first-certified r8, never re-proven);
+    #   (c) the 2-green pair, then 3-green entries to fill 50 —
+    #       minhash_signatures/simhash lead as context for (a).
+    # Rotated OUT vs r8: incremental_dedup, dmr_regions,
+    # bloom_decontaminate, quantile_normalize, sketch_cert, the
+    # combat/bmiq certificates, methyl_pipeline_chain, stream_curate
+    # tail etc. — all 4-5 greens, code untouched this round,
+    # re-verified every round by tools/check_oracle.py on two fixtures.
     return {
-        # rotated IN r8 (VERDICT r7 #1): the three float queries +
-        # their per-column localizer, hardened r7 (grid-aligned
-        # inputs, ±1e-13 ulp property test, NULL-safe ordering)
+        # (a) changed in r9
         "moderated_f": q_moderated_f,
         "outlier_mad": q_outlier_mad,
         "corpus_report": q_corpus_report,
         "column_digests": q_column_digests,
-        # rotated IN r8 (VERDICT r7 #1): the 11 r7 operators
+        "threshold_sweep": q_threshold_sweep,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "simhash64_pairs": q_simhash64_pairs,
+        "embedding_neardup": q_embedding_neardup,
+        "dedup_clusters": q_dedup_clusters,
+        "ngram_jaccard": q_ngram_jaccard,
+        "incremental_neardup": q_incremental_neardup,
+        # (b) 1 driver green each (first certified r8 or earlier,
+        # never re-proven)
         "length_batches": q_length_batches,
         "split_leakage": q_split_leakage,
         "budget_select": q_budget_select,
-        "simhash_pairs": q_simhash_pairs,
         "vocab_coverage": q_vocab_coverage,
         "temperature_sample": q_temperature_sample,
         "funnel": q_funnel,
@@ -5650,97 +5659,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_substring": q_exact_substring,
         "skew_report": q_skew_report,
         "split_contamination": q_split_contamination,
-        # changed r8 (bucket cap / NULL fix / fused window) —
-        # in-window to re-certify under the new code paths
-        "minhash_pairs": q_minhash_pairs,
-        "incremental_dedup": q_incremental_dedup,
-        "dmr_regions": q_dmr_regions,
-        # NEW r8 operators — integer-channel outputs (no float-driver
-        # risk), both-fixture + partition-stress green; in-window so
-        # their first driver evidence lands this round. Slots yielded
-        # by combat_onestep / pca_gram / curation_pipeline (4 greens
-        # each; the fixed point, eigen certificate, and curation chain
-        # stay covered in-window by combat_twostep/combat_converged,
-        # pca_eigen_cert, and corpus_pipeline/stream_curate)
-        "simhash64_pairs": q_simhash64_pairs,
-        "incremental_neardup": q_incremental_neardup,
-        "threshold_sweep": q_threshold_sweep,
-        # retained window occupants (1-3 prior greens each)
-        "bloom_decontaminate": q_bloom_decontaminate,
-        "quantile_normalize": q_quantile_normalize,
-        "sketch_cert": q_sketch_cert,
-        # deterministic-prefix / chain oracles
-        "combat_twostep": q_combat_twostep,
-        "combat_converged": q_combat_converged,
-        "bmiq_prefix": q_bmiq_prefix,
-        "bmiq_mstep_cert": q_bmiq_mstep_cert,
-        "methyl_pipeline_chain": q_methyl_pipeline_chain,
-        "corpus_pipeline": q_corpus_pipeline,
-        "stream_curate": q_stream_curate,
-        "layout_cert": q_layout_cert,
-        "stream_interval_join": q_stream_interval_join,
-        "pii_redact": q_pii_redact,
-        "quality_filter": q_quality_filter,
-        "unigram_logprob": q_unigram_logprob,
-        "decontaminate": q_decontaminate,
-        "sample_stratified": q_sample_stratified,
-        "perplexity_buckets": q_perplexity_buckets,
-        "chunk_documents": q_chunk_documents,
-        "pca_eigen_cert": q_pca_eigen_cert,
-        "bh_grouped": q_bh_grouped,
-        "hot_ngrams": q_hot_ngrams,
-        "snapshot_diff": q_snapshot_diff,
-        "combat_cov_prefix": q_combat_cov_prefix,
-        "segment_dedup": q_segment_dedup,
-        "dedup_best": q_dedup_best,
-        "events_sliding": q_events_sliding,
-        "bm25_rank": q_bm25_rank,
-        "frame_sample": q_frame_sample,
-        # ---- slot 51+ (past the driver's 50-entry window) ----
-        # demoted r8 (VERDICT r7 #1): multiply-proven queries, each
-        # with 3-7 driver greens across r1-r7 (table in QUERIES.md);
-        # tools/check_oracle.py re-verifies them every round
-        "pricing_summary": q_pricing_summary,
-        "meth_variance_topk": q_meth_variance_topk,
-        "meth_moderated_t": q_meth_moderated_t,
-        "meth_contrasts": q_meth_contrasts,
-        "poobah_ecdf": q_poobah_ecdf,
-        "bh_adjust_scalable": q_bh_adjust_scalable,
-        "multimodal_features": q_multimodal_features,
-        "bh_adjust": q_bh_adjust,
-        "health_report": q_health_report,
-        "combat_priors": q_combat_priors,
-        "sample_corr": q_sample_corr,
-        "contract_report": q_contract_report,
-        "hash_split": q_hash_split,
-        "mixture_sample": q_mixture_sample,
-        "lang_id_ngram": q_lang_id_ngram,
-        # demoted r8 (slots yielded to the new r8 operators): 4 driver
-        # greens each, coverage duplicated by in-window siblings
-        "combat_onestep": q_combat_onestep,
-        "pca_gram": q_pca_gram,
-        "curation_pipeline": q_curation_pipeline,
-        # demoted r6: driver-green r5, untouched since
-        "clean_text": q_clean_text,
-        # demoted r5: driver-green in CORRECTNESS_r01-r04, untouched
-        "ngram_jaccard": q_ngram_jaccard,
-        "embedding_neardup": q_embedding_neardup,
-        "ivf_ann": q_ivf_ann,
-        "dedup_clusters": q_dedup_clusters,
-        "meth_qc_detp": q_meth_qc_detp,
-        "meth_complete_probes": q_meth_complete_probes,
-        "meth_group_delta": q_meth_group_delta,
-        # demoted r5: driver-green in CORRECTNESS_r04, untouched since
         "domain_mix": q_domain_mix,
         "repetition_signals": q_repetition_signals,
         "sequence_packing": q_sequence_packing,
+        "similarity_lsh": q_similarity_lsh,
+        # (c) 2 greens
+        "clean_text": q_clean_text,
+        "ivf_ann": q_ivf_ann,
+        # (c) 3 greens — minhash_signatures/simhash first (shared-CTE
+        # / 32-bit-pin context for the group-(a) dedup queries)
+        "minhash_signatures": q_minhash_signatures,
+        "simhash": q_simhash,
+        "corpus_pipeline": q_corpus_pipeline,
+        "stream_curate": q_stream_curate,
+        "layout_cert": q_layout_cert,
+        "bm25_rank": q_bm25_rank,
         "quantiles": q_quantiles,
         "histogram": q_histogram,
         "ecdf_percent_rank": q_ecdf,
         "union_halves": q_union_halves,
-        # demoted r4: long-stable queries, each driver-green in
-        # CORRECTNESS_r01-r03; tools/check_oracle.py re-verifies
-        # them every round
         "top_revenue_orders": q_top_revenue_orders,
         "join_full_outer": q_join_full_outer,
         "semi_anti_membership": q_semi_anti,
@@ -5753,6 +5690,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_window": q_running_window,
         "join_chain": q_join_chain,
         "agg_minmax": q_agg_minmax,
+        # ---- slot 51+ (past the driver's 50-entry window) ----
+        # 3 greens each, untouched this round; re-verified every round
+        # by tools/check_oracle.py on the sf0.01 and NULL fixtures
         "collect_list": q_collect_list,
         "kde_density": q_kde_density,
         "rename_lookup": q_rename_lookup,
@@ -5760,20 +5700,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_counts": q_rollup,
         "sample_projection": q_sample_projection,
         "text_tokens": q_text_tokens,
-        "minhash_signatures": q_minhash_signatures,
         "sessionize": q_sessionize,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "tfidf_top_terms": q_tfidf_top_terms,
         "fingerprint_dedup": q_fingerprint_dedup,
         "winnowing": q_winnowing,
-        "simhash": q_simhash,
         "embedding_cosine_topk": q_embedding_cosine_topk,
-        "similarity_lsh": q_similarity_lsh,
         "events_windowed": q_events_windowed,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "heatmap_prep": q_heatmap_prep,
+        # 4 greens each
+        "incremental_dedup": q_incremental_dedup,
+        "dmr_regions": q_dmr_regions,
+        "bloom_decontaminate": q_bloom_decontaminate,
+        "quantile_normalize": q_quantile_normalize,
+        "sketch_cert": q_sketch_cert,
+        "combat_twostep": q_combat_twostep,
+        "combat_converged": q_combat_converged,
+        "bmiq_mstep_cert": q_bmiq_mstep_cert,
+        "stream_interval_join": q_stream_interval_join,
+        "pii_redact": q_pii_redact,
+        "quality_filter": q_quality_filter,
+        "unigram_logprob": q_unigram_logprob,
+        "decontaminate": q_decontaminate,
+        "sample_stratified": q_sample_stratified,
+        "perplexity_buckets": q_perplexity_buckets,
+        "chunk_documents": q_chunk_documents,
+        "pca_eigen_cert": q_pca_eigen_cert,
+        "bh_grouped": q_bh_grouped,
+        "hot_ngrams": q_hot_ngrams,
+        "snapshot_diff": q_snapshot_diff,
+        "sample_corr": q_sample_corr,
+        "contract_report": q_contract_report,
+        "hash_split": q_hash_split,
+        "mixture_sample": q_mixture_sample,
+        "lang_id_ngram": q_lang_id_ngram,
+        "combat_onestep": q_combat_onestep,
+        "pca_gram": q_pca_gram,
+        "curation_pipeline": q_curation_pipeline,
+        "meth_qc_detp": q_meth_qc_detp,
+        "meth_complete_probes": q_meth_complete_probes,
+        "meth_group_delta": q_meth_group_delta,
+        # 5 greens each
+        "bmiq_prefix": q_bmiq_prefix,
+        "methyl_pipeline_chain": q_methyl_pipeline_chain,
+        "combat_cov_prefix": q_combat_cov_prefix,
+        "segment_dedup": q_segment_dedup,
+        "dedup_best": q_dedup_best,
+        "events_sliding": q_events_sliding,
+        "frame_sample": q_frame_sample,
+        "bh_adjust": q_bh_adjust,
+        "health_report": q_health_report,
+        "combat_priors": q_combat_priors,
+        # 7 greens each (the multiply-proven r1 originals)
+        "pricing_summary": q_pricing_summary,
+        "meth_variance_topk": q_meth_variance_topk,
+        "meth_moderated_t": q_meth_moderated_t,
+        "meth_contrasts": q_meth_contrasts,
+        "poobah_ecdf": q_poobah_ecdf,
+        "bh_adjust_scalable": q_bh_adjust_scalable,
+        "multimodal_features": q_multimodal_features,
         # non-SQL-expressible (rows-only; see each docstring). Each
         # got its one-time driver rows+schema recording in r5/r6; the
         # driver harness errors (`no_oracle`) rather than certifying

@@ -144,11 +144,78 @@ def build_ops(spark, docs_path: str, ev_path: str, factor: int):
     }
 
 
+def ledger_growth(spark, runs: int, factors=(1, 10, 100)) -> None:
+    """VERDICT r8 #6: the r8 probe grew the CORPUS at a fixed
+    ledger/shard ratio; the operational risk at a continuous crawl is
+    the LEDGER growing while the shard stays fixed. Here the shard is
+    pinned (a 10% slice of the 1x docs) and only the ledger scales:
+    each ledger is materialized UNTIMED — both as plain parquet and as
+    a band_hash-bucketed+sorted table (the 100 TB layout the
+    minhash_band_ledger docstring claims) — then the probe join is
+    timed against each. Shard-dominated = the bucketed slope stays far
+    below the ledger's growth factor."""
+    from pyspark.sql import functions as F
+
+    from methyl_data_pipeline_spark.ext.dedup import (
+        incremental_neardup,
+        minhash_band_ledger,
+    )
+
+    shard = spark.read.parquet(f"{SF_DIR}/documents.parquet").filter(
+        F.col("doc_id") % 10 == 3
+    )
+    shard_n = shard.count()
+
+    def timed(fn):
+        ts = []
+        fn()  # warm
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        return ts[len(ts) // 2]
+
+    print(f"shard fixed at {shard_n} docs; ledger grows")
+    print("factor\tledger_rows\tt_parquet(s)\tt_bucketed(s)")
+    base = None
+    for f in factors:
+        docs_path, _ = replicate(spark, f) if f > 1 else (
+            f"{SF_DIR}/documents.parquet", None,
+        )
+        lpath = f"{WORK}/ledger_x{f}"
+        tbl = f"ledger_x{f}"
+        if not os.path.exists(f"{lpath}/_SUCCESS"):
+            led = minhash_band_ledger(spark.read.parquet(docs_path))
+            led.write.mode("overwrite").parquet(lpath)
+        ledger_pq = spark.read.parquet(lpath)
+        n_rows = ledger_pq.count()
+        if not spark.catalog.tableExists(tbl):
+            # the 100 TB layout: pre-shuffled on the join key, so the
+            # probe pays NO ledger-side exchange (bucketed SMJ)
+            spark.read.parquet(lpath).write.bucketBy(
+                32, "band_hash"
+            ).sortBy("band_hash").mode("overwrite").saveAsTable(tbl)
+        ledger_bk = spark.table(tbl)
+        t_pq = timed(lambda: incremental_neardup(shard, ledger_pq).count())
+        t_bk = timed(lambda: incremental_neardup(shard, ledger_bk).count())
+        if base is None:
+            base = (t_pq, t_bk)
+        print(
+            f"{f}x\t{n_rows}\t{t_pq:.2f} ({t_pq / base[0]:.1f}x)"
+            f"\t{t_bk:.2f} ({t_bk / base[1]:.1f}x)"
+        )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=100)
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--fresh", action="store_true", help="rebuild replicas")
+    ap.add_argument(
+        "--ledger-growth", action="store_true",
+        help="fixed shard vs 1x/10x/100x ledger (VERDICT r8 #6)",
+    )
     ap.add_argument("ops", nargs="*")
     args = ap.parse_args()
     if args.fresh and os.path.exists(WORK):
@@ -160,6 +227,10 @@ def main() -> None:
     spark = get_session(
         "scale_probe", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
     )
+    if args.ledger_growth:
+        ledger_growth(spark, args.runs)
+        spark.stop()
+        return
     docs100, ev100 = replicate(spark, args.factor)
     base = {
         "docs": f"{SF_DIR}/documents.parquet",
