@@ -1418,6 +1418,128 @@ FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
 """
 
 
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization certificate (new r9,
+    ext.similarity.quantize_embeddings): per vector the max-abs scale
+    and a stable scalar projection of the quantized codes (first four
+    components + L1 norm) — the storage scale path that quarters
+    ANN scan/shuffle bytes at 100 TB. Round-half-up via floor is the
+    engine-stable rounding; the oracle replays it exactly."""
+    from methyl_data_pipeline_spark.ext.similarity import quantize_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(emb)
+    return q.select(
+        "vec_id",
+        _r(F.col("scale")).alias("scale_r"),
+        F.col("qvec")[0].cast("long").alias("q0"),
+        F.col("qvec")[1].cast("long").alias("q1"),
+        F.col("qvec")[2].cast("long").alias("q2"),
+        F.col("qvec")[3].cast("long").alias("q3"),
+        F.aggregate(
+            F.col("qvec"),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.abs(x).cast("long"),
+        ).alias("q_l1"),
+    ).orderBy("vec_id")
+
+
+SQL_QUANTIZE_EMBEDDINGS = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  WHERE {_sql_valid_vec('embedding')}
+),
+s AS (
+  SELECT vec_id, e,
+         list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+  FROM v
+),
+q AS (
+  SELECT vec_id, scale,
+         list_transform(e, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS qv
+  FROM s
+)
+SELECT vec_id, ROUND(scale + 1e-9, 6) AS scale_r,
+       qv[1] AS q0, qv[2] AS q1, qv[3] AS q2, qv[4] AS q3,
+       CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1
+FROM q ORDER BY vec_id
+"""
+
+
+def q_quant_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantization recall@10 (new r9,
+    ext.similarity.quantization_recall): for 20 sampled query vectors,
+    how many exact float top-10 cosine neighbors survive in the top-10
+    over the int8-quantized codes (scales cancel for cosine, so this
+    isolates pure quantization error). Integer channels only."""
+    from methyl_data_pipeline_spark.ext.similarity import quantization_recall
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    return quantization_recall(emb, queries, k=10).orderBy("query_id")
+
+
+SQL_QUANT_RECALL = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+  WHERE {_sql_valid_vec('embedding')}
+),
+q AS (SELECT vec_id AS query_id, ev AS qv FROM e WHERE vec_id % 25 = 0),
+xp AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_sum(list_transform(generate_series(1, len(q.qv)),
+                                 i -> q.qv[i] * e.ev[i]))
+           / (sqrt(list_sum(list_transform(q.qv, x -> x * x)))
+              * sqrt(list_sum(list_transform(e.ev, x -> x * x)))) AS c
+  FROM q CROSS JOIN e WHERE e.vec_id != q.query_id
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY c DESC, neighbor_id ASC) AS rank
+    FROM xp
+  ) WHERE rank <= 10
+),
+z AS (
+  SELECT vec_id,
+         list_transform(
+           ev,
+           x -> CAST(floor(
+                  x / (list_max(list_transform(ev, y -> abs(y))) / 127.0)
+                  + 0.5) AS DOUBLE)) AS zv
+  FROM e
+),
+zq AS (SELECT vec_id AS query_id, zv AS qzv FROM z WHERE vec_id % 25 = 0),
+zp AS (
+  SELECT zq.query_id, z.vec_id AS neighbor_id,
+         list_sum(list_transform(generate_series(1, len(zq.qzv)),
+                                 i -> zq.qzv[i] * z.zv[i]))
+           / (sqrt(list_sum(list_transform(zq.qzv, x -> x * x)))
+              * sqrt(list_sum(list_transform(z.zv, x -> x * x)))) AS c
+  FROM zq CROSS JOIN z WHERE z.vec_id != zq.query_id
+),
+aprx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY c DESC, neighbor_id ASC) AS rank
+    FROM zp
+  ) WHERE rank <= 10
+)
+SELECT ex.query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(SUM(CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_overlap,
+       CAST(ROUND((SUM(CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                   * 1.0 / COUNT(*) + 1e-9) * 1000000) AS BIGINT) AS recall_ri
+FROM exact ex
+LEFT JOIN aprx ap
+  ON ex.query_id = ap.query_id AND ex.neighbor_id = ap.neighbor_id
+GROUP BY ex.query_id ORDER BY ex.query_id
+"""
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage near-dup dedup: MinHash-LSH band candidates verified
     with exact word-3-gram Jaccard >= 0.8 (ext.dedup.ngram_jaccard_pairs)."""
@@ -5663,6 +5785,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals": q_repetition_signals,
         "sequence_packing": q_sequence_packing,
         "similarity_lsh": q_similarity_lsh,
+        # NEW r9 operators — integer/proven channels, first driver
+        # evidence lands this round (slots yielded by join_chain /
+        # agg_minmax, 3 greens each)
+        "quantize_embeddings": q_quantize_embeddings,
+        "quant_recall": q_quant_recall,
         # (c) 2 greens
         "clean_text": q_clean_text,
         "ivf_ann": q_ivf_ann,
@@ -5688,11 +5815,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_funcs": q_string_funcs,
         "topk_per_group": q_topk_per_group,
         "running_window": q_running_window,
-        "join_chain": q_join_chain,
-        "agg_minmax": q_agg_minmax,
         # ---- slot 51+ (past the driver's 50-entry window) ----
         # 3 greens each, untouched this round; re-verified every round
         # by tools/check_oracle.py on the sf0.01 and NULL fixtures
+        "join_chain": q_join_chain,
+        "agg_minmax": q_agg_minmax,
         "collect_list": q_collect_list,
         "kde_density": q_kde_density,
         "rename_lookup": q_rename_lookup,
@@ -5847,6 +5974,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": _sql_minhash_pairs(),
         "simhash": _sql_simhash(),
         "embedding_cosine_topk": SQL_EMBEDDING_COSINE,
+        "quantize_embeddings": SQL_QUANTIZE_EMBEDDINGS,
+        "quant_recall": SQL_QUANT_RECALL,
         "ngram_jaccard": _sql_ngram_jaccard(),
         "dedup_clusters": _sql_dedup_clusters(),
         "sequence_packing": SQL_SEQUENCE_PACKING,

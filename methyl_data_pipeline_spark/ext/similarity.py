@@ -450,3 +450,131 @@ def lsh_bucketed_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def quantize_embeddings(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+) -> DataFrame:
+    """Symmetric per-vector max-abs integer quantization — the
+    embedding STORAGE scale path: at 100 TB of float32 vectors,
+    int8 + one float scale per vector quarters the bytes every ANN
+    stage has to scan/shuffle, which is usually worth more than any
+    plan change.
+
+    Per vector: ``scale = max(|x|) / (2^(bits-1) - 1)``,
+    ``q_i = floor(x_i / scale + 0.5)`` — round-half-up via ``floor``,
+    deliberately, because it evaluates identically in Spark and DuckDB
+    (each engine's native ``round`` disagrees on tie direction across
+    types). Output: ``(id, scale DOUBLE, qvec ARRAY<INT>)``; the
+    natural formula keeps ``q_i`` in ``[-qmax, qmax]`` (|x|/scale <=
+    qmax, and floor(-qmax + 0.5) = -qmax), so no clamp is needed.
+
+    For COSINE work the scale cancels entirely:
+    ``cos(s_a*q_a, s_b*q_b) = cos(q_a, q_b)`` — so downstream ranking
+    runs on the integer vectors alone and
+    :func:`quantization_recall` is a pure function of ``qvec``.
+
+    Entirely JVM-side HOFs. The per-vector ``scale`` aggregate is
+    bound as a lambda variable through the transform-over-
+    single-element-array idiom — HOF lambdas get NO common-
+    subexpression elimination, so referencing the aggregate directly
+    inside the per-element lambda would recompute the O(d) max-abs
+    scan for every element (O(d^2) per vector).
+
+    Input contract: :func:`valid_vector` (NULL/empty/non-finite/zero
+    vectors drop — a zero vector has no scale).
+    """
+    if not (2 <= bits <= 16):
+        raise ValueError("bits must be in [2, 16]")
+    qmax = 2 ** (bits - 1) - 1
+    valid = valid_vector(F.col(vec_col))
+    vectors = vectors.filter(valid)
+    v = F.col(vec_col).cast("array<double>")
+    scale = (
+        F.aggregate(v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x)))
+        / F.lit(float(qmax))
+    )
+    # the when(valid, ...) is NOT redundant with the filter above:
+    # Catalyst's projection collapse inlines this expression into any
+    # DOWNSTREAM filter predicate (e.g. a consumer's valid_vector
+    # check), which then evaluates it on PRE-filter rows — where a
+    # zero vector gives scale = 0 (ANSI DIVIDE_BY_ZERO) and a NaN
+    # component makes the int cast throw. Guarding the expression
+    # itself makes it null-out instead of erroring wherever Catalyst
+    # chooses to evaluate it; on-contract rows never see the branch.
+    qvec = F.when(
+        valid,
+        F.transform(
+            F.array(scale),
+            lambda s: F.transform(
+                v, lambda x: F.floor(x / s + F.lit(0.5)).cast("int")
+            ),
+        )[0],
+    )
+    return vectors.select(
+        F.col(id_col),
+        scale.alias("scale"),
+        qvec.alias("qvec"),
+    )
+
+
+def quantization_recall(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k certificate for :func:`quantize_embeddings`: per query,
+    how many of the EXACT float top-k cosine neighbors survive in the
+    top-k computed on the quantized integer vectors (scales cancel for
+    cosine, so this isolates pure quantization error). The
+    decide-before-you-migrate measurement: run it on a sample before
+    committing the corpus to int8 storage.
+
+    Output: ``query_id, n_exact, n_overlap, recall_ri`` (recall scaled
+    to an integer channel, x1e6) — all hash-stable integers.
+
+    Both top-k passes are :func:`cosine_topk_bruteforce` plans
+    (broadcast queries, one corpus scan each, per-query window), so
+    the certificate costs exactly two of the baselines it certifies.
+    """
+    exact = cosine_topk_bruteforce(
+        vectors, queries, k=k, id_col=id_col, vec_col=vec_col
+    )
+    # array<double> BEFORE re-entering the top-k (valid_vector's isnan
+    # probe is typed for floating elements; the values stay exact —
+    # every |q_i| <= 32767 is double-representable)
+    def _q(df: DataFrame) -> DataFrame:
+        return quantize_embeddings(
+            df, id_col=id_col, vec_col=vec_col, bits=bits
+        ).select(id_col, F.col("qvec").cast("array<double>").alias("qvec"))
+
+    approx = cosine_topk_bruteforce(
+        _q(vectors), _q(queries), k=k, id_col=id_col, vec_col="qvec"
+    )
+    hit = approx.select(
+        "query_id", F.col("neighbor_id").alias("_hit_id")
+    )
+    joined = exact.join(
+        hit,
+        (exact["query_id"] == hit["query_id"])
+        & (exact["neighbor_id"] == hit["_hit_id"]),
+        "left",
+    ).select(exact["query_id"], "neighbor_id", "_hit_id")
+    out = joined.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact"),
+        F.sum(F.col("_hit_id").isNotNull().cast("long"))
+        .cast("long")
+        .alias("n_overlap"),
+    )
+    return out.withColumn(
+        "recall_ri",
+        F.round(
+            (F.col("n_overlap") / F.col("n_exact") + F.lit(1e-9)) * 1e6
+        ).cast("long"),
+    )

@@ -1549,3 +1549,47 @@ def test_bm25_empty_and_null_inputs(spark):
     got = bm25_rank(corpus, queries, top_k=5).collect()
     assert {r.query_id for r in got} == {0}
     assert [r.doc_id for r in got] == [10]
+
+
+def test_quantize_embeddings_hand_computed(spark):
+    """Known vector: scale = max|x|/127; q_i = floor(x_i/scale + 0.5)
+    (round-half-up via floor — the engine-stable rounding); invalid
+    vectors (NULL / empty / NaN / zero) drop per valid_vector."""
+    import math
+
+    from methyl_data_pipeline_spark.ext.similarity import quantize_embeddings
+
+    rows = [
+        (1, [2.0, -1.0, 0.5]),
+        (2, [0.0, 0.0, 0.0]),          # zero -> dropped
+        (3, None),                      # NULL -> dropped
+        (4, [1.0, float("nan"), 0.0]),  # NaN -> dropped
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.vec_id: r for r in quantize_embeddings(df).collect()}
+    assert set(got) == {1}
+    assert math.isclose(got[1].scale, 2.0 / 127)
+    # 2.0 -> 127; -1.0 -> floor(-63.5+0.5) = -63; 0.5 -> floor(32.25) = 32
+    assert got[1].qvec == [127, -63, 32]
+    with pytest.raises(ValueError):
+        quantize_embeddings(df, bits=1)
+
+
+def test_quantization_recall_perfect_on_separated_vectors(spark):
+    """Well-separated orthogonal-ish vectors: int8 quantization cannot
+    reorder the neighbor ranking, so recall@k is exactly 1.0 and
+    n_overlap == n_exact == min(k, n-1)."""
+    from methyl_data_pipeline_spark.ext.similarity import quantization_recall
+
+    # 3 tight clusters of 3 around orthogonal axes (+ tiny jitter)
+    rows = []
+    for c, axis in enumerate([(1.0, 0.0, 0.0), (0.0, 1.0, 0.0), (0.0, 0.0, 1.0)]):
+        for j in range(3):
+            v = [a + 0.01 * j * (i + 1) for i, a in enumerate(axis)]
+            rows.append((c * 10 + j, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.filter(F.col("vec_id") % 10 == 0)
+    got = {r.query_id: r for r in quantization_recall(df, queries, k=2).collect()}
+    assert set(got) == {0, 10, 20}
+    for r in got.values():
+        assert r.n_exact == 2 and r.n_overlap == 2 and r.recall_ri == 1000000
