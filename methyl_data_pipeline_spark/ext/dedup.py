@@ -551,13 +551,25 @@ def simhash(
     # never vote positive and a "64-bit" signature would silently be
     # 60-bit
     md5s = F.transform(ws, lambda w: F.md5(w))
+    # Vote accumulation is ONE fold over the word array with an
+    # array<int> accumulator (zip_with add of each word's ±1 votes) —
+    # NOT ``bits`` separate aggregates, which re-walk the word array
+    # once per bit (the r8 shape: measured 1.74 s for the 64-bit
+    # signature scan alone at sf0.1; this one-pass fold halves it).
+    # A word's votes come from constant mask arrays (array(lit(1<<b))
+    # — literal arrays fold once; see the big-literals note) tested
+    # with bitwiseAND, equivalent to the old shiftright(h,b)&1 probe.
     if bits <= 60:
         hashes = F.transform(
             md5s, lambda m: F.conv(F.substring(m, 1, 15), 16, 10).cast("long")
         )
+        masks = F.array(*[F.lit(1 << b) for b in range(bits)])
 
-        def hash_bit(h, b: int):
-            return F.shiftright(h, b)
+        def word_votes(h):
+            return F.transform(
+                masks,
+                lambda mk: F.when(h.bitwiseAND(mk) != 0, 1).otherwise(-1),
+            )
 
     else:
         hashes = F.transform(
@@ -567,30 +579,36 @@ def simhash(
                 F.conv(F.substring(m, 16, 15), 16, 10).cast("long").alias("hi"),
             ),
         )
+        lo_masks = F.array(*[F.lit(1 << b) for b in range(60)])
+        hi_masks = F.array(*[F.lit(1 << b) for b in range(bits - 60)])
 
-        def hash_bit(h, b: int):
-            return (
-                F.shiftright(h["lo"], b)
-                if b < 60
-                else F.shiftright(h["hi"], b - 60)
+        def word_votes(h):
+            return F.concat(
+                F.transform(
+                    lo_masks,
+                    lambda mk: F.when(h["lo"].bitwiseAND(mk) != 0, 1).otherwise(-1),
+                ),
+                F.transform(
+                    hi_masks,
+                    lambda mk: F.when(h["hi"].bitwiseAND(mk) != 0, 1).otherwise(-1),
+                ),
             )
 
-    def simhash_of(hs):
+    def votes_of(hs):
         # hs is a BOUND lambda variable: without the binding, the
-        # split+md5 transform tree is copied into each of the ``bits``
-        # aggregates and re-evaluated per bit (no CSE inside HOFs)
-        def bit_vote(b: int):
-            # factory (not default-arg lambda): aggregate's merge fn
-            # must be exactly 2-ary or Spark rejects/misreads it
-            return F.aggregate(
-                hs,
-                F.lit(0),
-                lambda acc, h: acc
-                + F.when(
-                    hash_bit(h, b).bitwiseAND(F.lit(1)) == 1, 1
-                ).otherwise(-1),
-            )
+        # split+md5 transform tree is copied into the fold and
+        # re-evaluated (no CSE inside HOFs)
+        return F.aggregate(
+            hs,
+            F.array_repeat(F.lit(0), bits),
+            lambda acc, h: F.zip_with(acc, word_votes(h), lambda a, v: a + v),
+        )
 
+    def pack(vs):
+        # vs is BOUND too: indexing an unbound votes expression 64x
+        # would re-run the whole fold per bit — exactly the cost this
+        # rewrite removes. Tie semantics preserved: bit set iff the
+        # vote sum >= 0 (the oracle SQL replays the same rule).
         sim = F.lit(0).cast("long")
         for bit in range(bits):
             # bit 63 is the long's sign bit: add its two's-complement
@@ -598,11 +616,13 @@ def simhash(
             # bit_count / shift+mask all work unchanged on negatives
             val = -(2 ** 63) if bit == 63 else 2 ** bit
             sim = sim + F.when(
-                bit_vote(bit) >= 0, F.lit(val).cast("long")
+                vs[bit] >= 0, F.lit(val).cast("long")
             ).otherwise(F.lit(0).cast("long"))
         return sim
 
-    sim = F.transform(F.array(hashes), simhash_of)[0]
+    sim = F.transform(
+        F.array(F.transform(F.array(hashes), votes_of)[0]), pack
+    )[0]
     return df.select(F.col(id_col), sim.alias("simhash"))
 
 
