@@ -1540,6 +1540,65 @@ GROUP BY ex.query_id ORDER BY ex.query_id
 """
 
 
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift monitor (new r9, ext.similarity.embedding_drift):
+    per dimension, the two-snapshot (even vs odd vec_id) count / mean
+    and the two-sample z statistic — "did the embedder change under
+    us?" for a continuously re-embedded corpus. Map-side partial
+    aggregation collapses the exploded n x d stream to d rows per
+    partition before the one shuffle."""
+    from methyl_data_pipeline_spark.ext.similarity import embedding_drift
+
+    emb = _t(spark, sf_dir, "embeddings")
+    d = embedding_drift(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+    )
+    return d.select(
+        "dim",
+        "n_old",
+        "n_new",
+        _r(F.col("mean_old")).alias("mean_old_r"),
+        _r(F.col("mean_new")).alias("mean_new_r"),
+        _r(F.col("drift_z")).alias("drift_z_r"),
+    ).orderBy("dim")
+
+
+SQL_EMBEDDING_DRIFT = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+  WHERE {_sql_valid_vec('embedding')}
+),
+x AS (
+  SELECT vec_id % 2 = 0 AS is_old,
+         unnest(generate_series(1, len(ev))) - 1 AS dim,
+         unnest(ev) AS v
+  FROM e
+),
+o AS (
+  SELECT dim, CAST(COUNT(*) AS BIGINT) AS n_old, AVG(v) AS mean_old,
+         VAR_SAMP(v) AS var_old
+  FROM x WHERE is_old GROUP BY dim
+),
+n AS (
+  SELECT dim, CAST(COUNT(*) AS BIGINT) AS n_new, AVG(v) AS mean_new,
+         VAR_SAMP(v) AS var_new
+  FROM x WHERE NOT is_old GROUP BY dim
+),
+j AS (
+  SELECT o.dim, n_old, n_new, mean_old, mean_new,
+         sqrt(var_old / n_old + var_new / n_new) AS se
+  FROM o FULL JOIN n ON o.dim = n.dim
+)
+SELECT dim, n_old, n_new,
+       ROUND(mean_old + 1e-9, 6) AS mean_old_r,
+       ROUND(mean_new + 1e-9, 6) AS mean_new_r,
+       ROUND(CASE WHEN se > 0 THEN abs(mean_new - mean_old) / se END
+             + 1e-9, 6) AS drift_z_r
+FROM j ORDER BY dim
+"""
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage near-dup dedup: MinHash-LSH band candidates verified
     with exact word-3-gram Jaccard >= 0.8 (ext.dedup.ngram_jaccard_pairs)."""
@@ -5790,6 +5849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # agg_minmax, 3 greens each)
         "quantize_embeddings": q_quantize_embeddings,
         "quant_recall": q_quant_recall,
+        "embedding_drift": q_embedding_drift,
         # (c) 2 greens
         "clean_text": q_clean_text,
         "ivf_ann": q_ivf_ann,
@@ -5814,10 +5874,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "melt_part": q_melt,
         "string_funcs": q_string_funcs,
         "topk_per_group": q_topk_per_group,
-        "running_window": q_running_window,
         # ---- slot 51+ (past the driver's 50-entry window) ----
         # 3 greens each, untouched this round; re-verified every round
         # by tools/check_oracle.py on the sf0.01 and NULL fixtures
+        "running_window": q_running_window,
         "join_chain": q_join_chain,
         "agg_minmax": q_agg_minmax,
         "collect_list": q_collect_list,
@@ -5976,6 +6036,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_cosine_topk": SQL_EMBEDDING_COSINE,
         "quantize_embeddings": SQL_QUANTIZE_EMBEDDINGS,
         "quant_recall": SQL_QUANT_RECALL,
+        "embedding_drift": SQL_EMBEDDING_DRIFT,
         "ngram_jaccard": _sql_ngram_jaccard(),
         "dedup_clusters": _sql_dedup_clusters(),
         "sequence_packing": SQL_SEQUENCE_PACKING,

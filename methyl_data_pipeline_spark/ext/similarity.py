@@ -578,3 +578,48 @@ def quantization_recall(
             (F.col("n_overlap") / F.col("n_exact") + F.lit(1e-9)) * 1e6
         ).cast("long"),
     )
+
+
+def embedding_drift(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension drift report between two embedding snapshots —
+    the "did the embedder change under us?" monitor for a continuously
+    re-embedded corpus: per dimension, each snapshot's count / mean /
+    sample variance and the two-sample z statistic
+    ``|mean_new - mean_old| / sqrt(var_old/n_old + var_new/n_new)``.
+
+    Scale shape: ``posexplode`` each snapshot to (dim, value) rows and
+    group by dimension — the n x d exploded stream collapses MAP-SIDE
+    to d rows per partition (partial aggregation), so the one shuffle
+    moves O(d x partitions) rows regardless of corpus size. No
+    driver-side vectors, no UDFs.
+
+    Input contract: :func:`valid_vector` on both sides. Dimensions are
+    compared positionally; rows shorter than the longest vector simply
+    contribute to fewer dims (count is per-dim).
+    """
+    def moments(df: DataFrame, tag: str) -> DataFrame:
+        v = F.col(vec_col).cast("array<double>")
+        exploded = df.filter(valid_vector(F.col(vec_col))).select(
+            F.posexplode(v).alias("dim", "_x")
+        )
+        return exploded.groupBy("dim").agg(
+            F.count(F.lit(1)).cast("long").alias(f"n_{tag}"),
+            F.avg("_x").alias(f"mean_{tag}"),
+            F.var_samp("_x").alias(f"var_{tag}"),
+        )
+
+    joined = moments(old, "old").join(moments(new, "new"), "dim", "full")
+    se = F.sqrt(
+        F.col("var_old") / F.col("n_old") + F.col("var_new") / F.col("n_new")
+    )
+    # se == 0 (a constant dimension on both sides) must yield NULL,
+    # not an ANSI divide-by-zero; the oracle replays the same CASE
+    return joined.withColumn(
+        "drift_z",
+        F.when(se > 0, F.abs(F.col("mean_new") - F.col("mean_old")) / se),
+    )

@@ -1593,3 +1593,29 @@ def test_quantization_recall_perfect_on_separated_vectors(spark):
     assert set(got) == {0, 10, 20}
     for r in got.values():
         assert r.n_exact == 2 and r.n_overlap == 2 and r.recall_ri == 1000000
+
+
+def test_embedding_drift_hand_computed(spark):
+    """Planted drift: dim 0 shifts by +10 between snapshots, dim 1 is
+    identically distributed, a constant dim yields NULL drift (se=0),
+    invalid vectors drop."""
+    import math
+
+    from methyl_data_pipeline_spark.ext.similarity import embedding_drift
+
+    old = spark.createDataFrame(
+        [(1, [0.0, 5.0, 7.0]), (2, [2.0, 6.0, 7.0]), (3, None)],
+        "vec_id long, embedding array<double>",
+    )
+    new = spark.createDataFrame(
+        [(4, [10.0, 5.0, 7.0]), (5, [12.0, 6.0, 7.0]),
+         (6, [11.0, 5.5, 7.0]), (7, [float("nan"), 1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r.dim: r for r in embedding_drift(old, new).collect()}
+    assert set(got) == {0, 1, 2}
+    assert got[0].n_old == 2 and got[0].n_new == 3  # NULL + NaN dropped
+    # dim0: means 1 vs 11, vars 2 and 1 -> z = 10 / sqrt(2/2 + 1/3)
+    assert math.isclose(got[0].drift_z, 10 / math.sqrt(1 + 1 / 3))
+    assert got[1].drift_z < got[0].drift_z
+    assert got[2].drift_z is None  # constant dim: se = 0 -> NULL
