@@ -1457,7 +1457,7 @@ s AS (
 q AS (
   SELECT vec_id, scale,
          list_transform(e, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS qv
-  FROM s
+  FROM s WHERE scale > 0
 )
 SELECT vec_id, ROUND(scale + 1e-9, 6) AS scale_r,
        qv[1] AS q0, qv[2] AS q1, qv[3] AS q2, qv[4] AS q3,
@@ -1508,7 +1508,7 @@ z AS (
            x -> CAST(floor(
                   x / (list_max(list_transform(ev, y -> abs(y))) / 127.0)
                   + 0.5) AS DOUBLE)) AS zv
-  FROM e
+  FROM e WHERE list_max(list_transform(ev, y -> abs(y))) / 127.0 > 0
 ),
 zq AS (SELECT vec_id AS query_id, zv AS qzv FROM z WHERE vec_id % 25 = 0),
 zp AS (

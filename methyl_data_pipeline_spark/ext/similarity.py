@@ -491,12 +491,19 @@ def quantize_embeddings(
         raise ValueError("bits must be in [2, 16]")
     qmax = 2 ** (bits - 1) - 1
     valid = valid_vector(F.col(vec_col))
-    vectors = vectors.filter(valid)
     v = F.col(vec_col).cast("array<double>")
     scale = (
         F.aggregate(v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x)))
         / F.lit(float(qmax))
     )
+    # scale > 0 is NOT implied by valid_vector: a subnormal vector
+    # (max|x| < qmax * 4.9e-324) has a nonzero component yet its scale
+    # UNDERFLOWS to 0.0 in double arithmetic — found by the hypothesis
+    # invariant test as a divide-by-zero. Such vectors are
+    # unquantizable at this width; they drop like the other invalid
+    # shapes (the oracles replay the same clause).
+    valid = valid & (scale > 0)
+    vectors = vectors.filter(valid)
     # the when(valid, ...) is NOT redundant with the filter above:
     # Catalyst's projection collapse inlines this expression into any
     # DOWNSTREAM filter predicate (e.g. a consumer's valid_vector

@@ -831,3 +831,79 @@ def test_property_bucket_pair_expand_equals_brute(spark, rows, cap):
         for c in sorted(ms)[i + 1:]
     )
     assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(
+                min_value=-1e6, max_value=1e6,
+                allow_nan=False, allow_infinity=False,
+            ),
+            min_size=4, max_size=4,
+        ),
+        min_size=1, max_size=8,
+    )
+)
+def test_quantize_embeddings_invariants(spark, vecs):
+    """For ANY finite nonzero vector: every code is in [-127, 127],
+    the max-magnitude component maps to ±127, and dequantization error
+    per component is bounded by scale/2 (round-half-up)."""
+    from methyl_data_pipeline_spark.ext.similarity import quantize_embeddings
+
+    # quantizable = nonzero AND scale does not underflow (a subnormal
+    # max|x| < 127 * 4.9e-324 gives scale = 0.0 — the hypothesis find
+    # that added the scale > 0 drop clause)
+    rows = [
+        (i, v) for i, v in enumerate(vecs)
+        if any(x != 0.0 for x in v) and max(abs(x) for x in v) / 127 > 0
+    ]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = quantize_embeddings(df).collect()
+    assert len(got) == len(rows)
+    by_id = {r.vec_id: r for r in got}
+    for i, v in rows:
+        r = by_id[i]
+        assert all(-127 <= q <= 127 for q in r.qvec)
+        assert max(abs(q) for q in r.qvec) == 127
+        for x, q in zip(v, r.qvec):
+            assert abs(x - q * r.scale) <= r.scale / 2 + 1e-12
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.integers(min_value=0, max_value=2**32 - 1))
+def test_quantization_recall_bounds_and_drift_symmetry(spark, seed):
+    """recall_ri always lands in [0, 1e6] with n_overlap <= n_exact <= k;
+    embedding_drift's z statistic is symmetric under snapshot swap."""
+    import numpy as np
+
+    from methyl_data_pipeline_spark.ext.similarity import (
+        embedding_drift,
+        quantization_recall,
+    )
+
+    rng = np.random.RandomState(seed)
+    vecs = rng.normal(size=(12, 6)).round(3).tolist()
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = df.filter(F.col("vec_id") < 3)
+    k = 4
+    for r in quantization_recall(df, queries, k=k).collect():
+        assert 1 <= r.n_exact <= k
+        assert 0 <= r.n_overlap <= r.n_exact
+        assert 0 <= r.recall_ri <= 1_000_000
+    old = df.filter(F.col("vec_id") % 2 == 0)
+    new = df.filter(F.col("vec_id") % 2 == 1)
+    fwd = {r.dim: r.drift_z for r in embedding_drift(old, new).collect()}
+    rev = {r.dim: r.drift_z for r in embedding_drift(new, old).collect()}
+    assert set(fwd) == set(rev)
+    for d in fwd:
+        if fwd[d] is None:
+            assert rev[d] is None
+        else:
+            assert abs(fwd[d] - rev[d]) < 1e-9
