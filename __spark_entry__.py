@@ -5077,6 +5077,64 @@ FROM r WHERE cum_tokens <= 150000 ORDER BY rank
 """
 
 
+def q_source_token_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token cap (new r9, ext.pack.source_token_cap): within
+    each source, rank docs by English-stopword hit count desc and keep
+    the best-first prefix within 8k tokens — the "no single domain
+    dominates the mixture" primitive, per-group complement of
+    budget_select. One shuffle on the group key; the running sum is a
+    streaming window over the shuffle's own sort."""
+    from methyl_data_pipeline_spark.ext.pack import source_token_cap
+    from methyl_data_pipeline_spark.ext.text import (
+        STOPWORDS,
+        n_words_nullsafe,
+        words,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    en = F.array([F.lit(w) for w in STOPWORDS["en"]])
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.size(
+            F.filter(words("text"), lambda w: F.array_contains(en, w))
+        ).cast("long").alias("score"),
+        n_words_nullsafe("text").cast("long").alias("n_tokens"),
+    )
+    out = source_token_cap(base, "score", cap=8_000)
+    return out.orderBy("source", "rank")
+
+
+def _sql_source_token_cap() -> str:
+    from methyl_data_pipeline_spark.ext.text import STOPWORDS
+
+    stops = ", ".join("'%s'" % w for w in STOPWORDS["en"])
+    return rf"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+             w -> list_contains([{stops}], w))) AS BIGINT) AS score,
+         CAST(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))
+              AS BIGINT) AS n_tokens
+  FROM documents WHERE text IS NOT NULL
+),
+r AS (
+  SELECT source, doc_id, score, n_tokens,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                 ORDER BY score DESC, doc_id ASC)
+              AS BIGINT) AS rank,
+         CAST(SUM(n_tokens) OVER (PARTITION BY source
+                                  ORDER BY score DESC, doc_id ASC
+                                  ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum_tokens
+  FROM t
+)
+SELECT source, doc_id, score, n_tokens, rank, cum_tokens
+FROM r WHERE cum_tokens <= 8000 ORDER BY source, rank
+"""
+
+
 def q_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr dedup (ext.dedup.exact_substring_dedup, Lee et al.
     family): overlapping 5-gram spans repeated anywhere in the corpus
@@ -5850,6 +5908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": q_quantize_embeddings,
         "quant_recall": q_quant_recall,
         "embedding_drift": q_embedding_drift,
+        "source_token_cap": q_source_token_cap,
         # (c) 2 greens
         "clean_text": q_clean_text,
         "ivf_ann": q_ivf_ann,
@@ -5873,10 +5932,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_events": q_pivot,
         "melt_part": q_melt,
         "string_funcs": q_string_funcs,
-        "topk_per_group": q_topk_per_group,
         # ---- slot 51+ (past the driver's 50-entry window) ----
         # 3 greens each, untouched this round; re-verified every round
         # by tools/check_oracle.py on the sf0.01 and NULL fixtures
+        "topk_per_group": q_topk_per_group,
         "running_window": q_running_window,
         "join_chain": q_join_chain,
         "agg_minmax": q_agg_minmax,
@@ -6037,6 +6096,7 @@ def oracle_sql() -> dict[str, str]:
         "quantize_embeddings": SQL_QUANTIZE_EMBEDDINGS,
         "quant_recall": SQL_QUANT_RECALL,
         "embedding_drift": SQL_EMBEDDING_DRIFT,
+        "source_token_cap": _sql_source_token_cap(),
         "ngram_jaccard": _sql_ngram_jaccard(),
         "dedup_clusters": _sql_dedup_clusters(),
         "sequence_packing": SQL_SEQUENCE_PACKING,

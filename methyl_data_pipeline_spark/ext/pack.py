@@ -448,3 +448,43 @@ def chunk_documents(
         ),
         F.concat_ws(" ", F.slice("_ws", start + 1, window)).alias("chunk_text"),
     )
+
+
+def source_token_cap(
+    df: DataFrame,
+    score_col: str,
+    cap: int,
+    group_col: str = "source",
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source token cap: within each ``group_col`` (domain, crawl,
+    source shard) rank documents by (``score_col`` DESC, ``id_col``
+    ASC) and keep the best-first prefix whose running token total stays
+    within ``cap`` — the "no single domain dominates the mixture"
+    curation primitive (cap Wikipedia at N tokens, keep its best docs),
+    the per-group complement of the global :func:`budget_select`.
+
+    Plan: ONE shuffle on the group key; the per-group running sum is a
+    streaming window over the shuffle's own sort order, so memory is
+    spill-backed regardless of group size. The scale limit is
+    PARALLELISM, not memory — each group is one task, which is the
+    right trade when groups are domains (thousands of them); for a
+    corpus that is one giant source, use :func:`budget_select` on the
+    slice instead (its range-partition decomposition parallelizes a
+    single ordered prefix).
+
+    NULL scores / token counts drop (unrankable); a NULL group is its
+    own group (both engines partition NULLs together). Emits kept rows
+    with the in-group ``rank`` and running ``cum_tokens``.
+    """
+    order = [F.col(score_col).desc(), F.col(id_col).asc()]
+    w = Window.partitionBy(group_col).orderBy(*order)
+    ranked = (
+        df.filter(F.col(score_col).isNotNull() & F.col(token_col).isNotNull())
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn("cum_tokens", F.sum(token_col).over(w).cast("long"))
+    )
+    return ranked.filter(F.col("cum_tokens") <= cap).select(
+        group_col, id_col, score_col, token_col, "rank", "cum_tokens"
+    )

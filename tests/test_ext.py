@@ -1619,3 +1619,26 @@ def test_embedding_drift_hand_computed(spark):
     assert math.isclose(got[0].drift_z, 10 / math.sqrt(1 + 1 / 3))
     assert got[1].drift_z < got[0].drift_z
     assert got[2].drift_z is None  # constant dim: se = 0 -> NULL
+
+
+def test_source_token_cap_hand_computed(spark):
+    """Per-group best-first prefix: within each source, docs rank by
+    (score desc, id asc); the prefix stops at the cap; NULL scores
+    drop; a NULL source is its own group."""
+    from methyl_data_pipeline_spark.ext.pack import source_token_cap
+
+    rows = [
+        (1, "a", 9, 50), (2, "a", 7, 40), (3, "a", 7, 30), (4, "a", 1, 100),
+        (5, "b", 5, 60), (6, "b", 4, 50),
+        (7, None, 3, 10), (8, "a", None, 10),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, score long, n_tokens long"
+    )
+    got = {r.doc_id: r for r in source_token_cap(df, "score", cap=100).collect()}
+    # source a: 1 (50), 2 (90), 3 would reach 120 -> cut; 4 never
+    assert set(got) == {1, 2, 5, 7}
+    assert (got[1].rank, got[1].cum_tokens) == (1, 50)
+    assert (got[2].rank, got[2].cum_tokens) == (2, 90)
+    assert (got[5].rank, got[5].cum_tokens) == (1, 60)  # 6 would reach 110
+    assert got[7].source is None and got[7].rank == 1
