@@ -180,3 +180,69 @@ def streaming_funnel(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+DEDUP_STATE_SCHEMA = "seen tinyint"
+
+
+def streaming_dedup_gate(
+    stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming exact-dedup gate — the stateful twin of
+    :func:`ext.dedup.dedup_exact` for a continuously ingested document
+    stream: per content fingerprint (the SAME ``md5_long(
+    normalize_label(text))`` as the batch family, so the two paths
+    agree on what "same document" means), only the first arrival
+    passes; every later duplicate is silently gated. State is one
+    byte per distinct body — O(distinct corpus), the same ledger the
+    batch :func:`ext.dedup.incremental_dedup` keeps in a table.
+
+    Exactness contract: within a batch the winner is the MIN id of the
+    fingerprint's rows (dedup_exact's deterministic winner rule), so a
+    single batch covering everything equals the batch twin exactly;
+    across batches it is first-arrival (an earlier-id duplicate
+    arriving in a later micro-batch cannot unseat a committed winner —
+    the same tradeoff as stream_curate, with the batch twin as offline
+    ground truth). NULL-text docs drop (no fingerprint), matching the
+    pinned batch contract.
+
+    No state timeout on purpose: evicting a dedup ledger entry silently
+    re-admits its duplicates. A bounded-memory deployment should
+    instead periodically compact the stream into the batch
+    ``incremental_dedup`` ledger and restart the gate.
+    """
+    from methyl_data_pipeline_spark.ext.text import md5_long
+    from methyl_data_pipeline_spark.functions.scalar import normalize_label
+
+    keyed = stream.filter(F.col(text_col).isNotNull()).withColumn(
+        "_fp", md5_long(normalize_label(F.col(text_col)))
+    )
+    id_type = dict(stream.dtypes)[id_col]
+    out_schema = f"_fp long, `{id_col}` {id_type}"
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:  # unreachable under NoTimeout; kept for
+            state.remove()     # safety if a caller re-wires the conf
+            return
+        if state.exists:
+            return  # every row in this batch is a known duplicate
+        winner = None
+        for pdf in pdfs:
+            ids = pdf[id_col].dropna()
+            if len(ids):
+                m = ids.min()
+                winner = m if winner is None else min(winner, m)
+        if winner is None:
+            return
+        state.update((1,))
+        yield pd.DataFrame({"_fp": [key[0]], id_col: [winner]})
+
+    return keyed.groupBy("_fp").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=DEDUP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -219,3 +219,58 @@ def test_entry_point_a_ingest(spark, tmp_path):
         .filter(F.col("n") == 3)
     )
     assert complete.count() == 50  # probes present in both runs
+
+
+def test_streaming_dedup_gate_across_batches_and_batch_twin(spark, tmp_path):
+    """Only a fingerprint's first arrival passes; a later-batch
+    duplicate is gated even with a smaller id; one-batch replay equals
+    dedup_exact's min-id winners; NULL text drops."""
+    from methyl_data_pipeline_spark.ext.dedup import dedup_exact
+    from methyl_data_pipeline_spark.streaming.stateful import streaming_dedup_gate
+
+    src = str(tmp_path / "dsrc")
+    os.makedirs(src)
+
+    def write_batch(rows):
+        pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+        spark.createDataFrame(pdf.astype({"doc_id": "int64"})).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    body = "the exact same document body here"
+    write_batch([(10, body), (11, "a different document"), (12, body)])
+    stream = (
+        spark.readStream.schema("doc_id long, text string").parquet(src)
+    )
+    out = streaming_dedup_gate(stream)
+    q = (out.writeStream.outputMode("update").format("memory")
+         .queryName("dedup_gate_test").start())
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM dedup_gate_test").collect()
+        # batch 1: min-id winner per body
+        assert {r.doc_id for r in rows} == {10, 11}
+        # batch 2: smaller-id duplicate arrives late -> gated
+        # (first-arrival; the committed winner stands); a novel doc and
+        # a NULL-text doc
+        write_batch([(5, body), (20, "novel text"), (21, None)])
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM dedup_gate_test").collect()
+        assert {r.doc_id for r in rows} == {10, 11, 20}
+    finally:
+        q.stop()
+
+    # one-batch replay over everything == dedup_exact (min-id winners)
+    src2 = str(tmp_path / "dsrc2")
+    all_rows = spark.read.parquet(src)
+    all_rows.coalesce(1).write.parquet(src2)
+    stream2 = spark.readStream.schema("doc_id long, text string").parquet(src2)
+    q2 = (streaming_dedup_gate(stream2).writeStream.outputMode("update")
+          .format("memory").queryName("dedup_gate_twin").start())
+    try:
+        q2.processAllAvailable()
+        got = {r.doc_id for r in spark.sql("SELECT * FROM dedup_gate_twin").collect()}
+    finally:
+        q2.stop()
+    twin = {r.doc_id for r in dedup_exact(all_rows).collect()}
+    assert got == twin and 5 in got  # one batch: min id 5 wins
