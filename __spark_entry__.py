@@ -5077,6 +5077,78 @@ FROM r WHERE cum_tokens <= 150000 ORDER BY rank
 """
 
 
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dups (new r9,
+    ext.dedup.containment_pairs): docs with id < 30 re-enter the corpus
+    as 10-word prefix snippets (id + 10,000,000) — each snippet is
+    ~fully contained in its source while its Jaccard is tiny, the case
+    symmetric dedup structurally misses. Rare-gram postings prune
+    (df <= 64) -> exact containment verify."""
+    from methyl_data_pipeline_spark.ext.dedup import containment_pairs
+    from methyl_data_pipeline_spark.ext.text import words
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    snip = docs.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+        F.array_join(F.slice(words("text"), 1, 10), " ").alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(snip)
+    out = containment_pairs(corpus, threshold=0.8, df_max=64)
+    return out.select(
+        "contained_id",
+        "container_id",
+        F.round((F.col("containment") + F.lit(1e-9)) * 1e6).cast("long")
+        .alias("containment_ri"),
+    ).orderBy("contained_id", "container_id")
+
+
+SQL_CONTAINMENT_PAIRS = r"""
+WITH docs AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+dw AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+  FROM docs
+),
+snip AS (
+  SELECT doc_id + 10000000 AS doc_id,
+         array_to_string(ws[1:10], ' ') AS text
+  FROM dw WHERE doc_id < 30
+),
+corpus AS (SELECT doc_id, text FROM docs UNION ALL SELECT doc_id, text FROM snip),
+cw AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+  FROM corpus
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= 3
+              THEN list_distinct(list_transform(
+                     generate_series(0, len(ws) - 3),
+                     i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]))
+              ELSE [array_to_string(ws, ' ')] END AS grams
+  FROM cw
+),
+post AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+rare AS (SELECT g FROM post GROUP BY g HAVING COUNT(*) BETWEEN 2 AND 64),
+cand AS (
+  SELECT DISTINCT p1.doc_id AS a, p2.doc_id AS b
+  FROM post p1 JOIN rare USING (g) JOIN post p2 USING (g)
+  WHERE p1.doc_id < p2.doc_id
+),
+scored AS (
+  SELECT a, b, len(sa.grams) AS na, len(sb.grams) AS nb,
+         len(list_intersect(sa.grams, sb.grams)) * 1.0
+           / least(len(sa.grams), len(sb.grams)) AS c
+  FROM cand JOIN sh sa ON sa.doc_id = cand.a JOIN sh sb ON sb.doc_id = cand.b
+)
+SELECT CASE WHEN na < nb OR (na = nb AND a < b) THEN a ELSE b END AS contained_id,
+       CASE WHEN na < nb OR (na = nb AND a < b) THEN b ELSE a END AS container_id,
+       CAST(ROUND((c + 1e-9) * 1000000) AS BIGINT) AS containment_ri
+FROM scored WHERE c >= 0.8 ORDER BY contained_id, container_id
+"""
+
+
 def q_source_token_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source token cap (new r9, ext.pack.source_token_cap): within
     each source, rank docs by English-stopword hit count desc and keep
@@ -5909,6 +5981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quant_recall": q_quant_recall,
         "embedding_drift": q_embedding_drift,
         "source_token_cap": q_source_token_cap,
+        "containment_pairs": q_containment_pairs,
         # (c) 2 greens
         "clean_text": q_clean_text,
         "ivf_ann": q_ivf_ann,
@@ -5931,10 +6004,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_distinct": q_dedup_distinct,
         "pivot_events": q_pivot,
         "melt_part": q_melt,
-        "string_funcs": q_string_funcs,
         # ---- slot 51+ (past the driver's 50-entry window) ----
         # 3 greens each, untouched this round; re-verified every round
         # by tools/check_oracle.py on the sf0.01 and NULL fixtures
+        "string_funcs": q_string_funcs,
         "topk_per_group": q_topk_per_group,
         "running_window": q_running_window,
         "join_chain": q_join_chain,
@@ -6097,6 +6170,7 @@ def oracle_sql() -> dict[str, str]:
         "quant_recall": SQL_QUANT_RECALL,
         "embedding_drift": SQL_EMBEDDING_DRIFT,
         "source_token_cap": _sql_source_token_cap(),
+        "containment_pairs": SQL_CONTAINMENT_PAIRS,
         "ngram_jaccard": _sql_ngram_jaccard(),
         "dedup_clusters": _sql_dedup_clusters(),
         "sequence_packing": SQL_SEQUENCE_PACKING,

@@ -1252,3 +1252,104 @@ def snapshot_diff(
         .otherwise("changed")
     )
     return joined.select(id_col, "fp_old", "fp_new", status.alias("status"))
+
+
+def containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    shingle_n: int = 3,
+    df_max: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Asymmetric containment near-dups: pairs where the SMALLER
+    document's shingle set is (mostly) inside the other's —
+    ``containment(A in B) = |A ∩ B| / |A|``. Catches what symmetric
+    Jaccard structurally misses: a tweet quoted inside an article is
+    ~100% contained but Jaccard ≈ |A|/|B| ≈ 0, so no Jaccard threshold
+    finds it without drowning in noise. The quote / boilerplate-
+    expansion / subset-document detector.
+
+    Scale shape is the prune→verify postings pattern (same family as
+    ``decontaminate`` / ``exact_substring_dedup``): candidate pairs
+    must co-occur in the postings of at least one RARE shingle
+    (document frequency ≤ ``df_max``), so each gram contributes at most
+    ``df_max²/2`` pairs — bounded join blocks, no corpus² anywhere —
+    then the exact verify joins each candidate's distinct-shingle set
+    back by id (slim pair shuffle; the gram arrays travel through TWO
+    id-keyed joins instead of being replicated per posting). A pair
+    sharing ONLY ubiquitous grams (every shared gram's df > df_max) is
+    not produced; at containment ≥ 0.9 the contained doc shares nearly
+    ALL its grams, so escaping requires every one of them corpus-common
+    — the standard recall trade documented by the prune family, tuned
+    via ``df_max``.
+
+    Emits ``contained_id, container_id, containment`` with
+    ``containment = |∩| / |smaller|``, ties (equal sizes) oriented by
+    id. NULL-text docs drop (no shingles).
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError("threshold must be in (0, 1]")
+    if df_max < 2:
+        raise ValueError("df_max < 2 cannot admit any pair")
+    base = _spread(df.filter(F.col(text_col).isNotNull()), id_col).select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(shingles(text_col, shingle_n)).alias("_sh"),
+    )
+    postings = base.select(
+        "_id", F.explode("_sh").alias("_g")
+    )
+    # df filter BEFORE collect_list, as a count window over the same
+    # shuffle the groupBy needs (partitioning reused): collecting first
+    # and filtering after would still materialize a corpus-common
+    # gram's full posting list in one task — the mega-bucket hazard
+    # bucket_pair_expand exists to prevent. Here common grams are
+    # semantically DROPPED (not just task-capped), so the window+filter
+    # is both the guard and the df_max semantics.
+    sized = postings.withColumn(
+        "_df", F.count(F.lit(1)).over(Window.partitionBy("_g"))
+    )
+    rare = (
+        sized.filter(F.col("_df").between(2, df_max))
+        .groupBy("_g")
+        .agg(F.collect_list("_id").alias("_ids"))
+    )
+    # in-gram pair expansion (ids are tiny scalars, and _df <= df_max
+    # bounds the quadratic block per gram)
+    expand = F.flatten(
+        F.transform(
+            F.col("_ids"),
+            lambda a, i: F.transform(
+                F.slice(F.col("_ids"), i + 2, F.size(F.col("_ids"))),
+                lambda b: F.struct(
+                    F.least(a, b).alias("a"), F.greatest(a, b).alias("b")
+                ),
+            ),
+        )
+    )
+    cand = (
+        rare.select(F.explode(expand).alias("_p"))
+        .select(F.col("_p.a").alias("_a"), F.col("_p.b").alias("_b"))
+        .filter(F.col("_a") != F.col("_b"))
+        .distinct()
+    )
+    sh_a = base.select(F.col("_id").alias("_a"), F.col("_sh").alias("_sha"))
+    sh_b = base.select(F.col("_id").alias("_b"), F.col("_sh").alias("_shb"))
+    paired = cand.join(sh_a, "_a").join(sh_b, "_b")
+    inter = F.size(F.array_intersect("_sha", "_shb")).cast("double")
+    small = F.least(F.size("_sha"), F.size("_shb")).cast("double")
+    scored = paired.select(
+        "_a",
+        "_b",
+        F.size("_sha").alias("_na"),
+        F.size("_shb").alias("_nb"),
+        (inter / small).alias("containment"),
+    ).filter(F.col("containment") >= threshold)
+    a_is_small = (F.col("_na") < F.col("_nb")) | (
+        (F.col("_na") == F.col("_nb")) & (F.col("_a") < F.col("_b"))
+    )
+    return scored.select(
+        F.when(a_is_small, F.col("_a")).otherwise(F.col("_b")).alias("contained_id"),
+        F.when(a_is_small, F.col("_b")).otherwise(F.col("_a")).alias("container_id"),
+        "containment",
+    )

@@ -1642,3 +1642,30 @@ def test_source_token_cap_hand_computed(spark):
     assert (got[2].rank, got[2].cum_tokens) == (2, 90)
     assert (got[5].rank, got[5].cum_tokens) == (1, 60)  # 6 would reach 110
     assert got[7].source is None and got[7].rank == 1
+
+
+def test_containment_pairs_hand_computed(spark):
+    """A short doc fully quoted inside a long one has containment 1.0
+    (Jaccard would be tiny); unrelated docs pair nowhere; a
+    corpus-common gram alone (df > df_max) cannot create a pair."""
+    from methyl_data_pipeline_spark.ext.dedup import containment_pairs
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (1, quote),
+        (2, f"article intro text here {quote} and a long tail of words"),
+        (3, "completely unrelated body about spark shuffles and joins"),
+        (4, None),
+    ]
+    # a boilerplate trigram shared by MANY docs (df > df_max) must not
+    # by itself create candidates between otherwise-unrelated docs
+    rows += [(100 + i, f"common header line unique body {i}") for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.contained_id, r.container_id): r.containment
+           for r in containment_pairs(df, threshold=0.8, df_max=8).collect()}
+    assert (1, 2) in got and abs(got[(1, 2)] - 1.0) < 1e-12
+    assert all(a == 1 and b == 2 for a, b in got)
+    with pytest.raises(ValueError):
+        containment_pairs(df, threshold=0.0)
+    with pytest.raises(ValueError):
+        containment_pairs(df, df_max=1)
