@@ -5122,11 +5122,12 @@ cw AS (
 ),
 sh AS (
   SELECT doc_id,
-         CASE WHEN len(ws) >= 3
-              THEN list_distinct(list_transform(
-                     generate_series(0, len(ws) - 3),
-                     i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]))
-              ELSE [array_to_string(ws, ' ')] END AS grams
+         list_distinct(list_transform(
+           CASE WHEN len(ws) >= 3
+                THEN list_transform(generate_series(0, len(ws) - 3),
+                       i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])
+                ELSE [array_to_string(ws, ' ')] END,
+           g -> ('0x' || substr(md5(g), 1, 15))::BIGINT)) AS grams
   FROM cw
 ),
 post AS (SELECT doc_id, unnest(grams) AS g FROM sh),

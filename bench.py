@@ -177,6 +177,12 @@ EXTENDED = [
     "simhash64_pairs",
     "incremental_neardup",
     "threshold_sweep",
+    # r9 additions
+    "quantize_embeddings",
+    "quant_recall",
+    "embedding_drift",
+    "source_token_cap",
+    "containment_pairs",
 ]
 
 

@@ -1284,6 +1284,16 @@ def containment_pairs(
     — the standard recall trade documented by the prune family, tuned
     via ``df_max``.
 
+    Grams live as 60-bit ``md5_long`` hashes end to end, never strings:
+    the postings shuffle key shrinks ~30 B -> 8 B and the verify stage
+    carries ~800 B long-arrays instead of ~3 KB string-arrays per
+    candidate side — measured 4.9 -> 3.3 s at sf0.1, and a far larger
+    factor at the 100x probe scale, where the string form spilled
+    ~50 GB of sort data. Set algebra on the hashes equals
+    set algebra on the grams up to 60-bit md5 collisions (the same
+    equivalence every minhash/bloom operator in this module already
+    stands on), and the DuckDB oracle replays the identical hashing.
+
     Emits ``contained_id, container_id, containment`` with
     ``containment = |∩| / |smaller|``, ties (equal sizes) oriented by
     id. NULL-text docs drop (no shingles).
@@ -1292,9 +1302,12 @@ def containment_pairs(
         raise ValueError("threshold must be in (0, 1]")
     if df_max < 2:
         raise ValueError("df_max < 2 cannot admit any pair")
+    hashed = F.transform(
+        shingles(text_col, shingle_n), lambda s: md5_long(s)
+    )
     base = _spread(df.filter(F.col(text_col).isNotNull()), id_col).select(
         F.col(id_col).alias("_id"),
-        F.array_distinct(shingles(text_col, shingle_n)).alias("_sh"),
+        F.array_distinct(hashed).alias("_sh"),
     )
     postings = base.select(
         "_id", F.explode("_sh").alias("_g")

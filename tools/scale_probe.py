@@ -89,11 +89,12 @@ def build_ops(spark, docs_path: str, ev_path: str, factor: int):
     from pyspark.sql import functions as F
 
     from methyl_data_pipeline_spark.ext.dedup import (
+        containment_pairs,
         incremental_neardup,
         minhash_band_ledger,
         simhash_hamming_pairs,
     )
-    from methyl_data_pipeline_spark.ext.pack import budget_select
+    from methyl_data_pipeline_spark.ext.pack import budget_select, source_token_cap
     from methyl_data_pipeline_spark.ext.text import STOPWORDS
     from methyl_data_pipeline_spark.streaming.events import (
         cohort_retention,
@@ -140,6 +141,19 @@ def build_ops(spark, docs_path: str, ev_path: str, factor: int):
         "incremental_neardup": lambda: incremental_neardup(
             docs.filter(F.col("doc_id") % 10 == 3),
             minhash_band_ledger(docs.filter(F.col("doc_id") % 2 == 0)),
+        ).count(),
+        # r9: rare-gram postings prune -> containment verify. The
+        # replica model preserves within-replica dup structure, so the
+        # candidate workload scales with the duplicate rate, not n².
+        "containment_pairs": lambda: containment_pairs(docs).count(),
+        # r9: per-source best-first token cap — one group shuffle,
+        # streaming window sum
+        "source_token_cap": lambda: source_token_cap(
+            scored().withColumn(
+                "source", (F.col("doc_id") % 20).cast("string")
+            ),
+            "score",
+            cap=50_000 * factor,
         ).count(),
     }
 
@@ -224,8 +238,16 @@ def main() -> None:
     from methyl_data_pipeline_spark.session import get_session
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # a realistic heap for a 100x probe: local mode defaults to a 1 GiB
+    # driver JVM = ~30 MB per concurrent task at local[32], an order of
+    # magnitude below any real executor — 100x runs of the heavier
+    # operators OOM on harness memory, not operator design. 16 GiB ~
+    # a mid-size executor.
     spark = get_session(
-        "scale_probe", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
+        "scale_probe",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+        extra_conf={"spark.driver.memory": "16g"},
     )
     if args.ledger_growth:
         ledger_growth(spark, args.runs)
