@@ -1429,13 +1429,16 @@ def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     q = quantize_embeddings(emb)
+    # F.get, not qvec[i]: GetArrayItem throws INVALID_ARRAY_INDEX under
+    # ANSI for a valid vector shorter than 4 dims, where the oracle's
+    # qv[4] returns NULL — get() matches the NULL semantics
     return q.select(
         "vec_id",
         _r(F.col("scale")).alias("scale_r"),
-        F.col("qvec")[0].cast("long").alias("q0"),
-        F.col("qvec")[1].cast("long").alias("q1"),
-        F.col("qvec")[2].cast("long").alias("q2"),
-        F.col("qvec")[3].cast("long").alias("q3"),
+        F.get(F.col("qvec"), 0).cast("long").alias("q0"),
+        F.get(F.col("qvec"), 1).cast("long").alias("q1"),
+        F.get(F.col("qvec"), 2).cast("long").alias("q2"),
+        F.get(F.col("qvec"), 3).cast("long").alias("q3"),
         F.aggregate(
             F.col("qvec"),
             F.lit(0).cast("long"),
@@ -1501,14 +1504,18 @@ exact AS (
     FROM xp
   ) WHERE rank <= 10
 ),
+zs AS (
+  -- scale hoisted out of the per-element lambda (recomputing the
+  -- max-abs scan per element is O(d^2)/row; mirrors the s CTE in
+  -- SQL_QUANTIZE_EMBEDDINGS)
+  SELECT vec_id, ev,
+         list_max(list_transform(ev, y -> abs(y))) / 127.0 AS scale
+  FROM e
+),
 z AS (
   SELECT vec_id,
-         list_transform(
-           ev,
-           x -> CAST(floor(
-                  x / (list_max(list_transform(ev, y -> abs(y))) / 127.0)
-                  + 0.5) AS DOUBLE)) AS zv
-  FROM e WHERE list_max(list_transform(ev, y -> abs(y))) / 127.0 > 0
+         list_transform(ev, x -> CAST(floor(x / scale + 0.5) AS DOUBLE)) AS zv
+  FROM zs WHERE scale > 0
 ),
 zq AS (SELECT vec_id AS query_id, zv AS qzv FROM z WHERE vec_id % 25 = 0),
 zp AS (
@@ -1586,7 +1593,10 @@ n AS (
   FROM x WHERE NOT is_old GROUP BY dim
 ),
 j AS (
-  SELECT o.dim, n_old, n_new, mean_old, mean_new,
+  -- COALESCE, not o.dim: with ragged snapshots (a dim present only in
+  -- the new side) a FULL JOIN's o.dim is NULL while the Spark twin's
+  -- USING-style full join emits the real dim
+  SELECT COALESCE(o.dim, n.dim) AS dim, n_old, n_new, mean_old, mean_new,
          sqrt(var_old / n_old + var_new / n_new) AS se
   FROM o FULL JOIN n ON o.dim = n.dim
 )
@@ -5175,7 +5185,10 @@ def q_source_token_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_words_nullsafe("text").cast("long").alias("n_tokens"),
     )
     out = source_token_cap(base, "score", cap=8_000)
-    return out.orderBy("source", "rank")
+    # NULLS LAST pin: the operator keeps a NULL source as its own
+    # group, and Spark's default asc sorts NULLs FIRST where DuckDB's
+    # ORDER BY sorts them LAST
+    return out.orderBy(F.col("source").asc_nulls_last(), "rank")
 
 
 def _sql_source_token_cap() -> str:
@@ -5204,7 +5217,7 @@ r AS (
   FROM t
 )
 SELECT source, doc_id, score, n_tokens, rank, cum_tokens
-FROM r WHERE cum_tokens <= 8000 ORDER BY source, rank
+FROM r WHERE cum_tokens <= 8000 ORDER BY source NULLS LAST, rank
 """
 
 

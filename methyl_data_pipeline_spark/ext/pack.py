@@ -480,10 +480,17 @@ def source_token_cap(
     """
     order = [F.col(score_col).desc(), F.col(id_col).asc()]
     w = Window.partitionBy(group_col).orderBy(*order)
+    # ROWS frame, explicitly: Spark's default frame for an ordered
+    # window is RANGE, under which ordering-key PEERS (duplicate
+    # (score, id) rows — nothing in this public kernel validates id
+    # uniqueness) all receive the inflated shared total and the whole
+    # prefix can come back empty; the DuckDB oracle and the row_number
+    # rank both use ROWS semantics.
+    w_rows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ranked = (
         df.filter(F.col(score_col).isNotNull() & F.col(token_col).isNotNull())
         .withColumn("rank", F.row_number().over(w).cast("long"))
-        .withColumn("cum_tokens", F.sum(token_col).over(w).cast("long"))
+        .withColumn("cum_tokens", F.sum(token_col).over(w_rows).cast("long"))
     )
     return ranked.filter(F.col("cum_tokens") <= cap).select(
         group_col, id_col, score_col, token_col, "rank", "cum_tokens"

@@ -1225,10 +1225,24 @@ def threshold_sweep(
     is normalized through BOOLEAN (any truthy value counts as exactly
     1): summing a raw integer label would silently inflate
     ``n_true_pos`` — and drive ``n_false_pos`` negative — the moment
-    someone passes a 1-5 quality grade as the gold column.
+    someone passes a 1-5 quality grade as the gold column. The label
+    column must be boolean or numeric, enforced at build time: a
+    STRING label like '3' would either crash the whole sweep under
+    ANSI (string->boolean cast) or silently NULL out and undercount
+    with ANSI off — an explicit error beats both.
     """
     from pyspark.sql import Window
 
+    label_type = dict(df.dtypes).get(label_col, "")
+    if not (
+        label_type == "boolean"
+        or label_type in ("tinyint", "smallint", "int", "bigint", "float", "double")
+        or label_type.startswith("decimal")
+    ):
+        raise TypeError(
+            f"threshold_sweep label_col must be boolean or numeric, "
+            f"got {label_type!r}"
+        )
     labeled = df.filter(
         F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
     ).select(

@@ -200,8 +200,10 @@ def streaming_dedup_gate(
     batch :func:`ext.dedup.incremental_dedup` keeps in a table.
 
     Exactness contract: within a batch the winner is the MIN id of the
-    fingerprint's rows (dedup_exact's deterministic winner rule), so a
-    single batch covering everything equals the batch twin exactly;
+    fingerprint's rows UNDER dedup_exact's exact ordering — ascending
+    with NULLs FIRST, so a NULL-id row wins its fingerprint just as it
+    does in the batch twin's ``row_number`` — and a single batch
+    covering everything therefore equals the batch twin exactly;
     across batches it is first-arrival (an earlier-id duplicate
     arriving in a later micro-batch cannot unseat a committed winner —
     the same tradeoff as stream_curate, with the batch twin as offline
@@ -229,15 +231,27 @@ def streaming_dedup_gate(
         if state.exists:
             return  # every row in this batch is a known duplicate
         winner = None
+        saw_null = False
+        saw_row = False
         for pdf in pdfs:
-            ids = pdf[id_col].dropna()
+            if len(pdf):
+                saw_row = True
+            ids = pdf[id_col]
+            if ids.isna().any():
+                saw_null = True
+            ids = ids.dropna()
             if len(ids):
                 m = ids.min()
                 winner = m if winner is None else min(winner, m)
-        if winner is None:
+        if not saw_row:
             return
         state.update((1,))
-        yield pd.DataFrame({"_fp": [key[0]], id_col: [winner]})
+        # NULLs-first winner ordering, matching dedup_exact's
+        # row_number(orderBy id asc): a NULL-id row BEATS every
+        # non-null id, so the one-batch-replay equality holds verbatim
+        yield pd.DataFrame(
+            {"_fp": [key[0]], id_col: [None if saw_null else winner]}
+        )
 
     return keyed.groupBy("_fp").applyInPandasWithState(
         update,

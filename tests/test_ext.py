@@ -1024,6 +1024,11 @@ def test_threshold_sweep_hand_computed(spark):
     g = {r.threshold: r for r in threshold_sweep(graded, "score", "label").collect()}
     assert (g[2].n_kept, g[2].n_true_pos, g[2].n_false_pos) == (3, 2, 1)
     assert g[1].n_pos_total == 3 and g[1].n_false_pos == 1
+    # string labels are a build-time contract error (code review r9:
+    # '3' would crash the sweep under ANSI or silently NULL without)
+    strs = spark.createDataFrame([(2, "3")], "score long, label string")
+    with pytest.raises(TypeError, match="boolean or numeric"):
+        threshold_sweep(strs, "score", "label")
 
 
 def test_incremental_neardup_gate(spark):
@@ -1642,6 +1647,17 @@ def test_source_token_cap_hand_computed(spark):
     assert (got[2].rank, got[2].cum_tokens) == (2, 90)
     assert (got[5].rank, got[5].cum_tokens) == (1, 60)  # 6 would reach 110
     assert got[7].source is None and got[7].rank == 1
+    # ROWS frame regression (code review r9): duplicate ordering-key
+    # peers must accumulate one row at a time — under Spark's default
+    # RANGE frame both (score=5, id=1) peers would share cum=120 and
+    # the whole prefix would come back EMPTY
+    peers = spark.createDataFrame(
+        [(1, "a", 5, 60), (1, "a", 5, 60), (2, "a", 4, 10)],
+        "doc_id long, source string, score long, n_tokens long",
+    )
+    kept = source_token_cap(peers, "score", cap=100).collect()
+    assert len(kept) == 1
+    assert (kept[0].rank, kept[0].cum_tokens) == (1, 60)
 
 
 def test_containment_pairs_hand_computed(spark):

@@ -260,9 +260,15 @@ def test_streaming_dedup_gate_across_batches_and_batch_twin(spark, tmp_path):
     finally:
         q.stop()
 
-    # one-batch replay over everything == dedup_exact (min-id winners)
+    # one-batch replay over everything == dedup_exact (min-id winners,
+    # NULLs FIRST: a NULL-id row wins its fingerprint in BOTH paths —
+    # code review r9)
     src2 = str(tmp_path / "dsrc2")
-    all_rows = spark.read.parquet(src)
+    extra = spark.createDataFrame(
+        [(None, "body only the null-id row carries")],
+        "doc_id long, text string",
+    )
+    all_rows = spark.read.parquet(src).unionByName(extra)
     all_rows.coalesce(1).write.parquet(src2)
     stream2 = spark.readStream.schema("doc_id long, text string").parquet(src2)
     q2 = (streaming_dedup_gate(stream2).writeStream.outputMode("update")
@@ -274,3 +280,4 @@ def test_streaming_dedup_gate_across_batches_and_batch_twin(spark, tmp_path):
         q2.stop()
     twin = {r.doc_id for r in dedup_exact(all_rows).collect()}
     assert got == twin and 5 in got  # one batch: min id 5 wins
+    assert None in got  # the NULL-id winner survives in both paths

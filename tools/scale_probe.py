@@ -199,9 +199,14 @@ def ledger_growth(spark, runs: int, factors=(1, 10, 100)) -> None:
         )
         lpath = f"{WORK}/ledger_x{f}"
         tbl = f"ledger_x{f}"
-        if not os.path.exists(f"{lpath}/_SUCCESS"):
+        rebuilt = not os.path.exists(f"{lpath}/_SUCCESS")
+        if rebuilt:
             led = minhash_band_ledger(spark.read.parquet(docs_path))
             led.write.mode("overwrite").parquet(lpath)
+            # a stale bucketed table from a previous probe would make
+            # t_parquet and t_bucketed measure DIFFERENT ledgers after
+            # --fresh; rebuild it whenever the parquet was rebuilt
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         ledger_pq = spark.read.parquet(lpath)
         n_rows = ledger_pq.count()
         if not spark.catalog.tableExists(tbl):
