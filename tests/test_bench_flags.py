@@ -53,9 +53,9 @@ def test_missing_prev_spread_stays_conservative():
 
 
 def test_unreadable_prev_details_is_visible_not_silent(tmp_path, capsys):
-    """ADVICE r8: a corrupt previous details file must not silently
-    disable the soft flag — _previous_spreads warns and returns the
-    sentinel, and flag_regressions records degraded mode."""
+    """ADVICE r8/r9: a corrupt previous details file must not silently
+    disable the soft flag — _previous_spreads warns on stderr and
+    returns an explicit ok=False status (no in-band NaN sentinel)."""
     import os
 
     import bench
@@ -66,11 +66,103 @@ def test_unreadable_prev_details_is_visible_not_silent(tmp_path, capsys):
     orig = os.path.dirname(os.path.abspath(bench.__file__))
     try:
         bench.__file__ = str(tmp_path / "bench.py")
-        spreads = _previous_spreads("BENCH_DETAILS_r98.json")
+        spreads, ok = _previous_spreads("BENCH_DETAILS_r98.json")
     finally:
         bench.__file__ = os.path.join(orig, "bench.py")
-    assert "__prev_unreadable__" in spreads
+    assert spreads == {} and ok is False
     assert "spread-overlap test disabled" in capsys.readouterr().err
-    regs, overlap = flag_regressions({"q": 1.29}, {"q": [2.0, 2.1]}, spreads, [])
-    assert regs == []
-    assert overlap["__status__"] == "prev_unreadable"
+
+
+def test_previous_spreads_absent_is_ok():
+    """No details record at all (driver-record-only continuity) is the
+    normal first-round state, not degraded mode."""
+    from bench import _previous_spreads
+
+    spreads, ok = _previous_spreads(None)
+    assert spreads == {} and ok is True
+    spreads, ok = _previous_spreads("BENCH_r07.json")
+    assert spreads == {} and ok is True
+
+
+# ---------------------------------------------------------------------------
+# Self-adjudication (VERDICT r9 #1): the pure confirm/clear decision
+# ---------------------------------------------------------------------------
+
+from bench import adjudicate_flags
+
+
+def test_adjudication_clears_session_noise():
+    """The r9 scenario: in-session flag at 1.33x, fresh session back
+    inside the previous envelope -> cleared, verdict recorded."""
+    kept, rec = adjudicate_flags(
+        ["methyl_pipeline_chain"],
+        [],
+        {"methyl_pipeline_chain": {"median": 3.35, "spread": [3.3, 3.5]}},
+        {"methyl_pipeline_chain": 3.375},
+        {"methyl_pipeline_chain": [3.3, 3.6]},
+    )
+    assert kept == []
+    assert rec["methyl_pipeline_chain"]["verdict"] == "noise"
+    assert rec["methyl_pipeline_chain"]["fresh_delta"] < 1.1
+
+
+def test_adjudication_confirms_real_regression():
+    """Fresh spread wholly above the previous round's AND above the
+    soft threshold -> the flag stands, with both numbers recorded."""
+    kept, rec = adjudicate_flags(
+        ["q"],
+        [],
+        {"q": {"median": 2.0, "spread": [1.9, 2.1]}},
+        {"q": 1.0},
+        {"q": [0.95, 1.1]},
+    )
+    assert kept == ["q"]
+    assert rec["q"]["verdict"] == "confirmed"
+    assert rec["q"]["fresh_delta"] == 2.0
+
+
+def test_adjudication_no_prev_spread_uses_hard_flag():
+    kept, rec = adjudicate_flags(
+        ["a", "b"],
+        [],
+        {"a": {"median": 1.4, "spread": [1.3, 1.5]},
+         "b": {"median": 1.2, "spread": [1.1, 1.3]}},
+        {"a": 1.0, "b": 1.0},
+        {},
+    )
+    assert kept == ["a"]  # 1.4x > hard flag; 1.2x under it
+    assert rec["a"]["verdict"] == "confirmed"
+    assert rec["b"]["verdict"] == "noise"
+
+
+def test_adjudication_degraded_evidence_never_clears():
+    """A rerun that failed to launch, a query the rerun crashed on, and
+    a query with no previous median all KEEP their flags."""
+    kept, rec = adjudicate_flags(["q"], [], None, {"q": 1.0}, {})
+    assert kept == ["q"] and rec["q"]["verdict"] == "rerun_unavailable"
+
+    kept, rec = adjudicate_flags(
+        ["q"], [], {"q": "FAILED: boom"}, {"q": 1.0}, {}
+    )
+    assert kept == ["q"] and rec["q"]["verdict"] == "rerun_failed"
+
+    kept, rec = adjudicate_flags(
+        ["q"], [], {"q": {"median": 1.0, "spread": [1.0, 1.0]}}, {}, {}
+    )
+    assert kept == ["q"] and rec["q"]["verdict"] == "no_prev_median"
+
+
+def test_adjudication_failures_never_adjudicated():
+    """A crashed query is not noise: it stays flagged and is not sent
+    through the fresh-evidence test even if the rerun timed it."""
+    kept, rec = adjudicate_flags(
+        ["crashed_q", "slow_q"],
+        ["crashed_q"],
+        {"slow_q": {"median": 1.0, "spread": [1.0, 1.0]},
+         "crashed_q": {"median": 1.0, "spread": [1.0, 1.0]}},
+        {"slow_q": 1.0, "crashed_q": 1.0},
+        {},
+    )
+    assert kept == ["crashed_q"]
+    assert "crashed_q" not in rec
+    assert rec["slow_q"]["verdict"] == "noise"
