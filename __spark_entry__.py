@@ -108,7 +108,25 @@ def _ri(col, scale: int = 1_000_000):
 # query stages the same aggregate, so persist it once per (session,
 # sf_dir) — the real deployment's equivalent is the meth table simply
 # BEING the stored fact table (bucketed parquet), not a derived view.
-_METH_CACHE: dict = {}
+# Bounded LRU (VERDICT r9 #5): a long-lived session sweeping many
+# fixture dirs used to accumulate one persisted frame per dir forever;
+# now the least-recently-used entry is unpersisted once more than
+# _METH_CACHE_CAP dirs are live. Cap 2, not 1: the oracle battery and
+# bench legitimately alternate between a data fixture and a NULL/warm
+# fixture inside one session, and evict-on-every-switch would recompute
+# the aggregate per query.
+from collections import OrderedDict
+
+_METH_CACHE: OrderedDict = OrderedDict()
+_METH_CACHE_CAP = 2
+
+
+def clear_meth_cache() -> None:
+    """Unpersist and drop every cached meth frame (test/bench hook for
+    hard storage resets between fixture sweeps)."""
+    while _METH_CACHE:
+        _, df = _METH_CACHE.popitem(last=False)
+        df.unpersist()
 
 
 def _meth(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -117,6 +135,7 @@ def _meth(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = _METH_CACHE.get(key)
     if cached is not None:
+        _METH_CACHE.move_to_end(key)
         return cached
     li = _t(spark, sf_dir, "lineitem")
     out = (
@@ -144,6 +163,9 @@ def _meth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).persist()
     _METH_CACHE[key] = out
+    while len(_METH_CACHE) > _METH_CACHE_CAP:
+        _, evicted = _METH_CACHE.popitem(last=False)
+        evicted.unpersist()
     return out
 
 

@@ -127,3 +127,34 @@ def test_float_queries_ulp_insensitive(spark):
         assert results[0] == results[1] == results[2], (
             f"{name} output moved under a 1e-13 input perturbation"
         )
+
+
+def test_meth_cache_is_bounded_lru(spark):
+    """VERDICT r9 #5: the session-lifetime meth cache must not grow
+    monotonically across a multi-fixture session — beyond the LRU cap
+    the oldest entry is unpersisted and dropped."""
+    entry.clear_meth_cache()
+    assert len(entry._METH_CACHE) == 0
+    # distinct path spellings are distinct cache keys over the same
+    # physical fixture — a cheap stand-in for N fixture dirs
+    dirs = [
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.001/",
+        "/root/testdata/sf0.001//",
+    ]
+    frames = [entry._meth(spark, d) for d in dirs]
+    assert len(entry._METH_CACHE) == entry._METH_CACHE_CAP
+    # the first (least recently used) entry was evicted AND unpersisted
+    assert not frames[0].storageLevel.useMemory
+    assert frames[1].storageLevel.useMemory
+    assert frames[2].storageLevel.useMemory
+    # re-touching a live entry refreshes recency: inserting a 4th dir
+    # then evicts dirs[2], not dirs[1]
+    assert entry._meth(spark, dirs[1]) is frames[1]
+    entry._meth(spark, "/root/testdata/sf0.001///")
+    assert not frames[2].storageLevel.useMemory
+    assert frames[1].storageLevel.useMemory
+    # the explicit reset hook empties storage entirely
+    entry.clear_meth_cache()
+    assert len(entry._METH_CACHE) == 0
+    assert all(not f.storageLevel.useMemory for f in frames)
