@@ -2483,6 +2483,162 @@ def q_ivf_ann_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+_SEMDEDUP_CELLS = 32
+_SEMDEDUP_THRESHOLD = 0.95
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (ext.similarity.semantic_dedup,
+    Abbas et al. 2023): md5-derived unit centroids → IVF cell
+    assignment (JVM argmin over ONE broadcast centroid literal) →
+    within-cell cosine >= 0.95 pairs via bucket_pair_expand →
+    connected-components closure → keep the member FARTHEST from its
+    cell centroid (the paper's low-density keep policy; ties to min
+    id). Near-dups are planted engine-neutrally: ids < 50 re-enter as
+    id+100000 with dim 0 shifted +0.1, ids < 25 again as id+200000
+    with dim 1 shifted +0.1 — transitive triples that exercise the
+    cluster closure beyond single pairs. Integer/boolean output
+    channels only. Oracle: full DuckDB replay — assignment argmin,
+    within-cell pair algebra, recursive-CTE reachability, dist-ranked
+    representative election."""
+    from methyl_data_pipeline_spark.ext.similarity import (
+        md5_centroids,
+        semantic_dedup,
+        valid_vector,
+    )
+
+    # validity BEFORE construction (the perturbation indexes
+    # embedding components — same reasoning as q_embedding_neardup)
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(valid_vector(F.col("embedding")))
+        .select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+    )
+    c1 = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.get(F.col("embedding"), 0) + F.lit(_NEARDUP_PERTURB)),
+            F.expr("slice(embedding, 2, greatest(size(embedding) - 1, 0))"),
+        ).alias("embedding"),
+    )
+    c2 = emb.filter(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 200000).alias("vec_id"),
+        F.concat(
+            F.array(F.get(F.col("embedding"), 0)),
+            F.array(F.get(F.col("embedding"), 1) + F.lit(_NEARDUP_PERTURB)),
+            F.expr("slice(embedding, 3, greatest(size(embedding) - 2, 0))"),
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(c1).unionByName(c2)
+    out = semantic_dedup(
+        corpus,
+        centroids=md5_centroids(_SEMDEDUP_CELLS, 64),
+        threshold=_SEMDEDUP_THRESHOLD,
+        keep="far",
+    )
+    return out.select(
+        "vec_id",
+        F.col("cell").cast("int").alias("cell"),
+        F.col("canonical_id").cast("long").alias("canonical_id"),
+        "is_duplicate",
+    ).orderBy("vec_id")
+
+
+def _sql_semantic_dedup() -> str:
+    from methyl_data_pipeline_spark.ext.similarity import md5_centroids
+
+    cents = md5_centroids(_SEMDEDUP_CELLS, 64)
+
+    def lit(c: list) -> str:
+        return "[" + ", ".join(repr(x) for x in c) + "]"
+
+    # centroids go in as a VALUES relation, NOT as array literals
+    # inside the lambda: DuckDB rebuilds a constant list literal per
+    # lambda-element evaluation (575 rows x 32 cells x 64 dims x 2
+    # refs ≈ 4.7M 64-element list builds — measured 147 s), where a
+    # cross-joined column reference is just an index access (~2 s).
+    # The distance folds as (a-b)*(a-b) — the SAME FP ops, in the
+    # SAME order, as the Spark side's zip_with fold (a pow() or a
+    # norm-expansion |v|^2 - 2v.c + |c|^2 rewrite would diverge in
+    # the last ulp and could flip the argmin on near-ties); argmin =
+    # ORDER BY d, ci == Spark's array_min over (d, i) structs.
+    cent_rows = ",\n    ".join(
+        f"({ci}, CAST({lit(c)} AS DOUBLE[]))" for ci, c in enumerate(cents)
+    )
+    return f"""
+WITH RECURSIVE base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE {_sql_valid_vec('embedding')}
+),
+corpus AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + 100000, list_concat([v[1] + {_NEARDUP_PERTURB!r}], v[2:])
+  FROM base WHERE vec_id < 50
+  UNION ALL
+  SELECT vec_id + 200000, list_concat([v[1], v[2] + {_NEARDUP_PERTURB!r}], v[3:])
+  FROM base WHERE vec_id < 25
+),
+cent(ci, cv) AS (
+  VALUES
+    {cent_rows}
+),
+scored AS MATERIALIZED (
+  SELECT vec_id, v, ci,
+         list_sum(list_transform(generate_series(1, len(v)),
+                                 i -> (v[i] - cv[i]) * (v[i] - cv[i]))) AS d
+  FROM (SELECT vec_id, v FROM corpus WHERE {_sql_valid_vec('v')})
+  CROSS JOIN cent
+),
+assigned AS MATERIALIZED (
+  SELECT vec_id, v, CAST(ci AS INTEGER) AS cell, d AS dist
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY d ASC, ci ASC) AS rn
+        FROM scored)
+  WHERE rn = 1
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM assigned a JOIN assigned b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE list_sum(list_transform(generate_series(1, len(a.v)),
+                                i -> a.v[i] * b.v[i]))
+          / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+             * sqrt(list_sum(list_transform(b.v, x -> x * x))))
+        >= {_SEMDEDUP_THRESHOLD!r}
+),
+edges AS (
+  SELECT id_a AS u, id_b AS w FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(u, w) AS (
+  SELECT u, w FROM edges
+  UNION
+  SELECT r.u, e.w FROM reach r JOIN edges e ON r.w = e.u
+),
+comp AS (SELECT u AS vec_id, LEAST(u, MIN(w)) AS component FROM reach GROUP BY u),
+members AS (
+  SELECT a.vec_id, a.cell, a.dist,
+         COALESCE(c.component, a.vec_id) AS comp
+  FROM assigned a LEFT JOIN comp c USING (vec_id)
+),
+rep AS (
+  SELECT comp, vec_id AS rep_id,
+         ROW_NUMBER() OVER (PARTITION BY comp
+                            ORDER BY dist DESC, vec_id ASC) AS rn
+  FROM members
+)
+SELECT m.vec_id,
+       m.cell,
+       CAST(r.rep_id AS BIGINT) AS canonical_id,
+       r.rep_id <> m.vec_id AS is_duplicate
+FROM members m JOIN rep r ON r.comp = m.comp AND r.rn = 1
+ORDER BY m.vec_id"""
+
+
 def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window event aggregation — batch twin of the streaming
     operator (identical semantics minus watermark)."""
@@ -5958,165 +6114,151 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness records only the
-    # FIRST 50 entries in dict order. ROUND-9 WINDOW POLICY (VERDICT
-    # r8 #5): with every oracled query now driver-certifiable, the
-    # window shifts from "first evidence" to "re-certify what changed,
-    # then lowest-green-count first". Composition:
-    #   (a) changed in r9 — the three HUGEINT-cast oracles
-    #       (moderated_f, outlier_mad, corpus_report) + their
-    #       column_digests localizer; threshold_sweep (boolean label
-    #       normalization); every query routed through
-    #       bucket_pair_expand, whose small path gained the
-    #       struct-equal self-pair guard (minhash_pairs, simhash_pairs
-    #       — also the 64-bit default flip — simhash64_pairs,
-    #       embedding_neardup, dedup_clusters, ngram_jaccard);
-    #       incremental_neardup (oracle recomposed on the shared
-    #       _sql_minhash_cte helper);
-    #   (b) every 1-green query (first-certified r8, never re-proven);
-    #   (c) the 2-green pair, then 3-green entries to fill 50 —
-    #       minhash_signatures/simhash lead as context for (a).
-    # Rotated OUT vs r8: incremental_dedup, dmr_regions,
-    # bloom_decontaminate, quantile_normalize, sketch_cert, the
-    # combat/bmiq certificates, methyl_pipeline_chain, stream_curate
-    # tail etc. — all 4-5 greens, code untouched this round,
-    # re-verified every round by tools/check_oracle.py on two fixtures.
+    # FIRST 50 entries in dict order. ROUND-10 WINDOW POLICY (VERDICT
+    # r9 #2): with all 121 oracled queries driver-certified at least
+    # once, the window is pure re-certification rotation —
+    # changed-first, then OLDEST newest-green first, then lowest
+    # green count. Composition:
+    #   (a) new in r10: semantic_dedup (SemDeDup composition);
+    #   (b) the five r9-new operators (1 green each);
+    #   (c) every oracled query whose newest driver green is <= r6
+    #       (26 queries — the r3/r4-certified tail);
+    #   (d) the r7-newest tier fills the remaining 18 slots (4-green
+    #       entries first, then 5- and 7-green).
+    # After a green r10 sweep, NO oracled query's newest driver
+    # evidence is older than r8. Rotated OUT vs r9: everything
+    # greened in r8/r9, all re-verified every round by
+    # tools/check_oracle.py on the sf0.01 and NULL fixtures.
     return {
-        # (a) changed in r9
-        "moderated_f": q_moderated_f,
-        "outlier_mad": q_outlier_mad,
-        "corpus_report": q_corpus_report,
-        "column_digests": q_column_digests,
-        "threshold_sweep": q_threshold_sweep,
-        "minhash_pairs": q_minhash_pairs,
-        "simhash_pairs": q_simhash_pairs,
-        "simhash64_pairs": q_simhash64_pairs,
-        "embedding_neardup": q_embedding_neardup,
-        "dedup_clusters": q_dedup_clusters,
-        "ngram_jaccard": q_ngram_jaccard,
-        "incremental_neardup": q_incremental_neardup,
-        # (b) 1 driver green each (first certified r8 or earlier,
-        # never re-proven)
-        "length_batches": q_length_batches,
-        "split_leakage": q_split_leakage,
-        "budget_select": q_budget_select,
-        "vocab_coverage": q_vocab_coverage,
-        "temperature_sample": q_temperature_sample,
-        "funnel": q_funnel,
-        "cohort_retention": q_cohort_retention,
-        "exact_substring": q_exact_substring,
-        "skew_report": q_skew_report,
-        "split_contamination": q_split_contamination,
-        "domain_mix": q_domain_mix,
-        "repetition_signals": q_repetition_signals,
-        "sequence_packing": q_sequence_packing,
-        "similarity_lsh": q_similarity_lsh,
-        # NEW r9 operators — integer/proven channels, first driver
-        # evidence lands this round (slots yielded by join_chain /
-        # agg_minmax, 3 greens each)
+        # (a) new r10
+        "semantic_dedup": q_semantic_dedup,
+        # (b) r9-new operators, 1 green each
         "quantize_embeddings": q_quantize_embeddings,
         "quant_recall": q_quant_recall,
         "embedding_drift": q_embedding_drift,
         "source_token_cap": q_source_token_cap,
         "containment_pairs": q_containment_pairs,
-        # (c) 2 greens
-        "clean_text": q_clean_text,
-        "ivf_ann": q_ivf_ann,
-        # (c) 3 greens — minhash_signatures/simhash first (shared-CTE
-        # / 32-bit-pin context for the group-(a) dedup queries)
-        "minhash_signatures": q_minhash_signatures,
-        "simhash": q_simhash,
-        "corpus_pipeline": q_corpus_pipeline,
-        "stream_curate": q_stream_curate,
-        "layout_cert": q_layout_cert,
-        "bm25_rank": q_bm25_rank,
-        "quantiles": q_quantiles,
-        "histogram": q_histogram,
-        "ecdf_percent_rank": q_ecdf,
-        "union_halves": q_union_halves,
-        "top_revenue_orders": q_top_revenue_orders,
-        "join_full_outer": q_join_full_outer,
-        "semi_anti_membership": q_semi_anti,
-        "set_ops": q_set_ops,
-        "dedup_distinct": q_dedup_distinct,
-        "pivot_events": q_pivot,
-        "melt_part": q_melt,
-        # ---- slot 51+ (past the driver's 50-entry window) ----
-        # 3 greens each, untouched this round; re-verified every round
-        # by tools/check_oracle.py on the sf0.01 and NULL fixtures
-        "string_funcs": q_string_funcs,
-        "topk_per_group": q_topk_per_group,
-        "running_window": q_running_window,
-        "join_chain": q_join_chain,
+        # (c) newest green <= r6 (r3/r4 evidence)
         "agg_minmax": q_agg_minmax,
+        "asof_join": q_asof_join,
         "collect_list": q_collect_list,
-        "kde_density": q_kde_density,
-        "rename_lookup": q_rename_lookup,
-        "scalar_math": q_scalar_math,
-        "rollup_counts": q_rollup,
-        "sample_projection": q_sample_projection,
-        "text_tokens": q_text_tokens,
-        "sessionize": q_sessionize,
-        "text_quality": q_text_quality,
-        "lang_id": q_lang_id,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "fingerprint_dedup": q_fingerprint_dedup,
-        "winnowing": q_winnowing,
         "embedding_cosine_topk": q_embedding_cosine_topk,
         "events_windowed": q_events_windowed,
-        "asof_join": q_asof_join,
-        "range_join": q_range_join,
+        "fingerprint_dedup": q_fingerprint_dedup,
         "heatmap_prep": q_heatmap_prep,
-        # 4 greens each
-        "incremental_dedup": q_incremental_dedup,
-        "dmr_regions": q_dmr_regions,
-        "bloom_decontaminate": q_bloom_decontaminate,
-        "quantile_normalize": q_quantile_normalize,
-        "sketch_cert": q_sketch_cert,
-        "combat_twostep": q_combat_twostep,
-        "combat_converged": q_combat_converged,
-        "bmiq_mstep_cert": q_bmiq_mstep_cert,
-        "stream_interval_join": q_stream_interval_join,
-        "pii_redact": q_pii_redact,
-        "quality_filter": q_quality_filter,
-        "unigram_logprob": q_unigram_logprob,
-        "decontaminate": q_decontaminate,
-        "sample_stratified": q_sample_stratified,
-        "perplexity_buckets": q_perplexity_buckets,
-        "chunk_documents": q_chunk_documents,
-        "pca_eigen_cert": q_pca_eigen_cert,
-        "bh_grouped": q_bh_grouped,
-        "hot_ngrams": q_hot_ngrams,
-        "snapshot_diff": q_snapshot_diff,
-        "sample_corr": q_sample_corr,
-        "contract_report": q_contract_report,
-        "hash_split": q_hash_split,
-        "mixture_sample": q_mixture_sample,
-        "lang_id_ngram": q_lang_id_ngram,
-        "combat_onestep": q_combat_onestep,
-        "pca_gram": q_pca_gram,
-        "curation_pipeline": q_curation_pipeline,
-        "meth_qc_detp": q_meth_qc_detp,
+        "join_chain": q_join_chain,
+        "kde_density": q_kde_density,
+        "lang_id": q_lang_id,
+        "range_join": q_range_join,
+        "rename_lookup": q_rename_lookup,
+        "rollup_counts": q_rollup,
+        "running_window": q_running_window,
+        "sample_projection": q_sample_projection,
+        "scalar_math": q_scalar_math,
+        "sessionize": q_sessionize,
+        "string_funcs": q_string_funcs,
+        "text_quality": q_text_quality,
+        "text_tokens": q_text_tokens,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "topk_per_group": q_topk_per_group,
+        "winnowing": q_winnowing,
         "meth_complete_probes": q_meth_complete_probes,
         "meth_group_delta": q_meth_group_delta,
-        # 5 greens each
-        "bmiq_prefix": q_bmiq_prefix,
-        "methyl_pipeline_chain": q_methyl_pipeline_chain,
-        "combat_cov_prefix": q_combat_cov_prefix,
-        "segment_dedup": q_segment_dedup,
-        "dedup_best": q_dedup_best,
-        "events_sliding": q_events_sliding,
-        "frame_sample": q_frame_sample,
+        "meth_qc_detp": q_meth_qc_detp,
+        # (d) r7-newest tier
+        "combat_onestep": q_combat_onestep,
+        "contract_report": q_contract_report,
+        "curation_pipeline": q_curation_pipeline,
+        "hash_split": q_hash_split,
+        "lang_id_ngram": q_lang_id_ngram,
+        "mixture_sample": q_mixture_sample,
+        "pca_gram": q_pca_gram,
+        "sample_corr": q_sample_corr,
         "bh_adjust": q_bh_adjust,
-        "health_report": q_health_report,
         "combat_priors": q_combat_priors,
-        # 7 greens each (the multiply-proven r1 originals)
-        "pricing_summary": q_pricing_summary,
-        "meth_variance_topk": q_meth_variance_topk,
-        "meth_moderated_t": q_meth_moderated_t,
-        "meth_contrasts": q_meth_contrasts,
-        "poobah_ecdf": q_poobah_ecdf,
+        "health_report": q_health_report,
         "bh_adjust_scalable": q_bh_adjust_scalable,
+        "meth_contrasts": q_meth_contrasts,
+        "meth_moderated_t": q_meth_moderated_t,
+        "meth_variance_topk": q_meth_variance_topk,
         "multimodal_features": q_multimodal_features,
+        "poobah_ecdf": q_poobah_ecdf,
+        "pricing_summary": q_pricing_summary,
+        # ---- slot 51+ (past the driver's 50-entry window) ----
+        # newest green r8/r9; re-verified every round by
+        # tools/check_oracle.py on two fixtures
+        "bh_grouped": q_bh_grouped,
+        "bloom_decontaminate": q_bloom_decontaminate,
+        "bm25_rank": q_bm25_rank,
+        "bmiq_mstep_cert": q_bmiq_mstep_cert,
+        "bmiq_prefix": q_bmiq_prefix,
+        "budget_select": q_budget_select,
+        "chunk_documents": q_chunk_documents,
+        "clean_text": q_clean_text,
+        "cohort_retention": q_cohort_retention,
+        "column_digests": q_column_digests,
+        "combat_converged": q_combat_converged,
+        "combat_cov_prefix": q_combat_cov_prefix,
+        "combat_twostep": q_combat_twostep,
+        "corpus_pipeline": q_corpus_pipeline,
+        "corpus_report": q_corpus_report,
+        "decontaminate": q_decontaminate,
+        "dedup_best": q_dedup_best,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_distinct": q_dedup_distinct,
+        "dmr_regions": q_dmr_regions,
+        "domain_mix": q_domain_mix,
+        "ecdf_percent_rank": q_ecdf,
+        "embedding_neardup": q_embedding_neardup,
+        "events_sliding": q_events_sliding,
+        "exact_substring": q_exact_substring,
+        "frame_sample": q_frame_sample,
+        "funnel": q_funnel,
+        "histogram": q_histogram,
+        "hot_ngrams": q_hot_ngrams,
+        "incremental_dedup": q_incremental_dedup,
+        "incremental_neardup": q_incremental_neardup,
+        "ivf_ann": q_ivf_ann,
+        "join_full_outer": q_join_full_outer,
+        "layout_cert": q_layout_cert,
+        "length_batches": q_length_batches,
+        "melt_part": q_melt,
+        "methyl_pipeline_chain": q_methyl_pipeline_chain,
+        "minhash_pairs": q_minhash_pairs,
+        "minhash_signatures": q_minhash_signatures,
+        "moderated_f": q_moderated_f,
+        "ngram_jaccard": q_ngram_jaccard,
+        "outlier_mad": q_outlier_mad,
+        "pca_eigen_cert": q_pca_eigen_cert,
+        "perplexity_buckets": q_perplexity_buckets,
+        "pii_redact": q_pii_redact,
+        "pivot_events": q_pivot,
+        "quality_filter": q_quality_filter,
+        "quantile_normalize": q_quantile_normalize,
+        "quantiles": q_quantiles,
+        "repetition_signals": q_repetition_signals,
+        "sample_stratified": q_sample_stratified,
+        "segment_dedup": q_segment_dedup,
+        "semi_anti_membership": q_semi_anti,
+        "sequence_packing": q_sequence_packing,
+        "set_ops": q_set_ops,
+        "simhash": q_simhash,
+        "simhash64_pairs": q_simhash64_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "similarity_lsh": q_similarity_lsh,
+        "sketch_cert": q_sketch_cert,
+        "skew_report": q_skew_report,
+        "snapshot_diff": q_snapshot_diff,
+        "split_contamination": q_split_contamination,
+        "split_leakage": q_split_leakage,
+        "stream_curate": q_stream_curate,
+        "stream_interval_join": q_stream_interval_join,
+        "temperature_sample": q_temperature_sample,
+        "threshold_sweep": q_threshold_sweep,
+        "top_revenue_orders": q_top_revenue_orders,
+        "unigram_logprob": q_unigram_logprob,
+        "union_halves": q_union_halves,
+        "vocab_coverage": q_vocab_coverage,
         # non-SQL-expressible (rows-only; see each docstring). Each
         # got its one-time driver rows+schema recording in r5/r6; the
         # driver harness errors (`no_oracle`) rather than certifying
@@ -6216,6 +6358,7 @@ def oracle_sql() -> dict[str, str]:
         "outlier_mad": SQL_OUTLIER_MAD,
         "sketch_cert": SQL_SKETCH_CERT,
         "embedding_neardup": _sql_embedding_neardup(),
+        "semantic_dedup": _sql_semantic_dedup(),
         # n_probe == n_centroids makes IVF exact — brute force IS the oracle
         "ivf_ann": SQL_EMBEDDING_COSINE,
         "events_windowed": SQL_EVENTS_WINDOWED,

@@ -232,6 +232,35 @@ def cosine_neardup_pairs(
     )
 
 
+def _lloyd_centroids(pts, k: int, seed: int, max_iter: int) -> list[list[float]]:
+    """Driver-side Lloyd's iterations over a bounded fit sample, with
+    deterministic seeded init (k-means++ light: distinct random picks).
+    Empty cells re-seed from the farthest point so k centroids always
+    survive. Shared by :func:`ivf_topk` and :func:`semantic_dedup` —
+    the coarse quantizer trains FAISS-style on <= ~10k points, so the
+    training cost is independent of corpus size."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    cents = pts[rng.choice(len(pts), size=min(k, len(pts)), replace=False)]
+    for _ in range(max_iter):
+        d2 = ((pts[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        new = np.array(
+            [
+                pts[assign == c].mean(axis=0)
+                if np.any(assign == c)
+                else pts[d2.min(axis=1).argmax()]
+                for c in range(len(cents))
+            ]
+        )
+        if np.allclose(new, cents, atol=1e-12):
+            cents = new
+            break
+        cents = new
+    return [list(map(float, c)) for c in cents]
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -309,27 +338,7 @@ def ivf_topk(
         nrm = np.linalg.norm(pts, axis=1, keepdims=True)
         pts = pts / np.where(nrm > 0, nrm, 1.0)
 
-    # Lloyd's iterations, deterministic seeded init (k-means++ light:
-    # distinct random picks). Empty cells re-seed from the farthest
-    # point so k centroids always survive.
-    rng = np.random.RandomState(seed)
-    cents = pts[rng.choice(len(pts), size=min(n_centroids, len(pts)), replace=False)]
-    for _ in range(max_iter):
-        d2 = ((pts[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-        assign = d2.argmin(axis=1)
-        new = np.array(
-            [
-                pts[assign == c].mean(axis=0)
-                if np.any(assign == c)
-                else pts[d2.min(axis=1).argmax()]
-                for c in range(len(cents))
-            ]
-        )
-        if np.allclose(new, cents, atol=1e-12):
-            cents = new
-            break
-        cents = new
-    centroids = [list(map(float, c)) for c in cents]
+    centroids = _lloyd_centroids(pts, n_centroids, seed, max_iter)
 
     # ALL centroid distances in one expression: the centroid matrix
     # ships as a single nested-array literal (one py4j call, one
@@ -630,3 +639,201 @@ def embedding_drift(
         "drift_z",
         F.when(se > 0, F.abs(F.col("mean_new") - F.col("mean_old")) / se),
     )
+
+
+def md5_centroids(k: int, dim: int, salt: str = "ct") -> list[list[float]]:
+    """Deterministic UNIT-NORM pseudo-centroids for oracle-replayable
+    coarse quantization: :func:`md5_planes` components normalized to
+    the unit sphere in Python, so the SAME double literals embed in
+    both the Spark plan and an external SQL oracle.
+
+    Normalization matters for the partition shape, not just parity:
+    raw [-1, 1]^dim centroids have |c|^2 spreads larger than the
+    per-vector score spread, so argmin_c |v - c|^2 = argmin_c
+    (|c|^2 - 2 v.c) degenerates to "everything joins the
+    smallest-norm centroid" on a unit-norm corpus. On the sphere,
+    assignment reduces to argmax v.c — a balanced Voronoi partition.
+    """
+    import math
+
+    out = []
+    for row in md5_planes(k, dim, salt):
+        n = math.sqrt(sum(x * x for x in row)) or 1.0
+        out.append([x / n for x in row])
+    return out
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    centroids: list[list[float]] | None = None,
+    n_cells: int = 8,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep: str = "far",
+    seed: int = 42,
+    max_iter: int = 8,
+    max_bucket: int = 4096,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): coarse-quantize the embedding space into cells,
+    find within-cell cosine near-duplicate pairs above ``threshold``,
+    resolve them transitively into clusters, and keep ONE
+    representative per cluster.
+
+    Composition of already-certified parts: cell assignment is the IVF
+    coarse quantizer (:func:`ivf_topk`'s broadcast-centroid JVM argmin;
+    pass ``centroids`` explicitly — e.g. :func:`md5_centroids` — for
+    engine-reproducible cells, or leave None for the seeded-KMeans
+    fit), pair generation goes through ``dedup.bucket_pair_expand``
+    keyed on the cell (bounded join blocks even for a pathological
+    mega-cell), and cluster resolution is ``graph.connected_components``
+    (min-label propagation). Since every edge is within one cell,
+    clusters are cell-local by construction — exactly SemDeDup's
+    semantics, where cross-cell near-dups are the accepted recall loss
+    that makes the O(n^2) pair space tractable.
+
+    ``keep`` picks the cluster representative:
+      - ``"far"`` (default — the paper's policy): the member with the
+        LARGEST distance to its cell centroid survives (SemDeDup keeps
+        low-density-region examples; ties break to min id),
+      - ``"min_id"``: deterministic min id (``dedup_exact``'s winner
+        rule),
+      - any other string: treated as a COLUMN NAME on ``vectors``;
+        the member with the max value survives (``dedup_keep_best``'s
+        quality policy; ties to min id).
+
+    Output: (id_col, cell, canonical_id, is_duplicate) for EVERY valid
+    input vector — integer/boolean channels only. The keep-list is
+    ``filter(~is_duplicate)``.
+
+    100 TB shape: one corpus scan assigns cells (centroid literals
+    broadcast inside ONE Catalyst transform node — no UDF, no join);
+    the only corpus-sized shuffle is the cell-keyed pair expansion,
+    whose cost tracks sum(cell_size^2) — at scale ``n_cells`` grows
+    with the corpus (cells of ~10k vectors), keeping per-cell work
+    bounded, and the mega-bucket guard salts any skewed cell into
+    bounded triangle-join blocks. CC and the representative election
+    run over verified near-dup EDGES and cluster members only —
+    output-sized, not corpus-sized.
+    """
+    from methyl_data_pipeline_spark.ext.dedup import _spread, bucket_pair_expand
+    from methyl_data_pipeline_spark.ext.graph import connected_components
+
+    quality_col = None
+    if keep not in ("far", "min_id"):
+        quality_col = keep
+        if quality_col not in vectors.columns:
+            raise ValueError(
+                f"semantic_dedup: keep={keep!r} is neither a policy nor "
+                "a column of the vectors frame"
+            )
+
+    vectors = vectors.filter(valid_vector(F.col(vec_col)))
+    if centroids is None:
+        import numpy as np
+
+        pts = np.array(
+            [
+                r[0]
+                for r in vectors.select(F.col(vec_col).cast("array<double>"))
+                .limit(10_000)
+                .collect()
+            ]
+        )
+        if pts.size == 0:
+            raise ValueError("semantic_dedup: vectors frame has no valid rows")
+        centroids = _lloyd_centroids(pts, n_cells, seed, max_iter)
+
+    vec_d = F.col(vec_col).cast("array<double>")
+    cents_lit = F.lit(centroids)
+    dists = F.transform(
+        cents_lit,
+        lambda c: F.aggregate(
+            F.zip_with(vec_d, c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    # (cell, dist-to-own-centroid) in ONE evaluation of the distance
+    # array: array_min over (dist, idx) structs picks the smallest
+    # dist with first-occurrence index on ties (struct ordering) —
+    # computing argmin and min as two separate expressions would
+    # re-evaluate the k x d transform per use (no CSE across
+    # projections).
+    zipped = F.arrays_zip(
+        dists.alias("d"), F.lit(list(range(len(centroids)))).alias("i")
+    )
+    base_cols = [F.col(id_col), vec_d.alias("_v")]
+    if quality_col is not None:
+        base_cols.append(F.col(quality_col).alias("_q"))
+    keyed = (
+        _spread(vectors, id_col)
+        .select(*base_cols, F.array_min(zipped).alias("_m"))
+        .select(
+            id_col,
+            "_v",
+            F.col("_m.i").cast("int").alias("_cell"),
+            F.col("_m.d").alias("_dist"),
+            *(["_q"] if quality_col is not None else []),
+        )
+        .withColumn("_nrm", _norm(F.col("_v")))
+    )
+
+    pairs = bucket_pair_expand(
+        keyed,
+        ["_cell"],
+        F.struct(
+            F.col(id_col).alias("i"),
+            F.col("_v").alias("v"),
+            F.col("_nrm").alias("n"),
+        ),
+        max_bucket=max_bucket,
+    )
+    cos = _dot(F.col("_a.v"), F.col("_b.v")) / (F.col("_a.n") * F.col("_b.n"))
+    edges = pairs.select(
+        F.col("_a.i").alias("id_a"), F.col("_b.i").alias("id_b"), cos.alias("_c")
+    ).filter(F.col("_c") >= threshold)
+
+    comp = connected_components(edges, "id_a", "id_b")
+    member_cols = [id_col, "_cell", "_dist"] + (
+        ["_q"] if quality_col is not None else []
+    )
+    members = (
+        keyed.select(*member_cols)
+        .join(comp.withColumnRenamed("node", id_col), id_col, "left")
+        .withColumn("_comp", F.coalesce("component", F.col(id_col)))
+    )
+    if keep == "min_id":
+        rep = F.col("_comp")
+        out = members.select(
+            id_col,
+            F.col("_cell").alias("cell"),
+            rep.alias("canonical_id"),
+            (rep != F.col(id_col)).alias("is_duplicate"),
+        )
+    else:
+        order = (
+            [F.col("_q").desc_nulls_last(), F.col(id_col).asc()]
+            if quality_col is not None
+            else [F.col("_dist").desc(), F.col(id_col).asc()]
+        )
+        w = Window.partitionBy("_comp").orderBy(*order)
+        # the window shuffles cluster MEMBERS only (singletons ride
+        # along as 1-row partitions keyed by their own id); min_by
+        # over a groupBy would need a second join back — same shuffle
+        # count, more code
+        ranked = members.withColumn(
+            "_rep",
+            F.first(F.col(id_col)).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+            ),
+        )
+        out = ranked.select(
+            id_col,
+            F.col("_cell").alias("cell"),
+            F.col("_rep").alias("canonical_id"),
+            (F.col("_rep") != F.col(id_col)).alias("is_duplicate"),
+        )
+    return out

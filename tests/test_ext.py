@@ -1685,3 +1685,109 @@ def test_containment_pairs_hand_computed(spark):
         containment_pairs(df, threshold=0.0)
     with pytest.raises(ValueError):
         containment_pairs(df, df_max=1)
+
+
+# ---------------------------------------------------------------------------
+# semantic_dedup (SemDeDup composition, r10)
+# ---------------------------------------------------------------------------
+
+
+def _semdedup_frame(spark):
+    """Two far-apart groups + near-dup copies, dim 4. Centroids pin
+    group 1 to cell 0 and group 2 to cell 1; copies are tiny
+    perturbations so every within-group cosine is ~1."""
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),      # cluster A canonical candidate
+        (2, [0.999, 0.01, 0.0, 0.0]),   # near-dup of 1
+        (3, [0.99, 0.03, 0.0, 0.0]),    # near-dup of 2 (chain 1~2~3)
+        (10, [0.0, 0.0, 1.0, 0.0]),     # cluster B
+        (11, [0.0, 0.0, 0.995, 0.02]),  # near-dup of 10
+        (20, [0.0, 1.0, 0.0, 0.0]),     # singleton (cell 0, no pair)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+_SD_CENTS = [[0.9, 0.1, 0.0, 0.0], [0.0, 0.0, 0.9, 0.1]]
+
+
+def test_semantic_dedup_clusters_and_far_policy(spark):
+    from methyl_data_pipeline_spark.ext.similarity import semantic_dedup
+
+    out = {
+        r.vec_id: r
+        for r in semantic_dedup(
+            _semdedup_frame(spark), centroids=_SD_CENTS, threshold=0.95
+        ).collect()
+    }
+    assert len(out) == 6
+    # cluster A = {1,2,3} transitively; the member farthest from
+    # centroid [0.9,0.1,0,0] is vec 1 (largest angle to the centroid)
+    a_canon = {out[i].canonical_id for i in (1, 2, 3)}
+    assert len(a_canon) == 1
+    rep_a = a_canon.pop()
+    assert not out[rep_a].is_duplicate
+    assert sum(out[i].is_duplicate for i in (1, 2, 3)) == 2
+    # cluster B = {10, 11}
+    assert out[10].canonical_id == out[11].canonical_id
+    assert sum(out[i].is_duplicate for i in (10, 11)) == 1
+    # singleton is its own canonical
+    assert out[20].canonical_id == 20 and not out[20].is_duplicate
+    # cells: group A + singleton in cell 0, group B in cell 1
+    assert {out[i].cell for i in (1, 2, 3, 20)} == {0}
+    assert {out[i].cell for i in (10, 11)} == {1}
+
+
+def test_semantic_dedup_min_id_policy(spark):
+    from methyl_data_pipeline_spark.ext.similarity import semantic_dedup
+
+    out = {
+        r.vec_id: r
+        for r in semantic_dedup(
+            _semdedup_frame(spark),
+            centroids=_SD_CENTS,
+            threshold=0.95,
+            keep="min_id",
+        ).collect()
+    }
+    assert out[1].canonical_id == 1 and not out[1].is_duplicate
+    assert out[2].canonical_id == 1 and out[2].is_duplicate
+    assert out[3].canonical_id == 1 and out[3].is_duplicate
+    assert out[10].canonical_id == 10 and out[11].canonical_id == 10
+
+
+def test_semantic_dedup_quality_column_policy(spark):
+    from methyl_data_pipeline_spark.ext.similarity import semantic_dedup
+
+    df = _semdedup_frame(spark).withColumn(
+        "quality", F.col("vec_id").cast("double")
+    )
+    out = {
+        r.vec_id: r
+        for r in semantic_dedup(
+            df, centroids=_SD_CENTS, threshold=0.95, keep="quality"
+        ).collect()
+    }
+    # max quality wins: vec 3 in cluster A, vec 11 in cluster B
+    assert out[1].canonical_id == 3 and out[3].is_duplicate is False
+    assert out[11].is_duplicate is False and out[10].canonical_id == 11
+
+    with pytest.raises(ValueError, match="neither a policy nor"):
+        semantic_dedup(df, centroids=_SD_CENTS, keep="no_such_col").collect()
+
+
+def test_semantic_dedup_invalid_vectors_dropped_and_kmeans_path(spark):
+    from methyl_data_pipeline_spark.ext.similarity import semantic_dedup
+
+    bad = spark.createDataFrame(
+        [(90, None), (91, []), (92, [float("nan"), 1.0]), (93, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    df = _semdedup_frame(spark).unionByName(bad)
+    # centroids=None exercises the seeded-KMeans fit through the
+    # shared _lloyd_centroids refactor
+    out = semantic_dedup(df, n_cells=2, threshold=0.95).collect()
+    assert {r.vec_id for r in out} == {1, 2, 3, 10, 11, 20}
+    by_id = {r.vec_id: r for r in out}
+    # clustering semantics hold regardless of which cells KMeans built
+    assert by_id[10].canonical_id == by_id[11].canonical_id
+    assert len({by_id[i].canonical_id for i in (1, 2, 3)}) == 1
