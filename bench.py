@@ -344,6 +344,8 @@ EXTENDED = [
     "embedding_drift",
     "source_token_cap",
     "containment_pairs",
+    # r10 additions
+    "semantic_dedup",
 ]
 
 

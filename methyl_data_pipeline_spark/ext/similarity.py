@@ -673,7 +673,8 @@ def semantic_dedup(
     keep: str = "far",
     seed: int = 42,
     max_iter: int = 8,
-    max_bucket: int = 4096,
+    max_bucket: int = 512,
+    assignment: str = "auto",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -708,15 +709,52 @@ def semantic_dedup(
     input vector — integer/boolean channels only. The keep-list is
     ``filter(~is_duplicate)``.
 
-    100 TB shape: one corpus scan assigns cells (centroid literals
-    broadcast inside ONE Catalyst transform node — no UDF, no join);
-    the only corpus-sized shuffle is the cell-keyed pair expansion,
-    whose cost tracks sum(cell_size^2) — at scale ``n_cells`` grows
-    with the corpus (cells of ~10k vectors), keeping per-cell work
-    bounded, and the mega-bucket guard salts any skewed cell into
-    bounded triangle-join blocks. CC and the representative election
-    run over verified near-dup EDGES and cluster members only —
-    output-sized, not corpus-sized.
+    100 TB shape: one corpus scan assigns cells; the only corpus-sized
+    shuffles are the assignment collapse (``"join"`` path only) and
+    the cell-keyed pair expansion, whose cost tracks sum(cell_size^2)
+    — at scale ``n_cells`` grows with the corpus (cells of ~10k
+    vectors), keeping per-cell work bounded, and the mega-bucket guard
+    salts any skewed cell into bounded triangle-join blocks. CC and
+    the representative election run over verified near-dup EDGES and
+    cluster members only — output-sized, not corpus-sized.
+
+    ``max_bucket`` defaults to 512 here, NOT the text kernels' 4096:
+    pair-expansion memory is bucket^2/2 x member size, and a
+    64-dim double vector struct is ~600 B where a minhash member is
+    tens of bytes — at 4096 one oversized cell's in-place pair array
+    is ~5 GB in a single task (measured OOM on a skew-concentrated
+    probe corpus), at 512 it is ~80 MB, and genuinely skewed cells
+    stream through the kernel's salted triangle join instead.
+
+    ``assignment`` picks the argmin implementation (identical doubles
+    and tie rule either way — same fold, same (dist, idx) ordering):
+      - ``"transform"``: all k distances in ONE Catalyst transform
+        over a broadcast centroid literal — zero joins, zero extra
+        shuffles, but materializes a k-array per row; the winner for
+        small k.
+      - ``"join"``: broadcast-join the corpus against a k-row centroid
+        frame and collapse with min(struct(dist, idx)) — the n x k
+        intermediate never materializes per-row arrays and partial
+        aggregation collapses it map-side, so the shuffle is n rows;
+        the shape that survives k in the thousands (measured: at
+        k=3200 the transform path allocates ~k x 16 B per row and
+        GC-stalls, the join path streams).
+      - ``"auto"`` (default): ``"transform"`` for k <= 256 else
+        ``"join"``.
+      - ``"two_level"`` (explicit opt-in — an APPROXIMATION, like
+        every hierarchical IVF): the flat paths cost O(n * k * d)
+        flops, which at k in the thousands dominates everything else
+        (measured: k=3200 over 200k rows ≈ 45 min of fold evaluation
+        where the whole 10x probe ran in 32 s). Here the k fine
+        centroids are themselves clustered into ~sqrt(k) coarse cells
+        (driver-side numpy over the centroid matrix — tiny); each row
+        is assigned to its coarse cell via the transform path, then
+        refined ONLY among that cell's fine centroids via the join
+        path — O(n * 2*sqrt(k) * d). A row whose true nearest fine
+        centroid lives under a different coarse cell gets its
+        second-best; that is the standard IVF recall trade, and for
+        SemDeDup it only moves which CELL a vector dedups within.
+        Deterministic for fixed inputs.
     """
     from methyl_data_pipeline_spark.ext.dedup import _spread, bucket_pair_expand
     from methyl_data_pipeline_spark.ext.graph import connected_components
@@ -746,40 +784,110 @@ def semantic_dedup(
             raise ValueError("semantic_dedup: vectors frame has no valid rows")
         centroids = _lloyd_centroids(pts, n_cells, seed, max_iter)
 
+    if assignment == "auto":
+        assignment = "transform" if len(centroids) <= 256 else "join"
+    if assignment not in ("transform", "join", "two_level"):
+        raise ValueError(f"semantic_dedup: unknown assignment {assignment!r}")
+
     vec_d = F.col(vec_col).cast("array<double>")
-    cents_lit = F.lit(centroids)
-    dists = F.transform(
-        cents_lit,
-        lambda c: F.aggregate(
-            F.zip_with(vec_d, c, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        ),
-    )
-    # (cell, dist-to-own-centroid) in ONE evaluation of the distance
-    # array: array_min over (dist, idx) structs picks the smallest
-    # dist with first-occurrence index on ties (struct ordering) —
-    # computing argmin and min as two separate expressions would
-    # re-evaluate the k x d transform per use (no CSE across
-    # projections).
-    zipped = F.arrays_zip(
-        dists.alias("d"), F.lit(list(range(len(centroids)))).alias("i")
-    )
     base_cols = [F.col(id_col), vec_d.alias("_v")]
     if quality_col is not None:
         base_cols.append(F.col(quality_col).alias("_q"))
-    keyed = (
-        _spread(vectors, id_col)
-        .select(*base_cols, F.array_min(zipped).alias("_m"))
-        .select(
+    carry = ["_q"] if quality_col is not None else []
+
+    def transform_argmin(cents: list[list[float]]) -> Column:
+        """min (dist, idx) struct over a broadcast centroid literal —
+        ONE evaluation of the k x d distance transform (array_min over
+        (d, i) structs; no CSE across projections otherwise). First-
+        occurrence index on ties via struct ordering."""
+        dists = F.transform(
+            F.lit(cents),
+            lambda c: F.aggregate(
+                F.zip_with(vec_d, c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+        return F.array_min(
+            F.arrays_zip(dists.alias("d"), F.lit(list(range(len(cents)))).alias("i"))
+        )
+
+    def join_refine(rows: DataFrame, cent_df: DataFrame, on) -> DataFrame:
+        """Broadcast-join rows against a centroid frame and collapse
+        with min(struct(d, i)) — same doubles and tie rule as the
+        transform path; partial aggregation collapses each vector's
+        candidate rows map-side, so the ONE shuffle moves n rows."""
+        d = F.aggregate(
+            F.zip_with(F.col("_v"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        scored = rows.join(F.broadcast(cent_df), on) if on is not None else (
+            rows.join(F.broadcast(cent_df))
+        )
+        scored = scored.select(
             id_col,
             "_v",
-            F.col("_m.i").cast("int").alias("_cell"),
-            F.col("_m.d").alias("_dist"),
-            *(["_q"] if quality_col is not None else []),
+            *carry,
+            F.struct(d.alias("d"), F.col("ci").alias("i")).alias("_mi"),
         )
-        .withColumn("_nrm", _norm(F.col("_v")))
-    )
+        return scored.groupBy(id_col).agg(
+            F.min("_mi").alias("_m"),
+            F.first("_v").alias("_v"),
+            *[F.first(c).alias(c) for c in carry],
+        )
+
+    spark = vectors.sparkSession
+    if assignment == "transform":
+        assigned = _spread(vectors, id_col).select(
+            *base_cols, transform_argmin(centroids).alias("_m")
+        )
+    elif assignment == "join":
+        cent_df = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(centroids)],
+            "ci int, cv array<double>",
+        )
+        assigned = join_refine(
+            _spread(vectors, id_col).select(*base_cols), cent_df, None
+        )
+    else:  # two_level
+        import math
+
+        import numpy as np
+
+        fc = np.asarray(centroids, dtype=float)
+        k1 = max(2, int(math.isqrt(len(centroids))))
+        coarse = _lloyd_centroids(fc, k1, seed, max_iter)
+        cc = np.asarray(coarse, dtype=float)
+        owner = (
+            ((fc[:, None, :] - cc[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+        )
+        # a coarse cell no fine centroid maps to would inner-join its
+        # rows away — keep only owned coarse cells (rows re-route to
+        # the nearest OWNED coarse centroid, preserving totality)
+        owned = sorted(set(int(o) for o in owner))
+        coarse_kept = [coarse[i] for i in owned]
+        remap = {o: j for j, o in enumerate(owned)}
+        cent_df = spark.createDataFrame(
+            [
+                (int(ci), c, remap[int(o)])
+                for ci, (c, o) in enumerate(zip(centroids, owner))
+            ],
+            "ci int, cv array<double>, owner int",
+        )
+        rows = _spread(vectors, id_col).select(
+            *base_cols,
+            transform_argmin(coarse_kept).getField("i").alias("_c1"),
+        )
+        assigned = join_refine(rows, cent_df, F.col("_c1") == F.col("owner"))
+
+    keyed = assigned.select(
+        id_col,
+        "_v",
+        F.col("_m.i").cast("int").alias("_cell"),
+        F.col("_m.d").alias("_dist"),
+        *carry,
+    ).withColumn("_nrm", _norm(F.col("_v")))
 
     pairs = bucket_pair_expand(
         keyed,

@@ -1791,3 +1791,48 @@ def test_semantic_dedup_invalid_vectors_dropped_and_kmeans_path(spark):
     # clustering semantics hold regardless of which cells KMeans built
     assert by_id[10].canonical_id == by_id[11].canonical_id
     assert len({by_id[i].canonical_id for i in (1, 2, 3)}) == 1
+
+
+def test_semantic_dedup_join_assignment_parity(spark):
+    """The broadcast-join argmin (large-k scale path) must produce the
+    IDENTICAL result frame as the transform path — same fold, same
+    (dist, idx) tie rule."""
+    from methyl_data_pipeline_spark.ext.similarity import semantic_dedup
+
+    df = _semdedup_frame(spark)
+    a = semantic_dedup(
+        df, centroids=_SD_CENTS, threshold=0.95, assignment="transform"
+    )
+    b = semantic_dedup(df, centroids=_SD_CENTS, threshold=0.95, assignment="join")
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb
+
+    with pytest.raises(ValueError, match="unknown assignment"):
+        semantic_dedup(df, centroids=_SD_CENTS, assignment="nope")
+
+
+def test_semantic_dedup_two_level_assignment(spark):
+    """two_level is an approximation of the flat argmin, but on a
+    well-separated corpus (clear clusters, centroids near them) it
+    must agree with the flat paths exactly — and it must keep EVERY
+    row (the unowned-coarse-cell guard)."""
+    from methyl_data_pipeline_spark.ext.similarity import semantic_dedup
+
+    df = _semdedup_frame(spark)
+    # k=4 fine centroids -> k1=2 coarse; two centroids per group so
+    # the coarse split separates the two real clusters
+    cents = [
+        [0.9, 0.1, 0.0, 0.0],
+        [0.8, 0.3, 0.0, 0.0],
+        [0.0, 0.0, 0.9, 0.1],
+        [0.0, 0.0, 0.8, 0.3],
+    ]
+    flat = sorted(map(tuple, semantic_dedup(
+        df, centroids=cents, threshold=0.95, assignment="join"
+    ).collect()))
+    two = sorted(map(tuple, semantic_dedup(
+        df, centroids=cents, threshold=0.95, assignment="two_level"
+    ).collect()))
+    assert flat == two
+    assert len(two) == 6  # no row dropped

@@ -226,6 +226,166 @@ def ledger_growth(spark, runs: int, factors=(1, 10, 100)) -> None:
         )
 
 
+def semantic_growth(spark, runs: int, factors=(1, 10, 100)) -> None:
+    """VERDICT r9 #3 probe: semantic_dedup with corpus and cell count
+    growing TOGETHER (constant expected cell size — the SemDeDup
+    deployment shape, where k tracks n). Each replica is decorrelated
+    from its source by a deterministic per-(replica, dim) sine shift
+    (cosine to the source drops far below threshold) and re-seeded
+    with its own planted +0.1-perturbation copies, so the DUP RATE is
+    constant while the corpus grows — sum(cell^2) work should then
+    scale ~linearly with n. k > 256 flips the assignment to the
+    broadcast-join path automatically."""
+    from pyspark.sql import functions as F
+
+    from methyl_data_pipeline_spark.ext.similarity import (
+        md5_centroids,
+        semantic_dedup,
+        valid_vector,
+    )
+
+    def emb_path(f: int) -> str:
+        p = f"{WORK}/embeddings_x{f}"
+        if os.path.exists(p) and not os.path.exists(f"{p}/_SUCCESS"):
+            shutil.rmtree(p)
+        if not os.path.exists(p):
+            emb = (
+                spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+                .filter(valid_vector(F.col("embedding")))
+                .select(
+                    "vec_id",
+                    F.col("embedding").cast("array<double>").alias("embedding"),
+                )
+            )
+            rep = emb.withColumn(
+                "_r", F.explode(F.sequence(F.lit(0), F.lit(f - 1)))
+            ).withColumn("_r", F.col("_r").cast("long"))
+            # the shift must be pseudo-random per (ROW, DIM): a
+            # replica-wide shift turns each replica into one giant
+            # near-clique (~n^2/2 edges), and a same-frequency sine in
+            # the dim index puts every shifted vector on a 2-D
+            # quadrature ring that concentrates the whole corpus into
+            # a handful of Voronoi cells (both measured as heap
+            # deaths). xxhash64(row, dim) is JVM-side, deterministic,
+            # and structure-free.
+            row_id = F.col("vec_id") + F.col("_r") * 10_000_000
+            shifted = F.transform(
+                F.col("embedding"),
+                lambda x, i: x
+                + 0.5
+                * (
+                    (F.pmod(F.xxhash64(row_id, i), F.lit(2001)) - 1000)
+                    / 1000.0
+                ).cast("double"),
+            )
+            base = rep.select(
+                (F.col("vec_id") + F.col("_r") * 10_000_000).alias("vec_id"),
+                F.when(F.col("_r") == 0, F.col("embedding"))
+                .otherwise(shifted)
+                .alias("embedding"),
+            )
+            copies = base.filter(F.col("vec_id") % 10_000_000 < 50).select(
+                (F.col("vec_id") + 1_000_000).alias("vec_id"),
+                F.concat(
+                    F.array(F.get(F.col("embedding"), 0) + F.lit(0.1)),
+                    F.expr("slice(embedding, 2, greatest(size(embedding) - 1, 0))"),
+                ).alias("embedding"),
+            )
+            base.unionByName(copies).write.mode("overwrite").parquet(p)
+        return p
+
+    def timed(fn):
+        ts = []
+        fn()  # warm
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        return ts[len(ts) // 2]
+
+    print("factor\trows\tcells\tassignment\tdups\tt(s)")
+    base_t = None
+    for f in factors:
+        emb = spark.read.parquet(emb_path(f))
+        n = emb.count()
+        k = 32 * f
+        cents = md5_centroids(k, 64)
+        # flat assignment is O(n*k*d) — fine to k ~ 10^3; beyond that
+        # the two-level refinement is the deployment shape (the flat
+        # k=3200 run measured ~45 min of fold evaluation)
+        mode = (
+            "transform" if k <= 256 else "join" if k <= 1024 else "two_level"
+        )
+        out = semantic_dedup(
+            emb, centroids=cents, threshold=0.95, assignment=mode
+        )
+        dups = out.filter("is_duplicate").count()
+        t = timed(lambda: semantic_dedup(
+            emb, centroids=cents, threshold=0.95, assignment=mode
+        ).count())
+        base_t = base_t if base_t is not None else t
+        print(
+            f"{f}x\t{n}\t{k}\t{mode}\t{dups}\t{t:.2f} ({t / base_t:.1f}x)"
+        )
+
+
+def containment_dup(spark, runs: int, factor: int = 10, rates=(1, 4)) -> None:
+    """VERDICT r9 #7: the r9 containment probe (replica model) held the
+    candidate rate constant; the adversarial case for the postings
+    prune is the duplicate rate itself growing — shared-boilerplate
+    grams filling their df buckets. At a FIXED 10x corpus, each
+    selected source doc emits ``rate`` identical 10-word prefix
+    snippets: every snippet gram then has df = rate+1, so candidate
+    work per gram is df_max-capped at min(rate+1, df_max)^2/2 and the
+    OUTPUT itself is ~sources x rate^2 mutual containments. A healthy
+    prune shows runtime tracking the output/df^2 prediction, not
+    corpus^2."""
+    from pyspark.sql import functions as F
+
+    from methyl_data_pipeline_spark.ext.dedup import containment_pairs
+
+    docs_path, _ = replicate(spark, factor)
+    docs = spark.read.parquet(docs_path)
+
+    def timed(fn):
+        ts = []
+        fn()  # warm
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        return ts[len(ts) // 2]
+
+    ws = F.split(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "), " ")
+    print("rate\tsnippets\tpairs\tt(s)")
+    base = None
+    for rate in rates:
+        src = docs.filter(
+            F.col("text").isNotNull() & (F.col("doc_id") % 10_000_000 < 30)
+        )
+        snips = src.withColumn(
+            "_c", F.explode(F.sequence(F.lit(1), F.lit(rate)))
+        ).select(
+            (F.col("doc_id") + F.col("_c").cast("long") * 1_000_000_000).alias(
+                "doc_id"
+            ),
+            F.concat_ws(" ", F.slice(ws, 1, 10)).alias("text"),
+            "lang",
+            "source",
+        )
+        corpus = docs.unionByName(snips)
+        n_snip = snips.count()
+        n_pairs = containment_pairs(corpus).count()
+        t = timed(lambda: containment_pairs(corpus).count())
+        base = base if base is not None else (t, max(n_pairs, 1))
+        print(
+            f"{rate}x\t{n_snip}\t{n_pairs} ({n_pairs / base[1]:.1f}x)"
+            f"\t{t:.2f} ({t / base[0]:.2f}x)"
+        )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=100)
@@ -234,6 +394,16 @@ def main() -> None:
     ap.add_argument(
         "--ledger-growth", action="store_true",
         help="fixed shard vs 1x/10x/100x ledger (VERDICT r8 #6)",
+    )
+    ap.add_argument(
+        "--semantic-growth", action="store_true",
+        help="semantic_dedup with corpus AND cells at 1x/10x/100x "
+        "(VERDICT r9 #3)",
+    )
+    ap.add_argument(
+        "--containment-dup", action="store_true",
+        help="containment_pairs at 10x corpus with dup rate 1x vs 4x "
+        "(VERDICT r9 #7)",
     )
     ap.add_argument("ops", nargs="*")
     args = ap.parse_args()
@@ -256,6 +426,14 @@ def main() -> None:
     )
     if args.ledger_growth:
         ledger_growth(spark, args.runs)
+        spark.stop()
+        return
+    if args.semantic_growth:
+        semantic_growth(spark, args.runs)
+        spark.stop()
+        return
+    if args.containment_dup:
+        containment_dup(spark, args.runs)
         spark.stop()
         return
     docs100, ev100 = replicate(spark, args.factor)
