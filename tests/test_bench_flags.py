@@ -166,3 +166,67 @@ def test_adjudication_failures_never_adjudicated():
     assert kept == ["crashed_q"]
     assert "crashed_q" not in rec
     assert rec["slow_q"]["verdict"] == "noise"
+
+
+def test_adjudication_machine_noise_cleared_by_calibration():
+    """The r10 scenario: every query uniformly ~1.35x over the record
+    AND the fixed calibration job is 1.4x slower -> machine-day drift,
+    cleared with verdict machine_noise."""
+    kept, rec = adjudicate_flags(
+        ["q"],
+        [],
+        {"q": {"median": 1.35, "spread": [1.3, 1.4]}},
+        {"q": 1.0},
+        {"q": [0.95, 1.05]},
+        cal_ratio=1.4,
+    )
+    assert kept == []
+    assert rec["q"]["verdict"] == "machine_noise"
+    assert rec["q"]["cal_scale"] == 1.4
+
+
+def test_adjudication_real_regression_rides_over_calibration():
+    """A true regression on a slow machine day still flags: 2.5x fresh
+    vs a 1.3x calibration ratio stays disjoint after scaling."""
+    kept, rec = adjudicate_flags(
+        ["q"],
+        [],
+        {"q": {"median": 2.5, "spread": [2.4, 2.6]}},
+        {"q": 1.0},
+        {"q": [0.95, 1.05]},
+        cal_ratio=1.3,
+    )
+    assert kept == ["q"]
+    assert rec["q"]["verdict"] == "confirmed"
+
+
+def test_adjudication_faster_machine_never_excuses():
+    """cal_ratio < 1 (machine FASTER than record day) must not relax
+    the test — scale clamps to 1."""
+    kept, rec = adjudicate_flags(
+        ["q"],
+        [],
+        {"q": {"median": 1.4, "spread": [1.35, 1.45]}},
+        {"q": 1.0},
+        {"q": [0.95, 1.05]},
+        cal_ratio=0.5,
+    )
+    assert kept == ["q"]
+    assert rec["q"]["cal_scale"] == 1.0
+
+
+def test_adjudication_cal_ratio_capped():
+    """An implausible calibration ratio cannot whitewash a huge
+    regression: scale caps at CAL_RATIO_CAP."""
+    from bench import CAL_RATIO_CAP
+
+    kept, rec = adjudicate_flags(
+        ["q"],
+        [],
+        {"q": {"median": 10.0, "spread": [9.5, 10.5]}},
+        {"q": 1.0},
+        {"q": [0.95, 1.05]},
+        cal_ratio=50.0,
+    )
+    assert kept == ["q"]
+    assert rec["q"]["cal_scale"] == CAL_RATIO_CAP
