@@ -2639,6 +2639,105 @@ FROM members m JOIN rep r ON r.comp = m.comp AND r.rn = 1
 ORDER BY m.vec_id"""
 
 
+_DSIR_BUCKETS = 1024
+_DSIR_K = 100
+_DSIR_SMOOTH = 1.0
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (ext.text.dsir_select, Xie et al.
+    2023): English docs with doc_id % 7 == 0 form the target
+    distribution; every other doc is raw. Each raw doc scores
+    sum_b count[b] * (log p_target[b] - log q_raw[b]) over 1024
+    md5-hashed unigram+bigram buckets (Laplace 1.0, log-ratio table
+    pre-rounded to 9 dp), and the top 100 by deterministic Gumbel key
+    (md5-derived noise, 6-dp rounded, ties to min id) are kept —
+    sampling ∝ w without an RNG. Oracle: full DuckDB replay of the
+    hashing, distributions, scoring, and Gumbel ranking."""
+    from methyl_data_pipeline_spark.ext.text import dsir_select
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter((F.col("lang") == "en") & (F.col("doc_id") % 7 == 0))
+    raw = docs.filter(F.col("doc_id") % 7 != 0)
+    out = dsir_select(
+        raw, target, k=_DSIR_K, buckets=_DSIR_BUCKETS, smoothing=_DSIR_SMOOTH
+    )
+    return out.select(
+        "doc_id",
+        "n_grams",
+        _ri(F.col("log_weight")).alias("logw_micro"),
+        F.col("sel_rank").cast("int").alias("sel_rank"),
+    ).orderBy("sel_rank")
+
+
+def _sql_dsir_select() -> str:
+    b, k, a = _DSIR_BUCKETS, _DSIR_K, _DSIR_SMOOTH
+    grams = (
+        "list_concat(wf, list_transform("
+        "generate_series(1, greatest(len(wf) - 1, 0)), "
+        "i -> wf[i] || ' ' || wf[i+1]))"
+    )
+    h = "('0x'||substr(md5(gram),1,15))::BIGINT"
+    return rf"""
+WITH wf_tgt AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                             x -> x <> '') AS wf
+  FROM documents WHERE lang = 'en' AND doc_id % 7 = 0 AND text IS NOT NULL
+),
+wf_raw AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                             x -> x <> '') AS wf
+  FROM documents WHERE doc_id % 7 <> 0 AND text IS NOT NULL
+),
+g_tgt AS (SELECT doc_id, unnest({grams}) AS gram FROM wf_tgt),
+g_raw AS (SELECT doc_id, unnest({grams}) AS gram FROM wf_raw),
+db_raw AS (
+  SELECT doc_id, {h} % {b} AS bk, COUNT(*) AS c FROM g_raw GROUP BY 1, 2
+),
+db_tgt AS (SELECT {h} % {b} AS bk, COUNT(*) AS np FROM g_tgt GROUP BY 1),
+qd AS (SELECT bk, SUM(c) AS nq FROM db_raw GROUP BY bk),
+dist AS (
+  SELECT bk, COALESCE(np, 0) AS np, COALESCE(nq, 0) AS nq
+  FROM db_tgt FULL JOIN qd USING (bk)
+),
+ratio AS (
+  SELECT bk,
+         ROUND(ln((np + {a!r}) / ((SELECT SUM(np) FROM dist) + {a * b!r}))
+             - ln((nq + {a!r}) / ((SELECT SUM(nq) FROM dist) + {a * b!r})),
+               9) AS lr
+  FROM dist
+),
+w AS (
+  SELECT r.doc_id,
+         CAST(COALESCE(s.n_grams, 0) AS BIGINT) AS n_grams,
+         COALESCE(s.lw, 0.0) AS log_weight
+  FROM (SELECT doc_id FROM documents
+        WHERE doc_id % 7 <> 0 AND text IS NOT NULL) r
+  LEFT JOIN (
+    SELECT d.doc_id, SUM(d.c) AS n_grams,
+           SUM(d.c * COALESCE(rt.lr, 0.0)) AS lw
+    FROM db_raw d LEFT JOIN ratio rt USING (bk) GROUP BY d.doc_id
+  ) s USING (doc_id)
+),
+keyed AS (
+  SELECT doc_id, n_grams, log_weight,
+         ROUND(log_weight
+               - ln(-ln(((('0x'||substr(md5('dsir|' || CAST(doc_id AS VARCHAR)),
+                           1, 15))::BIGINT % 1048576) + 0.5) / 1048576.0))
+               + 1e-9, 6) AS key
+  FROM w
+),
+sel AS (
+  SELECT doc_id, n_grams, log_weight,
+         ROW_NUMBER() OVER (ORDER BY key DESC, doc_id ASC) AS sel_rank
+  FROM keyed
+)
+SELECT doc_id, n_grams,
+       CAST(ROUND((log_weight + 1e-9) * 1000000) AS BIGINT) AS logw_micro,
+       CAST(sel_rank AS INTEGER) AS sel_rank
+FROM sel WHERE sel_rank <= {k} ORDER BY sel_rank"""
+
+
 def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window event aggregation — batch twin of the streaming
     operator (identical semantics minus watermark)."""
@@ -6132,6 +6231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # (a) new r10
         "semantic_dedup": q_semantic_dedup,
+        "dsir_select": q_dsir_select,
         # (b) r9-new operators, 1 green each
         "quantize_embeddings": q_quantize_embeddings,
         "quant_recall": q_quant_recall,
@@ -6183,8 +6283,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "meth_variance_topk": q_meth_variance_topk,
         "multimodal_features": q_multimodal_features,
         "poobah_ecdf": q_poobah_ecdf,
+        # ---- slot 51+ (pricing_summary yielded its slot to
+        # dsir_select: 7 greens, newest r7, timed in HEADLINE every
+        # round) ----
         "pricing_summary": q_pricing_summary,
-        # ---- slot 51+ (past the driver's 50-entry window) ----
         # newest green r8/r9; re-verified every round by
         # tools/check_oracle.py on two fixtures
         "bh_grouped": q_bh_grouped,
@@ -6359,6 +6461,7 @@ def oracle_sql() -> dict[str, str]:
         "sketch_cert": SQL_SKETCH_CERT,
         "embedding_neardup": _sql_embedding_neardup(),
         "semantic_dedup": _sql_semantic_dedup(),
+        "dsir_select": _sql_dsir_select(),
         # n_probe == n_centroids makes IVF exact — brute force IS the oracle
         "ivf_ann": SQL_EMBEDDING_COSINE,
         "events_windowed": SQL_EVENTS_WINDOWED,

@@ -436,6 +436,7 @@ EXTENDED = [
     "containment_pairs",
     # r10 additions
     "semantic_dedup",
+    "dsir_select",
 ]
 
 

@@ -1268,3 +1268,166 @@ def threshold_sweep(
         (F.sum("_n").over(w) - F.sum("_np").over(w)).alias("n_false_pos"),
         F.sum("_np").over(w_all).alias("n_pos_total"),
     )
+
+
+def _dsir_grams(text_col: str) -> Column:
+    """Hashed-n-gram feature stream for DSIR: unigrams + word bigrams
+    of the whitespace-lowercased tokens ('' split artifacts dropped).
+    The gram list is bound as a lambda variable (single-element
+    transform) so the split runs once per row, not once per produced
+    element — the HOF-CSE rule every gram operator here follows."""
+    return F.transform(
+        F.array(F.filter(words(F.col(text_col)), lambda x: x != "")),
+        lambda w: F.concat(
+            w,
+            F.zip_with(
+                F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))),
+                F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0))),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            ),
+        ),
+    )[0]
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 4096,
+    smoothing: float = 1.0,
+    ratio_round: int = 9,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw doc
+    by how target-like its hashed n-gram distribution is —
+    ``log w(x) = sum_b count_x[b] * (log p_target[b] - log q_raw[b])``
+    over ``buckets`` hashed unigram+bigram feature buckets, with
+    Laplace ``smoothing`` on both bucket distributions.
+
+    Engine-reproducible by construction: buckets hash via
+    :func:`md5_long` (external SQL computes identical values), and the
+    per-bucket log-ratio table is rounded to ``ratio_round`` dp BEFORE
+    the per-doc sum so the only remaining float work is a short sum of
+    grid-aligned values (the repo's pre-rounding doctrine).
+
+    Plan shape at 100 TB: tokenize+hash is a map stage; the bucket
+    distributions collapse map-side to ``buckets`` rows per partition
+    before their one shuffle (same shape as ``domain_mix``); the
+    log-ratio table is ``buckets`` rows and BROADCAST into the per-doc
+    scoring join; the per-doc sum is one (id, bucket)-granular
+    aggregation. The raw corpus is scanned twice (once for q, once for
+    scoring) — Catalyst shares no subplan across branches, and the
+    B-row distribution is the thing worth keeping, not the gram
+    stream.
+
+    Returns (id_col, n_grams, log_weight) for every raw doc with
+    non-NULL text; a doc with no grams (empty text) carries weight 0.
+    """
+    if buckets < 2:
+        raise ValueError("dsir_weights: buckets must be >= 2")
+    if smoothing <= 0:
+        raise ValueError("dsir_weights: smoothing must be > 0 (log of zero)")
+
+    def doc_buckets(df: DataFrame) -> DataFrame:
+        base = df.filter(F.col(text_col).isNotNull()).select(
+            F.col(id_col).alias("_id"), _dsir_grams(text_col).alias("_g")
+        )
+        return (
+            base.select("_id", F.explode("_g").alias("_gram"))
+            .select(
+                "_id",
+                F.pmod(md5_long(F.col("_gram")), F.lit(buckets)).alias("_b"),
+            )
+            .groupBy("_id", "_b")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+
+    def bucket_dist(df: DataFrame, tag: str) -> DataFrame:
+        # explode -> groupBy(bucket): partial aggregation collapses to
+        # <= buckets rows per partition before the one shuffle
+        return doc_buckets(df).groupBy("_b").agg(
+            F.sum("_c").alias(f"n_{tag}")
+        )
+
+    dist = bucket_dist(target, "p").join(bucket_dist(raw, "q"), "_b", "full")
+    tot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    a = float(smoothing)
+    np_, nq = F.coalesce("n_p", F.lit(0)), F.coalesce("n_q", F.lit(0))
+    ratio = F.round(
+        (
+            F.log((np_ + a) / (F.sum(np_).over(tot) + a * buckets))
+            - F.log((nq + a) / (F.sum(nq).over(tot) + a * buckets))
+        ),
+        ratio_round,
+    )
+    ratios = dist.select("_b", ratio.alias("_lr"))
+
+    scored = (
+        doc_buckets(raw)
+        .join(F.broadcast(ratios), "_b", "left")
+        .groupBy("_id")
+        .agg(
+            F.sum("_c").cast("long").alias("n_grams"),
+            F.sum(F.col("_c") * F.coalesce("_lr", F.lit(0.0))).alias("log_weight"),
+        )
+    )
+    ids = raw.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("_id")
+    )
+    return ids.join(scored, "_id", "left").select(
+        F.col("_id").alias(id_col),
+        F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+        F.coalesce("log_weight", F.lit(0.0)).alias("log_weight"),
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 4096,
+    smoothing: float = 1.0,
+    temperature: float = 1.0,
+    seed: str = "dsir",
+    score_round: int = 6,
+) -> DataFrame:
+    """DSIR selection via deterministic Gumbel top-k: keep the ``k``
+    raw docs with the largest ``log_weight / temperature + Gumbel``
+    key, which samples WITHOUT replacement proportionally to
+    ``w^(1/temperature)`` (Gumbel-max duality) — the paper's
+    importance resampling, reproducible across engines because the
+    Gumbel noise derives from :func:`md5_long` of the doc id
+    (``u = (h % 2^20 + 0.5) / 2^20``, ``g = -ln(-ln(u))``), not an
+    RNG. Keys round to ``score_round`` dp before ranking (ties to min
+    id) so a 1-ulp sum difference cannot flip the emitted set.
+
+    Returns (id_col, n_grams, log_weight, sel_rank) for the selected
+    docs, sel_rank 1..k by descending key. The top-k runs as
+    ``TakeOrderedAndProject`` (orderBy + limit — per-partition heaps,
+    no single-task corpus funnel); only the k survivors pass through
+    the rank window.
+    """
+    if k < 1:
+        raise ValueError("dsir_select: k must be >= 1")
+    if temperature <= 0:
+        raise ValueError("dsir_select: temperature must be > 0")
+    w = dsir_weights(raw, target, text_col, id_col, buckets, smoothing)
+    m = 1 << 20
+    u = (
+        F.pmod(md5_long(F.col(id_col).cast("string"), salt=seed), F.lit(m))
+        + 0.5
+    ) / float(m)
+    key = F.round(
+        F.col("log_weight") / float(temperature) - F.log(-F.log(u)),
+        score_round,
+    )
+    order = [F.col("_key").desc(), F.col(id_col).asc()]
+    sel = w.withColumn("_key", key).orderBy(*order).limit(k)
+    win = Window.orderBy(*order)  # k rows only — post-limit
+    return (
+        sel.withColumn("sel_rank", F.row_number().over(win))
+        .select(id_col, "n_grams", "log_weight", "sel_rank")
+    )

@@ -1879,3 +1879,78 @@ def test_connected_components_driver_path_parity(spark):
     )
     got = connected_components(ndf).collect()
     assert {r["node"] for r in got if r["node"] is not None} >= {1, 2}
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (r10)
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    from methyl_data_pipeline_spark.ext.text import dsir_weights
+
+    target = spark.createDataFrame(
+        [(100 + i, "the cat sat on the mat") for i in range(5)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),       # exactly target-like
+            (2, "quantum flux capacitor array"), # nothing in common
+            (3, "the cat ran"),                  # partially target-like
+            (4, None),                           # NULL text drops
+            (5, ""),                             # no grams -> weight 0
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dsir_weights(raw, target, buckets=256).collect()}
+    assert set(out) == {1, 2, 3, 5}
+    assert out[1].log_weight > out[3].log_weight > out[2].log_weight
+    assert out[5].n_grams == 0 and out[5].log_weight == 0.0
+    # n_grams = unigrams + bigrams
+    assert out[1].n_grams == 6 + 5
+
+    with pytest.raises(ValueError, match="buckets"):
+        dsir_weights(raw, target, buckets=1)
+    with pytest.raises(ValueError, match="smoothing"):
+        dsir_weights(raw, target, smoothing=0.0)
+
+
+def test_dsir_select_deterministic_and_ranked(spark):
+    from methyl_data_pipeline_spark.ext.text import dsir_select
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    target = docs.filter((F.col("lang") == "en") & (F.col("doc_id") % 7 == 0))
+    raw = docs.filter(F.col("doc_id") % 7 != 0)
+    a = dsir_select(raw, target, k=15, buckets=512).collect()
+    b = dsir_select(raw, target, k=15, buckets=512).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # no RNG anywhere
+    ranks = sorted(r.sel_rank for r in a)
+    assert ranks == list(range(1, 16))
+    # a different seed draws a different sample (Gumbel actually acts)
+    c = dsir_select(raw, target, k=15, buckets=512, seed="other").collect()
+    assert {r.doc_id for r in c} != {r.doc_id for r in a}
+
+    with pytest.raises(ValueError, match="k must"):
+        dsir_select(raw, target, k=0)
+    with pytest.raises(ValueError, match="temperature"):
+        dsir_select(raw, target, k=5, temperature=0.0)
+
+
+def test_dsir_temperature_flattens_selection(spark):
+    """High temperature -> near-uniform sampling: the overlap with the
+    temperature=1 importance-driven sample should not be total, and
+    weights still ride along unchanged."""
+    from methyl_data_pipeline_spark.ext.text import dsir_select
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    target = docs.filter((F.col("lang") == "en") & (F.col("doc_id") % 7 == 0))
+    raw = docs.filter(F.col("doc_id") % 7 != 0)
+    sharp = {r.doc_id for r in dsir_select(raw, target, k=25, buckets=512).collect()}
+    flat = {
+        r.doc_id
+        for r in dsir_select(
+            raw, target, k=25, buckets=512, temperature=1000.0
+        ).collect()
+    }
+    assert sharp != flat
