@@ -242,6 +242,26 @@ def _calibrate(spark, reps: int = 5) -> float:
     return ts[len(ts) // 2]
 
 
+def _calibrate_scan(spark, sf_dir: str, reps: int = 5) -> float | None:
+    """Second yardstick, query-shaped: a small parquet scan + groupBy
+    shuffle + collect. The r10 slow phase moved sub-second queries
+    1.3-1.6x while the pure-CPU yardstick moved only ~1.08x — that
+    slowdown lived in job scheduling / small-scan IO, which this
+    yardstick is exposed to and the compute fold is not. The
+    adjudicator uses the LARGER of the two ratios (still floored at 1
+    and capped at CAL_RATIO_CAP)."""
+    path = os.path.join(sf_dir, "lineitem.parquet")
+    if not os.path.exists(path):
+        return None
+    ts = []
+    for _ in range(reps + 1):  # first is warmup
+        t0 = time.time()
+        spark.read.parquet(path).groupBy("l_returnflag").count().collect()
+        ts.append(time.time() - t0)
+    ts = sorted(ts[1:])
+    return ts[len(ts) // 2]
+
+
 def _rerun_fresh(names: list[str]) -> dict | None:
     """Re-time ``names`` in ONE fresh subprocess session (its own JVM,
     its own warmup) and return the rerun record {"rerun": {name:
@@ -312,7 +332,12 @@ def rerun_main(names: list[str]) -> None:
             print(f"# rerun warmup {name} failed: {exc}", file=sys.stderr)
 
     cal = _calibrate(spark)
-    print(f"# rerun calibration: {cal:.3f}s", file=sys.stderr)
+    cal_scan = _calibrate_scan(spark, sf_dir)
+    print(
+        f"# rerun calibration: cpu {cal:.3f}s scan "
+        f"{cal_scan if cal_scan is None else round(cal_scan, 3)}s",
+        file=sys.stderr,
+    )
     reps = max(1, int(os.environ.get("BENCH_RERUN_RUNS", "5")))
     out: dict[str, object] = {}
     for name in names:
@@ -341,7 +366,13 @@ def rerun_main(names: list[str]) -> None:
             print(f"# rerun {name} FAILED: {exc}", file=sys.stderr)
     print(
         json.dumps(
-            {"rerun": out, "calibration_sec": round(cal, 3)},
+            {
+                "rerun": out,
+                "calibration_sec": round(cal, 3),
+                "calibration_scan_sec": (
+                    round(cal_scan, 3) if cal_scan is not None else None
+                ),
+            },
             separators=(",", ":"),
         )
     )
@@ -377,18 +408,23 @@ def _previous_spreads(prev_name: str | None) -> tuple[dict[str, list[float]], bo
         )
         return {}, False
 
-def _previous_calibration(prev_name: str | None) -> float | None:
-    """Record-day machine speed from the same previous details file the
-    medians came from (driver BENCH_r records carry no calibration)."""
+def _previous_calibration(prev_name: str | None) -> tuple[float | None, float | None]:
+    """Record-day machine speed (cpu yardstick, scan yardstick) from
+    the same previous details file the medians came from (driver
+    BENCH_r records carry no calibration)."""
     if not prev_name or not prev_name.startswith("BENCH_DETAILS"):
-        return None
+        return None, None
     here = os.path.dirname(os.path.abspath(__file__))
     try:
         rec = json.load(open(os.path.join(here, prev_name)))
-        cal = rec.get("calibration_sec")
-        return float(cal) if cal else None
+        cpu = rec.get("calibration_sec")
+        scan = rec.get("calibration_scan_sec")
+        return (
+            float(cpu) if cpu else None,
+            float(scan) if scan else None,
+        )
     except Exception:
-        return None
+        return None, None
 
 
 # Timed after HEADLINE and reported under "extended": keeps the
@@ -541,7 +577,12 @@ def main() -> None:
     from methyl_data_pipeline_spark import cache
 
     calibration = _calibrate(spark)
-    print(f"# calibration: {calibration:.3f}s", file=sys.stderr)
+    calibration_scan = _calibrate_scan(spark, sf_dir)
+    print(
+        f"# calibration: cpu {calibration:.3f}s"
+        f" scan {calibration_scan if calibration_scan is None else round(calibration_scan, 3)}s",
+        file=sys.stderr,
+    )
 
     n_runs = max(1, int(os.environ.get("BENCH_RUNS", "5")))
     n_runs_ext = max(1, int(os.environ.get("BENCH_RUNS_EXTENDED", "3")))
@@ -674,12 +715,21 @@ def main() -> None:
         spark.stop()
         rerun_rec = _rerun_fresh(to_rerun)
         fresh = (rerun_rec or {}).get("rerun")
-        prev_cal = _previous_calibration(prev_name)
-        fresh_cal = (rerun_rec or {}).get("calibration_sec") or calibration
-        if prev_cal and fresh_cal:
-            cal_ratio = round(float(fresh_cal) / prev_cal, 3)
+        prev_cpu, prev_scan = _previous_calibration(prev_name)
+        fresh_cpu = (rerun_rec or {}).get("calibration_sec") or calibration
+        fresh_scan = (rerun_rec or {}).get("calibration_scan_sec") or calibration_scan
+        ratios = []
+        if prev_cpu and fresh_cpu:
+            ratios.append(float(fresh_cpu) / prev_cpu)
+        if prev_scan and fresh_scan:
+            ratios.append(float(fresh_scan) / prev_scan)
+        if ratios:
+            # the LARGER drift of the two yardsticks: the r10 slow
+            # phase was scheduler/IO-shaped (scan 1.3-1.6x, cpu 1.08x)
+            cal_ratio = round(max(ratios), 3)
             print(
-                f"# machine calibration ratio vs {prev_name}: {cal_ratio}",
+                f"# machine calibration ratio vs {prev_name}: {cal_ratio}"
+                f" (yardsticks: {[round(r, 3) for r in ratios]})",
                 file=sys.stderr,
             )
         regressions, adjudication = adjudicate_flags(
@@ -707,6 +757,9 @@ def main() -> None:
         "spread_overlap_status": "ok" if prev_spreads_ok else "prev_unreadable",
         "adjudication": adjudication,
         "calibration_sec": round(calibration, 3),
+        "calibration_scan_sec": (
+            round(calibration_scan, 3) if calibration_scan is not None else None
+        ),
         "calibration_ratio_vs_prev": cal_ratio,
         "failures": failures,
         "prev": prev_name,
