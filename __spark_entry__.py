@@ -2703,7 +2703,8 @@ dist AS (
 ratio AS (
   SELECT bk,
          ROUND(ln((np + {a!r}) / ((SELECT SUM(np) FROM dist) + {a * b!r}))
-             - ln((nq + {a!r}) / ((SELECT SUM(nq) FROM dist) + {a * b!r})),
+             - ln((nq + {a!r}) / ((SELECT SUM(nq) FROM dist) + {a * b!r}))
+             + 1e-12,
                9) AS lr
   FROM dist
 ),

@@ -192,16 +192,20 @@ def adjudicate_flags(
             prev_sp = prev_spreads.get(q)
 
             def still_regressed(k: float) -> bool:
-                # mirrors the original flag: with a previous spread,
-                # the FRESH spread must sit wholly above it AND the
-                # fresh delta must exceed the soft threshold; without
-                # one, the hard threshold alone decides
+                # mirrors BOTH original flag arms (ADVICE r10): the
+                # hard 1.3x median test applies unconditionally — a
+                # single fast fresh run dipping into the previous
+                # spread must not clear a >1.3x median; the soft
+                # disjoint-spread test additionally confirms slower
+                # movers when a previous spread exists
+                if fm / (prev_medians[q] * k) > REGRESSION_FLAG:
+                    return True
                 if prev_sp:
                     return (
                         fs[0] > prev_sp[1] * k
                         and fm / (prev_medians[q] * k) > SPREAD_FLAG
                     )
-                return fm / (prev_medians[q] * k) > REGRESSION_FLAG
+                return False
 
             raw_still = still_regressed(1.0)
             cal_still = still_regressed(scale)

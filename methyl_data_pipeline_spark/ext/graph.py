@@ -90,7 +90,7 @@ def connected_components(
     dst: str = "id_b",
     max_iter: int = 25,
     reliable_checkpoint: bool = False,
-    driver_threshold: int = 1_000_000,
+    driver_threshold: int = 250_000,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``;
     ``component`` = min node id of the connected component.
@@ -101,13 +101,17 @@ def connected_components(
     join+count rounds (each ~0.5-1 s of fixed job overhead; measured
     ~2-3 s saved per dedup_clusters / semantic_dedup call). The
     undirected edge frame is persisted ANYWAY for the iterative loop,
-    so the size probe costs one count on the cached frame; at or
-    under ``driver_threshold`` undirected rows (~16 B each; the
-    default bounds the collect at ~32 MB) the edges collect and
-    resolve driver-side with the identical min-id contract. Set
-    ``driver_threshold=0`` to force the distributed loop. Edges with
-    a NULL endpoint (no caller produces them) fall through to the
-    distributed path rather than risking Python None-vs-int
+    so the size probe costs one aggregate on the cached frame — it
+    counts rows AND NULL endpoints in the same job (ADVICE r10: a
+    NULL-bearing edge list must not pay the collect only to discard
+    it). At or under ``driver_threshold`` undirected, NULL-free rows
+    the edges collect and resolve driver-side with the identical
+    min-id contract. The default 250k bounds the collect at ~50 MB of
+    driver heap — a collected row is a Row object plus two boxed
+    longs, ~200 B real, not the 16 B of raw payload (ADVICE r10
+    sizing fix). Set ``driver_threshold=0`` to force the distributed
+    loop. Edges with a NULL endpoint (no caller produces them) route
+    to the distributed path rather than risking Python None-vs-int
     comparisons.
 
     Raises RuntimeError if ``max_iter`` rounds don't converge (a
@@ -119,16 +123,20 @@ def connected_components(
     und = cache.track(und)
 
     if driver_threshold:
-        n_und = und.count()  # materializes the persisted frame once
-        if n_und <= driver_threshold:
+        # one aggregate materializes the persisted frame AND gates the
+        # collect on both size and NULL-freeness — no separate probe job
+        n_und, n_null = und.agg(
+            F.count(F.lit(1)),
+            F.count(F.when(F.col("u").isNull() | F.col("v").isNull(), 1)),
+        ).first()
+        if n_und <= driver_threshold and n_null == 0:
             rows = [(r[0], r[1]) for r in und.collect()]
-            if all(u is not None and v is not None for u, v in rows):
-                ut = und.schema["u"].dataType.simpleString()
-                return _driver_components(
-                    rows,
-                    und.sparkSession,
-                    f"node {ut}, component {ut}",
-                )
+            ut = und.schema["u"].dataType.simpleString()
+            return _driver_components(
+                rows,
+                und.sparkSession,
+                f"node {ut}, component {ut}",
+            )
 
     labels = und.select("u").distinct().withColumn("label", F.col("u"))
     labels = cache.track(labels)

@@ -772,11 +772,22 @@ def semantic_dedup(
     if centroids is None:
         import numpy as np
 
+        # orderBy before limit (ADVICE r10): a bare .limit() samples
+        # whatever partitions enumerate first, so the fitted centroids
+        # (hence cell assignment) would depend on physical file layout.
+        # Ordered top-k plans as TakeOrderedAndProject — per-partition
+        # heaps, no single-task funnel — and makes the centroids=None
+        # path deterministic for any layout of the same rows.
         pts = np.array(
             [
                 r[0]
-                for r in vectors.select(F.col(vec_col).cast("array<double>"))
+                for r in vectors.select(
+                    F.col(id_col).alias("_sid"),
+                    F.col(vec_col).cast("array<double>").alias("_sv"),
+                )
+                .orderBy("_sid")
                 .limit(10_000)
+                .select("_sv")
                 .collect()
             ]
         )

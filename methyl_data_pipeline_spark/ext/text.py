@@ -1354,10 +1354,15 @@ def dsir_weights(
     tot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     a = float(smoothing)
     np_, nq = F.coalesce("n_p", F.lit(0)), F.coalesce("n_q", F.lit(0))
+    # Symmetric cross-engine nudge: 3 decimal places below the rounding
+    # grid (1e-12 at the default 9 dp), applied identically in the
+    # DuckDB oracle, so a log-ratio sitting within one ulp of a
+    # rounding boundary rounds the same way in both engines.
     ratio = F.round(
         (
             F.log((np_ + a) / (F.sum(np_).over(tot) + a * buckets))
             - F.log((nq + a) / (F.sum(nq).over(tot) + a * buckets))
+            + F.lit(10.0 ** -(ratio_round + 3))
         ),
         ratio_round,
     )
@@ -1420,8 +1425,11 @@ def dsir_select(
         F.pmod(md5_long(F.col(id_col).cast("string"), salt=seed), F.lit(m))
         + 0.5
     ) / float(m)
+    # +1e-9 is the repo's cross-engine rounding nudge (see __spark_entry__
+    # _r/_ri): the oracle rounds the identical nudged value, so a key
+    # within one ulp of a 6-dp boundary cannot flip the selected set.
     key = F.round(
-        F.col("log_weight") / float(temperature) - F.log(-F.log(u)),
+        F.col("log_weight") / float(temperature) - F.log(-F.log(u)) + F.lit(1e-9),
         score_round,
     )
     order = [F.col("_key").desc(), F.col(id_col).asc()]

@@ -230,3 +230,18 @@ def test_adjudication_cal_ratio_capped():
     )
     assert kept == ["q"]
     assert rec["q"]["cal_scale"] == CAL_RATIO_CAP
+
+
+def test_adjudication_hard_flag_survives_overlapping_spread():
+    """ADVICE r10: a fresh median >1.3x the previous must confirm even
+    when one fast fresh run dips the fresh spread into the previous
+    spread (soft disjoint test alone would have cleared it)."""
+    kept, rec = adjudicate_flags(
+        ["q"],
+        [],
+        {"q": {"median": 1.4, "spread": [1.2, 1.6]}},
+        {"q": 1.0},
+        {"q": [0.95, 1.25]},  # fresh min 1.2 <= prev max 1.25: overlap
+    )
+    assert kept == ["q"]
+    assert rec["q"]["verdict"] == "confirmed"
