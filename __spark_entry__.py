@@ -1180,18 +1180,22 @@ def _minhash_mins_sql(num_hashes: int = 8) -> str:
     )
 
 
-def _sql_minhash_cte() -> str:
+def _sql_minhash_cte(src: str = "documents") -> str:
     """Shared shingle->hash CTE prefix (`WITH w, sh, hsh`) composed by
     the minhash-family oracles (`_sql_minhash_sigs`,
-    `_sql_minhash_pairs`, `_sql_incremental_neardup`). A dedicated
-    helper, NOT string surgery on a sibling's output: rsplit-ing on a
-    literal 'SELECT doc_id' silently corrupts the dependent oracle the
-    day the shared text is reworded (ADVICE r8)."""
-    return r"""
-WITH w AS (
+    `_sql_minhash_pairs`, `_sql_incremental_neardup`,
+    `_sql_minhash_recall`). A dedicated helper, NOT string surgery on a
+    sibling's output: rsplit-ing on a literal 'SELECT doc_id' silently
+    corrupts the dependent oracle the day the shared text is reworded
+    (ADVICE r8). ``src`` lets a caller prepend its own corpus CTE
+    (``_sql_minhash_recall``'s planted-suffix fixture) — when it does,
+    the returned text starts at the ``w`` member, NOT ``WITH``."""
+    prefix = "WITH " if src == "documents" else ""
+    return rf"""
+{prefix}w AS (
   SELECT doc_id,
          string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
-  FROM documents
+  FROM {src}
 ),
 sh AS (
   SELECT doc_id,
@@ -1239,6 +1243,99 @@ SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM banded a JOIN banded b
   ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
 ORDER BY id_a, id_b"""
+
+
+_BANDREC_SHORT = " ".join(f"zq{i}" for i in range(1, 13))
+_BANDREC_LONG = " ".join(f"zl{i}" for i in range(1, 41))
+
+
+def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding recall certificate (ext.dedup.minhash_band_recall,
+    VERDICT r10 #3): per Jaccard decile, the fraction of exact
+    n-gram-Jaccard >= 0.1 pairs the (8 hashes, 4 bands) candidates
+    recover, beside the theoretical 1-(1-j^2)^4 S-curve at the bin
+    midpoint. Mid-similarity pairs are planted engine-neutrally by
+    suffix-append: doc_id < 200 re-enters as id+100000 with 12 novel
+    tokens appended, doc_id < 100 as id+200000 with 40 — Jaccard vs the
+    original ~w/(w+m) varies with each doc's length w, spreading pairs
+    across bins. Oracle: full DuckDB replay (hashed shingle sets,
+    brute-force exact Jaccard, banding candidates, per-bin recall)."""
+    from methyl_data_pipeline_spark.ext.dedup import minhash_band_recall
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    short = docs.filter(F.col("doc_id") < 200).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" " + _BANDREC_SHORT)).alias("text"),
+    )
+    long_ = docs.filter(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" " + _BANDREC_LONG)).alias("text"),
+    )
+    corpus = docs.unionByName(short).unionByName(long_)
+    out = minhash_band_recall(
+        corpus, num_hashes=8, bands=4, min_jaccard=0.1
+    )
+    return out.orderBy("jacc_bin")
+
+
+def _sql_minhash_recall() -> str:
+    body = _sql_minhash_cte("corpus")
+    bands = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band_idx, md5(CAST(mh_{2*b} AS VARCHAR) || '_' || CAST(mh_{2*b+1} AS VARCHAR)) AS band_hash FROM sigs"
+        for b in range(4)
+    )
+    # theory chain mirrors the Spark side op-for-op: j clamped at the
+    # bin midpoint, j*j, then ((q*q)*q)*q — no pow()
+    jm = "LEAST((jacc_bin + 0.5) / 10.0, 1.0)"
+    theory = f"(1.0 - (1.0 - ({jm} * {jm})) * (1.0 - ({jm} * {jm})) * (1.0 - ({jm} * {jm})) * (1.0 - ({jm} * {jm})))"
+    return rf"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+  UNION ALL
+  SELECT doc_id + 100000, text || ' {_BANDREC_SHORT}' FROM documents
+  WHERE doc_id < 200 AND text IS NOT NULL
+  UNION ALL
+  SELECT doc_id + 200000, text || ' {_BANDREC_LONG}' FROM documents
+  WHERE doc_id < 100 AND text IS NOT NULL
+),
+{body},
+sets AS (
+  SELECT doc_id,
+         list_distinct(list_transform(shingles,
+                       s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS st
+  FROM sh
+),
+exact AS (
+  SELECT pa, pb, inter, un
+  FROM (
+    SELECT a.doc_id AS pa, b.doc_id AS pb,
+           len(list_intersect(a.st, b.st)) AS inter,
+           len(list_distinct(list_concat(a.st, b.st))) AS un
+    FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+  )
+  WHERE CAST(inter AS DOUBLE) / un >= 0.1
+),
+sigs AS (SELECT doc_id, {_minhash_mins_sql(8)} FROM hsh),
+banded AS ({bands}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS pa, b.doc_id AS pb
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+binned AS (
+  SELECT CAST(FLOOR((10.0 * inter) / un) AS INTEGER) AS jacc_bin,
+         COUNT(*) AS n_pairs,
+         SUM(CASE WHEN c.pa IS NOT NULL THEN 1 ELSE 0 END) AS n_recovered
+  FROM exact e LEFT JOIN cand c USING (pa, pb)
+  GROUP BY 1
+)
+SELECT jacc_bin,
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(n_recovered AS BIGINT) AS n_recovered,
+       CAST(ROUND((n_recovered * 1.0 / n_pairs + 1e-9) * 1000000) AS BIGINT) AS recall_ri,
+       CAST(ROUND(({theory} + 1e-9) * 1000000) AS BIGINT) AS theory_ri
+FROM binned ORDER BY jacc_bin"""
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2487,28 +2584,15 @@ _SEMDEDUP_CELLS = 32
 _SEMDEDUP_THRESHOLD = 0.95
 
 
-def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup-style semantic dedup (ext.similarity.semantic_dedup,
-    Abbas et al. 2023): md5-derived unit centroids → IVF cell
-    assignment (JVM argmin over ONE broadcast centroid literal) →
-    within-cell cosine >= 0.95 pairs via bucket_pair_expand →
-    connected-components closure → keep the member FARTHEST from its
-    cell centroid (the paper's low-density keep policy; ties to min
-    id). Near-dups are planted engine-neutrally: ids < 50 re-enter as
-    id+100000 with dim 0 shifted +0.1, ids < 25 again as id+200000
-    with dim 1 shifted +0.1 — transitive triples that exercise the
-    cluster closure beyond single pairs. Integer/boolean output
-    channels only. Oracle: full DuckDB replay — assignment argmin,
-    within-cell pair algebra, recursive-CTE reachability, dist-ranked
-    representative election."""
-    from methyl_data_pipeline_spark.ext.similarity import (
-        md5_centroids,
-        semantic_dedup,
-        valid_vector,
-    )
+def _semdedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared planted-dup embedding fixture for `semantic_dedup` and
+    `two_level_recall`: validity BEFORE construction (the perturbation
+    indexes embedding components — same reasoning as
+    q_embedding_neardup); ids < 50 re-enter as id+100000 with dim 0
+    shifted +0.1, ids < 25 again as id+200000 with dim 1 shifted +0.1
+    — transitive triples that exercise the cluster closure."""
+    from methyl_data_pipeline_spark.ext.similarity import valid_vector
 
-    # validity BEFORE construction (the perturbation indexes
-    # embedding components — same reasoning as q_embedding_neardup)
     emb = (
         _t(spark, sf_dir, "embeddings")
         .filter(valid_vector(F.col("embedding")))
@@ -2531,7 +2615,29 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("slice(embedding, 3, greatest(size(embedding) - 2, 0))"),
         ).alias("embedding"),
     )
-    corpus = emb.unionByName(c1).unionByName(c2)
+    return emb.unionByName(c1).unionByName(c2)
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (ext.similarity.semantic_dedup,
+    Abbas et al. 2023): md5-derived unit centroids → IVF cell
+    assignment (JVM argmin over ONE broadcast centroid literal) →
+    within-cell cosine >= 0.95 pairs via bucket_pair_expand →
+    connected-components closure → keep the member FARTHEST from its
+    cell centroid (the paper's low-density keep policy; ties to min
+    id). Near-dups are planted engine-neutrally: ids < 50 re-enter as
+    id+100000 with dim 0 shifted +0.1, ids < 25 again as id+200000
+    with dim 1 shifted +0.1 — transitive triples that exercise the
+    cluster closure beyond single pairs. Integer/boolean output
+    channels only. Oracle: full DuckDB replay — assignment argmin,
+    within-cell pair algebra, recursive-CTE reachability, dist-ranked
+    representative election."""
+    from methyl_data_pipeline_spark.ext.similarity import (
+        md5_centroids,
+        semantic_dedup,
+    )
+
+    corpus = _semdedup_corpus(spark, sf_dir)
     out = semantic_dedup(
         corpus,
         centroids=md5_centroids(_SEMDEDUP_CELLS, 64),
@@ -2637,6 +2743,173 @@ SELECT m.vec_id,
        r.rep_id <> m.vec_id AS is_duplicate
 FROM members m JOIN rep r ON r.comp = m.comp AND r.rn = 1
 ORDER BY m.vec_id"""
+
+
+def q_two_level_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """two_level recall certificate (ext.similarity.two_level_recall,
+    VERDICT r10 #3): run semantic_dedup's exact flat assignment and
+    the hierarchical two_level approximation on the same planted-dup
+    fixture as `semantic_dedup` and report, in one row, how many
+    vectors change fine cell and what fraction of the flat path's
+    is_duplicate verdicts the two_level path keeps. Oracle: full
+    DuckDB replay of BOTH paths — flat argmin, coarse argmin + owned
+    refine (coarse centroids and ownership embedded from the SAME
+    two_level_plan the operator routes through), two pair/closure/
+    representative elections."""
+    from methyl_data_pipeline_spark.ext.similarity import (
+        md5_centroids,
+        two_level_recall,
+    )
+
+    corpus = _semdedup_corpus(spark, sf_dir)
+    return two_level_recall(
+        corpus,
+        md5_centroids(_SEMDEDUP_CELLS, 64),
+        threshold=_SEMDEDUP_THRESHOLD,
+    )
+
+
+def _sql_two_level_recall() -> str:
+    from methyl_data_pipeline_spark.ext.similarity import (
+        md5_centroids,
+        two_level_plan,
+    )
+
+    cents = md5_centroids(_SEMDEDUP_CELLS, 64)
+    coarse_kept, owner = two_level_plan(cents)
+
+    def lit(c: list) -> str:
+        return "[" + ", ".join(repr(x) for x in c) + "]"
+
+    cent_rows = ",\n    ".join(
+        f"({ci}, CAST({lit(c)} AS DOUBLE[]), {int(o)})"
+        for ci, (c, o) in enumerate(zip(cents, owner))
+    )
+    coarse_rows = ",\n    ".join(
+        f"({ki}, CAST({lit(c)} AS DOUBLE[]))" for ki, c in enumerate(coarse_kept)
+    )
+
+    def closure(tag: str) -> str:
+        """Pair -> reachability -> component -> dup-flag replay of
+        _sql_semantic_dedup's closure, parameterized by assignment."""
+        return f"""
+pairs_{tag} AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM asg_{tag} a JOIN asg_{tag} b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE list_sum(list_transform(generate_series(1, len(a.v)),
+                                i -> a.v[i] * b.v[i]))
+          / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+             * sqrt(list_sum(list_transform(b.v, x -> x * x))))
+        >= {_SEMDEDUP_THRESHOLD!r}
+),
+edges_{tag} AS (
+  SELECT id_a AS u, id_b AS w FROM pairs_{tag}
+  UNION
+  SELECT id_b, id_a FROM pairs_{tag}
+),
+reach_{tag}(u, w) AS (
+  SELECT u, w FROM edges_{tag}
+  UNION
+  SELECT r.u, e.w FROM reach_{tag} r JOIN edges_{tag} e ON r.w = e.u
+),
+comp_{tag} AS (
+  SELECT u AS vec_id, LEAST(u, MIN(w)) AS component FROM reach_{tag} GROUP BY u
+),
+members_{tag} AS (
+  SELECT a.vec_id, a.cell, a.dist,
+         COALESCE(c.component, a.vec_id) AS comp
+  FROM asg_{tag} a LEFT JOIN comp_{tag} c USING (vec_id)
+),
+dup_{tag} AS (
+  SELECT m.vec_id, m.cell,
+         m.vec_id <> first_value(m.vec_id) OVER (
+           PARTITION BY m.comp ORDER BY m.dist DESC, m.vec_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+         ) AS is_dup
+  FROM members_{tag} m
+)"""
+
+    return f"""
+WITH RECURSIVE base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE {_sql_valid_vec('embedding')}
+),
+corpus AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + 100000, list_concat([v[1] + {_NEARDUP_PERTURB!r}], v[2:])
+  FROM base WHERE vec_id < 50
+  UNION ALL
+  SELECT vec_id + 200000, list_concat([v[1], v[2] + {_NEARDUP_PERTURB!r}], v[3:])
+  FROM base WHERE vec_id < 25
+),
+val AS (SELECT vec_id, v FROM corpus WHERE {_sql_valid_vec('v')}),
+cent(ci, cv, owner) AS (
+  VALUES
+    {cent_rows}
+),
+coarse(ki, kv) AS (
+  VALUES
+    {coarse_rows}
+),
+scored_f AS MATERIALIZED (
+  SELECT vec_id, v, ci,
+         list_sum(list_transform(generate_series(1, len(v)),
+                                 i -> (v[i] - cv[i]) * (v[i] - cv[i]))) AS d
+  FROM val CROSS JOIN cent
+),
+asg_f AS MATERIALIZED (
+  SELECT vec_id, v, CAST(ci AS INTEGER) AS cell, d AS dist
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY d ASC, ci ASC) AS rn
+        FROM scored_f)
+  WHERE rn = 1
+),
+scored_c AS (
+  SELECT vec_id, v, ki,
+         list_sum(list_transform(generate_series(1, len(v)),
+                                 i -> (v[i] - kv[i]) * (v[i] - kv[i]))) AS d
+  FROM val CROSS JOIN coarse
+),
+asg_c AS MATERIALIZED (
+  SELECT vec_id, v, ki AS c1
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY d ASC, ki ASC) AS rn
+        FROM scored_c)
+  WHERE rn = 1
+),
+scored_t AS (
+  SELECT a.vec_id, a.v, c.ci,
+         list_sum(list_transform(generate_series(1, len(a.v)),
+                                 i -> (a.v[i] - c.cv[i]) * (a.v[i] - c.cv[i]))) AS d
+  FROM asg_c a JOIN cent c ON c.owner = a.c1
+),
+asg_t AS MATERIALIZED (
+  SELECT vec_id, v, CAST(ci AS INTEGER) AS cell, d AS dist
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY d ASC, ci ASC) AS rn
+        FROM scored_t)
+  WHERE rn = 1
+),
+{closure('f')},
+{closure('t')},
+joined AS (
+  SELECT f.vec_id, f.cell AS cf, t.cell AS ct, f.is_dup AS df, t.is_dup AS dt
+  FROM dup_f f JOIN dup_t t USING (vec_id)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(SUM(CASE WHEN cf <> ct THEN 1 ELSE 0 END) AS BIGINT) AS n_cell_moved,
+       CAST(SUM(CASE WHEN df THEN 1 ELSE 0 END) AS BIGINT) AS n_dups_flat,
+       CAST(SUM(CASE WHEN df AND dt THEN 1 ELSE 0 END) AS BIGINT) AS n_dups_kept,
+       CAST(ROUND(((COUNT(*) - SUM(CASE WHEN cf <> ct THEN 1 ELSE 0 END))
+                   * 1.0 / COUNT(*) + 1e-9) * 1000000) AS BIGINT) AS cell_agree_ri,
+       CASE WHEN SUM(CASE WHEN df THEN 1 ELSE 0 END) > 0
+            THEN CAST(ROUND((SUM(CASE WHEN df AND dt THEN 1 ELSE 0 END)
+                             * 1.0 / SUM(CASE WHEN df THEN 1 ELSE 0 END)
+                             + 1e-9) * 1000000) AS BIGINT)
+       END AS dup_recall_ri
+FROM joined"""
 
 
 _DSIR_BUCKETS = 1024
@@ -6214,154 +6487,159 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness records only the
-    # FIRST 50 entries in dict order. ROUND-10 WINDOW POLICY (VERDICT
-    # r9 #2): with all 121 oracled queries driver-certified at least
-    # once, the window is pure re-certification rotation —
-    # changed-first, then OLDEST newest-green first, then lowest
-    # green count. Composition:
-    #   (a) new in r10: semantic_dedup (SemDeDup composition);
-    #   (b) the five r9-new operators (1 green each);
-    #   (c) every oracled query whose newest driver green is <= r6
-    #       (26 queries — the r3/r4-certified tail);
-    #   (d) the r7-newest tier fills the remaining 18 slots (4-green
-    #       entries first, then 5- and 7-green).
-    # After a green r10 sweep, NO oracled query's newest driver
-    # evidence is older than r8. Rotated OUT vs r9: everything
-    # greened in r8/r9, all re-verified every round by
-    # tools/check_oracle.py on the sf0.01 and NULL fixtures.
+    # FIRST 50 entries in dict order. ROUND-11 WINDOW (standing policy,
+    # VERDICT r9 #2 / r10 #2): changed-first, then OLDEST newest-green
+    # first, then lowest green count. Composition:
+    #   (a) new in r11: minhash_recall, two_level_recall (the LSH /
+    #       two_level recall certificates, VERDICT r10 #3);
+    #   (b) changed in r11: dsir_select (symmetric rounding nudges),
+    #       semantic_dedup + dedup_clusters (connected_components
+    #       driver-path gating + deterministic kmeans sample);
+    #   (c) pricing_summary — newest green r7; takes a slot to RETIRE
+    #       the standing "headline-timed" exception;
+    #   (d) the full r8-newest tier (27 queries — everything whose
+    #       newest green is r8 after the r10 sweep);
+    #   (e) r9-newest fills the rest, lowest green count first: the
+    #       three single-green red-history queries (corpus_report,
+    #       moderated_f, outlier_mad), then 2-green entries.
+    # Rotated OUT vs r10: the whole r10-green window (newest evidence
+    # r10). Left for r12: temperature_sample, threshold_sweep,
+    # vocab_coverage (2 greens, newest r9) and the 3/4-green r9 tier —
+    # all re-verified every round by tools/check_oracle.py on the
+    # sf0.01 and NULL fixtures.
     return {
-        # (a) new r10
-        "semantic_dedup": q_semantic_dedup,
+        # (a) new r11
+        "minhash_recall": q_minhash_recall,
+        "two_level_recall": q_two_level_recall,
+        # (b) changed r11
         "dsir_select": q_dsir_select,
-        # (b) r9-new operators, 1 green each
-        "quantize_embeddings": q_quantize_embeddings,
-        "quant_recall": q_quant_recall,
-        "embedding_drift": q_embedding_drift,
-        "source_token_cap": q_source_token_cap,
-        "containment_pairs": q_containment_pairs,
-        # (c) newest green <= r6 (r3/r4 evidence)
+        "semantic_dedup": q_semantic_dedup,
+        "dedup_clusters": q_dedup_clusters,
+        # (c) exception retirement
+        "pricing_summary": q_pricing_summary,
+        # (d) r8-newest tier
+        "bh_grouped": q_bh_grouped,
+        "bloom_decontaminate": q_bloom_decontaminate,
+        "bmiq_mstep_cert": q_bmiq_mstep_cert,
+        "bmiq_prefix": q_bmiq_prefix,
+        "chunk_documents": q_chunk_documents,
+        "combat_converged": q_combat_converged,
+        "combat_cov_prefix": q_combat_cov_prefix,
+        "combat_twostep": q_combat_twostep,
+        "decontaminate": q_decontaminate,
+        "dedup_best": q_dedup_best,
+        "dmr_regions": q_dmr_regions,
+        "events_sliding": q_events_sliding,
+        "frame_sample": q_frame_sample,
+        "hot_ngrams": q_hot_ngrams,
+        "incremental_dedup": q_incremental_dedup,
+        "methyl_pipeline_chain": q_methyl_pipeline_chain,
+        "pca_eigen_cert": q_pca_eigen_cert,
+        "perplexity_buckets": q_perplexity_buckets,
+        "pii_redact": q_pii_redact,
+        "quality_filter": q_quality_filter,
+        "quantile_normalize": q_quantile_normalize,
+        "sample_stratified": q_sample_stratified,
+        "segment_dedup": q_segment_dedup,
+        "sketch_cert": q_sketch_cert,
+        "snapshot_diff": q_snapshot_diff,
+        "stream_interval_join": q_stream_interval_join,
+        "unigram_logprob": q_unigram_logprob,
+        # (e) r9-newest, lowest green count first
+        "corpus_report": q_corpus_report,
+        "moderated_f": q_moderated_f,
+        "outlier_mad": q_outlier_mad,
+        "budget_select": q_budget_select,
+        "cohort_retention": q_cohort_retention,
+        "column_digests": q_column_digests,
+        "domain_mix": q_domain_mix,
+        "exact_substring": q_exact_substring,
+        "funnel": q_funnel,
+        "incremental_neardup": q_incremental_neardup,
+        "length_batches": q_length_batches,
+        "repetition_signals": q_repetition_signals,
+        "sequence_packing": q_sequence_packing,
+        "similarity_lsh": q_similarity_lsh,
+        "skew_report": q_skew_report,
+        "split_contamination": q_split_contamination,
+        "split_leakage": q_split_leakage,
+        # ---- slot 51+ (newest green r9 or r10; re-verified every
+        # round by tools/check_oracle.py on two fixtures) ----
         "agg_minmax": q_agg_minmax,
         "asof_join": q_asof_join,
+        "bh_adjust": q_bh_adjust,
+        "bh_adjust_scalable": q_bh_adjust_scalable,
+        "bm25_rank": q_bm25_rank,
+        "clean_text": q_clean_text,
         "collect_list": q_collect_list,
+        "combat_onestep": q_combat_onestep,
+        "combat_priors": q_combat_priors,
+        "containment_pairs": q_containment_pairs,
+        "contract_report": q_contract_report,
+        "corpus_pipeline": q_corpus_pipeline,
+        "curation_pipeline": q_curation_pipeline,
+        "dedup_distinct": q_dedup_distinct,
+        "ecdf_percent_rank": q_ecdf,
         "embedding_cosine_topk": q_embedding_cosine_topk,
+        "embedding_drift": q_embedding_drift,
+        "embedding_neardup": q_embedding_neardup,
         "events_windowed": q_events_windowed,
         "fingerprint_dedup": q_fingerprint_dedup,
+        "hash_split": q_hash_split,
+        "health_report": q_health_report,
         "heatmap_prep": q_heatmap_prep,
+        "histogram": q_histogram,
+        "ivf_ann": q_ivf_ann,
         "join_chain": q_join_chain,
+        "join_full_outer": q_join_full_outer,
         "kde_density": q_kde_density,
         "lang_id": q_lang_id,
+        "lang_id_ngram": q_lang_id_ngram,
+        "layout_cert": q_layout_cert,
+        "melt_part": q_melt,
+        "meth_complete_probes": q_meth_complete_probes,
+        "meth_contrasts": q_meth_contrasts,
+        "meth_group_delta": q_meth_group_delta,
+        "meth_moderated_t": q_meth_moderated_t,
+        "meth_qc_detp": q_meth_qc_detp,
+        "meth_variance_topk": q_meth_variance_topk,
+        "minhash_pairs": q_minhash_pairs,
+        "minhash_signatures": q_minhash_signatures,
+        "mixture_sample": q_mixture_sample,
+        "multimodal_features": q_multimodal_features,
+        "ngram_jaccard": q_ngram_jaccard,
+        "pca_gram": q_pca_gram,
+        "pivot_events": q_pivot,
+        "poobah_ecdf": q_poobah_ecdf,
+        "quant_recall": q_quant_recall,
+        "quantiles": q_quantiles,
+        "quantize_embeddings": q_quantize_embeddings,
         "range_join": q_range_join,
         "rename_lookup": q_rename_lookup,
         "rollup_counts": q_rollup,
         "running_window": q_running_window,
+        "sample_corr": q_sample_corr,
         "sample_projection": q_sample_projection,
         "scalar_math": q_scalar_math,
-        "sessionize": q_sessionize,
-        "string_funcs": q_string_funcs,
-        "text_quality": q_text_quality,
-        "text_tokens": q_text_tokens,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "topk_per_group": q_topk_per_group,
-        "winnowing": q_winnowing,
-        "meth_complete_probes": q_meth_complete_probes,
-        "meth_group_delta": q_meth_group_delta,
-        "meth_qc_detp": q_meth_qc_detp,
-        # (d) r7-newest tier
-        "combat_onestep": q_combat_onestep,
-        "contract_report": q_contract_report,
-        "curation_pipeline": q_curation_pipeline,
-        "hash_split": q_hash_split,
-        "lang_id_ngram": q_lang_id_ngram,
-        "mixture_sample": q_mixture_sample,
-        "pca_gram": q_pca_gram,
-        "sample_corr": q_sample_corr,
-        "bh_adjust": q_bh_adjust,
-        "combat_priors": q_combat_priors,
-        "health_report": q_health_report,
-        "bh_adjust_scalable": q_bh_adjust_scalable,
-        "meth_contrasts": q_meth_contrasts,
-        "meth_moderated_t": q_meth_moderated_t,
-        "meth_variance_topk": q_meth_variance_topk,
-        "multimodal_features": q_multimodal_features,
-        "poobah_ecdf": q_poobah_ecdf,
-        # ---- slot 51+ (pricing_summary yielded its slot to
-        # dsir_select: 7 greens, newest r7, timed in HEADLINE every
-        # round) ----
-        "pricing_summary": q_pricing_summary,
-        # newest green r8/r9; re-verified every round by
-        # tools/check_oracle.py on two fixtures
-        "bh_grouped": q_bh_grouped,
-        "bloom_decontaminate": q_bloom_decontaminate,
-        "bm25_rank": q_bm25_rank,
-        "bmiq_mstep_cert": q_bmiq_mstep_cert,
-        "bmiq_prefix": q_bmiq_prefix,
-        "budget_select": q_budget_select,
-        "chunk_documents": q_chunk_documents,
-        "clean_text": q_clean_text,
-        "cohort_retention": q_cohort_retention,
-        "column_digests": q_column_digests,
-        "combat_converged": q_combat_converged,
-        "combat_cov_prefix": q_combat_cov_prefix,
-        "combat_twostep": q_combat_twostep,
-        "corpus_pipeline": q_corpus_pipeline,
-        "corpus_report": q_corpus_report,
-        "decontaminate": q_decontaminate,
-        "dedup_best": q_dedup_best,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_distinct": q_dedup_distinct,
-        "dmr_regions": q_dmr_regions,
-        "domain_mix": q_domain_mix,
-        "ecdf_percent_rank": q_ecdf,
-        "embedding_neardup": q_embedding_neardup,
-        "events_sliding": q_events_sliding,
-        "exact_substring": q_exact_substring,
-        "frame_sample": q_frame_sample,
-        "funnel": q_funnel,
-        "histogram": q_histogram,
-        "hot_ngrams": q_hot_ngrams,
-        "incremental_dedup": q_incremental_dedup,
-        "incremental_neardup": q_incremental_neardup,
-        "ivf_ann": q_ivf_ann,
-        "join_full_outer": q_join_full_outer,
-        "layout_cert": q_layout_cert,
-        "length_batches": q_length_batches,
-        "melt_part": q_melt,
-        "methyl_pipeline_chain": q_methyl_pipeline_chain,
-        "minhash_pairs": q_minhash_pairs,
-        "minhash_signatures": q_minhash_signatures,
-        "moderated_f": q_moderated_f,
-        "ngram_jaccard": q_ngram_jaccard,
-        "outlier_mad": q_outlier_mad,
-        "pca_eigen_cert": q_pca_eigen_cert,
-        "perplexity_buckets": q_perplexity_buckets,
-        "pii_redact": q_pii_redact,
-        "pivot_events": q_pivot,
-        "quality_filter": q_quality_filter,
-        "quantile_normalize": q_quantile_normalize,
-        "quantiles": q_quantiles,
-        "repetition_signals": q_repetition_signals,
-        "sample_stratified": q_sample_stratified,
-        "segment_dedup": q_segment_dedup,
         "semi_anti_membership": q_semi_anti,
-        "sequence_packing": q_sequence_packing,
+        "sessionize": q_sessionize,
         "set_ops": q_set_ops,
         "simhash": q_simhash,
         "simhash64_pairs": q_simhash64_pairs,
         "simhash_pairs": q_simhash_pairs,
-        "similarity_lsh": q_similarity_lsh,
-        "sketch_cert": q_sketch_cert,
-        "skew_report": q_skew_report,
-        "snapshot_diff": q_snapshot_diff,
-        "split_contamination": q_split_contamination,
-        "split_leakage": q_split_leakage,
+        "source_token_cap": q_source_token_cap,
         "stream_curate": q_stream_curate,
-        "stream_interval_join": q_stream_interval_join,
+        "string_funcs": q_string_funcs,
         "temperature_sample": q_temperature_sample,
+        "text_quality": q_text_quality,
+        "text_tokens": q_text_tokens,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "threshold_sweep": q_threshold_sweep,
         "top_revenue_orders": q_top_revenue_orders,
-        "unigram_logprob": q_unigram_logprob,
+        "topk_per_group": q_topk_per_group,
         "union_halves": q_union_halves,
         "vocab_coverage": q_vocab_coverage,
+        "winnowing": q_winnowing,
         # non-SQL-expressible (rows-only; see each docstring). Each
         # got its one-time driver rows+schema recording in r5/r6; the
         # driver harness errors (`no_oracle`) rather than certifying
@@ -6463,6 +6741,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": _sql_embedding_neardup(),
         "semantic_dedup": _sql_semantic_dedup(),
         "dsir_select": _sql_dsir_select(),
+        "minhash_recall": _sql_minhash_recall(),
+        "two_level_recall": _sql_two_level_recall(),
         # n_probe == n_centroids makes IVF exact — brute force IS the oracle
         "ivf_ann": SQL_EMBEDDING_COSINE,
         "events_windowed": SQL_EVENTS_WINDOWED,

@@ -524,6 +524,125 @@ def ngram_jaccard_pairs(
     )
 
 
+def minhash_band_recall(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    min_jaccard: float = 0.1,
+    sample: int | None = None,
+    max_bucket: int = 4096,
+) -> DataFrame:
+    """Candidate-recall certificate for the MinHash LSH banding
+    (:func:`minhash_candidate_pairs`) — the measured counterpart of the
+    1-(1-j^r)^b S-curve every (bands, rows) config is chosen by. Mirrors
+    ``similarity.quantization_recall``'s decide-before-you-commit role:
+    run it on a bounded sample before fixing the banding config for a
+    corpus-scale dedup pass.
+
+    Per Jaccard decile bin (``jacc_bin = floor(10 * |∩| / |∪|)`` over
+    distinct hashed shingle sets): how many EXACT-Jaccard pairs at or
+    above ``min_jaccard`` exist, how many of them the band candidates
+    recover, the measured ``recall_ri`` (x1e6 integer channel), and the
+    theoretical band-collision probability ``theory_ri`` at the bin
+    midpoint — all hash-stable integers, so the certificate itself is
+    DuckDB-oracled.
+
+    The exact side is computed WITHOUT LSH: postings over the hashed
+    shingles pair up every two docs sharing at least one shingle
+    (complete for any ``min_jaccard > 0``, since Jaccard > 0 requires a
+    shared shingle), expanded through :func:`bucket_pair_expand` so a
+    corpus-common shingle cannot concentrate O(df²) work in one task.
+    That side is quadratic in co-occurrence — the certificate is
+    SAMPLE-sized by contract (``sample`` takes a deterministic
+    orderBy-limit prefix; at 100 TB certify on ~10⁴ docs, never the
+    corpus). Theory chain uses repeated multiplication, not pow(), so
+    both engines execute identical IEEE ops.
+    """
+    if not (0.0 < min_jaccard <= 1.0):
+        raise ValueError("min_jaccard must be in (0, 1]")
+    base = df.filter(F.col(text_col).isNotNull())
+    if sample is not None:
+        base = base.orderBy(id_col).limit(int(sample))
+
+    sets = _spread(base, id_col).select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(
+            F.transform(shingles(text_col, shingle_n), lambda s: md5_long(s))
+        ).alias("_sh"),
+    )
+    postings = sets.select("_id", F.explode("_sh").alias("_g"))
+    shared = bucket_pair_expand(
+        postings,
+        ["_g"],
+        F.struct(F.col("_id").alias("id")),
+        max_bucket=max_bucket,
+    )
+    cand_sets = (
+        shared.select(F.col("_a.id").alias("_pa"), F.col("_b.id").alias("_pb"))
+        .distinct()
+    )
+    sh_a = sets.select(F.col("_id").alias("_pa"), F.col("_sh").alias("_sha"))
+    sh_b = sets.select(F.col("_id").alias("_pb"), F.col("_sh").alias("_shb"))
+    inter = F.size(F.array_intersect("_sha", "_shb"))
+    union = F.size(F.array_union("_sha", "_shb"))
+    exact = (
+        cand_sets.join(sh_a, "_pa")
+        .join(sh_b, "_pb")
+        .select(
+            "_pa",
+            "_pb",
+            (inter.cast("double") / union).alias("_j"),
+            F.floor(F.lit(10.0) * inter / union).cast("int").alias("jacc_bin"),
+        )
+        .filter(F.col("_j") >= min_jaccard)
+    )
+
+    lsh = minhash_candidate_pairs(
+        base, text_col, id_col, num_hashes, bands, shingle_n, max_bucket
+    ).select(
+        F.col("id_a").alias("_pa"),
+        F.col("id_b").alias("_pb"),
+        F.lit(1).alias("_hit"),
+    )
+    scored = exact.join(lsh, ["_pa", "_pb"], "left")
+    binned = scored.groupBy("jacc_bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.coalesce("_hit", F.lit(0))).cast("long").alias("n_recovered"),
+    )
+
+    r = num_hashes // bands
+    # theory at the bin midpoint, clamped to j <= 1 for the [1.0] bin;
+    # chain multiplication (not pow) so Spark and any SQL oracle run
+    # the identical IEEE op sequence
+    j = F.least(
+        (F.col("jacc_bin").cast("double") + F.lit(0.5)) / F.lit(10.0),
+        F.lit(1.0),
+    )
+    jr = j
+    for _ in range(r - 1):
+        jr = jr * j
+    q = F.lit(1.0) - jr
+    qb = q
+    for _ in range(bands - 1):
+        qb = qb * q
+    return binned.select(
+        "jacc_bin",
+        "n_pairs",
+        "n_recovered",
+        F.round(
+            (F.col("n_recovered") / F.col("n_pairs") + F.lit(1e-9)) * 1e6
+        )
+        .cast("long")
+        .alias("recall_ri"),
+        F.round(((F.lit(1.0) - qb) + F.lit(1e-9)) * 1e6)
+        .cast("long")
+        .alias("theory_ri"),
+    )
+
+
 def simhash(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
 ) -> DataFrame:

@@ -663,6 +663,40 @@ def md5_centroids(k: int, dim: int, salt: str = "ct") -> list[list[float]]:
     return out
 
 
+def two_level_plan(
+    centroids: list[list[float]], seed: int = 42, max_iter: int = 8
+) -> tuple[list[list[float]], list[int]]:
+    """Driver-side routing table for the two-level (hierarchical IVF)
+    assignment: cluster the ``k`` fine centroids into ~sqrt(k) coarse
+    cells (seeded Lloyd over the tiny centroid matrix) and map each
+    fine centroid to its owning REMAPPED coarse cell. Coarse cells no
+    fine centroid maps to are dropped (an unowned cell would
+    inner-join its rows away), with indices remapped densely so
+    totality is preserved.
+
+    Extracted from :func:`semantic_dedup` so the oracle builders and
+    :func:`two_level_recall` embed the EXACT same coarse-centroid
+    literals and ownership the operator routes through — deterministic
+    for fixed inputs.
+
+    Returns ``(coarse_kept, owner)`` where ``owner[ci]`` is the
+    remapped coarse index of fine centroid ``ci``.
+    """
+    import math
+
+    import numpy as np
+
+    fc = np.asarray(centroids, dtype=float)
+    k1 = max(2, int(math.isqrt(len(centroids))))
+    coarse = _lloyd_centroids(fc, k1, seed, max_iter)
+    cc = np.asarray(coarse, dtype=float)
+    owner = ((fc[:, None, :] - cc[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    owned = sorted(set(int(o) for o in owner))
+    coarse_kept = [coarse[i] for i in owned]
+    remap = {o: j for j, o in enumerate(owned)}
+    return coarse_kept, [remap[int(o)] for o in owner]
+
+
 def semantic_dedup(
     vectors: DataFrame,
     centroids: list[list[float]] | None = None,
@@ -862,26 +896,10 @@ def semantic_dedup(
             _spread(vectors, id_col).select(*base_cols), cent_df, None
         )
     else:  # two_level
-        import math
-
-        import numpy as np
-
-        fc = np.asarray(centroids, dtype=float)
-        k1 = max(2, int(math.isqrt(len(centroids))))
-        coarse = _lloyd_centroids(fc, k1, seed, max_iter)
-        cc = np.asarray(coarse, dtype=float)
-        owner = (
-            ((fc[:, None, :] - cc[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
-        )
-        # a coarse cell no fine centroid maps to would inner-join its
-        # rows away — keep only owned coarse cells (rows re-route to
-        # the nearest OWNED coarse centroid, preserving totality)
-        owned = sorted(set(int(o) for o in owner))
-        coarse_kept = [coarse[i] for i in owned]
-        remap = {o: j for j, o in enumerate(owned)}
+        coarse_kept, owner = two_level_plan(centroids, seed, max_iter)
         cent_df = spark.createDataFrame(
             [
-                (int(ci), c, remap[int(o)])
+                (int(ci), c, int(o))
                 for ci, (c, o) in enumerate(zip(centroids, owner))
             ],
             "ci int, cv array<double>, owner int",
@@ -956,3 +974,86 @@ def semantic_dedup(
             (F.col("_rep") != F.col(id_col)).alias("is_duplicate"),
         )
     return out
+
+
+def two_level_recall(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 8,
+    max_bucket: int = 512,
+) -> DataFrame:
+    """Recall certificate for ``semantic_dedup(assignment="two_level")``
+    — quantifies the hierarchical-IVF approximation the way
+    :func:`quantization_recall` quantifies int8 loss: run BOTH paths on
+    a bounded sample and measure, at the outcome level, what the
+    two-level routing costs.
+
+    One summary row:
+
+    - ``n_vectors`` / ``n_cell_moved`` / ``cell_agree_ri`` — how many
+      vectors land in a different fine cell than the exact flat argmin
+      (the only mechanism by which two_level can lose a near-dup pair).
+    - ``n_dups_flat`` / ``n_dups_kept`` / ``dup_recall_ri`` — of the
+      vectors the exact path marks ``is_duplicate``, the fraction the
+      two_level path still marks (NULL when the flat path finds no
+      duplicates — certify on a fixture with planted dups).
+
+    Costs two full ``semantic_dedup`` runs of the sample it certifies —
+    the same two-baselines price ``quantization_recall`` pays. All
+    output channels are hash-stable integers.
+    """
+    kw = dict(
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        keep="far",
+        seed=seed,
+        max_iter=max_iter,
+        max_bucket=max_bucket,
+    )
+    flat = semantic_dedup(vectors, centroids, assignment="auto", **kw)
+    tl = semantic_dedup(vectors, centroids, assignment="two_level", **kw)
+    f = flat.select(
+        F.col(id_col).alias("_id"),
+        F.col("cell").alias("_cf"),
+        F.col("is_duplicate").alias("_df"),
+    )
+    t = tl.select(
+        F.col(id_col).alias("_id"),
+        F.col("cell").alias("_ct"),
+        F.col("is_duplicate").alias("_dt"),
+    )
+    agg = f.join(t, "_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.sum((F.col("_cf") != F.col("_ct")).cast("long"))
+        .cast("long")
+        .alias("n_cell_moved"),
+        F.sum(F.col("_df").cast("long")).cast("long").alias("n_dups_flat"),
+        F.sum((F.col("_df") & F.col("_dt")).cast("long"))
+        .cast("long")
+        .alias("n_dups_kept"),
+    )
+    return agg.select(
+        "*",
+        F.round(
+            (
+                (F.col("n_vectors") - F.col("n_cell_moved"))
+                / F.col("n_vectors")
+                + F.lit(1e-9)
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("cell_agree_ri"),
+        F.when(
+            F.col("n_dups_flat") > 0,
+            F.round(
+                (F.col("n_dups_kept") / F.col("n_dups_flat") + F.lit(1e-9))
+                * 1e6
+            ).cast("long"),
+        ).alias("dup_recall_ri"),
+    )

@@ -1954,3 +1954,112 @@ def test_dsir_temperature_flattens_selection(spark):
         ).collect()
     }
     assert sharp != flat
+
+
+# ---------------------------------------------------------------------------
+# Recall certificates (r11): LSH banding + two_level
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_band_recall_bins_and_exactness(spark):
+    """The exact side must equal brute-force Jaccard binning, the
+    recovered count can never exceed the pair count, and an identical
+    pair (bin 10) is always recovered (identical signatures)."""
+    from methyl_data_pipeline_spark.ext.dedup import minhash_band_recall
+
+    words = [f"w{i}" for i in range(40)]
+    full = " ".join(words)
+    rows = [
+        (0, full),
+        (1, full),  # jaccard 1.0 with 0 -> bin 10
+        (2, " ".join(words[:24])),  # high-overlap prefix of 0
+        (3, " ".join(words[20:]) + " zz1 zz2 zz3 zz4 zz5"),  # mid overlap
+        (4, "totally different text about nothing shared at all here"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.jacc_bin: r for r in minhash_band_recall(
+        df, num_hashes=16, bands=4, min_jaccard=0.1
+    ).collect()}
+
+    # brute-force oracle over distinct 3-shingle sets
+    def sh(t):
+        ws = t.lower().split()
+        return set(
+            " ".join(ws[i:i + 3]) for i in range(max(len(ws) - 2, 1))
+        ) if len(ws) >= 3 else {t.lower()}
+
+    texts = {i: t for i, t in rows if t is not None}
+    expect = {}
+    for a in texts:
+        for b in texts:
+            if a < b:
+                sa, sb = sh(texts[a]), sh(texts[b])
+                j = len(sa & sb) / len(sa | sb)
+                if j >= 0.1:
+                    expect.setdefault(int(10.0 * len(sa & sb) / len(sa | sb)), []).append(j)
+    assert set(out) == set(expect)
+    for b, js in expect.items():
+        assert out[b].n_pairs == len(js)
+        assert 0 <= out[b].n_recovered <= out[b].n_pairs
+        assert 0 <= out[b].recall_ri <= 1_000_000
+        assert 0 <= out[b].theory_ri <= 1_000_000
+    assert out[10].n_recovered == out[10].n_pairs  # identical pair recovered
+
+    with pytest.raises(ValueError, match="min_jaccard"):
+        minhash_band_recall(df, min_jaccard=0.0)
+
+
+def test_minhash_band_recall_sample_and_theory_monotone(spark):
+    """sample=N takes a deterministic prefix; the theoretical S-curve
+    must be nondecreasing in the bin."""
+    from methyl_data_pipeline_spark.ext.dedup import minhash_band_recall
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, base + f" tail{i}") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full = minhash_band_recall(df, min_jaccard=0.1).collect()
+    sampled = minhash_band_recall(df, min_jaccard=0.1, sample=4).collect()
+    n_full = sum(r.n_pairs for r in full)
+    n_samp = sum(r.n_pairs for r in sampled)
+    assert n_full == 45 and n_samp == 6  # C(10,2) vs C(4,2)
+    th = [r.theory_ri for r in sorted(full, key=lambda r: r.jacc_bin)]
+    assert th == sorted(th)
+
+
+def test_two_level_recall_separated_corpus_is_lossless(spark):
+    """On a well-separated corpus where two_level agrees with flat
+    (same fixture as the assignment-parity test), the certificate must
+    report zero movement and full dup recall."""
+    from methyl_data_pipeline_spark.ext.similarity import two_level_recall
+
+    df = _semdedup_frame(spark)
+    cents = [
+        [0.9, 0.1, 0.0, 0.0],
+        [0.8, 0.3, 0.0, 0.0],
+        [0.0, 0.0, 0.9, 0.1],
+        [0.0, 0.0, 0.8, 0.3],
+    ]
+    r = two_level_recall(df, cents, threshold=0.95).collect()[0]
+    assert r.n_vectors == 6
+    assert r.n_cell_moved == 0
+    assert r.cell_agree_ri == 1_000_000
+    assert r.n_dups_flat > 0
+    assert r.n_dups_kept == r.n_dups_flat
+    assert r.dup_recall_ri == 1_000_000
+
+
+def test_two_level_plan_deterministic_and_total(spark):
+    """two_level_plan must be deterministic and give every fine
+    centroid an owner within the kept coarse list."""
+    from methyl_data_pipeline_spark.ext.similarity import (
+        md5_centroids,
+        two_level_plan,
+    )
+
+    cents = md5_centroids(32, 16)
+    a_coarse, a_owner = two_level_plan(cents)
+    b_coarse, b_owner = two_level_plan(cents)
+    assert a_coarse == b_coarse and a_owner == b_owner
+    assert len(a_owner) == 32
+    assert set(a_owner) <= set(range(len(a_coarse)))
