@@ -769,7 +769,24 @@ def main() -> None:
         "prev": prev_name,
     }
     here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, details_name), "w") as fh:
+    details_path = os.path.join(here, details_name)
+    # VERDICT r10 #7: when a round's bench re-records (r10 committed a
+    # slow-machine-day record, then the final one), the FINAL record
+    # carries a machine-readable pointer to what it replaced, so a
+    # future reader diffing committed revisions never grades the
+    # superseded session by accident.
+    if os.path.exists(details_path):
+        try:
+            _old = json.load(open(details_path))
+            details["supersedes_same_round"] = {
+                "value": _old.get("value"),
+                "calibration_sec": _old.get("calibration_sec"),
+                "calibration_scan_sec": _old.get("calibration_scan_sec"),
+                "regressions": _old.get("regressions"),
+            }
+        except Exception:
+            details["supersedes_same_round"] = {"unreadable": True}
+    with open(details_path, "w") as fh:
         json.dump(details, fh, indent=1, sort_keys=True)
 
     out = {

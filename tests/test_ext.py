@@ -2063,3 +2063,25 @@ def test_two_level_plan_deterministic_and_total(spark):
     assert a_coarse == b_coarse and a_owner == b_owner
     assert len(a_owner) == 32
     assert set(a_owner) <= set(range(len(a_coarse)))
+
+
+def test_dsir_weights_stage_parity(spark):
+    """stage=True (persisted gram collapse) must agree with the
+    default two-scan plan at the operator's 6-dp contract — persisting
+    reorders the per-doc float sum's partials, so exact-ulp equality
+    is not promised (the same reason every consumer rounds
+    log_weight)."""
+    from methyl_data_pipeline_spark import cache
+    from methyl_data_pipeline_spark.ext.text import dsir_weights
+
+    docs = _docs(spark)
+    target = docs.filter(F.col("doc_id") % 2 == 0)
+    raw = docs.filter(F.col("doc_id") % 2 == 1)
+
+    def rows(stage):
+        out = dsir_weights(raw, target, buckets=128, stage=stage).collect()
+        return sorted((r[0], r[1], round(r[2], 6)) for r in out)
+
+    a, b = rows(False), rows(True)
+    cache.release_all()
+    assert a == b and a
