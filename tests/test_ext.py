@@ -2085,3 +2085,67 @@ def test_dsir_weights_stage_parity(spark):
     a, b = rows(False), rows(True)
     cache.release_all()
     assert a == b and a
+
+
+# ---------------------------------------------------------------------------
+# BPE merge induction (r11)
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_merges_sennrich_toy(spark):
+    """The canonical low/lower/lowest corpus must learn (l,o), (lo,w)
+    first — checkable by hand — with exact pair counts."""
+    from methyl_data_pipeline_spark.ext.text import bpe_merges
+
+    df = spark.createDataFrame(
+        [(1, "low low low lower lower lowest")], "id int, text string"
+    )
+    got = [
+        (r.merge_rank, r.left, r.right, r.merged, r.pair_count)
+        for r in bpe_merges(df, k=4).orderBy("merge_rank").collect()
+    ]
+    assert got[:2] == [(1, "l", "o", "lo", 6), (2, "lo", "w", "low", 6)]
+    # rank 3 ties at 3: ('low', '</w>') x3 vs ('low', 'e') x3 -> lexical
+    assert got[2] == (3, "low", "</w>", "low</w>", 3)
+    assert got[3] == (4, "low", "e", "lowe", 3)
+
+    with pytest.raises(ValueError, match="k must be"):
+        bpe_merges(df, k=0)
+
+
+def test_bpe_merges_greedy_left_to_right_and_early_stop(spark):
+    """Greedy non-overlapping semantics: 'aaaa' under rule (a,a) must
+    contribute (aa,aa) to round 2 counts, not (aa,a,a). A corpus of
+    single-char words exhausts merges and stops early."""
+    from methyl_data_pipeline_spark.ext.text import bpe_merges
+
+    df = spark.createDataFrame([(1, "aaaa aaaa")], "id int, text string")
+    got = [
+        (r.merge_rank, r.left, r.right, r.pair_count)
+        for r in bpe_merges(df, k=3).orderBy("merge_rank").collect()
+    ]
+    # round 1: (a,a) appears 3x per word x 2 words = 6 — NOT 2 per
+    # word, which is what a non-greedy re-entrant fold would count
+    assert got[0] == (1, "a", "a", 6)
+    # greedy merge -> [aa, aa, </w>]; round 2 ties at 2 between
+    # (aa, aa) and (aa, </w>) and '<' sorts before 'a'
+    assert got[1] == (2, "aa", "</w>", 2)
+    # -> [aa, aa</w>]; round 3 merges the remaining pair
+    assert got[2] == (3, "aa", "aa</w>", 2)
+
+    # merges exhaust: 'a b' -> a</w>, b</w> then nothing adjacent
+    tiny = spark.createDataFrame([(1, "a b")], "id int, text string")
+    rows = bpe_merges(tiny, k=10).collect()
+    assert len(rows) < 10
+    assert all(r.pair_count >= 1 for r in rows)
+
+
+def test_bpe_merges_null_text_and_weighting(spark):
+    """NULL texts drop; word frequency weights the pair counts."""
+    from methyl_data_pipeline_spark.ext.text import bpe_merges
+
+    df = spark.createDataFrame(
+        [(1, "xy xy xy"), (2, None), (3, "zq")], "id int, text string"
+    )
+    first = bpe_merges(df, k=1).collect()[0]
+    assert (first.left, first.right, first.pair_count) == ("x", "y", 3)
