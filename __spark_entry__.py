@@ -3013,6 +3013,7 @@ FROM sel WHERE sel_rank <= {k} ORDER BY sel_rank"""
 
 
 _BPE_K = 8
+_BPE_ENC_K = 6
 
 
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3033,9 +3034,15 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merges(docs, k=_BPE_K).orderBy("merge_rank")
 
 
-def _sql_bpe_merges() -> str:
+def _sql_bpe_prefix(k: int) -> str:
+    """Shared CTE prefix for the BPE oracles: wf (corpus word
+    frequency), r0 (char symbols + </w>), and k chained merge rounds
+    (p/b/e/a/r per round). Ends after r{k} — the caller appends its
+    own final SELECT. Composed by `_sql_bpe_merges` (emits b1..bk) and
+    `_sql_bpe_encode` (emits r{k} joined back through the doc word
+    stream)."""
     rounds = []
-    for n in range(1, _BPE_K + 1):
+    for n in range(1, k + 1):
         p = n - 1
         rounds.append(f"""
 p{n} AS (
@@ -3074,11 +3081,6 @@ r{n} AS MATERIALIZED (
         # applied = every other match inside a consecutive-match run
         # (gaps-and-islands on i - rn); a row following an applied
         # match is the consumed right symbol and drops.
-    finals = "\nUNION ALL\n".join(
-        f'SELECT {n} AS merge_rank, l AS "left", r AS "right", l || r AS merged,'
-        f" CAST(c AS BIGINT) AS pair_count FROM b{n}"
-        for n in range(1, _BPE_K + 1)
-    )
     return rf"""
 WITH wf AS (
   SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt
@@ -3094,9 +3096,57 @@ r0 AS MATERIALIZED (
                      ['</w>']) AS syms
   FROM wf
 ),
-{",".join(rounds)}
+{",".join(rounds)}"""
+
+
+def _sql_bpe_merges() -> str:
+    finals = "\nUNION ALL\n".join(
+        f'SELECT {n} AS merge_rank, l AS "left", r AS "right", l || r AS merged,'
+        f" CAST(c AS BIGINT) AS pair_count FROM b{n}"
+        for n in range(1, _BPE_K + 1)
+    )
+    return f"""{_sql_bpe_prefix(_BPE_K)}
 SELECT CAST(merge_rank AS INTEGER) AS merge_rank, "left", "right", merged, pair_count
 FROM ({finals}) ORDER BY merge_rank"""
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE encoding (ext.text.bpe_encode): learn 6 merges on the
+    documents corpus (q_bpe_merges' exact induction), then tokenize
+    the same corpus with the frozen rules — rules apply to the
+    vocab-sized distinct-word table (k chained folds), one join maps
+    the word stream through it, posexplode order reassembles docs.
+    Oracle: the induction-chain replay's final symbol table IS the
+    encoded vocab, joined back through the document word stream — an
+    independently-derived path to the same tokens (the Spark side
+    re-applies collected rules; the oracle never sees them)."""
+    from methyl_data_pipeline_spark.ext.text import bpe_encode, bpe_merges
+
+    docs = _t(spark, sf_dir, "documents")
+    rules = bpe_merges(docs, k=_BPE_ENC_K)
+    out = bpe_encode(docs, rules)
+    return out.orderBy("doc_id")
+
+
+def _sql_bpe_encode() -> str:
+    return rf"""{_sql_bpe_prefix(_BPE_ENC_K)},
+docw AS (
+  SELECT doc_id, i, ws[i] AS w
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                           x -> x <> '') AS ws
+        FROM documents WHERE text IS NOT NULL),
+       UNNEST(generate_series(1, len(ws))) AS t(i)
+),
+docflat AS (
+  SELECT doc_id, flatten(list(r.syms ORDER BY d.i)) AS toks
+  FROM docw d JOIN r{_BPE_ENC_K} r ON r.word = d.w
+  GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       array_to_string(toks, ' ') AS tokens
+FROM docflat ORDER BY doc_id"""
 
 
 def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6659,6 +6709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bh_adjust": q_bh_adjust,
         "bh_adjust_scalable": q_bh_adjust_scalable,
         "bm25_rank": q_bm25_rank,
+        "bpe_encode": q_bpe_encode,
         "clean_text": q_clean_text,
         "collect_list": q_collect_list,
         "combat_onestep": q_combat_onestep,
@@ -6834,6 +6885,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_recall": _sql_minhash_recall(),
         "two_level_recall": _sql_two_level_recall(),
         "bpe_merges": _sql_bpe_merges(),
+        "bpe_encode": _sql_bpe_encode(),
         # n_probe == n_centroids makes IVF exact — brute force IS the oracle
         "ivf_ann": SQL_EMBEDDING_COSINE,
         "events_windowed": SQL_EVENTS_WINDOWED,

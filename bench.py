@@ -477,6 +477,10 @@ EXTENDED = [
     # r10 additions
     "semantic_dedup",
     "dsir_select",
+    # r11 additions
+    "minhash_recall",
+    "two_level_recall",
+    "bpe_merges",
 ]
 
 
@@ -710,7 +714,21 @@ def main() -> None:
     # calibration vs the record day's separates machine drift from
     # code regressions (verdict "machine_noise").
     adjudication: dict[str, dict] = {}
+    # VERDICT r10 #1: record the machine-day calibration ratio EVERY
+    # round, not only when flags need adjudicating — the two-yardstick
+    # chain is only usable if every record carries it. The rerun path
+    # below overwrites with the fresh subprocess's own yardsticks
+    # (measured beside the re-timings it adjudicates).
     cal_ratio = None
+    _prev_cpu, _prev_scan = _previous_calibration(prev_name)
+    _session_ratios = [
+        r
+        for prev_y, cur_y in ((_prev_cpu, calibration), (_prev_scan, calibration_scan))
+        if prev_y and cur_y
+        for r in [float(cur_y) / prev_y]
+    ]
+    if _session_ratios:
+        cal_ratio = round(max(_session_ratios), 3)
     to_rerun = [q for q in regressions if q not in failures]
     if to_rerun and os.environ.get("BENCH_ADJUDICATE", "1") != "0":
         print(f"# adjudicating flags in fresh session: {to_rerun}", file=sys.stderr)

@@ -1586,3 +1586,78 @@ def bpe_merges(
         rules,
         "merge_rank int, left string, right string, merged string, pair_count long",
     )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eow: str = "</w>",
+) -> DataFrame:
+    """Apply learned BPE merge rules (:func:`bpe_merges` output) to
+    tokenize a corpus — the encode half of the subword pipeline: learn
+    once on a reference corpus, encode any corpus with the frozen
+    rules.
+
+    ``merges`` is either the :func:`bpe_merges` result DataFrame or a
+    list of ``(left, right)`` pairs in rank order (a DataFrame is
+    collected driver-side — it is k rows by construction).
+
+    Scale shape: rules apply to the VOCAB (distinct-word) table — k
+    chained HOF folds over word types, never per token occurrence —
+    then one join maps the corpus word stream through the encoded
+    vocab and a per-doc sort-and-flatten reassembles documents (the
+    standard tokenize-by-dictionary shape; the vocab side is
+    dup-collapsed so the join input is bounded by vocabulary, and AQE
+    broadcasts it when small). Word order is preserved via the
+    posexplode index carried through the join.
+
+    Returns ``(id_col, n_tokens, tokens)`` for every non-NULL-text
+    doc, ``tokens`` the space-joined subword sequence (symbols never
+    contain whitespace: words are whitespace tokens and ``eow`` is
+    space-free).
+    """
+    if hasattr(merges, "collect"):
+        rules = [
+            (r["left"], r["right"])
+            for r in merges.orderBy("merge_rank").collect()
+        ]
+    else:
+        rules = [(left, right) for left, right in merges]
+
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.posexplode(
+            F.filter(words(F.col(text_col)), lambda x: x != "")
+        ).alias("_i", "_w"),
+    )
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("_w")),
+        lambda i: F.col("_w").substr(i, F.lit(1)),
+    )
+    syms = F.concat(chars, F.array(F.lit(eow)))
+    for left, right in rules:
+        syms = _bpe_merge_step(syms, left, right)
+    vocab = (
+        base.select("_w").distinct().select("_w", syms.alias("_toks"))
+    )
+    return (
+        base.join(vocab, "_w")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("_i"), F.col("_toks")))
+                    ),
+                    lambda s: s["_toks"],
+                )
+            ).alias("_flat")
+        )
+        .select(
+            id_col,
+            F.size("_flat").cast("long").alias("n_tokens"),
+            F.array_join("_flat", " ").alias("tokens"),
+        )
+    )

@@ -2149,3 +2149,30 @@ def test_bpe_merges_null_text_and_weighting(spark):
     )
     first = bpe_merges(df, k=1).collect()[0]
     assert (first.left, first.right, first.pair_count) == ("x", "y", 3)
+
+
+def test_bpe_encode_roundtrip_and_rules(spark):
+    """Encoding with learned rules reproduces the expected subword
+    stream on the Sennrich toy; list-of-pairs and DataFrame rule
+    inputs agree; token concatenation strips back to the word."""
+    from methyl_data_pipeline_spark.ext.text import bpe_encode, bpe_merges
+
+    df = spark.createDataFrame(
+        [(1, "low low low lower lower lowest"), (2, "low slow"), (3, None)],
+        "doc_id int, text string",
+    )
+    rules_df = bpe_merges(df.filter(F.col("doc_id") == 1), k=2)  # (l,o), (lo,w)
+    out = {r.doc_id: r for r in bpe_encode(df, rules_df).collect()}
+    # after (l,o) and (lo,w): low -> [low </w>] ... as tokens
+    assert out[1].tokens.split(" ")[:2] == ["low", "</w>"]
+    assert out[2].tokens == "low </w> s low </w>"
+    assert out[2].n_tokens == 5
+    assert 3 not in out  # NULL text drops
+
+    as_list = bpe_encode(df, [("l", "o"), ("lo", "w")]).collect()
+    assert sorted(map(tuple, as_list)) == sorted(
+        map(tuple, bpe_encode(df, rules_df).collect())
+    )
+    # reconstruction: removing spaces and </w> markers recovers text
+    joined = out[2].tokens.replace(" ", "").replace("</w>", " ").strip()
+    assert joined == "low slow"
