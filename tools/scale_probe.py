@@ -386,6 +386,43 @@ def containment_dup(spark, runs: int, factor: int = 10, rates=(1, 4)) -> None:
         )
 
 
+def bpe_growth(spark, runs: int, factors=(1, 10, 100), k: int = 8) -> None:
+    """r11 probe for ``bpe_merges``: the corpus cost is the one-shot
+    word-frequency collapse; every merge round is vocab-sized. The
+    replica model is the WORST case for vocab growth — scrambled
+    replicas mint a fresh 8-hex token per word occurrence slot, so the
+    vocab grows ~linearly with the factor (real corpora follow Heaps'
+    law and grow far slower). A healthy shape shows runtime tracking
+    vocab size (the round tables), not corpus tokens."""
+    from pyspark.sql import functions as F
+
+    from methyl_data_pipeline_spark.ext.text import bpe_merges, words
+
+    def timed(fn):
+        ts = []
+        fn()  # warm
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        return ts[len(ts) // 2]
+
+    print(f"factor\tvocab\ttokens\tt(s) (k={k})")
+    base = None
+    for f in factors:
+        docs_path, _ = replicate(spark, f)
+        docs = spark.read.parquet(docs_path)
+        w = docs.filter(F.col("text").isNotNull()).select(
+            F.explode(F.filter(words(F.col("text")), lambda x: x != "")).alias("w")
+        )
+        n_tok = w.count()
+        n_vocab = w.distinct().count()
+        t = timed(lambda: bpe_merges(docs, k=k).count())
+        base = base or t
+        print(f"{f}x\t{n_vocab}\t{n_tok}\t{t:.2f} ({t / base:.1f}x)")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=100)
@@ -404,6 +441,11 @@ def main() -> None:
         "--containment-dup", action="store_true",
         help="containment_pairs at 10x corpus with dup rate 1x vs 4x "
         "(VERDICT r9 #7)",
+    )
+    ap.add_argument(
+        "--bpe-growth", action="store_true",
+        help="bpe_merges at 1x/10x/100x corpus (worst-case linear "
+        "vocab growth; r11)",
     )
     ap.add_argument("ops", nargs="*")
     args = ap.parse_args()
@@ -434,6 +476,10 @@ def main() -> None:
         return
     if args.containment_dup:
         containment_dup(spark, args.runs)
+        spark.stop()
+        return
+    if args.bpe_growth:
+        bpe_growth(spark, args.runs)
         spark.stop()
         return
     docs100, ev100 = replicate(spark, args.factor)
