@@ -6629,7 +6629,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first, then lowest green count. Composition:
     #   (a) new in r11: minhash_recall, two_level_recall (the LSH /
     #       two_level recall certificates, VERDICT r10 #3) and
-    #       bpe_merges (distributed BPE induction, VERDICT r10 #8);
+    #       bpe_merges + bpe_encode (distributed BPE induction and
+    #       encoding, VERDICT r10 #8);
     #   (b) changed in r11: dsir_select (symmetric rounding nudges),
     #       semantic_dedup + dedup_clusters (connected_components
     #       driver-path gating + deterministic kmeans sample);
@@ -6641,9 +6642,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #       three single-green red-history queries (corpus_report,
     #       moderated_f, outlier_mad), then 2-green entries.
     # Rotated OUT vs r10: the whole r10-green window (newest evidence
-    # r10). Left for r12: split_leakage, temperature_sample,
-    # threshold_sweep, vocab_coverage (2 greens, newest r9) and the
-    # 3/4-green r9 tier —
+    # r10). Left for r12: split_contamination, split_leakage,
+    # temperature_sample, threshold_sweep, vocab_coverage (2 greens,
+    # newest r9) and the 3/4-green r9 tier —
     # all re-verified every round by tools/check_oracle.py on the
     # sf0.01 and NULL fixtures.
     return {
@@ -6651,6 +6652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_recall": q_minhash_recall,
         "two_level_recall": q_two_level_recall,
         "bpe_merges": q_bpe_merges,
+        "bpe_encode": q_bpe_encode,
         # (b) changed r11
         "dsir_select": q_dsir_select,
         "semantic_dedup": q_semantic_dedup,
@@ -6701,7 +6703,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_packing": q_sequence_packing,
         "similarity_lsh": q_similarity_lsh,
         "skew_report": q_skew_report,
-        "split_contamination": q_split_contamination,
         # ---- slot 51+ (newest green r9 or r10; re-verified every
         # round by tools/check_oracle.py on two fixtures) ----
         "agg_minmax": q_agg_minmax,
@@ -6709,7 +6710,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bh_adjust": q_bh_adjust,
         "bh_adjust_scalable": q_bh_adjust_scalable,
         "bm25_rank": q_bm25_rank,
-        "bpe_encode": q_bpe_encode,
         "clean_text": q_clean_text,
         "collect_list": q_collect_list,
         "combat_onestep": q_combat_onestep,
@@ -6768,6 +6768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash64_pairs": q_simhash64_pairs,
         "simhash_pairs": q_simhash_pairs,
         "source_token_cap": q_source_token_cap,
+        "split_contamination": q_split_contamination,
         "split_leakage": q_split_leakage,
         "stream_curate": q_stream_curate,
         "string_funcs": q_string_funcs,

@@ -2176,3 +2176,48 @@ def test_bpe_encode_roundtrip_and_rules(spark):
     # reconstruction: removing spaces and </w> markers recovers text
     joined = out[2].tokens.replace(" ", "").replace("</w>", " ").strip()
     assert joined == "low slow"
+
+
+def test_bpe_merge_step_matches_python_reference(spark):
+    """The HOF greedy-merge fold must agree with an independent pure-
+    Python left-to-right reference on 200 seeded random symbol arrays
+    (the same semantics the DuckDB oracle re-derives a third way via
+    run-parity)."""
+    import random
+
+    from methyl_data_pipeline_spark.ext.text import _bpe_merge_step
+
+    def py_merge(syms, left, right):
+        out, last = [], None
+        for s in syms:
+            if last == left and s == right:
+                last = left + right
+                continue
+            if last is not None:
+                out.append(last)
+            last = s
+        if last is not None:
+            out.append(last)
+        return out
+
+    rng = random.Random(11)
+    alphabet = ["a", "b", "ab", "ba", "aa"]
+    cases = []
+    for i in range(200):
+        syms = [rng.choice(alphabet) for _ in range(rng.randint(0, 8))]
+        left, right = rng.choice(alphabet), rng.choice(alphabet)
+        cases.append((i, syms, left, right, py_merge(syms, left, right)))
+
+    df = spark.createDataFrame(
+        [(i, s, l, r) for i, s, l, r, _ in cases],
+        "i int, syms array<string>, l string, r string",
+    )
+    # rules are plan literals: group cases by rule and apply per group
+    got = {}
+    for (left, right) in {(l, r) for _, _, l, r, _ in cases}:
+        rows = df.filter(
+            (F.col("l") == left) & (F.col("r") == right)
+        ).select("i", _bpe_merge_step(F.col("syms"), left, right).alias("m"))
+        got.update({r["i"]: list(r["m"]) for r in rows.collect()})
+    for i, _, _, _, want in cases:
+        assert got[i] == want, f"case {i}"
