@@ -1526,6 +1526,14 @@ def bpe_merges(
     rows — each of the k rounds costs seconds, independent of corpus
     size.
 
+    No input repartition: the corpus scan parallelizes by file/split
+    at scale, and at bench scale the k per-round jobs dominate — a
+    doc-keyed spread measured SLOWER (4.96 -> 5.34 s at sf0.1, k=8,
+    medians of 3: the extra corpus shuffle costs more than the
+    single-partition tokenize it parallelizes). Growth probe
+    (`tools/scale_probe.py --bpe-growth`): 2.5x wall at 100x corpus
+    with worst-case linear vocab growth.
+
     Words are whitespace tokens of lowercased text (:func:`words`)
     with ``eow`` appended as a distinct trailing symbol (the standard
     word-final marker, so merges can learn suffix units). Returns
