@@ -3012,6 +3012,72 @@ SELECT doc_id, n_grams,
 FROM sel WHERE sel_rank <= {k} ORDER BY sel_rank"""
 
 
+_LINEDEDUP_FOOTER = "subscribe to our newsletter for updates"
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-level line dedup (ext.dedup.line_dedup,
+    Wenzek et al. 2020): lines whose normalized content appears in
+    >= 2 distinct documents are removed from every document.
+    Multi-line structure is planted engine-neutrally: docs with
+    doc_id % 3 == 0 gain a shared boilerplate footer line (removed
+    everywhere, df ~ corpus/3), and the testdata's planted duplicate
+    documents lose their whole (single-line) body, leaving empty
+    text. Oracle: full DuckDB replay — newline split, normalize+md5
+    line keys, distinct-doc df, ordered reassembly."""
+    from methyl_data_pipeline_spark.ext.dedup import line_dedup
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit("\n" + _LINEDEDUP_FOOTER)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return line_dedup(docs).orderBy("doc_id")
+
+
+def _sql_line_dedup() -> str:
+    norm = r"regexp_replace(lower(trim(ln)), '\s+', ' ', 'g')"
+    return rf"""
+WITH corpus AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN text || chr(10) || '{_LINEDEDUP_FOOTER}'
+              ELSE text END AS text
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, i, ws[i] AS ln
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ws
+        FROM corpus WHERE text IS NOT NULL),
+       UNNEST(generate_series(1, len(ws))) AS t(i)
+),
+keyed AS (
+  SELECT doc_id, i, ln,
+         CASE WHEN trim(ln) <> ''
+              THEN ('0x' || substr(md5({norm}), 1, 15))::BIGINT END AS k
+  FROM lines
+),
+dupk AS (
+  SELECT k
+  FROM (SELECT k, COUNT(DISTINCT doc_id) AS dfc
+        FROM keyed WHERE k IS NOT NULL GROUP BY k)
+  WHERE dfc >= 2
+),
+marked AS (
+  SELECT ky.doc_id, ky.i, ky.ln, d.k IS NOT NULL AS dup
+  FROM keyed ky LEFT JOIN dupk d USING (k)
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       COALESCE(array_to_string(list(ln ORDER BY i) FILTER (WHERE NOT dup),
+                                chr(10)), '') AS text
+FROM marked GROUP BY doc_id ORDER BY doc_id"""
+
+
 _BPE_K = 8
 _BPE_ENC_K = 6
 
@@ -6630,7 +6696,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   (a) new in r11: minhash_recall, two_level_recall (the LSH /
     #       two_level recall certificates, VERDICT r10 #3) and
     #       bpe_merges + bpe_encode (distributed BPE induction and
-    #       encoding, VERDICT r10 #8);
+    #       encoding, VERDICT r10 #8) and line_dedup (CCNet
+    #       corpus-level line scrub);
     #   (b) changed in r11: dsir_select (symmetric rounding nudges),
     #       semantic_dedup + dedup_clusters (connected_components
     #       driver-path gating + deterministic kmeans sample);
@@ -6642,9 +6709,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #       three single-green red-history queries (corpus_report,
     #       moderated_f, outlier_mad), then 2-green entries.
     # Rotated OUT vs r10: the whole r10-green window (newest evidence
-    # r10). Left for r12: split_contamination, split_leakage,
-    # temperature_sample, threshold_sweep, vocab_coverage (2 greens,
-    # newest r9) and the 3/4-green r9 tier —
+    # r10). Left for r12: skew_report, split_contamination,
+    # split_leakage, temperature_sample, threshold_sweep,
+    # vocab_coverage (2 greens, newest r9) and the 3/4-green r9 tier —
     # all re-verified every round by tools/check_oracle.py on the
     # sf0.01 and NULL fixtures.
     return {
@@ -6653,6 +6720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "two_level_recall": q_two_level_recall,
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
+        "line_dedup": q_line_dedup,
         # (b) changed r11
         "dsir_select": q_dsir_select,
         "semantic_dedup": q_semantic_dedup,
@@ -6702,7 +6770,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals": q_repetition_signals,
         "sequence_packing": q_sequence_packing,
         "similarity_lsh": q_similarity_lsh,
-        "skew_report": q_skew_report,
         # ---- slot 51+ (newest green r9 or r10; re-verified every
         # round by tools/check_oracle.py on two fixtures) ----
         "agg_minmax": q_agg_minmax,
@@ -6767,6 +6834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "simhash64_pairs": q_simhash64_pairs,
         "simhash_pairs": q_simhash_pairs,
+        "skew_report": q_skew_report,
         "source_token_cap": q_source_token_cap,
         "split_contamination": q_split_contamination,
         "split_leakage": q_split_leakage,
@@ -6887,6 +6955,7 @@ def oracle_sql() -> dict[str, str]:
         "two_level_recall": _sql_two_level_recall(),
         "bpe_merges": _sql_bpe_merges(),
         "bpe_encode": _sql_bpe_encode(),
+        "line_dedup": _sql_line_dedup(),
         # n_probe == n_centroids makes IVF exact — brute force IS the oracle
         "ivf_ann": SQL_EMBEDDING_COSINE,
         "events_windowed": SQL_EVENTS_WINDOWED,

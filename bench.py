@@ -481,6 +481,8 @@ EXTENDED = [
     "minhash_recall",
     "two_level_recall",
     "bpe_merges",
+    "bpe_encode",
+    "line_dedup",
 ]
 
 

@@ -524,6 +524,87 @@ def ngram_jaccard_pairs(
     )
 
 
+def line_dedup(
+    df: DataFrame,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style corpus-level line deduplication (Wenzek et al.
+    2020, "CCNet: Extracting High Quality Monolingual Datasets from
+    Web Crawl Data"): remove every line whose normalized content
+    (lower + trim + whitespace-squeeze, the repo's ``normalize_label``)
+    appears in at least ``min_df`` DISTINCT documents — the classic
+    boilerplate scrub (nav bars, cookie banners, footers) that
+    document-level dedup structurally misses. Lines that are blank
+    after trim never participate (they are document structure, and
+    they would trivially co-occur everywhere).
+
+    Scale shape: lines key as 60-bit :func:`md5_long` hashes; the
+    duplicated-line set is ``distinct(doc, key) -> groupBy(key) ->
+    df >= min_df`` (map-side partial aggregation both hops, output
+    sized by the DISTINCT duplicated-line vocabulary, not the corpus),
+    and removal is one key-join of the line stream against it (AQE
+    broadcasts it when small; no corpus² anywhere). Documents
+    reassemble in original line order via the posexplode index. The
+    whole plan is ~4 key-bounded exchanges — the same shape CCNet ran
+    over Common Crawl.
+
+    Returns ``(id_col, n_lines, n_removed, text)`` for every
+    non-NULL-text doc — ``text`` with the duplicated lines dropped
+    (may be empty when every line was corpus-common).
+    """
+    if min_df < 2:
+        raise ValueError("line_dedup: min_df must be >= 2")
+    lines = _spread(df.filter(F.col(text_col).isNotNull()), id_col).select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), "\n", -1)).alias("_i", "_ln"),
+    )
+    keyed = lines.withColumn(
+        "_k",
+        F.when(
+            F.trim(F.col("_ln")) != "",
+            md5_long(normalize_label(F.col("_ln"))),
+        ),
+    )
+    dup_keys = (
+        keyed.filter(F.col("_k").isNotNull())
+        .select("_id", "_k")
+        .distinct()
+        .groupBy("_k")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") >= min_df)
+        .select("_k", F.lit(True).alias("_dup"))
+    )
+    marked = keyed.join(dup_keys, "_k", "left").select(
+        "_id",
+        F.struct(
+            F.col("_i"),
+            F.col("_ln"),
+            F.coalesce("_dup", F.lit(False)).alias("_d"),
+        ).alias("_s"),
+    )
+    arr = F.array_sort(F.collect_list("_s"))
+    return (
+        marked.groupBy("_id")
+        .agg(arr.alias("_arr"))
+        .select(
+            F.col("_id").alias(id_col),
+            F.size("_arr").cast("long").alias("n_lines"),
+            F.size(F.filter(F.col("_arr"), lambda s: s["_d"]))
+            .cast("long")
+            .alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.filter(F.col("_arr"), lambda s: ~s["_d"]),
+                    lambda s: s["_ln"],
+                ),
+                "\n",
+            ).alias(text_col),
+        )
+    )
+
+
 def minhash_band_recall(
     df: DataFrame,
     text_col: str = "text",

@@ -2221,3 +2221,42 @@ def test_bpe_merge_step_matches_python_reference(spark):
         got.update({r["i"]: list(r["m"]) for r in rows.collect()})
     for i, _, _, _, want in cases:
         assert got[i] == want, f"case {i}"
+
+
+def test_line_dedup_ccnet_semantics(spark):
+    """Normalized cross-document duplicate lines are removed, blank
+    lines are structure (never candidates), NULL docs drop, and line
+    order is preserved."""
+    from methyl_data_pipeline_spark.ext.dedup import line_dedup
+
+    rows = [
+        (1, "unique alpha\nSubscribe Now\nbody one"),
+        (2, "unique beta\nsubscribe   now\nbody two"),
+        (3, "unique gamma\n\n  \nBODY ONE"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r.doc_id: r for r in line_dedup(df).collect()}
+    assert set(out) == {1, 2, 3}
+    # "Subscribe Now" ~ "subscribe   now" (normalize_label) in 2 docs
+    assert out[1].text == "unique alpha" and out[1].n_removed == 2
+    assert out[2].text == "unique beta\nbody two" and out[2].n_removed == 1
+    # "BODY ONE" ~ "body one" across docs 1,3; blanks survive
+    assert out[3].text == "unique gamma\n\n  " and out[3].n_lines == 4
+
+    # within-doc repetition alone (one distinct doc) does NOT remove
+    solo = spark.createDataFrame(
+        [(9, "same line\nsame line\nother")], "doc_id int, text string"
+    )
+    r = line_dedup(solo).collect()[0]
+    assert r.n_removed == 0 and r.text == "same line\nsame line\nother"
+
+    # every line corpus-common -> empty text survives as a row
+    twins = spark.createDataFrame(
+        [(1, "only line"), (2, "only  LINE")], "doc_id int, text string"
+    )
+    got = {r.doc_id: r for r in line_dedup(twins).collect()}
+    assert got[1].text == "" and got[1].n_removed == 1
+
+    with pytest.raises(ValueError, match="min_df"):
+        line_dedup(df, min_df=1)
