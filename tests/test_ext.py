@@ -2260,3 +2260,44 @@ def test_line_dedup_ccnet_semantics(spark):
 
     with pytest.raises(ValueError, match="min_df"):
         line_dedup(df, min_df=1)
+
+
+def test_minhash_salted_mix_family(spark):
+    """The salted (independent per-function md5) family produces valid
+    signatures and candidate pairs: identical docs always collide,
+    disjoint docs never do, and the family genuinely differs from the
+    linear mix (different signature values)."""
+    from methyl_data_pipeline_spark.ext.dedup import (
+        minhash_candidate_pairs,
+        minhash_signatures,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (0, base),
+        (1, base),  # exact dup
+        (2, "completely different words nothing shared here at all ok"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    lin = minhash_signatures(df, num_hashes=8).orderBy("doc_id").collect()
+    sal = minhash_signatures(df, num_hashes=8, mix="salted").orderBy(
+        "doc_id"
+    ).collect()
+    # identical docs -> identical signatures in BOTH families
+    for sigs in (lin, sal):
+        assert tuple(sigs[0])[1:] == tuple(sigs[1])[1:]
+        assert sigs[3]["mh_0"] is None  # NULL text
+    # the families are different hash draws
+    assert tuple(lin[0])[1:] != tuple(sal[0])[1:]
+
+    pairs = {
+        tuple(r)
+        for r in minhash_candidate_pairs(
+            df, num_hashes=8, bands=4, mix="salted"
+        ).collect()
+    }
+    assert (0, 1) in pairs and (0, 2) not in pairs
+
+    with pytest.raises(ValueError, match="unknown mix"):
+        minhash_signatures(df, mix="nope")
