@@ -244,6 +244,7 @@ def minhash_band_ledger(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    mix: str = "linear",
 ) -> DataFrame:
     """The rolling NEAR-dup ledger: distinct ``(band_idx, band_hash)``
     of everything ingested so far — the MinHash analogue of
@@ -253,7 +254,7 @@ def minhash_band_ledger(
     :func:`incremental_neardup` is co-partitioned.
     """
     return _minhash_bands(
-        df, text_col, id_col, num_hashes, bands, shingle_n
+        df, text_col, id_col, num_hashes, bands, shingle_n, mix
     ).select("band_idx", "band_hash").distinct()
 
 
@@ -265,6 +266,7 @@ def incremental_neardup(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    mix: str = "linear",
 ) -> DataFrame:
     """Rolling-ingest NEAR-dup candidate gate: per new document, how
     many of its LSH bands already exist in the corpus ledger.
@@ -285,8 +287,11 @@ def incremental_neardup(
     docs are dropped (no signature), matching ``incremental_dedup``'s
     pinned contract.
     """
+    # mix MUST match the family the ledger was built with — a salted
+    # ledger probed with linear-mix bands (or vice versa) silently
+    # reports everything novel, since the band spaces are disjoint
     shard_bands = _minhash_bands(
-        new_docs, text_col, id_col, num_hashes, bands, shingle_n
+        new_docs, text_col, id_col, num_hashes, bands, shingle_n, mix
     )
     # NO defensive distinct: the ledger contract (minhash_band_ledger)
     # already guarantees unique (band_idx, band_hash) rows, and a

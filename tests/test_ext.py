@@ -2301,3 +2301,33 @@ def test_minhash_salted_mix_family(spark):
 
     with pytest.raises(ValueError, match="unknown mix"):
         minhash_signatures(df, mix="nope")
+
+
+def test_incremental_neardup_salted_family_consistency(spark):
+    """A salted ledger probed with salted shard bands detects the dup;
+    probing it with the default linear family would put shard and
+    ledger in disjoint band spaces (everything 'novel')."""
+    from methyl_data_pipeline_spark.ext.dedup import (
+        incremental_neardup,
+        minhash_band_ledger,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = spark.createDataFrame([(0, base)], "doc_id long, text string")
+    shard = spark.createDataFrame(
+        [(1, base), (2, "completely unrelated fresh content words here now")],
+        "doc_id long, text string",
+    )
+    ledger = minhash_band_ledger(corpus, mix="salted")
+    hits = {
+        r.doc_id: (r.n_band_hits, r.is_novel)
+        for r in incremental_neardup(shard, ledger, mix="salted").collect()
+    }
+    assert hits[1][1] is False and hits[1][0] > 0  # dup detected
+    assert hits[2][1] is True  # novel doc passes
+
+    mismatched = {
+        r.doc_id: r.is_novel
+        for r in incremental_neardup(shard, ledger).collect()  # linear probe
+    }
+    assert mismatched[1] is True  # the documented cross-family hazard
