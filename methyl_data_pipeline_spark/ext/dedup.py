@@ -594,7 +594,9 @@ def line_dedup(
     broadcasts it when small; no corpus² anywhere). Documents
     reassemble in original line order via the posexplode index. The
     whole plan is ~4 key-bounded exchanges — the same shape CCNet ran
-    over Common Crawl.
+    over Common Crawl. Growth probe (scrambled replicas + shared
+    footer every 3rd doc, medians of 3, local[32]): 5k docs 1.41 s →
+    50k 1.72 s → 500k 4.72 s — 3.3× wall at 100× corpus.
 
     Returns ``(id_col, n_lines, n_removed, text)`` for every
     non-NULL-text doc — ``text`` with the duplicated lines dropped
