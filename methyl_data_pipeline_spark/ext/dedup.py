@@ -152,7 +152,10 @@ def minhash_signatures(
       measures the DEPLOYED draw, which is exactly what matters). The
       right config when the verify stage dominates — at 100 TB
       candidate verification is corpus-pair-sized work and hashing is
-      a map stage.
+      a map stage. Measured end-to-end cost of the family switch
+      (minhash_candidate_pairs at sf0.1, 8 hashes, medians of 3):
+      2.62 s linear vs 4.60 s salted — 1.75×, NOT the naive 8×,
+      because banding + pair expansion amortize the extra hashing.
     """
     df = _spread(df, id_col)
     if mix == "salted":

@@ -1635,6 +1635,12 @@ def bpe_encode(
     doc, ``tokens`` the space-joined subword sequence (symbols never
     contain whitespace: words are whitespace tokens and ``eow`` is
     space-free).
+
+    Growth (scrambled replicas, k=8 rules, local[32]): 1× (2.4M
+    tokens) 2.05 s → 10× 10.96 s → 100× (240M tokens) 96.4 s — an
+    encoder's output IS corpus-sized, so wall is linear in tokens by
+    necessity; per-token cost improves ~2× across the range
+    (scheduling amortizes).
     """
     if hasattr(merges, "collect"):
         rules = [
