@@ -3146,9 +3146,11 @@ p{n} AS (
 ),
 b{n} AS MATERIALIZED (SELECT l, r, c FROM p{n} ORDER BY c DESC, l ASC, r ASC LIMIT 1),
 e{n} AS MATERIALIZED (
-  SELECT word, cnt, i, syms[i] AS sym,
-         (syms[i] = b.l AND syms[i + 1] = b.r) AS m
-  FROM r{p}, UNNEST(generate_series(1, len(syms))) AS t(i), b{n} b
+  SELECT word, cnt, i, sym,
+         (b.l IS NOT NULL AND sym = b.l AND nxt = b.r) AS m
+  FROM (SELECT word, cnt, i, syms[i] AS sym, syms[i + 1] AS nxt
+        FROM r{p}, UNNEST(generate_series(1, len(syms))) AS t(i)) u
+  LEFT JOIN b{n} b ON TRUE
 ),
 a{n} AS (
   SELECT word, i,
@@ -3174,7 +3176,11 @@ r{n} AS MATERIALIZED (
         # each round: count pairs -> 1-row argmax -> greedy merge.
         # applied = every other match inside a consecutive-match run
         # (gaps-and-islands on i - rn); a row following an applied
-        # match is the consumed right symbol and drops.
+        # match is the consumed right symbol and drops. b{n} joins in
+        # via LEFT JOIN ON TRUE (ADVICE r11): if merges exhaust before
+        # round n, the empty b{n} yields m = FALSE everywhere and
+        # r{n} carries r{n-1} forward instead of emptying the chain —
+        # matching the Spark side's early stop.
     return rf"""
 WITH wf AS (
   SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt
@@ -3213,7 +3219,9 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: the induction-chain replay's final symbol table IS the
     encoded vocab, joined back through the document word stream — an
     independently-derived path to the same tokens (the Spark side
-    re-applies collected rules; the oracle never sees them)."""
+    re-applies collected rules; the oracle never sees them). Total
+    over non-NULL-text docs: zero-word docs emit n_tokens=0 on both
+    engines (ADVICE r11)."""
     from methyl_data_pipeline_spark.ext.text import bpe_encode, bpe_merges
 
     docs = _t(spark, sf_dir, "documents")
@@ -3237,10 +3245,13 @@ docflat AS (
   FROM docw d JOIN r{_BPE_ENC_K} r ON r.word = d.w
   GROUP BY doc_id
 )
-SELECT doc_id,
-       CAST(len(toks) AS BIGINT) AS n_tokens,
-       array_to_string(toks, ' ') AS tokens
-FROM docflat ORDER BY doc_id"""
+-- totality over the doc set (ADVICE r11): zero-word docs emit
+-- n_tokens = 0 with empty tokens instead of dropping
+SELECT d0.doc_id,
+       CAST(COALESCE(len(toks), 0) AS BIGINT) AS n_tokens,
+       COALESCE(array_to_string(toks, ' '), '') AS tokens
+FROM (SELECT DISTINCT doc_id FROM documents WHERE text IS NOT NULL) d0
+LEFT JOIN docflat USING (doc_id) ORDER BY doc_id"""
 
 
 def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -720,7 +720,10 @@ def main() -> None:
     # round, not only when flags need adjudicating — the two-yardstick
     # chain is only usable if every record carries it. The rerun path
     # below overwrites with the fresh subprocess's own yardsticks
-    # (measured beside the re-timings it adjudicates).
+    # (measured beside the re-timings it adjudicates); if the rerun
+    # carries none, adjudication runs UNSCALED (ratio None) — the
+    # parent-session ratio is recorded but never scales subprocess
+    # timings (ADVICE r11).
     cal_ratio = None
     _prev_cpu, _prev_scan = _previous_calibration(prev_name)
     _session_ratios = [
@@ -740,24 +743,30 @@ def main() -> None:
         rerun_rec = _rerun_fresh(to_rerun)
         fresh = (rerun_rec or {}).get("rerun")
         prev_cpu, prev_scan = _previous_calibration(prev_name)
-        fresh_cpu = (rerun_rec or {}).get("calibration_sec") or calibration
-        fresh_scan = (rerun_rec or {}).get("calibration_scan_sec") or calibration_scan
+        # yardsticks must come from the SAME JVM as the fresh timings
+        # they scale (ADVICE r11): if the rerun record carries no
+        # calibration, drop the parent-session ratio rather than mix
+        # a parent yardstick with subprocess timings.
+        fresh_cpu = (rerun_rec or {}).get("calibration_sec")
+        fresh_scan = (rerun_rec or {}).get("calibration_scan_sec")
         ratios = []
         if prev_cpu and fresh_cpu:
             ratios.append(float(fresh_cpu) / prev_cpu)
         if prev_scan and fresh_scan:
             ratios.append(float(fresh_scan) / prev_scan)
+        adjudicate_ratio = None
         if ratios:
             # the LARGER drift of the two yardsticks: the r10 slow
             # phase was scheduler/IO-shaped (scan 1.3-1.6x, cpu 1.08x)
-            cal_ratio = round(max(ratios), 3)
+            adjudicate_ratio = round(max(ratios), 3)
+            cal_ratio = adjudicate_ratio
             print(
                 f"# machine calibration ratio vs {prev_name}: {cal_ratio}"
                 f" (yardsticks: {[round(r, 3) for r in ratios]})",
                 file=sys.stderr,
             )
         regressions, adjudication = adjudicate_flags(
-            regressions, failures, fresh, prev, prev_spreads, cal_ratio
+            regressions, failures, fresh, prev, prev_spreads, adjudicate_ratio
         )
 
     # Full record -> committed details file; stdout gets the compact

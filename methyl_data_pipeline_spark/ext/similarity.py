@@ -1015,7 +1015,12 @@ def two_level_recall(
         max_iter=max_iter,
         max_bucket=max_bucket,
     )
-    flat = semantic_dedup(vectors, centroids, assignment="auto", **kw)
+    # baseline pinned EXPLICITLY to the exact flat forms (ADVICE r11):
+    # "auto" resolves to these today, but if auto ever gained a
+    # two_level arm the certificate would compare two_level to itself
+    # and report perfect recall.
+    flat_form = "transform" if len(centroids) <= 256 else "join"
+    flat = semantic_dedup(vectors, centroids, assignment=flat_form, **kw)
     tl = semantic_dedup(vectors, centroids, assignment="two_level", **kw)
     f = flat.select(
         F.col(id_col).alias("_id"),

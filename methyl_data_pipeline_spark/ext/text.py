@@ -1631,10 +1631,12 @@ def bpe_encode(
     broadcasts it when small). Word order is preserved via the
     posexplode index carried through the join.
 
-    Returns ``(id_col, n_tokens, tokens)`` for every non-NULL-text
-    doc, ``tokens`` the space-joined subword sequence (symbols never
-    contain whitespace: words are whitespace tokens and ``eow`` is
-    space-free).
+    Returns ``(id_col, n_tokens, tokens)`` for EVERY non-NULL-text
+    doc — zero-word (empty/whitespace-only) docs emit ``n_tokens=0``
+    with empty ``tokens`` rather than dropping (ADVICE r11: the
+    contract is total over the doc set). ``tokens`` is the
+    space-joined subword sequence (symbols never contain whitespace:
+    words are whitespace tokens and ``eow`` is space-free).
 
     Growth (scrambled replicas, k=8 rules, local[32]): 1× (2.4M
     tokens) 2.05 s → 10× 10.96 s → 100× (240M tokens) 96.4 s — an
@@ -1650,10 +1652,15 @@ def bpe_encode(
     else:
         rules = [(left, right) for left, right in merges]
 
+    # zero-word docs ride through as ONE sentinel row (_w = "", a
+    # value real words can never take after the non-empty filter) so
+    # the totality contract costs no extra join: the sentinel maps to
+    # an empty token array in the vocab and flattens away.
+    wds = F.filter(words(F.col(text_col)), lambda x: x != "")
     base = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col),
         F.posexplode(
-            F.filter(words(F.col(text_col)), lambda x: x != "")
+            F.when(F.size(wds) > 0, wds).otherwise(F.array(F.lit("")))
         ).alias("_i", "_w"),
     )
     chars = F.transform(
@@ -1663,8 +1670,11 @@ def bpe_encode(
     syms = F.concat(chars, F.array(F.lit(eow)))
     for left, right in rules:
         syms = _bpe_merge_step(syms, left, right)
-    vocab = (
-        base.select("_w").distinct().select("_w", syms.alias("_toks"))
+    vocab = base.select("_w").distinct().select(
+        "_w",
+        F.when(F.col("_w") == "", F.array().cast("array<string>"))
+        .otherwise(syms)
+        .alias("_toks"),
     )
     return (
         base.join(vocab, "_w")

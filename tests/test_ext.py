@@ -2178,6 +2178,22 @@ def test_bpe_encode_roundtrip_and_rules(spark):
     assert joined == "low slow"
 
 
+def test_bpe_encode_zero_word_docs_total(spark):
+    """ADVICE r11 totality contract: empty/whitespace-only docs emit
+    a row with n_tokens=0 and empty tokens; NULL text still drops."""
+    from methyl_data_pipeline_spark.ext.text import bpe_encode
+
+    df = spark.createDataFrame(
+        [(1, "low low"), (2, ""), (3, " \t\n "), (4, None)],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r for r in bpe_encode(df, [("l", "o")]).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[2].n_tokens == 0 and out[2].tokens == ""
+    assert out[3].n_tokens == 0 and out[3].tokens == ""
+    assert out[1].n_tokens > 0
+
+
 def test_bpe_merge_step_matches_python_reference(spark):
     """The HOF greedy-merge fold must agree with an independent pure-
     Python left-to-right reference on 200 seeded random symbol arrays
