@@ -663,8 +663,61 @@ def md5_centroids(k: int, dim: int, salt: str = "ct") -> list[list[float]]:
     return out
 
 
+_COARSE_Q_SCALE = 10**6
+_COARSE_LLOYD_ITERS = 4
+
+
+def _quantize_int(arr):
+    """floor(x * 1e6 + 0.5) as int64 — round-half-up in exact double
+    arithmetic, chosen over Python/numpy banker's rounding because
+    DuckDB's ``FLOOR(x * 1000000.0 + 0.5)`` computes the identical
+    value from the identical parquet doubles (the engines' ROUND
+    half-rules differ; FLOOR does not)."""
+    import numpy as np
+
+    return np.floor(np.asarray(arr, dtype=float) * _COARSE_Q_SCALE + 0.5).astype(
+        np.int64
+    )
+
+
+def quantized_lloyd(pts_q, k: int, iters: int = _COARSE_LLOYD_ITERS):
+    """Exact-integer Lloyd over quantized points — every step is int64
+    arithmetic so an SQL replay (one unrolled CTE block per iteration)
+    derives the IDENTICAL centroids from the same sample rows, with no
+    float-summation-order hazards:
+
+    - init: the first ``k`` points in input order,
+    - assignment: argmin of exact squared L2 (ties to the lowest cell
+      index),
+    - update: per-dimension ``floor(sum / count)``; empty cells keep
+      their previous centroid,
+    - fixed ``iters`` rounds, no convergence test (a tolerance check
+      would re-introduce float comparisons).
+
+    Magnitude budget: |q| <= ~5e6 per dim after the 1e6 scale, so a
+    64-dim squared distance is <= ~6e15 — comfortably inside int64;
+    DuckDB's SUM on BIGINT widens to HUGEINT, exact either way.
+    """
+    import numpy as np
+
+    pts = np.asarray(pts_q, dtype=np.int64)
+    k = min(k, len(pts))
+    cents = pts[:k].copy()
+    for _ in range(iters):
+        d2 = ((pts[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(k):
+            m = assign == c
+            if m.any():
+                cents[c] = np.floor_divide(pts[m].sum(axis=0), int(m.sum()))
+    return cents
+
+
 def two_level_plan(
-    centroids: list[list[float]], seed: int = 42, max_iter: int = 8
+    centroids: list[list[float]],
+    seed: int = 42,
+    max_iter: int = 8,
+    fit_pts=None,
 ) -> tuple[list[list[float]], list[int]]:
     """Driver-side routing table for the two-level (hierarchical IVF)
     assignment: cluster the ``k`` fine centroids into ~sqrt(k) coarse
@@ -679,6 +732,18 @@ def two_level_plan(
     literals and ownership the operator routes through — deterministic
     for fixed inputs.
 
+    When ``fit_pts`` is given (a driver-side sample of CORPUS vectors,
+    float rows in a deterministic order), the coarse level is
+    DATA-ADAPTED (VERDICT r11 #3) instead of clustered over the fine
+    centroid points: sample and fine centroids are quantized via
+    :func:`_quantize_int` and the coarse centroids come from
+    :func:`quantized_lloyd`; ownership is the exact-int argmin of each
+    quantized fine centroid over the quantized coarse set (ties to the
+    lowest coarse index). Integer arithmetic end-to-end means a DuckDB
+    replay derives the identical plan from the same sample rows —
+    the property that lets `two_level_adapted`'s oracle recompute the
+    plan IN SQL rather than needing data-dependent literals.
+
     Returns ``(coarse_kept, owner)`` where ``owner[ci]`` is the
     remapped coarse index of fine centroid ``ci``.
     """
@@ -688,9 +753,16 @@ def two_level_plan(
 
     fc = np.asarray(centroids, dtype=float)
     k1 = max(2, int(math.isqrt(len(centroids))))
-    coarse = _lloyd_centroids(fc, k1, seed, max_iter)
-    cc = np.asarray(coarse, dtype=float)
-    owner = ((fc[:, None, :] - cc[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    if fit_pts is None:
+        coarse = _lloyd_centroids(fc, k1, seed, max_iter)
+        cc = np.asarray(coarse, dtype=float)
+        owner = ((fc[:, None, :] - cc[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    else:
+        pq = _quantize_int(fit_pts)
+        fq = _quantize_int(centroids)
+        cq = quantized_lloyd(pq, k1)
+        owner = ((fq[:, None, :] - cq[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+        coarse = [[float(v) / _COARSE_Q_SCALE for v in c] for c in cq]
     owned = sorted(set(int(o) for o in owner))
     coarse_kept = [coarse[i] for i in owned]
     remap = {o: j for j, o in enumerate(owned)}
@@ -709,6 +781,8 @@ def semantic_dedup(
     max_iter: int = 8,
     max_bucket: int = 512,
     assignment: str = "auto",
+    coarse_sample: int = 0,
+    coarse_probe: int = 1,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -896,7 +970,31 @@ def semantic_dedup(
             _spread(vectors, id_col).select(*base_cols), cent_df, None
         )
     else:  # two_level
-        coarse_kept, owner = two_level_plan(centroids, seed, max_iter)
+        fit_pts = None
+        if coarse_sample > 0:
+            # data-adapted coarse level (VERDICT r11 #3): ordered
+            # deterministic sample of the (validity-filtered) corpus —
+            # orderBy before limit for layout independence, same
+            # reasoning as the centroids=None fit above. The sample is
+            # quantized inside two_level_plan so the coarse fit is
+            # exact-integer and oracle-replayable.
+            fit_pts = [
+                r[0]
+                for r in vectors.select(
+                    F.col(id_col).alias("_sid"), vec_d.alias("_sv")
+                )
+                .orderBy("_sid")
+                .limit(coarse_sample)
+                .select("_sv")
+                .collect()
+            ]
+            if not fit_pts:
+                raise ValueError(
+                    "semantic_dedup: coarse_sample > 0 but no valid rows"
+                )
+        coarse_kept, owner = two_level_plan(
+            centroids, seed, max_iter, fit_pts=fit_pts
+        )
         cent_df = spark.createDataFrame(
             [
                 (int(ci), c, int(o))
@@ -904,10 +1002,41 @@ def semantic_dedup(
             ],
             "ci int, cv array<double>, owner int",
         )
-        rows = _spread(vectors, id_col).select(
-            *base_cols,
-            transform_argmin(coarse_kept).getField("i").alias("_c1"),
-        )
+        if coarse_probe <= 1:
+            rows = _spread(vectors, id_col).select(
+                *base_cols,
+                transform_argmin(coarse_kept).getField("i").alias("_c1"),
+            )
+        else:
+            # multi-probe routing (IVF nprobe): each row refines over
+            # the fine centroids owned by its `coarse_probe` NEAREST
+            # coarse cells — recall approaches the flat path as probe
+            # grows, at probe x refine cost. join_refine's groupBy
+            # collapses the probe fan-out back to one row per vector.
+            cd = F.transform(
+                F.lit(coarse_kept),
+                lambda c: F.aggregate(
+                    F.zip_with(vec_d, c, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+            )
+            probes = F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.arrays_zip(
+                            cd.alias("d"),
+                            F.lit(list(range(len(coarse_kept)))).alias("i"),
+                        )
+                    ),
+                    lambda p: p["i"],
+                ),
+                1,
+                coarse_probe,
+            )
+            rows = _spread(vectors, id_col).select(
+                *base_cols, F.explode(probes).alias("_c1")
+            )
         assigned = join_refine(rows, cent_df, F.col("_c1") == F.col("owner"))
 
     keyed = assigned.select(
@@ -985,6 +1114,8 @@ def two_level_recall(
     seed: int = 42,
     max_iter: int = 8,
     max_bucket: int = 512,
+    coarse_sample: int = 0,
+    coarse_probe: int = 1,
 ) -> DataFrame:
     """Recall certificate for ``semantic_dedup(assignment="two_level")``
     — quantifies the hierarchical-IVF approximation the way
@@ -1021,7 +1152,14 @@ def two_level_recall(
     # and report perfect recall.
     flat_form = "transform" if len(centroids) <= 256 else "join"
     flat = semantic_dedup(vectors, centroids, assignment=flat_form, **kw)
-    tl = semantic_dedup(vectors, centroids, assignment="two_level", **kw)
+    tl = semantic_dedup(
+        vectors,
+        centroids,
+        assignment="two_level",
+        coarse_sample=coarse_sample,
+        coarse_probe=coarse_probe,
+        **kw,
+    )
     f = flat.select(
         F.col(id_col).alias("_id"),
         F.col("cell").alias("_cf"),

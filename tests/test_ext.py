@@ -2049,6 +2049,98 @@ def test_two_level_recall_separated_corpus_is_lossless(spark):
     assert r.dup_recall_ri == 1_000_000
 
 
+def test_quantized_lloyd_matches_pure_python_reference():
+    """The exact-integer Lloyd (r12 adapted-coarse plan) must agree
+    with an independent pure-Python reference on seeded random integer
+    point sets — assignments (ties to lowest cell), floor(sum/count)
+    updates, empty-cell carry — since the DuckDB oracle re-derives the
+    same algorithm a third way in SQL."""
+    import random
+
+    import numpy as np
+
+    from methyl_data_pipeline_spark.ext.similarity import quantized_lloyd
+
+    rng = random.Random(7)
+    for trial in range(20):
+        n, d, k = rng.randint(5, 40), rng.randint(2, 6), rng.randint(2, 5)
+        pts = [[rng.randint(-(10**6), 10**6) for _ in range(d)] for _ in range(n)]
+        iters = rng.randint(1, 5)
+        got = quantized_lloyd(pts, k, iters=iters)
+
+        cents = [list(p) for p in pts[: min(k, n)]]
+        for _ in range(iters):
+            assign = []
+            for p in pts:
+                best = min(
+                    range(len(cents)),
+                    key=lambda c: (
+                        sum((p[j] - cents[c][j]) ** 2 for j in range(d)),
+                        c,
+                    ),
+                )
+                assign.append(best)
+            for c in range(len(cents)):
+                members = [pts[i] for i in range(n) if assign[i] == c]
+                if members:
+                    cnt = len(members)
+                    cents[c] = [
+                        sum(m[j] for m in members) // cnt for j in range(d)
+                    ]
+        assert np.array_equal(np.asarray(got), np.asarray(cents)), trial
+
+
+def test_semantic_dedup_coarse_probe_full_probe_equals_flat(spark):
+    """With coarse_probe >= the number of coarse cells every fine
+    centroid is reachable, so two_level must EQUAL the flat path
+    exactly — the IVF nprobe limit identity (and with probe=1 on a
+    well-separated corpus it already does, per the parity test)."""
+    from methyl_data_pipeline_spark.ext.similarity import (
+        md5_centroids,
+        semantic_dedup,
+        two_level_plan,
+    )
+
+    df = _semdedup_frame(spark)
+    cents = md5_centroids(9, 4)
+    n_coarse = len(two_level_plan(cents)[0])
+    flat = sorted(map(tuple, semantic_dedup(
+        df, centroids=cents, threshold=0.95, assignment="transform"
+    ).collect()))
+    two = sorted(map(tuple, semantic_dedup(
+        df,
+        centroids=cents,
+        threshold=0.95,
+        assignment="two_level",
+        coarse_probe=n_coarse,
+    ).collect()))
+    assert flat == two
+
+
+def test_semantic_dedup_adapted_coarse_keeps_every_row(spark):
+    """coarse_sample (data-adapted integer-Lloyd coarse fit) must
+    still emit every valid row exactly once (unowned-cell guard +
+    totality), and be deterministic across runs."""
+    from methyl_data_pipeline_spark.ext.similarity import (
+        md5_centroids,
+        semantic_dedup,
+    )
+
+    df = _semdedup_frame(spark)
+    cents = md5_centroids(4, 4)
+    a = sorted(map(tuple, semantic_dedup(
+        df, centroids=cents, threshold=0.95, assignment="two_level",
+        coarse_sample=4,
+    ).collect()))
+    b = sorted(map(tuple, semantic_dedup(
+        df, centroids=cents, threshold=0.95, assignment="two_level",
+        coarse_sample=4,
+    ).collect()))
+    assert a == b
+    assert len(a) == 6
+    assert len({t[0] for t in a}) == 6
+
+
 def test_two_level_plan_deterministic_and_total(spark):
     """two_level_plan must be deterministic and give every fine
     centroid an owner within the kept coarse list."""
