@@ -3273,6 +3273,141 @@ SELECT doc_id,
 FROM marked GROUP BY doc_id ORDER BY doc_id"""
 
 
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode normalization scrub (ext.text.normalize_text, VERDICT
+    r11 #4): confusable map (NBSP/figure-space/narrow-NBSP -> space,
+    zero-widths/BOM -> deleted, one JVM translate) then NFC
+    composition (Arrow-batched). Confusable variants are planted
+    engine-neutrally: docs with doc_id % 11 == 2 gain an NBSP tail,
+    % 13 == 3 a zero-width-space tail, % 17 == 5 a decomposed-accent
+    (e + U+0301) tail — so `changed` is exercised by all three
+    mechanisms. Oracle: DuckDB nfc_normalize(translate(...)) over the
+    same planted corpus — an independent Unicode NFC implementation
+    (utf8proc vs Python unicodedata)."""
+    from methyl_data_pipeline_spark.ext.text import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 11 == 2,
+            F.concat(F.col("text"), F.lit(" nb\u00a0sp tail")),
+        )
+        .when(
+            F.col("doc_id") % 13 == 3,
+            F.concat(F.col("text"), F.lit(" zw\u200bsp tail")),
+        )
+        .when(
+            F.col("doc_id") % 17 == 5,
+            F.concat(F.col("text"), F.lit(" cafe\u0301 tail")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    norm = normalize_text(F.col("text"))
+    return (
+        corpus.select(
+            "doc_id",
+            norm.alias("norm_text"),
+            (norm != F.col("text")).alias("changed"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _sql_normalize_text() -> str:
+    src = "chr(160)||chr(8199)||chr(8239)||chr(8203)||chr(8204)||chr(8205)||chr(8288)||chr(65279)"
+    return f"""
+WITH corpus AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 2 THEN text || ' nb' || chr(160) || 'sp tail'
+              WHEN doc_id % 13 = 3 THEN text || ' zw' || chr(8203) || 'sp tail'
+              WHEN doc_id % 17 = 5 THEN text || ' cafe' || chr(769) || ' tail'
+              ELSE text END AS text
+  FROM documents
+),
+normed AS (
+  SELECT doc_id, text,
+         nfc_normalize(translate(text, {src}, '   ')) AS norm_text
+  FROM corpus
+)
+SELECT doc_id, norm_text, norm_text <> text AS changed
+FROM normed ORDER BY doc_id"""
+
+
+def q_line_dedup_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """line_dedup with unicode-normalized keys (normalize=True,
+    VERDICT r11 #4): two planted footer PAIRS that the un-normalized
+    path cannot dedup — doc 7 gains an NBSP-spaced footer and doc 11
+    its plain-space twin; doc 13 a decomposed-accent (e+U+0301)
+    notice and doc 19 its precomposed (U+00E9) twin. Normalized
+    keying maps each pair to one line key (df=2 >= min_df), so all
+    four planted lines are removed; a pytest pins that
+    normalize=False keeps them. Oracle: the line_dedup replay with
+    nfc_normalize(translate(...)) applied before the key-normalize,
+    blank test on the normalized form."""
+    from methyl_data_pipeline_spark.ext.dedup import line_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    tails = {
+        7: "\nNorm\u00a0Footer Line",
+        11: "\nNorm Footer Line",
+        13: "\nCafe\u0301 Notice",
+        19: "\nCaf\u00e9 Notice",
+    }
+    col = F.col("text")
+    for did, tail in tails.items():
+        col = F.when(
+            F.col("doc_id") == did, F.concat(F.col("text"), F.lit(tail))
+        ).otherwise(col)
+    corpus = docs.select("doc_id", col.alias("text"))
+    return line_dedup(corpus, normalize=True).orderBy("doc_id")
+
+
+def _sql_line_dedup_norm() -> str:
+    src = "chr(160)||chr(8199)||chr(8239)||chr(8203)||chr(8204)||chr(8205)||chr(8288)||chr(65279)"
+    nt = f"nfc_normalize(translate(ln, {src}, '   '))"
+    norm = rf"regexp_replace(lower(trim({nt})), '\s+', ' ', 'g')"
+    return rf"""
+WITH corpus AS (
+  SELECT doc_id,
+         CASE WHEN doc_id = 7  THEN text || chr(10) || 'Norm' || chr(160) || 'Footer Line'
+              WHEN doc_id = 11 THEN text || chr(10) || 'Norm Footer Line'
+              WHEN doc_id = 13 THEN text || chr(10) || 'Cafe' || chr(769) || ' Notice'
+              WHEN doc_id = 19 THEN text || chr(10) || 'Caf' || chr(233) || ' Notice'
+              ELSE text END AS text
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, i, ws[i] AS ln
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ws
+        FROM corpus WHERE text IS NOT NULL),
+       UNNEST(generate_series(1, len(ws))) AS t(i)
+),
+keyed AS (
+  SELECT doc_id, i, ln,
+         CASE WHEN trim({nt}) <> ''
+              THEN ('0x' || substr(md5({norm}), 1, 15))::BIGINT END AS k
+  FROM lines
+),
+dupk AS (
+  SELECT k
+  FROM (SELECT k, COUNT(DISTINCT doc_id) AS dfc
+        FROM keyed WHERE k IS NOT NULL GROUP BY k)
+  WHERE dfc >= 2
+),
+marked AS (
+  SELECT ky.doc_id, ky.i, ky.ln, d.k IS NOT NULL AS dup
+  FROM keyed ky LEFT JOIN dupk d USING (k)
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       COALESCE(array_to_string(list(ln ORDER BY i) FILTER (WHERE NOT dup),
+                                chr(10)), '') AS text
+FROM marked GROUP BY doc_id ORDER BY doc_id"""
+
+
 _BPE_K = 8
 _BPE_ENC_K = 6
 
@@ -7020,6 +7155,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_recall_salted": q_minhash_recall_salted,
         "two_level_probe": q_two_level_probe,
         "two_level_adapted": q_two_level_adapted,
+        "normalize_text": q_normalize_text,
+        "line_dedup_norm": q_line_dedup_norm,
         "minhash_signatures": q_minhash_signatures,
         "mixture_sample": q_mixture_sample,
         "multimodal_features": q_multimodal_features,
@@ -7168,6 +7305,8 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": _sql_bpe_merges(),
         "bpe_encode": _sql_bpe_encode(),
         "line_dedup": _sql_line_dedup(),
+        "normalize_text": _sql_normalize_text(),
+        "line_dedup_norm": _sql_line_dedup_norm(),
         # n_probe == n_centroids makes IVF exact — brute force IS the oracle
         "ivf_ann": SQL_EMBEDDING_COSINE,
         "events_windowed": SQL_EVENTS_WINDOWED,

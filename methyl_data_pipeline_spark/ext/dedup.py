@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
-from methyl_data_pipeline_spark.ext.text import md5_long
+from methyl_data_pipeline_spark.ext.text import md5_long, normalize_text
 from methyl_data_pipeline_spark.functions.scalar import normalize_label
 
 
@@ -524,6 +524,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     num_hashes: int = 16,
     bands: int = 4,
+    mix: str = "linear",
 ) -> DataFrame:
     """Near-dup pairs with exact n-gram Jaccard similarity, verified on
     LSH candidates only (two-stage: cheap banding prunes, exact Jaccard
@@ -538,7 +539,9 @@ def ngram_jaccard_pairs(
     — toy docs make shingling cheap — but the re-scan grows with the
     CORPUS while the regroup grows with the candidate set, so the
     one-scan shape is the plan that survives 100 TB.)"""
-    cands = minhash_candidate_pairs(df, text_col, id_col, num_hashes, bands, shingle_n)
+    cands = minhash_candidate_pairs(
+        df, text_col, id_col, num_hashes, bands, shingle_n, mix=mix
+    )
     sh = df.select(
         F.col(id_col).alias("_id"),
         F.array_distinct(shingles(text_col, shingle_n)).alias("_sh"),
@@ -578,6 +581,7 @@ def line_dedup(
     min_df: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    normalize: bool = False,
 ) -> DataFrame:
     """CCNet-style corpus-level line deduplication (Wenzek et al.
     2020, "CCNet: Extracting High Quality Monolingual Datasets from
@@ -587,7 +591,11 @@ def line_dedup(
     boilerplate scrub (nav bars, cookie banners, footers) that
     document-level dedup structurally misses. Lines that are blank
     after trim never participate (they are document structure, and
-    they would trivially co-occur everywhere).
+    they would trivially co-occur everywhere). ``normalize=True``
+    additionally keys through :func:`ext.text.normalize_text`
+    (confusable map + NFC) so NBSP/zero-width/decomposed-accent
+    variants of the same boilerplate line dedup together — output
+    text is always the ORIGINAL lines.
 
     Scale shape: lines key as 60-bit :func:`md5_long` hashes; the
     duplicated-line set is ``distinct(doc, key) -> groupBy(key) ->
@@ -611,13 +619,20 @@ def line_dedup(
         F.col(id_col).alias("_id"),
         F.posexplode(F.split(F.col(text_col), "\n", -1)).alias("_i", "_ln"),
     )
-    keyed = lines.withColumn(
+    # normalize=True (VERDICT r11 #4): KEY on the unicode-normalized
+    # line (confusable map + NFC) so an NBSP-variant or
+    # decomposed-accent footer dedups with its plain twin; content
+    # output stays the ORIGINAL line either way. The blank-line test
+    # also runs on the normalized form (an NBSP-only line IS blank
+    # boilerplate once normalized).
+    key_src = normalize_text(F.col("_ln")) if normalize else F.col("_ln")
+    keyed = lines.withColumn("_kn", key_src).withColumn(
         "_k",
         F.when(
-            F.trim(F.col("_ln")) != "",
-            md5_long(normalize_label(F.col("_ln"))),
+            F.trim(F.col("_kn")) != "",
+            md5_long(normalize_label(F.col("_kn"))),
         ),
-    )
+    ).drop("_kn")
     dup_keys = (
         keyed.filter(F.col("_k").isNotNull())
         .select("_id", "_k")

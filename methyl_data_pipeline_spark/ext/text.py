@@ -8,7 +8,9 @@ SQL-expressible so the DuckDB oracle can replay it exactly.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql.functions import pandas_udf
 
 from methyl_data_pipeline_spark.functions.scalar import normalize_label
 
@@ -21,6 +23,55 @@ STOPWORDS = {
     "fr": ["le", "la", "les", "et", "est", "un", "une", "pour", "dans", "que"],
     "es": ["el", "la", "los", "de", "y", "es", "un", "una", "por", "para"],
 }
+
+
+# Boilerplate-relevant confusable map (VERDICT r11 #4): the space
+# variants crawled text actually contains (NBSP, figure space, narrow
+# NBSP -> plain space) and the zero-width characters that make
+# visually-identical lines hash apart (ZWSP, ZWNJ, ZWJ, word joiner,
+# BOM -> deleted). One bounded translate, JVM-side; translate deletes
+# source chars beyond the replacement string's length — the same
+# semantics as DuckDB's translate, so the oracle twin is
+# translate(text, <same chars via chr()>, '   ').
+_CONFUSABLE_SRC = "\u00a0\u2007\u202f\u200b\u200c\u200d\u2060\ufeff"
+_CONFUSABLE_DST = "   "
+
+
+
+
+def normalize_text(text: Column | str, nfc: bool = True) -> Column:
+    """Unicode normalization for dedup/quality KEYS (VERDICT r11 #4,
+    CCNet/C4 stage-0 hygiene): map the boilerplate-relevant confusable
+    set (NBSP/figure-space/narrow-NBSP -> space, zero-widths/BOM ->
+    deleted) with one bounded JVM translate, then NFC-compose via an
+    Arrow-batched pandas UDF (``nfc=False`` skips it and stays fully
+    JVM-side). Without this, a footer differing only by an NBSP or a
+    decomposed accent hashes differently and SURVIVES line/shingle
+    dedup. Engine-replayable: DuckDB ``nfc_normalize(translate(...))``
+    computes the identical string (both sides implement Unicode NFC).
+    NULL text -> NULL. Composes UNDER ``normalize_label`` /
+    ``normalize_ws`` (those squeeze the plain spaces this map
+    produces)."""
+    c = F.col(text) if isinstance(text, str) else text
+    out = F.translate(c, _CONFUSABLE_SRC, _CONFUSABLE_DST)
+    if not nfc:
+        return out
+    # udf constructed lazily with a DataType instance: decorating at
+    # module level (or with a DDL string) resolves the return type
+    # through the ACTIVE session, which breaks plain library imports.
+    # The mapper is a LOCAL function so cloudpickle ships it by VALUE
+    # — executors need no copy of this package on their PYTHONPATH
+    # (the verify drive runs workers from outside the repo).
+    from pyspark.sql.types import StringType
+
+    def _nfc_series(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    return pandas_udf(_nfc_series, StringType())(out)
 
 
 def words(text: Column | str) -> Column:

@@ -2370,6 +2370,61 @@ def test_line_dedup_ccnet_semantics(spark):
         line_dedup(df, min_df=1)
 
 
+def test_normalize_text_confusables_and_nfc(spark):
+    """normalize_text maps NBSP-class spaces to plain space, deletes
+    zero-widths/BOM, NFC-composes decomposed accents, and passes NULL
+    through; nfc=False stays pure-JVM and skips composition."""
+    from methyl_data_pipeline_spark.ext.text import normalize_text
+
+    rows = [
+        (1, "a b c d"),
+        (2, "z\u200bw\u200c\u200d\ufeff\u2060x"),
+        (3, "Café body"),
+        (4, None),
+        (5, "plain ascii"),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    out = {
+        r.id: r.n
+        for r in df.select("id", normalize_text("text").alias("n")).collect()
+    }
+    assert out[1] == "a b c d"
+    assert out[2] == "zwx"
+    assert out[3] == "Caf\u00e9 body"
+    assert out[4] is None
+    assert out[5] == "plain ascii"
+    raw = {
+        r.id: r.n
+        for r in df.select(
+            "id", normalize_text("text", nfc=False).alias("n")
+        ).collect()
+    }
+    assert raw[3] == "Café body"  # no composition without nfc
+    assert raw[1] == "a b c d"
+
+
+def test_line_dedup_normalize_unifies_confusable_variants(spark):
+    """The normalize=True key path removes NBSP-variant and
+    decomposed-accent boilerplate pairs that the default keying (the
+    gap the r12 VERDICT names) structurally keeps."""
+    from methyl_data_pipeline_spark.ext.dedup import line_dedup
+
+    rows = [
+        (1, "unique one\nNorm Footer Line"),
+        (2, "unique two\nNorm Footer Line"),
+        (3, "unique three\nCafé Notice"),
+        (4, "unique four\nCaf\u00e9 Notice"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    plain = {r.doc_id: r for r in line_dedup(df).collect()}
+    assert all(plain[d].n_removed == 0 for d in (1, 2, 3, 4))
+    norm = {r.doc_id: r for r in line_dedup(df, normalize=True).collect()}
+    assert all(norm[d].n_removed == 1 for d in (1, 2, 3, 4))
+    # output text preserves the ORIGINAL surviving lines
+    assert norm[1].text == "unique one"
+    assert norm[3].text == "unique three"
+
+
 def test_minhash_salted_mix_family(spark):
     """The salted (independent per-function md5) family produces valid
     signatures and candidate pairs: identical docs always collide,

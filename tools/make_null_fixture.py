@@ -47,6 +47,14 @@ def main() -> None:
     df.loc[df.index[71], "text"] = "tab\tseparated\twords\nand\nnewlines"
     df.loc[df.index[79], "text"] = "x" * 4000
     df.loc[df.index[83], "text"] = "café naïve résumé and nbsp"
+    # r12 (VERDICT r11 #4): REAL confusable variants - an NBSP +
+    # zero-width-space body beside its plain-space twin (only the
+    # unicode-normalized key paths may unify them) and a
+    # decomposed-accent body beside its precomposed twin (NFC)
+    df.loc[df.index[91], "text"] = "shared\u00a0confusable line\u200b"
+    df.loc[df.index[93], "text"] = "shared confusable line"
+    df.loc[df.index[97], "text"] = "nfc pair cafe\u0301 body"
+    df.loc[df.index[99], "text"] = "nfc pair caf\u00e9 body"
     df.loc[df.index[89], "lang"] = ""
     pq.write_table(
         pa.Table.from_pandas(df, preserve_index=False),

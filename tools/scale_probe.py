@@ -423,6 +423,59 @@ def bpe_growth(spark, runs: int, factors=(1, 10, 100), k: int = 8) -> None:
         print(f"{f}x\t{n_vocab}\t{n_tok}\t{t:.2f} ({t / base:.1f}x)")
 
 
+def minhash_family(spark, runs: int, factors=(1, 10)) -> None:
+    """VERDICT r11 #2: decide the MinHash hash-family default on
+    measured end-to-end wall, not hash-stage cost. For each family,
+    time (a) `minhash_candidate_pairs` alone (band + pair expansion)
+    and (b) the full `ngram_jaccard_pairs` two-stage (candidates +
+    exact-Jaccard verify), and count the candidate set each family
+    feeds the verify stage. The salted family costs ~1.75x in hashing
+    but emits fewer false candidates; the flip point is where the
+    verify saving exceeds the hash premium."""
+    from pyspark.sql import functions as F
+
+    from methyl_data_pipeline_spark.ext.dedup import (
+        minhash_candidate_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    def timed(fn):
+        ts = []
+        fn()  # warm
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        return ts[len(ts) // 2]
+
+    print("factor\tmix\tcands\tverified\tt_cand(s)\tt_e2e(s)")
+    for f in factors:
+        docs_path, _ = replicate(spark, f) if f > 1 else (
+            f"{SF_DIR}/documents.parquet",
+            None,
+        )
+        docs = spark.read.parquet(docs_path)
+        for mix in ("linear", "salted"):
+            n_c = minhash_candidate_pairs(
+                docs, num_hashes=8, bands=4, mix=mix
+            ).count()
+            n_v = ngram_jaccard_pairs(
+                docs, num_hashes=8, bands=4, mix=mix
+            ).count()
+            t_c = timed(
+                lambda: minhash_candidate_pairs(
+                    docs, num_hashes=8, bands=4, mix=mix
+                ).count()
+            )
+            t_e = timed(
+                lambda: ngram_jaccard_pairs(
+                    docs, num_hashes=8, bands=4, mix=mix
+                ).count()
+            )
+            print(f"{f}x\t{mix}\t{n_c}\t{n_v}\t{t_c:.2f}\t{t_e:.2f}")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=100)
@@ -446,6 +499,11 @@ def main() -> None:
         "--bpe-growth", action="store_true",
         help="bpe_merges at 1x/10x/100x corpus (worst-case linear "
         "vocab growth; r11)",
+    )
+    ap.add_argument(
+        "--minhash-family", action="store_true",
+        help="linear vs salted end-to-end candidate+verify wall at "
+        "1x/10x (VERDICT r11 #2)",
     )
     ap.add_argument("ops", nargs="*")
     args = ap.parse_args()
@@ -480,6 +538,10 @@ def main() -> None:
         return
     if args.bpe_growth:
         bpe_growth(spark, args.runs)
+        spark.stop()
+        return
+    if args.minhash_family:
+        minhash_family(spark, args.runs)
         spark.stop()
         return
     docs100, ev100 = replicate(spark, args.factor)
