@@ -3408,6 +3408,164 @@ SELECT doc_id,
 FROM marked GROUP BY doc_id ORDER BY doc_id"""
 
 
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-keyed dedup on canonical URLs (ext.dedup.url_dedup +
+    ext.text.canonicalize_url, VERDICT r11 #5 — CCNet stage 0). URLs
+    are synthesized engine-neutrally from doc_id: 4 variants per path
+    id (scheme case, www, trailing slash, query-param order, fragment)
+    that all canonicalize to the same `example.com/Docs/<m>?a=1&b=2`,
+    plus a NULL-url stripe (doc_id % 97 == 7) pinning the NULL-drop
+    contract. One fact shuffle keyed on the canonical URL (min-id
+    window). Oracle: full DuckDB replay of the regex peel
+    (fragment/scheme/host/www/path-slash/query-sort) and the
+    min-per-group election."""
+    from methyl_data_pipeline_spark.ext.dedup import url_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    m = (F.col("doc_id") % 50).cast("string")
+    v = F.col("doc_id") % 4
+    url = (
+        F.when(F.col("doc_id") % 97 == 7, F.lit(None).cast("string"))
+        .when(
+            v == 0,
+            F.concat(F.lit("https://www.example.com/Docs/"), m, F.lit("?a=1&b=2")),
+        )
+        .when(
+            v == 1,
+            F.concat(F.lit("http://example.com/Docs/"), m, F.lit("/?b=2&a=1")),
+        )
+        .when(
+            v == 2,
+            F.concat(
+                F.lit("HTTPS://Example.COM/Docs/"), m, F.lit("?b=2&a=1#frag")
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://www.example.com/Docs/"), m, F.lit("/?a=1&b=2#sec")
+            )
+        )
+    )
+    corpus = docs.select("doc_id", url.alias("url"))
+    return url_dedup(corpus).orderBy("doc_id")
+
+
+def _sql_url_dedup() -> str:
+    return r"""
+WITH corpus AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 97 = 7 THEN NULL
+              WHEN doc_id % 4 = 0 THEN 'https://www.example.com/Docs/' || (doc_id % 50) || '?a=1&b=2'
+              WHEN doc_id % 4 = 1 THEN 'http://example.com/Docs/' || (doc_id % 50) || '/?b=2&a=1'
+              WHEN doc_id % 4 = 2 THEN 'HTTPS://Example.COM/Docs/' || (doc_id % 50) || '?b=2&a=1#frag'
+              ELSE 'https://www.example.com/Docs/' || (doc_id % 50) || '/?a=1&b=2#sec' END AS url
+  FROM documents
+),
+peel AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(trim(url), '#.*$', ''),
+                        '(?i)^https?://', '') AS u
+  FROM corpus WHERE url IS NOT NULL
+),
+parts AS (
+  SELECT doc_id,
+         regexp_replace(lower(regexp_extract(u, '^[^/?]*')), '^www\.', '') AS host,
+         regexp_replace(u, '^[^/?]*', '') AS rest
+  FROM peel
+),
+canon AS (
+  SELECT doc_id,
+         host || regexp_replace(regexp_extract(rest, '^[^?]*'), '/+$', '')
+              || CASE WHEN qs <> '' THEN '?' || qs ELSE '' END AS canonical_url
+  FROM (SELECT doc_id, host, rest,
+               array_to_string(
+                 list_sort(list_filter(
+                   string_split(regexp_replace(rest, '^[^?]*\??', ''), '&'),
+                   x -> x <> '')), '&') AS qs
+        FROM parts)
+)
+SELECT doc_id, canonical_url,
+       MIN(doc_id) OVER (PARTITION BY canonical_url) AS canonical_id,
+       doc_id <> MIN(doc_id) OVER (PARTITION BY canonical_url) AS is_duplicate
+FROM canon ORDER BY doc_id"""
+
+
+_QSL_BUCKETS = 1024
+_QSL_THRESHOLD = 0.05
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed linear quality classifier
+    (ext.text.quality_score_linear, VERDICT r11 #8): mean-pooled
+    md5-hashed unigram+bigram bucket features through a broadcast
+    (bucket, weight) table — logit = sum(count*w)/n_grams, pass iff
+    logit >= 0.05. Weights are the deterministic md5-derived table
+    (hashed_weight_table: grid-aligned 3-dp doubles in [-1, 1]) so
+    both engines derive them independently; quality_pass compares on
+    the MICRO-ROUNDED logit (the repo's hash-stable channel), not the
+    raw double. Oracle: full DuckDB replay — grams, buckets, weight
+    derivation, mean-pool, threshold."""
+    from methyl_data_pipeline_spark.ext.text import (
+        hashed_weight_table,
+        quality_score_linear,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    w = hashed_weight_table(spark, _QSL_BUCKETS)
+    out = quality_score_linear(
+        docs, w, buckets=_QSL_BUCKETS, threshold=_QSL_THRESHOLD
+    )
+    lm = _ri(F.col("logit"))
+    thr_micro = int(round(_QSL_THRESHOLD * 1_000_000))
+    return out.select(
+        "doc_id",
+        "n_grams",
+        lm.alias("logit_micro"),
+        (lm >= F.lit(thr_micro)).alias("quality_pass"),
+    ).orderBy("doc_id")
+
+
+def _sql_quality_classifier() -> str:
+    b = _QSL_BUCKETS
+    thr_micro = int(round(_QSL_THRESHOLD * 1_000_000))
+    grams = (
+        "list_concat(wf, list_transform("
+        "generate_series(1, greatest(len(wf) - 1, 0)), "
+        "i -> wf[i] || ' ' || wf[i+1]))"
+    )
+    h = "('0x'||substr(md5(gram),1,15))::BIGINT"
+    wexpr = (
+        "((('0x'||substr(md5('qw|' || bk),1,15))::BIGINT % 2001 - 1000)"
+        " / 1000.0)"
+    )
+    return rf"""
+WITH docs0 AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                             x -> x <> '') AS wf
+  FROM documents WHERE text IS NOT NULL
+),
+g AS (SELECT doc_id, unnest({grams}) AS gram FROM docs0),
+db AS (
+  SELECT doc_id, {h} % {b} AS bk, COUNT(*) AS c FROM g GROUP BY 1, 2
+),
+sc AS (
+  SELECT doc_id, SUM(c) AS n_grams, SUM(c * {wexpr}) AS dot
+  FROM db GROUP BY doc_id
+),
+fin AS (
+  SELECT d.doc_id,
+         CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
+         CAST(ROUND(((CASE WHEN COALESCE(n_grams, 0) > 0
+                           THEN dot / n_grams ELSE 0.0 END) + 1e-9)
+                    * 1000000) AS BIGINT) AS logit_micro
+  FROM (SELECT DISTINCT doc_id FROM documents WHERE text IS NOT NULL) d
+  LEFT JOIN sc USING (doc_id)
+)
+SELECT doc_id, n_grams, logit_micro,
+       logit_micro >= {thr_micro} AS quality_pass
+FROM fin ORDER BY doc_id"""
+
+
 _BPE_K = 8
 _BPE_ENC_K = 6
 
@@ -7031,175 +7189,177 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness records only the
-    # FIRST 50 entries in dict order. ROUND-11 WINDOW (standing policy,
-    # VERDICT r9 #2 / r10 #2): changed-first, then OLDEST newest-green
-    # first, then lowest green count. Composition:
-    #   (a) new in r11: minhash_recall, two_level_recall (the LSH /
-    #       two_level recall certificates, VERDICT r10 #3) and
-    #       bpe_merges + bpe_encode (distributed BPE induction and
-    #       encoding, VERDICT r10 #8) and line_dedup (CCNet
-    #       corpus-level line scrub);
-    #   (b) changed in r11: dsir_select (symmetric rounding nudges),
-    #       semantic_dedup + dedup_clusters (connected_components
-    #       driver-path gating + deterministic kmeans sample);
-    #   (c) pricing_summary — newest green r7; takes a slot to RETIRE
-    #       the standing "headline-timed" exception;
-    #   (d) the full r8-newest tier (27 queries — everything whose
-    #       newest green is r8 after the r10 sweep);
-    #   (e) r9-newest fills the rest, lowest green count first: the
-    #       three single-green red-history queries (corpus_report,
-    #       moderated_f, outlier_mad), then 2-green entries.
-    # Rotated OUT vs r10: the whole r10-green window (newest evidence
-    # r10). Left for r12: skew_report, split_contamination,
-    # split_leakage, temperature_sample, threshold_sweep,
-    # vocab_coverage (2 greens, newest r9) and the 3/4-green r9 tier —
-    # all re-verified every round by tools/check_oracle.py on the
-    # sf0.01 and NULL fixtures.
+    # FIRST 50 entries in dict order. ROUND-12 WINDOW (standing policy,
+    # VERDICT r9 #2 / r10 #2 / r11 #1): changed-first, then OLDEST
+    # newest-green first, then lowest green count. Composition:
+    #   (a) new in r12: the two_level probe/adapted certificates
+    #       (VERDICT r11 #3), normalize_text + line_dedup_norm (#4),
+    #       url_dedup (#5), quality_classifier (#8);
+    #   (b) changed in r12: two_level_recall (explicit flat baseline),
+    #       bpe_encode (zero-word totality), bpe_merges (oracle
+    #       carry-forward), line_dedup (normalize key path);
+    #   (c) minhash_recall_salted (ZERO driver greens) and
+    #       simhash64_pairs - the two never/once-graded r11 tails the
+    #       r11 verdict names first;
+    #   (d) the named r12 backlog: newest green r9 with 2 greens;
+    #   (e,f) the r9-newest 3-green then 4-green tiers (+minhash_pairs,
+    #       newest r9);
+    #   (g,h) r10-newest 2-green tier, then 4-green alphabetical fill.
+    # Rotated OUT vs r11: the whole r11-green window. Left for r13:
+    # the rest of the r10-newest 4-green tier (events_windowed
+    # onward, alphabetical) and the 5+-green r10 tier - all
+    # re-verified every round by tools/check_oracle.py on the sf0.01
+    # and NULL fixtures.
     return {
-        # (a) new r11
-        "minhash_recall": q_minhash_recall,
+        # (a) new r12
+        "two_level_probe": q_two_level_probe,
+        "two_level_adapted": q_two_level_adapted,
+        "normalize_text": q_normalize_text,
+        "line_dedup_norm": q_line_dedup_norm,
+        "url_dedup": q_url_dedup,
+        "quality_classifier": q_quality_classifier,
+        # (b) changed r12
         "two_level_recall": q_two_level_recall,
-        "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
+        "bpe_merges": q_bpe_merges,
         "line_dedup": q_line_dedup,
-        # (b) changed r11
-        "dsir_select": q_dsir_select,
-        "semantic_dedup": q_semantic_dedup,
-        "dedup_clusters": q_dedup_clusters,
-        # (c) exception retirement
-        "pricing_summary": q_pricing_summary,
-        # (d) r8-newest tier
+        # (c) never/once-graded leads
+        "minhash_recall_salted": q_minhash_recall_salted,
+        "simhash64_pairs": q_simhash64_pairs,
+        # (d) named r12 backlog (r9, 2 greens)
+        "skew_report": q_skew_report,
+        "split_contamination": q_split_contamination,
+        "split_leakage": q_split_leakage,
+        "temperature_sample": q_temperature_sample,
+        "threshold_sweep": q_threshold_sweep,
+        "vocab_coverage": q_vocab_coverage,
+        "simhash_pairs": q_simhash_pairs,
+        # (e) r9 3-green tier
+        "clean_text": q_clean_text,
+        "embedding_neardup": q_embedding_neardup,
+        "ivf_ann": q_ivf_ann,
+        "ngram_jaccard": q_ngram_jaccard,
+        # (f) r9 4-green tier
+        "bm25_rank": q_bm25_rank,
+        "corpus_pipeline": q_corpus_pipeline,
+        "dedup_distinct": q_dedup_distinct,
+        "ecdf_percent_rank": q_ecdf,
+        "histogram": q_histogram,
+        "join_full_outer": q_join_full_outer,
+        "layout_cert": q_layout_cert,
+        "melt_part": q_melt,
+        "minhash_signatures": q_minhash_signatures,
+        "pivot_events": q_pivot,
+        "quantiles": q_quantiles,
+        "semi_anti_membership": q_semi_anti,
+        "set_ops": q_set_ops,
+        "simhash": q_simhash,
+        "stream_curate": q_stream_curate,
+        "top_revenue_orders": q_top_revenue_orders,
+        "union_halves": q_union_halves,
+        "minhash_pairs": q_minhash_pairs,
+        # (g) r10 2-green tier
+        "containment_pairs": q_containment_pairs,
+        "embedding_drift": q_embedding_drift,
+        "quant_recall": q_quant_recall,
+        "quantize_embeddings": q_quantize_embeddings,
+        "source_token_cap": q_source_token_cap,
+        # (h) r10 4-green fill
+        "agg_minmax": q_agg_minmax,
+        "asof_join": q_asof_join,
+        "collect_list": q_collect_list,
+        "embedding_cosine_topk": q_embedding_cosine_topk,
+        # ---- slot 51+ (re-verified every round by tools/check_oracle.py
+        # on two fixtures even without a window slot) ----
+        "bh_adjust": q_bh_adjust,
+        "bh_adjust_scalable": q_bh_adjust_scalable,
         "bh_grouped": q_bh_grouped,
         "bloom_decontaminate": q_bloom_decontaminate,
         "bmiq_mstep_cert": q_bmiq_mstep_cert,
         "bmiq_prefix": q_bmiq_prefix,
-        "chunk_documents": q_chunk_documents,
-        "combat_converged": q_combat_converged,
-        "combat_cov_prefix": q_combat_cov_prefix,
-        "combat_twostep": q_combat_twostep,
-        "decontaminate": q_decontaminate,
-        "dedup_best": q_dedup_best,
-        "dmr_regions": q_dmr_regions,
-        "events_sliding": q_events_sliding,
-        "frame_sample": q_frame_sample,
-        "hot_ngrams": q_hot_ngrams,
-        "incremental_dedup": q_incremental_dedup,
-        "methyl_pipeline_chain": q_methyl_pipeline_chain,
-        "pca_eigen_cert": q_pca_eigen_cert,
-        "perplexity_buckets": q_perplexity_buckets,
-        "pii_redact": q_pii_redact,
-        "quality_filter": q_quality_filter,
-        "quantile_normalize": q_quantile_normalize,
-        "sample_stratified": q_sample_stratified,
-        "segment_dedup": q_segment_dedup,
-        "sketch_cert": q_sketch_cert,
-        "snapshot_diff": q_snapshot_diff,
-        "stream_interval_join": q_stream_interval_join,
-        "unigram_logprob": q_unigram_logprob,
-        # (e) r9-newest, lowest green count first
-        "corpus_report": q_corpus_report,
-        "moderated_f": q_moderated_f,
-        "outlier_mad": q_outlier_mad,
         "budget_select": q_budget_select,
+        "chunk_documents": q_chunk_documents,
         "cohort_retention": q_cohort_retention,
         "column_digests": q_column_digests,
-        "domain_mix": q_domain_mix,
-        "exact_substring": q_exact_substring,
-        "funnel": q_funnel,
-        "incremental_neardup": q_incremental_neardup,
-        "length_batches": q_length_batches,
-        "repetition_signals": q_repetition_signals,
-        "sequence_packing": q_sequence_packing,
-        "similarity_lsh": q_similarity_lsh,
-        # ---- slot 51+ (newest green r9 or r10; re-verified every
-        # round by tools/check_oracle.py on two fixtures) ----
-        "agg_minmax": q_agg_minmax,
-        "asof_join": q_asof_join,
-        "bh_adjust": q_bh_adjust,
-        "bh_adjust_scalable": q_bh_adjust_scalable,
-        "bm25_rank": q_bm25_rank,
-        "clean_text": q_clean_text,
-        "collect_list": q_collect_list,
+        "combat_converged": q_combat_converged,
+        "combat_cov_prefix": q_combat_cov_prefix,
         "combat_onestep": q_combat_onestep,
         "combat_priors": q_combat_priors,
-        "containment_pairs": q_containment_pairs,
+        "combat_twostep": q_combat_twostep,
         "contract_report": q_contract_report,
-        "corpus_pipeline": q_corpus_pipeline,
+        "corpus_report": q_corpus_report,
         "curation_pipeline": q_curation_pipeline,
-        "dedup_distinct": q_dedup_distinct,
-        "ecdf_percent_rank": q_ecdf,
-        "embedding_cosine_topk": q_embedding_cosine_topk,
-        "embedding_drift": q_embedding_drift,
-        "embedding_neardup": q_embedding_neardup,
+        "decontaminate": q_decontaminate,
+        "dedup_best": q_dedup_best,
+        "dedup_clusters": q_dedup_clusters,
+        "dmr_regions": q_dmr_regions,
+        "domain_mix": q_domain_mix,
+        "dsir_select": q_dsir_select,
+        "events_sliding": q_events_sliding,
         "events_windowed": q_events_windowed,
+        "exact_substring": q_exact_substring,
         "fingerprint_dedup": q_fingerprint_dedup,
+        "frame_sample": q_frame_sample,
+        "funnel": q_funnel,
         "hash_split": q_hash_split,
         "health_report": q_health_report,
         "heatmap_prep": q_heatmap_prep,
-        "histogram": q_histogram,
-        "ivf_ann": q_ivf_ann,
+        "hot_ngrams": q_hot_ngrams,
+        "incremental_dedup": q_incremental_dedup,
+        "incremental_neardup": q_incremental_neardup,
         "join_chain": q_join_chain,
-        "join_full_outer": q_join_full_outer,
         "kde_density": q_kde_density,
         "lang_id": q_lang_id,
         "lang_id_ngram": q_lang_id_ngram,
-        "layout_cert": q_layout_cert,
-        "melt_part": q_melt,
+        "length_batches": q_length_batches,
         "meth_complete_probes": q_meth_complete_probes,
         "meth_contrasts": q_meth_contrasts,
         "meth_group_delta": q_meth_group_delta,
         "meth_moderated_t": q_meth_moderated_t,
         "meth_qc_detp": q_meth_qc_detp,
         "meth_variance_topk": q_meth_variance_topk,
-        "minhash_pairs": q_minhash_pairs,
-        "minhash_recall_salted": q_minhash_recall_salted,
-        "two_level_probe": q_two_level_probe,
-        "two_level_adapted": q_two_level_adapted,
-        "normalize_text": q_normalize_text,
-        "line_dedup_norm": q_line_dedup_norm,
-        "minhash_signatures": q_minhash_signatures,
+        "methyl_pipeline_chain": q_methyl_pipeline_chain,
+        "minhash_recall": q_minhash_recall,
         "mixture_sample": q_mixture_sample,
+        "moderated_f": q_moderated_f,
         "multimodal_features": q_multimodal_features,
-        "ngram_jaccard": q_ngram_jaccard,
+        "outlier_mad": q_outlier_mad,
+        "pca_eigen_cert": q_pca_eigen_cert,
         "pca_gram": q_pca_gram,
-        "pivot_events": q_pivot,
+        "perplexity_buckets": q_perplexity_buckets,
+        "pii_redact": q_pii_redact,
         "poobah_ecdf": q_poobah_ecdf,
-        "quant_recall": q_quant_recall,
-        "quantiles": q_quantiles,
-        "quantize_embeddings": q_quantize_embeddings,
+        "pricing_summary": q_pricing_summary,
+        "quality_filter": q_quality_filter,
+        "quantile_normalize": q_quantile_normalize,
         "range_join": q_range_join,
         "rename_lookup": q_rename_lookup,
+        "repetition_signals": q_repetition_signals,
         "rollup_counts": q_rollup,
         "running_window": q_running_window,
         "sample_corr": q_sample_corr,
         "sample_projection": q_sample_projection,
+        "sample_stratified": q_sample_stratified,
         "scalar_math": q_scalar_math,
-        "semi_anti_membership": q_semi_anti,
+        "segment_dedup": q_segment_dedup,
+        "semantic_dedup": q_semantic_dedup,
+        "sequence_packing": q_sequence_packing,
         "sessionize": q_sessionize,
-        "set_ops": q_set_ops,
-        "simhash": q_simhash,
-        "simhash64_pairs": q_simhash64_pairs,
-        "simhash_pairs": q_simhash_pairs,
-        "skew_report": q_skew_report,
-        "source_token_cap": q_source_token_cap,
-        "split_contamination": q_split_contamination,
-        "split_leakage": q_split_leakage,
-        "stream_curate": q_stream_curate,
+        "similarity_lsh": q_similarity_lsh,
+        "sketch_cert": q_sketch_cert,
+        "snapshot_diff": q_snapshot_diff,
+        "stream_interval_join": q_stream_interval_join,
         "string_funcs": q_string_funcs,
-        "temperature_sample": q_temperature_sample,
         "text_quality": q_text_quality,
         "text_tokens": q_text_tokens,
         "tfidf_top_terms": q_tfidf_top_terms,
-        "threshold_sweep": q_threshold_sweep,
-        "top_revenue_orders": q_top_revenue_orders,
         "topk_per_group": q_topk_per_group,
-        "union_halves": q_union_halves,
-        "vocab_coverage": q_vocab_coverage,
+        "unigram_logprob": q_unigram_logprob,
         "winnowing": q_winnowing,
         # non-SQL-expressible (rows-only; see each docstring). Each
         # got its one-time driver rows+schema recording in r5/r6; the
         # driver harness errors (`no_oracle`) rather than certifying
-        # them, so they stay out of the graded window permanently —
+        # them, so they stay out of the graded window permanently -
         # their value-level evidence is the deterministic certificate
         # queries (pca_gram/pca_eigen_cert, combat_*, bmiq_*,
         # methyl_pipeline_chain), all oracled and green.
@@ -7307,6 +7467,8 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": _sql_line_dedup(),
         "normalize_text": _sql_normalize_text(),
         "line_dedup_norm": _sql_line_dedup_norm(),
+        "url_dedup": _sql_url_dedup(),
+        "quality_classifier": _sql_quality_classifier(),
         # n_probe == n_centroids makes IVF exact — brute force IS the oracle
         "ivf_ann": SQL_EMBEDDING_COSINE,
         "events_windowed": SQL_EVENTS_WINDOWED,

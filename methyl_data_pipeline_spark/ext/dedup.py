@@ -149,13 +149,28 @@ def minhash_signatures(
       function agreement measured 0.127 vs 0.022 for two functions on
       the same j≈0.13 pairs — one fixed hash over a small shingle
       universe fluctuates around j in both directions; the certificate
-      measures the DEPLOYED draw, which is exactly what matters). The
-      right config when the verify stage dominates — at 100 TB
-      candidate verification is corpus-pair-sized work and hashing is
-      a map stage. Measured end-to-end cost of the family switch
-      (minhash_candidate_pairs at sf0.1, 8 hashes, medians of 3):
-      2.62 s linear vs 4.60 s salted — 1.75×, NOT the naive 8×,
-      because banding + pair expansion amortize the extra hashing.
+      measures the DEPLOYED draw, which is exactly what matters).
+
+    DEFAULT RATIONALE (VERDICT r11 #2, measured r12 —
+    ``tools/scale_probe.py --minhash-family``, quiet box, medians of
+    3, 8 hashes / 4 bands): ``linear`` STAYS the default. End-to-end
+    (candidates + exact-Jaccard verify) at sf0.1: linear 3.31 s vs
+    salted 7.97 s; at 10x corpus: linear 14.55 s vs salted 29.25 s —
+    and salted's candidate set was NOT smaller on the real corpus
+    (1x: 784 vs 828; 10x: 7456 vs 6853, identical verified-pair
+    counts). The r11 per-bin certificate finding is real but only
+    pays when the corpus carries heavy MID-Jaccard (0.2-0.6) pair
+    mass for the correlated family to over-admit; this corpus (like
+    most exact-dup-pre-scrubbed crawls) has its pair mass at high J,
+    where both families recall 100% and candidate counts converge —
+    so the num_hashes x hash premium dominates and linear wins ~2x
+    end-to-end at both scales. CROSSOVER RULE: flip to
+    ``mix="salted"`` when `minhash_band_recall` on a corpus sample
+    shows mid-bin candidate rates far above theory (the r11 linear
+    signature: 78-92% vs 23-76%) AND the verify stage dominates the
+    end-to-end wall — re-measure with the probe before flipping; the
+    hash premium (measured 1.75x on the hashing stage alone) is paid
+    on every doc, the verify saving only on mid-J candidate mass.
     """
     df = _spread(df, id_col)
     if mix == "salted":
@@ -573,6 +588,35 @@ def ngram_jaccard_pairs(
         paired.withColumn("jaccard", (inter / union).cast("double"))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def url_dedup(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """URL-keyed dedup (VERDICT r11 #5 — CCNet's first dedup stage,
+    before any content hashing): key every row on
+    :func:`ext.text.canonicalize_url` and elect the min-id winner per
+    canonical URL. ONE fact shuffle on the canonical-URL key (the
+    ``dedup_exact`` shape: min-agg window over duplicate-family-sized
+    groups, never corpus-sized); NULL-url rows are dropped — the same
+    pinned cross-engine contract as ``dedup_exact``'s NULL texts.
+
+    Returns ``(id_col, canonical_url, canonical_id, is_duplicate)``
+    for every non-NULL-url row; the keep-list is
+    ``filter(~is_duplicate)``.
+    """
+    from methyl_data_pipeline_spark.ext.text import canonicalize_url
+
+    keyed = df.filter(F.col(url_col).isNotNull()).withColumn(
+        "_cu", canonicalize_url(F.col(url_col))
+    )
+    rep = F.min(id_col).over(Window.partitionBy("_cu"))
+    return keyed.select(
+        id_col,
+        F.col("_cu").alias("canonical_url"),
+        rep.alias("canonical_id"),
+        (rep != F.col(id_col)).alias("is_duplicate"),
     )
 
 

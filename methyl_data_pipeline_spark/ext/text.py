@@ -74,6 +74,43 @@ def normalize_text(text: Column | str, nfc: bool = True) -> Column:
     return pandas_udf(_nfc_series, StringType())(out)
 
 
+def canonicalize_url(url: Column | str) -> Column:
+    """URL canonicalization for crawl-curation dedup keys (VERDICT
+    r11 #5 — CCNet stage 0): strip fragment, strip http/https scheme,
+    lowercase the HOST (path case is preserved — it is significant),
+    strip a leading ``www.``, strip trailing slashes from the path,
+    and sort query parameters (binary string order, empty params
+    dropped). Pure JVM expressions — regexp peel of fragment/scheme/
+    host/path/query plus one array_sort — no UDF; NULL propagates.
+    Each regex anchors at ``^``/``$`` and matches at most once, so
+    Spark's replace-all and DuckDB's replace-first semantics agree
+    and the oracle replays with the same patterns.
+
+    ``https://WWW.Example.COM/Docs/1/?b=2&a=1#frag`` ->
+    ``example.com/Docs/1?a=1&b=2``.
+    """
+    c = F.col(url) if isinstance(url, str) else url
+    u = F.regexp_replace(F.trim(c), "#.*$", "")
+    u = F.regexp_replace(u, "(?i)^https?://", "")
+    host = F.regexp_extract(u, "^([^/?]*)", 1)
+    rest = F.regexp_replace(u, "^[^/?]*", "")
+    host = F.regexp_replace(F.lower(host), r"^www\.", "")
+    path = F.regexp_replace(
+        F.regexp_extract(rest, "^([^?]*)", 1), "/+$", ""
+    )
+    query = F.regexp_replace(rest, r"^[^?]*\??", "")
+    q_sorted = F.array_join(
+        F.array_sort(F.filter(F.split(query, "&"), lambda x: x != "")), "&"
+    )
+    return F.concat(
+        host,
+        path,
+        F.when(q_sorted != "", F.concat(F.lit("?"), q_sorted)).otherwise(
+            F.lit("")
+        ),
+    )
+
+
 def words(text: Column | str) -> Column:
     """Whitespace tokenization of trimmed, lowercased text."""
     c = F.col(text) if isinstance(text, str) else text
@@ -1340,6 +1377,101 @@ def _dsir_grams(text_col: str) -> Column:
     )[0]
 
 
+def _doc_bucket_counts(
+    df: DataFrame, text_col: str, id_col: str, buckets: int
+) -> DataFrame:
+    """Per-doc hashed-feature bucket counts ``(_id, _b, _c)`` over
+    unigram+bigram grams (``_dsir_grams`` + :func:`md5_long` pmod) —
+    the shared featurizer of :func:`dsir_weights` and
+    :func:`quality_score_linear`; external SQL computes identical
+    buckets."""
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("_id"), _dsir_grams(text_col).alias("_g")
+    )
+    return (
+        base.select("_id", F.explode("_g").alias("_gram"))
+        .select(
+            "_id",
+            F.pmod(md5_long(F.col("_gram")), F.lit(buckets)).alias("_b"),
+        )
+        .groupBy("_id", "_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+
+
+def hashed_weight_table(
+    spark, buckets: int, salt: str = "qw", grid: int = 1000
+) -> DataFrame:
+    """Deterministic md5-derived weight table ``(bucket, weight)`` for
+    :func:`quality_score_linear` smoke/certificate use — weight(b) =
+    (md5_long(salt|b) % (2*grid + 1) - grid) / grid, a grid-aligned
+    double in [-1, 1] both engines derive identically. Real
+    deployments broadcast an externally-trained table instead."""
+    b = F.col("id").cast("int").alias("bucket")
+    h = md5_long(F.concat(F.lit(salt + "|"), F.col("id").cast("string")))
+    w = ((h % F.lit(2 * grid + 1)) - F.lit(grid)) / F.lit(float(grid))
+    return spark.range(buckets).select(b, w.alias("weight"))
+
+
+def quality_score_linear(
+    df: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 4096,
+    bias: float = 0.0,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """fastText-style linear quality classifier (VERDICT r11 #8;
+    Joulin et al. 2016, "Bag of Tricks for Efficient Text
+    Classification") — the model-based quality gate pretraining
+    pipelines run beside rule-based ``quality_filter``: mean-pooled
+    hashed unigram+bigram features through a single linear layer,
+    ``logit = bias + sum_b count[b] * w[b] / n_grams``, pass iff
+    ``logit >= threshold``.
+
+    ``weights`` is a ``(bucket, weight)`` DataFrame — the table is
+    vocabulary-bounded (``buckets`` rows) and BROADCAST into the
+    scoring join, so scoring is a pure map-side pipeline over the
+    corpus: tokenize+hash (one scan), per-doc bucket collapse
+    (map-side partial agg), broadcast lookup, per-doc sum. No
+    corpus-sized shuffle beyond the (id, bucket) collapse — the same
+    100 TB shape as ``dsir_weights`` scoring. Buckets without a
+    weight row score 0 (hash-bucket OOV).
+
+    Returns ``(id_col, n_grams, logit, quality_pass)`` for EVERY
+    non-NULL-text doc; zero-gram docs score ``bias`` exactly.
+    """
+    if buckets < 2:
+        raise ValueError("quality_score_linear: buckets must be >= 2")
+    wtab = weights.select(
+        F.col("bucket").cast("long").alias("_b"),
+        F.col("weight").cast("double").alias("_w"),
+    )
+    scored = (
+        _doc_bucket_counts(df, text_col, id_col, buckets)
+        .join(F.broadcast(wtab), "_b", "left")
+        .groupBy("_id")
+        .agg(
+            F.sum("_c").cast("long").alias("n_grams"),
+            F.sum(F.col("_c") * F.coalesce("_w", F.lit(0.0))).alias("_dot"),
+        )
+    )
+    ids = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("_id")
+    )
+    logit = F.lit(float(bias)) + F.when(
+        F.coalesce("n_grams", F.lit(0)) > 0,
+        F.col("_dot") / F.col("n_grams"),
+    ).otherwise(F.lit(0.0))
+    return ids.join(scored, "_id", "left").select(
+        F.col("_id").alias(id_col),
+        F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+        logit.alias("logit"),
+        (logit >= F.lit(float(threshold))).alias("quality_pass"),
+    )
+
+
 def dsir_weights(
     raw: DataFrame,
     target: DataFrame,
@@ -1394,18 +1526,7 @@ def dsir_weights(
         raise ValueError("dsir_weights: smoothing must be > 0 (log of zero)")
 
     def doc_buckets(df: DataFrame) -> DataFrame:
-        base = df.filter(F.col(text_col).isNotNull()).select(
-            F.col(id_col).alias("_id"), _dsir_grams(text_col).alias("_g")
-        )
-        return (
-            base.select("_id", F.explode("_g").alias("_gram"))
-            .select(
-                "_id",
-                F.pmod(md5_long(F.col("_gram")), F.lit(buckets)).alias("_b"),
-            )
-            .groupBy("_id", "_b")
-            .agg(F.count(F.lit(1)).alias("_c"))
-        )
+        return _doc_bucket_counts(df, text_col, id_col, buckets)
 
     def bucket_dist(db: DataFrame, tag: str) -> DataFrame:
         # explode -> groupBy(bucket): partial aggregation collapses to

@@ -2425,6 +2425,90 @@ def test_line_dedup_normalize_unifies_confusable_variants(spark):
     assert norm[3].text == "unique three"
 
 
+def test_quality_score_linear_semantics(spark):
+    """Mean-pooled hashed linear scorer: a doc's logit is the
+    count-weighted mean of its bucket weights plus bias (verified
+    against a hand-computed reference through the same featurizer);
+    zero-gram docs score exactly bias; OOV buckets (no weight row)
+    contribute 0; NULL text drops; broadcast table respected."""
+    from methyl_data_pipeline_spark.ext.text import (
+        _doc_bucket_counts,
+        hashed_weight_table,
+        quality_score_linear,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "good words good"), (2, ""), (3, None), (4, "other body")],
+        "doc_id int, text string",
+    )
+    w = hashed_weight_table(spark, 64)
+    wmap = {r.bucket: r.weight for r in w.collect()}
+    out = {
+        r.doc_id: r
+        for r in quality_score_linear(
+            df, w, buckets=64, bias=0.25, threshold=0.25
+        ).collect()
+    }
+    assert set(out) == {1, 2, 4}
+    assert out[2].n_grams == 0 and abs(out[2].logit - 0.25) < 1e-12
+    # reference through the same featurizer (independent arithmetic)
+    bc = [
+        (r["_id"], r["_b"], r["_c"])
+        for r in _doc_bucket_counts(df, "text", "doc_id", 64).collect()
+    ]
+    for did in (1, 4):
+        rows = [(b, c) for (i, b, c) in bc if i == did]
+        n = sum(c for _, c in rows)
+        ref = 0.25 + sum(c * wmap.get(b, 0.0) for b, c in rows) / n
+        assert abs(out[did].logit - ref) < 1e-9, did
+        assert out[did].quality_pass == (out[did].logit >= 0.25)
+    # a weights table missing rows -> those buckets contribute 0
+    w_half = w.filter(F.col("bucket") < 32)
+    out_half = {
+        r.doc_id: r
+        for r in quality_score_linear(df, w_half, buckets=64).collect()
+    }
+    assert set(out_half) == {1, 2, 4}
+
+
+def test_canonicalize_url_and_url_dedup(spark):
+    """canonicalize_url peels fragment/scheme/www/trailing-slash and
+    sorts query params (host lowercased, path case preserved);
+    url_dedup elects the min-id winner per canonical URL and drops
+    NULL urls."""
+    from methyl_data_pipeline_spark.ext.dedup import url_dedup
+    from methyl_data_pipeline_spark.ext.text import canonicalize_url
+
+    rows = [
+        (1, "https://WWW.Example.COM/Docs/1/?b=2&a=1#frag"),
+        (2, "http://example.com/Docs/1?a=1&b=2"),
+        (3, "example.com/Docs/1?a=1&b=2"),  # scheme-less input
+        (4, "https://example.com/Other"),
+        (5, "https://example.com/other"),  # path case differs -> distinct
+        (6, None),
+        (7, "https://example.com/?x=1"),  # root path -> host only + query
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, url string")
+    canon = {
+        r.doc_id: r.c
+        for r in df.select(
+            "doc_id", canonicalize_url("url").alias("c")
+        ).collect()
+    }
+    assert canon[1] == canon[2] == canon[3] == "example.com/Docs/1?a=1&b=2"
+    assert canon[4] == "example.com/Other" and canon[5] == "example.com/other"
+    assert canon[4] != canon[5]
+    assert canon[6] is None
+    assert canon[7] == "example.com?x=1"
+
+    out = {r.doc_id: r for r in url_dedup(df).collect()}
+    assert set(out) == {1, 2, 3, 4, 5, 7}  # NULL url dropped
+    assert out[1].canonical_id == 1 and not out[1].is_duplicate
+    assert out[2].canonical_id == 1 and out[2].is_duplicate
+    assert out[3].canonical_id == 1 and out[3].is_duplicate
+    assert not out[4].is_duplicate and not out[5].is_duplicate
+
+
 def test_minhash_salted_mix_family(spark):
     """The salted (independent per-function md5) family produces valid
     signatures and candidate pairs: identical docs always collide,
