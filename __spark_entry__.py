@@ -3566,6 +3566,93 @@ SELECT doc_id, n_grams, logit_micro,
 FROM fin ORDER BY doc_id"""
 
 
+def q_classifier_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based curation calibration — the composition a real
+    pipeline runs: quality_score_linear's logits (md5 weight table,
+    centi-grid discretized — the sweep's bounded-cardinality
+    contract) swept through threshold_sweep against the lang=='en'
+    pseudo-gold, yielding the precision/recall curve that picks the
+    classifier's keep-cutoff. NULL-lang docs drop (unevaluable
+    contract). Integer channels only. Oracle: the quality scoring
+    replay feeding the cumulative per-score window replay."""
+    from methyl_data_pipeline_spark.ext.text import (
+        hashed_weight_table,
+        quality_score_linear,
+        threshold_sweep,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    w = hashed_weight_table(spark, _QSL_BUCKETS)
+    scored = quality_score_linear(docs, w, buckets=_QSL_BUCKETS)
+    labeled = scored.join(
+        docs.select("doc_id", (F.col("lang") == "en").alias("gold")),
+        "doc_id",
+    ).select(
+        _ri(F.col("logit"), scale=100).alias("score_c"),
+        "gold",
+    )
+    return threshold_sweep(labeled, "score_c", "gold").orderBy(
+        F.col("threshold").desc()
+    )
+
+
+def _sql_classifier_sweep() -> str:
+    b = _QSL_BUCKETS
+    grams = (
+        "list_concat(wf, list_transform("
+        "generate_series(1, greatest(len(wf) - 1, 0)), "
+        "i -> wf[i] || ' ' || wf[i+1]))"
+    )
+    h = "('0x'||substr(md5(gram),1,15))::BIGINT"
+    wexpr = (
+        "((('0x'||substr(md5('qw|' || bk),1,15))::BIGINT % 2001 - 1000)"
+        " / 1000.0)"
+    )
+    return rf"""
+WITH docs0 AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                             x -> x <> '') AS wf
+  FROM documents WHERE text IS NOT NULL
+),
+g AS (SELECT doc_id, unnest({grams}) AS gram FROM docs0),
+db AS (
+  SELECT doc_id, {h} % {b} AS bk, COUNT(*) AS c FROM g GROUP BY 1, 2
+),
+sc AS (
+  SELECT doc_id, SUM(c) AS n_grams, SUM(c * {wexpr}) AS dot
+  FROM db GROUP BY doc_id
+),
+scored AS (
+  SELECT d.doc_id,
+         CAST(ROUND(((CASE WHEN COALESCE(n_grams, 0) > 0
+                           THEN dot / n_grams ELSE 0.0 END) + 1e-9)
+                    * 100) AS BIGINT) AS score_c
+  FROM (SELECT DISTINCT doc_id FROM documents WHERE text IS NOT NULL) d
+  LEFT JOIN sc USING (doc_id)
+),
+labeled AS (
+  SELECT s.score_c AS threshold,
+         CASE WHEN dd.lang = 'en' THEN 1 ELSE 0 END AS pos
+  FROM scored s JOIN documents dd USING (doc_id)
+  WHERE dd.lang IS NOT NULL
+),
+per AS (
+  SELECT threshold, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(pos) AS BIGINT) AS np
+  FROM labeled GROUP BY threshold
+)
+SELECT threshold,
+       CAST(SUM(n) OVER w AS BIGINT) AS n_kept,
+       CAST(SUM(np) OVER w AS BIGINT) AS n_true_pos,
+       CAST(SUM(n) OVER w - SUM(np) OVER w AS BIGINT) AS n_false_pos,
+       CAST(SUM(np) OVER (ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_pos_total
+FROM per
+WINDOW w AS (ORDER BY threshold DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY threshold DESC"""
+
+
 _BPE_K = 8
 _BPE_ENC_K = 6
 
@@ -7218,6 +7305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup_norm": q_line_dedup_norm,
         "url_dedup": q_url_dedup,
         "quality_classifier": q_quality_classifier,
+        "classifier_sweep": q_classifier_sweep,
         # (b) changed r12
         "two_level_recall": q_two_level_recall,
         "bpe_encode": q_bpe_encode,
@@ -7268,7 +7356,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_minmax": q_agg_minmax,
         "asof_join": q_asof_join,
         "collect_list": q_collect_list,
-        "embedding_cosine_topk": q_embedding_cosine_topk,
         # ---- slot 51+ (re-verified every round by tools/check_oracle.py
         # on two fixtures even without a window slot) ----
         "bh_adjust": q_bh_adjust,
@@ -7295,6 +7382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dmr_regions": q_dmr_regions,
         "domain_mix": q_domain_mix,
         "dsir_select": q_dsir_select,
+        "embedding_cosine_topk": q_embedding_cosine_topk,
         "events_sliding": q_events_sliding,
         "events_windowed": q_events_windowed,
         "exact_substring": q_exact_substring,
@@ -7469,6 +7557,7 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup_norm": _sql_line_dedup_norm(),
         "url_dedup": _sql_url_dedup(),
         "quality_classifier": _sql_quality_classifier(),
+        "classifier_sweep": _sql_classifier_sweep(),
         # n_probe == n_centroids makes IVF exact — brute force IS the oracle
         "ivf_ann": SQL_EMBEDDING_COSINE,
         "events_windowed": SQL_EVENTS_WINDOWED,

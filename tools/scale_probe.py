@@ -476,6 +476,36 @@ def minhash_family(spark, runs: int, factors=(1, 10)) -> None:
             print(f"{f}x\t{mix}\t{n_c}\t{n_v}\t{t_c:.2f}\t{t_e:.2f}")
 
 
+def normalize_cost(spark, runs: int, factors=(1, 10)) -> None:
+    """r12: cost of the unicode-normalized line_dedup key path
+    (normalize=True routes every line through the confusable translate
+    + the Arrow-batched NFC UDF) vs the default pure-JVM keying —
+    the price of the NBSP/NFC dedup coverage, measured end-to-end."""
+
+    from methyl_data_pipeline_spark.ext.dedup import line_dedup
+
+    def timed(fn):
+        ts = []
+        fn()  # warm
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        return ts[len(ts) // 2]
+
+    print("factor\tnormalize\tt(s)")
+    for f in factors:
+        docs_path, _ = replicate(spark, f) if f > 1 else (
+            f"{SF_DIR}/documents.parquet",
+            None,
+        )
+        docs = spark.read.parquet(docs_path)
+        for norm in (False, True):
+            t = timed(lambda: line_dedup(docs, normalize=norm).count())
+            print(f"{f}x\t{norm}\t{t:.2f}")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=100)
@@ -504,6 +534,11 @@ def main() -> None:
         "--minhash-family", action="store_true",
         help="linear vs salted end-to-end candidate+verify wall at "
         "1x/10x (VERDICT r11 #2)",
+    )
+    ap.add_argument(
+        "--normalize-cost", action="store_true",
+        help="line_dedup unicode-normalized keying vs default at "
+        "1x/10x (r12)",
     )
     ap.add_argument("ops", nargs="*")
     args = ap.parse_args()
@@ -542,6 +577,10 @@ def main() -> None:
         return
     if args.minhash_family:
         minhash_family(spark, args.runs)
+        spark.stop()
+        return
+    if args.normalize_cost:
+        normalize_cost(spark, args.runs)
         spark.stop()
         return
     docs100, ev100 = replicate(spark, args.factor)
