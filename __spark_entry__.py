@@ -7374,9 +7374,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # FIRST 50 entries in dict order. ROUND-12 WINDOW (standing policy,
     # VERDICT r9 #2 / r10 #2 / r11 #1): changed-first, then OLDEST
     # newest-green first, then lowest green count. Composition:
-    #   (a) new in r12: the two_level probe/adapted certificates
-    #       (VERDICT r11 #3), normalize_text + line_dedup_norm (#4),
-    #       url_dedup (#5), quality_classifier (#8);
+    #   (a) new in r12: the two_level probe/adapted/fitted
+    #       certificates (VERDICT r11 #3), normalize_text +
+    #       line_dedup_norm (#4), url_dedup (#5), quality_classifier
+    #       + classifier_sweep (#8);
     #   (b) changed in r12: two_level_recall (explicit flat baseline),
     #       bpe_encode (zero-word totality), bpe_merges (oracle
     #       carry-forward), line_dedup (normalize key path);
