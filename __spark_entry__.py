@@ -3505,22 +3505,35 @@ FROM marked GROUP BY doc_id ORDER BY doc_id"""
 
 def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-keyed dedup on canonical URLs (ext.dedup.url_dedup +
-    ext.text.canonicalize_url, VERDICT r11 #5 — CCNet stage 0). URLs
-    are synthesized engine-neutrally from doc_id: 4 variants per path
-    id (scheme case, www, trailing slash, query-param order, fragment)
-    that all canonicalize to the same `example.com/Docs/<m>?a=1&b=2`,
-    plus a NULL-url stripe (doc_id % 97 == 7) pinning the NULL-drop
-    contract. One fact shuffle keyed on the canonical URL (min-id
-    window). Oracle: full DuckDB replay of the regex peel
-    (fragment/scheme/host/www/path-slash/query-sort) and the
-    min-per-group election."""
+    ext.text.canonicalize_url, VERDICT r11 #5 — CCNet stage 0;
+    r12 #5 added port/percent/whitespace normalization). URLs are
+    synthesized engine-neutrally from doc_id: 6 variants per path id
+    (scheme case, www, trailing slash, query-param order, fragment,
+    default ``:443``/``:80`` ports, ``%44``/``%61`` unreserved
+    escapes, a trailing newline) that all canonicalize to the same
+    `example.com/Docs/<m>?a=1&b=2`, plus a NULL-url stripe
+    (doc_id % 97 == 7) pinning the NULL-drop contract and a junk
+    stripe (doc_id % 89 == 11: ``'https://'`` / ``'   '`` /
+    ``'#frag'``) pinning the empty-canonical drop (ADVICE r12 — junk
+    must never form one duplicate family). One fact shuffle keyed on
+    the canonical URL (min-id window). Oracle: full DuckDB replay of
+    the whitespace scrub ('g' flag), the %-escape split/decode, the
+    regex peel (fragment/scheme/host/www/port/path-slash/query-sort),
+    the empty-canonical filter, and the min-per-group election."""
     from methyl_data_pipeline_spark.ext.dedup import url_dedup
 
     docs = _t(spark, sf_dir, "documents")
     m = (F.col("doc_id") % 50).cast("string")
-    v = F.col("doc_id") % 4
+    v = F.col("doc_id") % 6
+    j = F.col("doc_id") % 3
     url = (
         F.when(F.col("doc_id") % 97 == 7, F.lit(None).cast("string"))
+        .when(
+            F.col("doc_id") % 89 == 11,
+            F.when(j == 0, F.lit("https://"))
+            .when(j == 1, F.lit("   "))
+            .otherwise(F.lit("#frag")),
+        )
         .when(
             v == 0,
             F.concat(F.lit("https://www.example.com/Docs/"), m, F.lit("?a=1&b=2")),
@@ -3535,9 +3548,21 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit("HTTPS://Example.COM/Docs/"), m, F.lit("?b=2&a=1#frag")
             ),
         )
-        .otherwise(
+        .when(
+            v == 3,
             F.concat(
                 F.lit("https://www.example.com/Docs/"), m, F.lit("/?a=1&b=2#sec")
+            ),
+        )
+        .when(
+            v == 4,
+            F.concat(
+                F.lit("https://example.com:443/%44ocs/"), m, F.lit("?b=2&%61=1")
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("HTTP://WWW.Example.com:80/Docs/"), m, F.lit("?a=1&b=2\n")
             )
         )
     )
@@ -3550,21 +3575,42 @@ def _sql_url_dedup() -> str:
 WITH corpus AS (
   SELECT doc_id,
          CASE WHEN doc_id % 97 = 7 THEN NULL
-              WHEN doc_id % 4 = 0 THEN 'https://www.example.com/Docs/' || (doc_id % 50) || '?a=1&b=2'
-              WHEN doc_id % 4 = 1 THEN 'http://example.com/Docs/' || (doc_id % 50) || '/?b=2&a=1'
-              WHEN doc_id % 4 = 2 THEN 'HTTPS://Example.COM/Docs/' || (doc_id % 50) || '?b=2&a=1#frag'
-              ELSE 'https://www.example.com/Docs/' || (doc_id % 50) || '/?a=1&b=2#sec' END AS url
+              WHEN doc_id % 89 = 11 THEN
+                   CASE WHEN doc_id % 3 = 0 THEN 'https://'
+                        WHEN doc_id % 3 = 1 THEN '   '
+                        ELSE '#frag' END
+              WHEN doc_id % 6 = 0 THEN 'https://www.example.com/Docs/' || (doc_id % 50) || '?a=1&b=2'
+              WHEN doc_id % 6 = 1 THEN 'http://example.com/Docs/' || (doc_id % 50) || '/?b=2&a=1'
+              WHEN doc_id % 6 = 2 THEN 'HTTPS://Example.COM/Docs/' || (doc_id % 50) || '?b=2&a=1#frag'
+              WHEN doc_id % 6 = 3 THEN 'https://www.example.com/Docs/' || (doc_id % 50) || '/?a=1&b=2#sec'
+              WHEN doc_id % 6 = 4 THEN 'https://example.com:443/%44ocs/' || (doc_id % 50) || '?b=2&%61=1'
+              ELSE 'HTTP://WWW.Example.com:80/Docs/' || (doc_id % 50) || '?a=1&b=2' || chr(10) END AS url
   FROM documents
+),
+ws AS (
+  SELECT doc_id, regexp_replace(url, '\s', '', 'g') AS u0
+  FROM corpus WHERE url IS NOT NULL
+),
+dec AS (
+  SELECT doc_id,
+         parts[1] || COALESCE(array_to_string(list_transform(parts[2:], t ->
+           CASE WHEN regexp_matches(upper(substr(t,1,2)), '^(2[DE]|3[0-9]|4[1-9A-F]|5[0-9A]|5F|6[1-9A-F]|7[0-9A]|7E)$')
+                THEN decode(unhex(upper(substr(t,1,2)))) || substr(t,3)
+                WHEN regexp_matches(upper(substr(t,1,2)), '^[0-9A-F]{2}$')
+                THEN '%' || upper(substr(t,1,2)) || substr(t,3)
+                ELSE '%' || t END), ''), '') AS u
+  FROM (SELECT doc_id, string_split(u0, '%') AS parts FROM ws)
 ),
 peel AS (
   SELECT doc_id,
-         regexp_replace(regexp_replace(trim(url), '#.*$', ''),
+         regexp_replace(regexp_replace(u, '#.*$', ''),
                         '(?i)^https?://', '') AS u
-  FROM corpus WHERE url IS NOT NULL
+  FROM dec
 ),
 parts AS (
   SELECT doc_id,
-         regexp_replace(lower(regexp_extract(u, '^[^/?]*')), '^www\.', '') AS host,
+         regexp_replace(regexp_replace(lower(regexp_extract(u, '^[^/?]*')),
+                                       '^www\.', ''), ':(80|443)$', '') AS host,
          regexp_replace(u, '^[^/?]*', '') AS rest
   FROM peel
 ),
@@ -3582,7 +3628,7 @@ canon AS (
 SELECT doc_id, canonical_url,
        MIN(doc_id) OVER (PARTITION BY canonical_url) AS canonical_id,
        doc_id <> MIN(doc_id) OVER (PARTITION BY canonical_url) AS is_duplicate
-FROM canon ORDER BY doc_id"""
+FROM canon WHERE canonical_url <> '' ORDER BY doc_id"""
 
 
 _QSL_BUCKETS = 1024

@@ -600,11 +600,16 @@ def url_dedup(
     canonical URL. ONE fact shuffle on the canonical-URL key (the
     ``dedup_exact`` shape: min-agg window over duplicate-family-sized
     groups, never corpus-sized); NULL-url rows are dropped — the same
-    pinned cross-engine contract as ``dedup_exact``'s NULL texts.
+    pinned cross-engine contract as ``dedup_exact``'s NULL texts —
+    and rows whose CANONICAL form is the empty string are dropped too
+    (ADVICE r12: distinct junk like ``'https://'``, ``'   '``, or
+    ``'#frag'`` all canonicalize to ``''``; without the guard they
+    would be cross-marked as duplicates of one another despite
+    sharing no identity).
 
     Returns ``(id_col, canonical_url, canonical_id, is_duplicate)``
-    for every non-NULL-url row; the keep-list is
-    ``filter(~is_duplicate)``.
+    for every row with a non-NULL url and a non-empty canonical form;
+    the keep-list is ``filter(~is_duplicate)``.
 
     Growth probe (replica corpus, medians of 3, local[32]): 5k rows
     0.42 s -> 500k rows 0.53 s — **1.26x wall at 100x corpus**; the
@@ -612,8 +617,10 @@ def url_dedup(
     """
     from methyl_data_pipeline_spark.ext.text import canonicalize_url
 
-    keyed = df.filter(F.col(url_col).isNotNull()).withColumn(
-        "_cu", canonicalize_url(F.col(url_col))
+    keyed = (
+        df.filter(F.col(url_col).isNotNull())
+        .withColumn("_cu", canonicalize_url(F.col(url_col)))
+        .filter(F.col("_cu") != "")
     )
     rep = F.min(id_col).over(Window.partitionBy("_cu"))
     return keyed.select(

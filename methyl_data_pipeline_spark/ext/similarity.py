@@ -945,6 +945,15 @@ def semantic_dedup(
         assignment = "transform" if len(centroids) <= 256 else "join"
     if assignment not in ("transform", "join", "two_level"):
         raise ValueError(f"semantic_dedup: unknown assignment {assignment!r}")
+    if assignment != "two_level" and (coarse_probe > 1 or coarse_sample > 0):
+        # ADVICE r12: these knobs only shape the two_level hierarchy;
+        # silently ignoring them (e.g. under assignment="auto"
+        # resolving to transform/join) would let a caller tune recall
+        # with no effect and no signal.
+        raise ValueError(
+            "semantic_dedup: coarse_probe/coarse_sample apply only to "
+            f"assignment='two_level' (resolved assignment: {assignment!r})"
+        )
 
     vec_d = F.col(vec_col).cast("array<double>")
     base_cols = [F.col(id_col), vec_d.alias("_v")]

@@ -49,6 +49,14 @@ def normalize_text(text: Column | str, nfc: bool = True) -> Column:
     decomposed accent hashes differently and SURVIVES line/shingle
     dedup. Engine-replayable: DuckDB ``nfc_normalize(translate(...))``
     computes the identical string (both sides implement Unicode NFC).
+    Unicode-version coupling (ADVICE r12): Python ``unicodedata``
+    tracks CPython's bundled UCD while DuckDB's utf8proc tracks its
+    own — NFC is stable for assigned codepoints, but a codepoint
+    assigned in only one engine's table can normalize differently;
+    the oracle-fixture contract therefore plants only codepoints
+    whose composition behavior predates both engines' Unicode
+    versions (NBSP, zero-widths, combining acute — stable since
+    Unicode 3.0).
     NULL text -> NULL. Composes UNDER ``normalize_label`` /
     ``normalize_ws`` (those squeeze the plain spaces this map
     produces)."""
@@ -74,27 +82,82 @@ def normalize_text(text: Column | str, nfc: bool = True) -> Column:
     return pandas_udf(_nfc_series, StringType())(out)
 
 
+# Percent-escapes whose decoded byte is an RFC 3986 UNRESERVED char
+# ([A-Za-z0-9._~-]) — matched on the UPPERCASED hex pair so the
+# decode step (unhex) only ever sees bytes that are valid single-byte
+# UTF-8: 2D(-) 2E(.) 30-39(0-9) 41-5A(A-Z) 5F(_) 61-7A(a-z) 7E(~).
+# Matching the hex PATTERN instead of decoding-then-testing keeps the
+# oracle replay safe: DuckDB's decode() THROWS on a 0x80+ single-byte
+# blob (e.g. '%FF'), so decoding must be gated on this class, never
+# attempted first.
+_UNRESERVED_HEX = "^(2[DE]|3[0-9]|4[1-9A-F]|5[0-9A]|5F|6[1-9A-F]|7[0-9A]|7E)$"
+
+
+def _decode_unreserved_escapes(u: Column) -> Column:
+    """Decode ``%XX`` escapes of unreserved chars and uppercase the
+    hex of every remaining (reserved/non-ASCII) escape — the two
+    RFC 3986 §6.2.2 normalizations that never change what a URL
+    identifies. Split on ``%``: token 0 is literal; each later token
+    starts at an escape site. Engine-neutral by construction: the
+    same split/substr/CASE chain replays in DuckDB (string_split +
+    list_transform), and unhex/decode run only behind the
+    ``_UNRESERVED_HEX`` guard."""
+    parts = F.split(u, "%", -1)
+
+    def _tok(t: Column) -> Column:
+        up = F.upper(F.substring(t, 1, 2))
+        rest = F.substring(t, 3, 2_000_000)
+        return (
+            F.when(
+                up.rlike(_UNRESERVED_HEX),
+                F.concat(F.decode(F.unhex(up), "UTF-8"), rest),
+            )
+            .when(
+                up.rlike("^[0-9A-F]{2}$"),
+                F.concat(F.lit("%"), up, rest),
+            )
+            .otherwise(F.concat(F.lit("%"), t))
+        )
+
+    tail = F.transform(
+        F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0))), _tok
+    )
+    return F.concat(F.element_at(parts, 1), F.array_join(tail, ""))
+
+
 def canonicalize_url(url: Column | str) -> Column:
     """URL canonicalization for crawl-curation dedup keys (VERDICT
-    r11 #5 — CCNet stage 0): strip fragment, strip http/https scheme,
+    r11 #5 — CCNet stage 0; r12 #5 closed the SURT-normalization
+    gaps): strip ALL whitespace, decode unreserved percent-escapes
+    (``%41`` -> ``A``) and uppercase the hex of remaining escapes
+    (RFC 3986 §6.2.2), strip fragment, strip http/https scheme,
     lowercase the HOST (path case is preserved — it is significant),
-    strip a leading ``www.``, strip trailing slashes from the path,
-    and sort query parameters (binary string order, empty params
-    dropped). Pure JVM expressions — regexp peel of fragment/scheme/
-    host/path/query plus one array_sort — no UDF; NULL propagates.
-    Each regex anchors at ``^``/``$`` and matches at most once, so
-    Spark's replace-all and DuckDB's replace-first semantics agree
-    and the oracle replays with the same patterns.
+    strip a leading ``www.``, strip a default ``:80``/``:443`` port,
+    strip trailing slashes from the path, and sort query parameters
+    (binary string order, empty params dropped). Pure JVM expressions
+    — regexp peels plus one array_sort and one escape-site transform
+    — no UDF; NULL propagates. Every peel regex anchors at ``^``/``$``
+    and matches at most once, so Spark's replace-all and DuckDB's
+    replace-first semantics agree; the ONE replace-ALL rewrite (the
+    whitespace scrub) needs DuckDB's explicit ``'g'`` flag in the
+    oracle.
+    Whitespace is scrubbed EVERYWHERE, not trimmed (ADVICE r12: Java
+    regex ``$`` matches before a trailing newline while RE2 ``$`` is
+    end-of-string — scrubbing first means the anchored peels see
+    identical strings in both engines).
 
-    ``https://WWW.Example.COM/Docs/1/?b=2&a=1#frag`` ->
+    ``https://WWW.Example.COM:443/%44ocs/1/?b=2&%61=1#frag`` ->
     ``example.com/Docs/1?a=1&b=2``.
     """
     c = F.col(url) if isinstance(url, str) else url
-    u = F.regexp_replace(F.trim(c), "#.*$", "")
+    u = F.regexp_replace(c, r"\s", "")
+    u = _decode_unreserved_escapes(u)
+    u = F.regexp_replace(u, "#.*$", "")
     u = F.regexp_replace(u, "(?i)^https?://", "")
     host = F.regexp_extract(u, "^([^/?]*)", 1)
     rest = F.regexp_replace(u, "^[^/?]*", "")
     host = F.regexp_replace(F.lower(host), r"^www\.", "")
+    host = F.regexp_replace(host, ":(80|443)$", "")
     path = F.regexp_replace(
         F.regexp_extract(rest, "^([^?]*)", 1), "/+$", ""
     )

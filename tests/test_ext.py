@@ -2160,6 +2160,39 @@ def test_semantic_dedup_adapted_coarse_keeps_every_row(spark):
     assert len({t[0] for t in a}) == 6
 
 
+def test_semantic_dedup_rejects_two_level_knobs_off_path(spark):
+    """coarse_probe/coarse_sample shape only the two_level hierarchy;
+    a non-two_level assignment (including auto resolving to
+    transform/join) must raise rather than silently ignore them
+    (ADVICE r12)."""
+    import pytest
+
+    from methyl_data_pipeline_spark.ext.similarity import (
+        md5_centroids,
+        semantic_dedup,
+    )
+
+    df = _semdedup_frame(spark)
+    cents = md5_centroids(4, 4)
+    with pytest.raises(ValueError, match="two_level"):
+        semantic_dedup(
+            df, centroids=cents, assignment="transform", coarse_probe=2
+        ).collect()
+    with pytest.raises(ValueError, match="two_level"):
+        # auto resolves to transform/join for a 4-centroid list
+        semantic_dedup(
+            df, centroids=cents, assignment="auto", coarse_sample=4
+        ).collect()
+    # the two_level path itself still accepts them
+    assert (
+        semantic_dedup(
+            df, centroids=cents, threshold=0.95, assignment="two_level",
+            coarse_probe=2,
+        ).count()
+        == 6
+    )
+
+
 def test_two_level_plan_deterministic_and_total(spark):
     """two_level_plan must be deterministic and give every fine
     centroid an owner within the kept coarse list."""
@@ -2491,10 +2524,12 @@ def test_quality_score_linear_semantics(spark):
 
 
 def test_canonicalize_url_and_url_dedup(spark):
-    """canonicalize_url peels fragment/scheme/www/trailing-slash and
-    sorts query params (host lowercased, path case preserved);
-    url_dedup elects the min-id winner per canonical URL and drops
-    NULL urls."""
+    """canonicalize_url scrubs whitespace, decodes unreserved
+    %-escapes (uppercasing the rest), peels fragment/scheme/www/
+    default-port/trailing-slash and sorts query params (host
+    lowercased, path case preserved); url_dedup elects the min-id
+    winner per canonical URL and drops NULL urls and empty-canonical
+    junk (ADVICE r12)."""
     from methyl_data_pipeline_spark.ext.dedup import url_dedup
     from methyl_data_pipeline_spark.ext.text import canonicalize_url
 
@@ -2506,6 +2541,18 @@ def test_canonicalize_url_and_url_dedup(spark):
         (5, "https://example.com/other"),  # path case differs -> distinct
         (6, None),
         (7, "https://example.com/?x=1"),  # root path -> host only + query
+        # r12 #5 normalizations — all three join family 1:
+        (8, "https://example.com:443/%44ocs/1?b=2&%61=1"),  # port + escapes
+        (9, "HTTP://WWW.Example.com:80/Docs/1?a=1&b=2\n"),  # port + trailing ws
+        (10, " https://example.com/Docs/1\t?a=1&b=2"),  # interior ws scrubbed
+        # junk: distinct inputs, all canonicalize to '' -> dropped,
+        # never one duplicate family
+        (11, "https://"),
+        (12, "   "),
+        (13, "#frag"),
+        # non-default port and reserved escape are PRESERVED
+        (14, "https://example.com:8080/x"),
+        (15, "https://example.com/a%2fb"),  # reserved %2f -> uppercased only
     ]
     df = spark.createDataFrame(rows, "doc_id int, url string")
     canon = {
@@ -2519,12 +2566,19 @@ def test_canonicalize_url_and_url_dedup(spark):
     assert canon[4] != canon[5]
     assert canon[6] is None
     assert canon[7] == "example.com?x=1"
+    assert canon[8] == canon[9] == canon[10] == "example.com/Docs/1?a=1&b=2"
+    assert canon[11] == canon[12] == canon[13] == ""
+    assert canon[14] == "example.com:8080/x"
+    assert canon[15] == "example.com/a%2Fb"
 
     out = {r.doc_id: r for r in url_dedup(df).collect()}
-    assert set(out) == {1, 2, 3, 4, 5, 7}  # NULL url dropped
+    # NULL url (6) and empty-canonical junk (11-13) dropped
+    assert set(out) == {1, 2, 3, 4, 5, 7, 8, 9, 10, 14, 15}
     assert out[1].canonical_id == 1 and not out[1].is_duplicate
     assert out[2].canonical_id == 1 and out[2].is_duplicate
     assert out[3].canonical_id == 1 and out[3].is_duplicate
+    assert out[8].canonical_id == 1 and out[8].is_duplicate
+    assert out[9].canonical_id == 1 and out[9].is_duplicate
     assert not out[4].is_duplicate and not out[5].is_duplicate
 
 
