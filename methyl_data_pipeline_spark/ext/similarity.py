@@ -732,7 +732,11 @@ def quantized_kmeans_centroids(
     fixture: fitted fine centroids raise two_level dup recall 82.4%
     -> 94.7% at probe=1 (97.3% at probe=2) and the exact flat path
     itself finds more true dup verdicts (75 vs 68) — the r11
-    conjecture was right at the FINE level, not the coarse."""
+    conjecture was right at the FINE level, not the coarse. r13
+    re-measured at the 10x replica shape (20.5k rows, 320 cells,
+    sample_n=1024): fitted 86.3% (probe=1) / 88.7% (probe=2) vs md5
+    81.1% / 85.0% — the gains hold at scale shape and compose; see
+    the recommended-configuration table in :func:`semantic_dedup`."""
     vecs = vectors.filter(valid_vector(F.col(vec_col)))
     pts = [
         r[0]
@@ -901,6 +905,32 @@ def semantic_dedup(
         second-best; that is the standard IVF recall trade, and for
         SemDeDup it only moves which CELL a vector dedups within.
         Deterministic for fixed inputs.
+
+    RECOMMENDED two_level configuration (r13, VERDICT r12 #3 — decided
+    on measurement, both scales): pass DATA-FITTED fine centroids
+    (:func:`quantized_kmeans_centroids`) rather than
+    :func:`md5_centroids`, and ``coarse_probe=2`` when the recall
+    target is >90%. Measured dup recall of the two_level path vs the
+    exact flat baseline on the planted-dup fixtures:
+
+    ===================  ==========  ============
+    config               sf0.01      10x replica
+    ===================  ==========  ============
+    md5, probe=1         82.4%       81.1%
+    md5, probe=2         92.6%       85.0%
+    fitted, probe=1      94.7%       86.3%
+    fitted, probe=2      97.3%       88.7%
+    ===================  ==========  ============
+
+    Crossover rule: fitting the fine centroids is ~free at query time
+    (the integer-Lloyd fit runs once over a bounded ordered sample)
+    and dominates md5 at every measured point — always prefer it when
+    centroids are not externally supplied. ``coarse_probe=2`` costs
+    probe-x fan-out on the COARSE routing stage only (refinement work
+    is unchanged; measured wall moved <10%) and buys +2.3-2.6pt on
+    fitted centroids — raise it before raising k when recall is
+    short. ``md5_centroids`` remains the right choice only when the
+    oracle/test needs centroids derivable with NO corpus pass.
     """
     from methyl_data_pipeline_spark.ext.dedup import _spread, bucket_pair_expand
     from methyl_data_pipeline_spark.ext.graph import connected_components

@@ -52,6 +52,22 @@ def get_session(
     builder = SparkSession.builder.appName(app_name).master(master)
     for k, v in ENGINE_CONF.items():
         builder = builder.config(k, v)
+    if master.startswith("local") and not (
+        extra_conf and "spark.driver.memory" in extra_conf
+    ):
+        # In local mode the driver JVM hosts every executor thread, and
+        # an unset spark.driver.memory means the Java default -Xmx1g —
+        # measured r13: a 32-thread engine session was running its
+        # unified memory (caches + shuffles + window sorts) inside
+        # 0.6 GiB of a 125 GiB box, spilling constantly and GC-bound
+        # (the methyl chain's bimodal 2s/5s wall was heap state). Size
+        # the heap like a cluster would size its executors. On a real
+        # cluster this branch never fires: the cluster master path gets
+        # memory from spark-submit/executor conf as usual.
+        builder = builder.config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+        )
     builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     builder = builder.config("spark.ui.enabled", "false")
     if extra_conf:

@@ -2582,6 +2582,67 @@ def test_canonicalize_url_and_url_dedup(spark):
     assert not out[4].is_duplicate and not out[5].is_duplicate
 
 
+def test_train_quality_weights_separates_and_beats_md5(spark):
+    """NB log-odds training (VERDICT r12 #4): on a two-vocabulary
+    corpus the trained table separates the classes at cutoff 0 where
+    the md5 table cannot; the bucket=-1 row carries the class prior;
+    NULL-label docs are excluded from the fit."""
+    import math
+
+    from methyl_data_pipeline_spark.ext.text import (
+        hashed_weight_table,
+        quality_score_linear,
+        train_quality_weights,
+    )
+    from pyspark.sql import functions as F
+
+    good = ["clean prose reads well", "well structured clean text",
+            "prose text reads clean", "structured well written prose"]
+    bad = ["zzqx vvkp jjwr hhgt", "vvkp hhgt zzqx mmnb",
+           "jjwr mmnb vvkp zzqx", "hhgt zzqx mmnb jjwr"]
+    rows = [(i, t, 1) for i, t in enumerate(good * 3)] + [
+        (100 + i, t, 0) for i, t in enumerate(bad * 3)
+    ] + [(999, "unlabeled doc", None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, gold int")
+
+    w_all = train_quality_weights(df, "gold", buckets=256)
+    bias = {r.bucket: r.weight for r in w_all.filter("bucket = -1").collect()}
+    # 12 positive vs 12 labeled negative docs -> prior ln(12/12) = 0
+    assert bias == {-1: 0.0}
+    w_tr = w_all.filter("bucket >= 0")
+
+    def f1(wtab):
+        scored = quality_score_linear(
+            df.filter("gold is not null"), wtab, buckets=256
+        )
+        j = scored.join(
+            df.select("doc_id", F.col("gold").cast("boolean").alias("g")),
+            "doc_id",
+        )
+        a = j.agg(
+            F.sum((F.col("quality_pass") & F.col("g")).cast("int")).alias("tp"),
+            F.sum((F.col("quality_pass") & ~F.col("g")).cast("int")).alias("fp"),
+            F.sum((~F.col("quality_pass") & F.col("g")).cast("int")).alias("fn"),
+        ).collect()[0]
+        tp, fp, fn = a.tp or 0, a.fp or 0, a.fn or 0
+        return 2 * tp / (2 * tp + fp + fn) if tp + fp + fn else 0.0
+
+    trained_f1 = f1(w_tr)
+    md5_f1 = f1(hashed_weight_table(spark, 256))
+    assert trained_f1 == 1.0  # disjoint vocab separates exactly
+    assert trained_f1 > md5_f1
+
+    # weights are on the 6-dp grid and good-vocab buckets are positive
+    ws = {r.bucket: r.weight for r in w_tr.collect()}
+    assert all(abs(w * 1e6 - round(w * 1e6)) < 1e-3 for w in ws.values())
+    # the prior with imbalanced classes is ln(n1/n0) on the grid
+    w_all2 = train_quality_weights(
+        df.filter("doc_id < 100 or doc_id % 2 = 0"), "gold", buckets=256
+    )
+    b2 = w_all2.filter("bucket = -1").collect()[0].weight
+    assert abs(b2 - round(math.log(12 / 6) + 1e-9, 6)) < 1e-9
+
+
 def test_minhash_salted_mix_family(spark):
     """The salted (independent per-function md5) family produces valid
     signatures and candidate pairs: identical docs always collide,
