@@ -5004,6 +5004,66 @@ GROUP BY t.doc_id ORDER BY t.doc_id
 """
 
 
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated-bigram LM quality score (ext.text.bigram_logprob,
+    VERDICT r12 #8 — completes the CCNet stage set: dedup + lang-id +
+    n-gram LM quality): per-doc mean token log-prob under the
+    Jelinek-Mercer bigram p(cur|prev) = 0.7*ML_bigram + 0.3*uni,
+    smoothed unigram for first tokens, fit on the corpus's own
+    counts. The (prev, cur) stream is built map-side from the words
+    array (shifted-self zip, no positional join). Oracle: full DuckDB
+    replay — aligned double-unnest of the shifted lists, both model
+    fits, the interpolation (spelled (1.0 - 0.7) so both engines fold
+    the identical IEEE double), and the per-doc mean."""
+    from methyl_data_pipeline_spark.ext.text import bigram_logprob
+
+    docs = _t(spark, sf_dir, "documents")
+    out = bigram_logprob(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        _r(F.col("mean_logprob")).alias("mean_logprob"),
+    ).orderBy("doc_id")
+
+
+SQL_BIGRAM_LOGPROB = r"""
+WITH docs0 AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS wf
+  FROM documents WHERE text IS NOT NULL
+),
+toks AS (
+  SELECT doc_id,
+         unnest(list_concat(CAST([NULL] AS VARCHAR[]),
+                            wf[1:len(wf)-1])) AS prev,
+         unnest(wf) AS cur
+  FROM docs0
+),
+uni AS (SELECT cur, COUNT(*) AS cu FROM toks GROUP BY cur),
+totals AS (SELECT SUM(cu) AS total, COUNT(*) AS vocab FROM uni),
+unip AS (
+  SELECT cur, (cu + 0.5) / (total + 0.5 * vocab) AS pu FROM uni, totals
+),
+big AS (
+  SELECT prev, cur, COUNT(*) AS cb FROM toks
+  WHERE prev IS NOT NULL GROUP BY 1, 2
+),
+ctx AS (SELECT prev, SUM(cb) AS cc FROM big GROUP BY prev),
+scored AS (
+  SELECT t.doc_id,
+         ln(CASE WHEN t.prev IS NULL THEN u.pu
+                 ELSE 0.7 * b.cb / c.cc + (1.0 - 0.7) * u.pu
+            END) AS logp
+  FROM toks t
+  JOIN unip u USING (cur)
+  LEFT JOIN big b ON t.prev = b.prev AND t.cur = b.cur
+  LEFT JOIN ctx c ON t.prev = c.prev
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(AVG(logp) + 1e-9, 6) + 0.0 AS mean_logprob
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_dmr_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bumphunter-style DMR calling (stats.dmr): per-probe moderated t
     -> maximal same-direction above-cutoff runs with bounded gaps.
@@ -7731,6 +7791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_sweep": q_classifier_sweep,
         "classifier_train": q_classifier_train,
         "classifier_eval": q_classifier_eval,
+        "bigram_logprob": q_bigram_logprob,
         # (b) changed r12
         "two_level_recall": q_two_level_recall,
         "bpe_encode": q_bpe_encode,
@@ -7986,6 +8047,7 @@ def oracle_sql() -> dict[str, str]:
         "classifier_sweep": _sql_classifier_sweep(),
         "classifier_train": _sql_classifier_train(),
         "classifier_eval": _sql_classifier_eval(),
+        "bigram_logprob": SQL_BIGRAM_LOGPROB,
         # n_probe == n_centroids makes IVF exact — brute force IS the oracle
         "ivf_ann": SQL_EMBEDDING_COSINE,
         "events_windowed": SQL_EVENTS_WINDOWED,

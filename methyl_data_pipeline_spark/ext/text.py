@@ -877,6 +877,110 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    smoothing: float = 0.5,
+    interp: float = 0.7,
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Interpolated-bigram LM quality score (VERDICT r12 #8 — CCNet's
+    actual LM filter is an n-gram LM, Wenzek et al. 2020; this is the
+    Jelinek-Mercer-interpolated bigram upgrade of the
+    :func:`unigram_logprob` proxy): per-document mean token log
+    probability under ``p(w_i | w_{i-1}) = interp * c(prev, w_i) /
+    c(prev, .) + (1 - interp) * p_uni(w_i)`` with the additively
+    smoothed unigram as both the interpolation floor and the
+    first-token model. Self-supervised (fit on the corpus's own
+    counts); gibberish and wrong-language text score low, and unlike
+    the unigram proxy, scrambled-but-common-word text (the failure
+    mode Gopher's repetition signals target) scores low TOO — word
+    ORDER now matters.
+
+    Plan shape, all JVM-side: the (prev, cur) token stream is built
+    MAP-SIDE from the words array (shifted-self zip — no positional
+    self-join), persisted (three consumers: unigram fit, bigram fit,
+    scoring). Model fits are one shuffle each on term / (prev, cur) /
+    prev — all vocabulary-bounded. Scoring re-joins the stream to the
+    three model tables (broadcast for natural-language vocabularies;
+    ``broadcast_model=False`` flips to AQE shuffle joins at open-vocab
+    web scale) and ends in the per-doc mean. Every scored bigram was
+    seen in the fit (self-scoring), so the ML bigram term is never
+    0/0; interpolation still smooths rare-context estimates.
+
+    Output: ``(id_col, n_tokens, mean_logprob)`` per non-NULL-text
+    doc. Tokenization follows :func:`words` (the ``unigram_logprob``
+    contract, including the empty-string token of whitespace-only
+    docs).
+    """
+    from methyl_data_pipeline_spark import cache
+
+    w = words(text_col)
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), w.alias("_w")
+    )
+    prevs = F.concat(
+        F.array(F.lit(None).cast("string")),
+        F.slice(
+            F.col("_w"), 1, F.greatest(F.size("_w") - 1, F.lit(0))
+        ),
+    )
+    stream = cache.track(
+        base.select(
+            F.col(id_col),
+            F.explode(
+                F.arrays_zip(prevs.alias("prev"), F.col("_w").alias("cur"))
+            ).alias("_pc"),
+        ).select(
+            id_col,
+            F.col("_pc.prev").alias("prev"),
+            F.col("_pc.cur").alias("cur"),
+        )
+    )
+    uni = stream.groupBy("cur").agg(F.count(F.lit(1)).alias("_cu"))
+    totals = uni.agg(
+        F.sum("_cu").alias("_total"), F.count(F.lit(1)).alias("_vocab")
+    )
+    uni_p = uni.crossJoin(F.broadcast(totals)).select(
+        "cur",
+        (
+            (F.col("_cu") + F.lit(smoothing))
+            / (F.col("_total") + F.lit(smoothing) * F.col("_vocab"))
+        ).alias("_pu"),
+    )
+    big = (
+        stream.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("_cb"))
+    )
+    ctx = big.groupBy("prev").agg(F.sum("_cb").alias("_cc"))
+    if broadcast_model:
+        uni_p, big, ctx = F.broadcast(uni_p), F.broadcast(big), F.broadcast(ctx)
+    lam = F.lit(float(interp))
+    scored = (
+        stream.join(uni_p, "cur")
+        .join(big, ["prev", "cur"], "left")
+        .join(ctx, "prev", "left")
+        .select(
+            id_col,
+            F.log(
+                F.when(
+                    F.col("prev").isNull(),
+                    F.col("_pu"),
+                ).otherwise(
+                    lam * F.col("_cb") / F.col("_cc")
+                    + (F.lit(1.0) - lam) * F.col("_pu")
+                )
+            ).alias("_logp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.avg("_logp").alias("mean_logprob"),
+    )
+
+
 def clean_text(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
