@@ -7757,179 +7757,180 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness records only the
-    # FIRST 50 entries in dict order. ROUND-12 WINDOW (standing policy,
-    # VERDICT r9 #2 / r10 #2 / r11 #1): changed-first, then OLDEST
-    # newest-green first, then lowest green count. Composition:
-    #   (a) new in r12: the two_level probe/adapted/fitted
-    #       certificates (VERDICT r11 #3), normalize_text +
-    #       line_dedup_norm (#4), url_dedup (#5), quality_classifier
-    #       + classifier_sweep (#8);
-    #   (b) changed in r12: two_level_recall (explicit flat baseline),
-    #       bpe_encode (zero-word totality), bpe_merges (oracle
-    #       carry-forward), line_dedup (normalize key path);
-    #   (c) minhash_recall_salted (ZERO driver greens) and
-    #       simhash64_pairs - the two never/once-graded r11 tails the
-    #       r11 verdict names first;
-    #   (d) the named r12 backlog: newest green r9 with 2 greens;
-    #   (e,f) the r9-newest 3-green then 4-green tiers (+minhash_pairs,
-    #       newest r9);
-    #   (g,h) r10-newest 2-green tier, then 4-green alphabetical fill.
-    # Rotated OUT vs r11: the whole r11-green window. Left for r13:
-    # the rest of the r10-newest 4-green tier (events_windowed
-    # onward, alphabetical) and the 5+-green r10 tier - all
+    # FIRST 50 entries in dict order. ROUND-13 WINDOW (standing policy,
+    # VERDICT r9 #2 / r10 #2 / r11 #1 / r12 #2): changed-first, then
+    # OLDEST newest-green first, then lowest green count. Composition:
+    #   (a) new in r13: classifier_train + classifier_eval (VERDICT
+    #       r12 #4 - in-engine NB training loop) and bigram_logprob
+    #       (#8 - interpolated bigram LM);
+    #   (b) changed in r13: methyl_pipeline_chain (sample-gate _ns
+    #       fold + windowed-BH tail, the r12 bench-flag fix) and
+    #       url_dedup (port/percent/whitespace canonicalization +
+    #       empty-canonical junk guard);
+    #   (c-f) the ENTIRE oracled newest<=r10 backlog (41 queries: the
+    #       r10-newest 4/5/6/8-green tiers) - this completes the r12
+    #       promise ("the rest of the r10-newest 4-green tier and the
+    #       5+-green r10 tier"); after this round NO oracled query's
+    #       newest driver green predates r11;
+    #   (g) fill to 50 from the r11-newest tier, lowest green count
+    #       first: minhash_recall (1 green), dsir_select +
+    #       semantic_dedup (2), budget_select (3, alphabetical).
+    # Rotated OUT vs r12: the whole r12-green window. Left for r14:
+    # the rest of the r11-newest 3-green tier (cohort_retention
+    # onward, alphabetical), then the 4/5/6-green r11 tiers - all
     # re-verified every round by tools/check_oracle.py on the sf0.01
     # and NULL fixtures.
     return {
-        # (a) new r12
-        "two_level_probe": q_two_level_probe,
-        "two_level_adapted": q_two_level_adapted,
-        "two_level_fitted": q_two_level_fitted,
-        "normalize_text": q_normalize_text,
-        "line_dedup_norm": q_line_dedup_norm,
-        "url_dedup": q_url_dedup,
-        "quality_classifier": q_quality_classifier,
-        "classifier_sweep": q_classifier_sweep,
+    # window 50 = 5 new/changed + 41 backlog + 4 r11 fill; tail 90
+        # (a) new r13 (VERDICT r12 #4 classifier training loop, #8 bigram LM)
         "classifier_train": q_classifier_train,
         "classifier_eval": q_classifier_eval,
         "bigram_logprob": q_bigram_logprob,
-        # (b) changed r12
-        "two_level_recall": q_two_level_recall,
-        "bpe_encode": q_bpe_encode,
-        "bpe_merges": q_bpe_merges,
-        "line_dedup": q_line_dedup,
-        # (c) never/once-graded leads
-        "minhash_recall_salted": q_minhash_recall_salted,
-        "simhash64_pairs": q_simhash64_pairs,
-        # (d) named r12 backlog (r9, 2 greens)
-        "skew_report": q_skew_report,
-        "split_contamination": q_split_contamination,
-        "split_leakage": q_split_leakage,
-        "temperature_sample": q_temperature_sample,
-        "threshold_sweep": q_threshold_sweep,
-        "vocab_coverage": q_vocab_coverage,
-        "simhash_pairs": q_simhash_pairs,
-        # (e) r9 3-green tier
-        "clean_text": q_clean_text,
-        "embedding_neardup": q_embedding_neardup,
-        "ivf_ann": q_ivf_ann,
-        "ngram_jaccard": q_ngram_jaccard,
-        # (f) r9 4-green tier
-        "bm25_rank": q_bm25_rank,
-        "corpus_pipeline": q_corpus_pipeline,
-        "dedup_distinct": q_dedup_distinct,
-        "ecdf_percent_rank": q_ecdf,
-        "histogram": q_histogram,
-        "join_full_outer": q_join_full_outer,
-        "layout_cert": q_layout_cert,
-        "melt_part": q_melt,
-        "minhash_signatures": q_minhash_signatures,
-        "pivot_events": q_pivot,
-        "quantiles": q_quantiles,
-        "semi_anti_membership": q_semi_anti,
-        "set_ops": q_set_ops,
-        "simhash": q_simhash,
-        "stream_curate": q_stream_curate,
-        "top_revenue_orders": q_top_revenue_orders,
-        "union_halves": q_union_halves,
-        "minhash_pairs": q_minhash_pairs,
-        # (g) r10 2-green tier
-        "containment_pairs": q_containment_pairs,
-        "embedding_drift": q_embedding_drift,
-        "quant_recall": q_quant_recall,
-        "quantize_embeddings": q_quantize_embeddings,
-        "source_token_cap": q_source_token_cap,
-        # (h) r10 4-green fill
-        "agg_minmax": q_agg_minmax,
-        "asof_join": q_asof_join,
-        # ---- slot 51+ (re-verified every round by tools/check_oracle.py
-        # on two fixtures even without a window slot) ----
-        "bh_adjust": q_bh_adjust,
-        "bh_adjust_scalable": q_bh_adjust_scalable,
-        "bh_grouped": q_bh_grouped,
-        "bloom_decontaminate": q_bloom_decontaminate,
-        "bmiq_mstep_cert": q_bmiq_mstep_cert,
-        "bmiq_prefix": q_bmiq_prefix,
-        "budget_select": q_budget_select,
-        "chunk_documents": q_chunk_documents,
-        "cohort_retention": q_cohort_retention,
+        # (b) changed r13 (chain gate/BH restructure; URL port/percent/ws rules)
+        "methyl_pipeline_chain": q_methyl_pipeline_chain,
+        "url_dedup": q_url_dedup,
+        # (c) the ENTIRE oracled newest<=r10 backlog - 4-green r10 tier
         "collect_list": q_collect_list,
-        "column_digests": q_column_digests,
-        "combat_converged": q_combat_converged,
-        "combat_cov_prefix": q_combat_cov_prefix,
-        "combat_onestep": q_combat_onestep,
-        "combat_priors": q_combat_priors,
-        "combat_twostep": q_combat_twostep,
-        "contract_report": q_contract_report,
-        "corpus_report": q_corpus_report,
-        "curation_pipeline": q_curation_pipeline,
-        "decontaminate": q_decontaminate,
-        "dedup_best": q_dedup_best,
-        "dedup_clusters": q_dedup_clusters,
-        "dmr_regions": q_dmr_regions,
-        "domain_mix": q_domain_mix,
-        "dsir_select": q_dsir_select,
         "embedding_cosine_topk": q_embedding_cosine_topk,
-        "events_sliding": q_events_sliding,
         "events_windowed": q_events_windowed,
-        "exact_substring": q_exact_substring,
         "fingerprint_dedup": q_fingerprint_dedup,
-        "frame_sample": q_frame_sample,
-        "funnel": q_funnel,
-        "hash_split": q_hash_split,
-        "health_report": q_health_report,
         "heatmap_prep": q_heatmap_prep,
-        "hot_ngrams": q_hot_ngrams,
-        "incremental_dedup": q_incremental_dedup,
-        "incremental_neardup": q_incremental_neardup,
         "join_chain": q_join_chain,
         "kde_density": q_kde_density,
         "lang_id": q_lang_id,
-        "lang_id_ngram": q_lang_id_ngram,
-        "length_batches": q_length_batches,
-        "meth_complete_probes": q_meth_complete_probes,
-        "meth_contrasts": q_meth_contrasts,
-        "meth_group_delta": q_meth_group_delta,
-        "meth_moderated_t": q_meth_moderated_t,
-        "meth_qc_detp": q_meth_qc_detp,
-        "meth_variance_topk": q_meth_variance_topk,
-        "methyl_pipeline_chain": q_methyl_pipeline_chain,
-        "minhash_recall": q_minhash_recall,
-        "mixture_sample": q_mixture_sample,
-        "moderated_f": q_moderated_f,
-        "multimodal_features": q_multimodal_features,
-        "outlier_mad": q_outlier_mad,
-        "pca_eigen_cert": q_pca_eigen_cert,
-        "pca_gram": q_pca_gram,
-        "perplexity_buckets": q_perplexity_buckets,
-        "pii_redact": q_pii_redact,
-        "poobah_ecdf": q_poobah_ecdf,
-        "pricing_summary": q_pricing_summary,
-        "quality_filter": q_quality_filter,
-        "quantile_normalize": q_quantile_normalize,
         "range_join": q_range_join,
         "rename_lookup": q_rename_lookup,
-        "repetition_signals": q_repetition_signals,
         "rollup_counts": q_rollup,
         "running_window": q_running_window,
-        "sample_corr": q_sample_corr,
         "sample_projection": q_sample_projection,
-        "sample_stratified": q_sample_stratified,
         "scalar_math": q_scalar_math,
-        "segment_dedup": q_segment_dedup,
-        "semantic_dedup": q_semantic_dedup,
-        "sequence_packing": q_sequence_packing,
         "sessionize": q_sessionize,
-        "similarity_lsh": q_similarity_lsh,
-        "sketch_cert": q_sketch_cert,
-        "snapshot_diff": q_snapshot_diff,
-        "stream_interval_join": q_stream_interval_join,
         "string_funcs": q_string_funcs,
         "text_quality": q_text_quality,
         "text_tokens": q_text_tokens,
         "tfidf_top_terms": q_tfidf_top_terms,
         "topk_per_group": q_topk_per_group,
-        "unigram_logprob": q_unigram_logprob,
         "winnowing": q_winnowing,
+        # (d) 5-green r10 tiers
+        "combat_onestep": q_combat_onestep,
+        "contract_report": q_contract_report,
+        "curation_pipeline": q_curation_pipeline,
+        "hash_split": q_hash_split,
+        "lang_id_ngram": q_lang_id_ngram,
+        "meth_complete_probes": q_meth_complete_probes,
+        "meth_group_delta": q_meth_group_delta,
+        "meth_qc_detp": q_meth_qc_detp,
+        "mixture_sample": q_mixture_sample,
+        "pca_gram": q_pca_gram,
+        "sample_corr": q_sample_corr,
+        # (e) 6-green r10 tier
+        "bh_adjust": q_bh_adjust,
+        "combat_priors": q_combat_priors,
+        # (f) 8-green r10 tier
+        "bh_adjust_scalable": q_bh_adjust_scalable,
+        "health_report": q_health_report,
+        "meth_contrasts": q_meth_contrasts,
+        "meth_moderated_t": q_meth_moderated_t,
+        "meth_variance_topk": q_meth_variance_topk,
+        "multimodal_features": q_multimodal_features,
+        "poobah_ecdf": q_poobah_ecdf,
+        # (g) r11-newest fill (lowest green counts first)
+        "minhash_recall": q_minhash_recall,
+        "dsir_select": q_dsir_select,
+        "semantic_dedup": q_semantic_dedup,
+        "budget_select": q_budget_select,
+        # ---- slot 51+ (re-verified every round by tools/check_oracle.py
+        # on two fixtures even without a window slot) ----
+        "agg_minmax": q_agg_minmax,
+        "asof_join": q_asof_join,
+        "bh_grouped": q_bh_grouped,
+        "bloom_decontaminate": q_bloom_decontaminate,
+        "bm25_rank": q_bm25_rank,
+        "bmiq_mstep_cert": q_bmiq_mstep_cert,
+        "bmiq_prefix": q_bmiq_prefix,
+        "bpe_encode": q_bpe_encode,
+        "bpe_merges": q_bpe_merges,
+        "chunk_documents": q_chunk_documents,
+        "classifier_sweep": q_classifier_sweep,
+        "clean_text": q_clean_text,
+        "cohort_retention": q_cohort_retention,
+        "column_digests": q_column_digests,
+        "combat_converged": q_combat_converged,
+        "combat_cov_prefix": q_combat_cov_prefix,
+        "combat_twostep": q_combat_twostep,
+        "containment_pairs": q_containment_pairs,
+        "corpus_pipeline": q_corpus_pipeline,
+        "corpus_report": q_corpus_report,
+        "decontaminate": q_decontaminate,
+        "dedup_best": q_dedup_best,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_distinct": q_dedup_distinct,
+        "dmr_regions": q_dmr_regions,
+        "domain_mix": q_domain_mix,
+        "ecdf_percent_rank": q_ecdf,
+        "embedding_drift": q_embedding_drift,
+        "embedding_neardup": q_embedding_neardup,
+        "events_sliding": q_events_sliding,
+        "exact_substring": q_exact_substring,
+        "frame_sample": q_frame_sample,
+        "funnel": q_funnel,
+        "histogram": q_histogram,
+        "hot_ngrams": q_hot_ngrams,
+        "incremental_dedup": q_incremental_dedup,
+        "incremental_neardup": q_incremental_neardup,
+        "ivf_ann": q_ivf_ann,
+        "join_full_outer": q_join_full_outer,
+        "layout_cert": q_layout_cert,
+        "length_batches": q_length_batches,
+        "line_dedup": q_line_dedup,
+        "line_dedup_norm": q_line_dedup_norm,
+        "melt_part": q_melt,
+        "minhash_pairs": q_minhash_pairs,
+        "minhash_recall_salted": q_minhash_recall_salted,
+        "minhash_signatures": q_minhash_signatures,
+        "moderated_f": q_moderated_f,
+        "ngram_jaccard": q_ngram_jaccard,
+        "normalize_text": q_normalize_text,
+        "outlier_mad": q_outlier_mad,
+        "pca_eigen_cert": q_pca_eigen_cert,
+        "perplexity_buckets": q_perplexity_buckets,
+        "pii_redact": q_pii_redact,
+        "pivot_events": q_pivot,
+        "pricing_summary": q_pricing_summary,
+        "quality_classifier": q_quality_classifier,
+        "quality_filter": q_quality_filter,
+        "quant_recall": q_quant_recall,
+        "quantile_normalize": q_quantile_normalize,
+        "quantiles": q_quantiles,
+        "quantize_embeddings": q_quantize_embeddings,
+        "repetition_signals": q_repetition_signals,
+        "sample_stratified": q_sample_stratified,
+        "segment_dedup": q_segment_dedup,
+        "semi_anti_membership": q_semi_anti,
+        "sequence_packing": q_sequence_packing,
+        "set_ops": q_set_ops,
+        "simhash": q_simhash,
+        "simhash64_pairs": q_simhash64_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "similarity_lsh": q_similarity_lsh,
+        "sketch_cert": q_sketch_cert,
+        "skew_report": q_skew_report,
+        "snapshot_diff": q_snapshot_diff,
+        "source_token_cap": q_source_token_cap,
+        "split_contamination": q_split_contamination,
+        "split_leakage": q_split_leakage,
+        "stream_curate": q_stream_curate,
+        "stream_interval_join": q_stream_interval_join,
+        "temperature_sample": q_temperature_sample,
+        "threshold_sweep": q_threshold_sweep,
+        "top_revenue_orders": q_top_revenue_orders,
+        "two_level_adapted": q_two_level_adapted,
+        "two_level_fitted": q_two_level_fitted,
+        "two_level_probe": q_two_level_probe,
+        "two_level_recall": q_two_level_recall,
+        "unigram_logprob": q_unigram_logprob,
+        "union_halves": q_union_halves,
+        "vocab_coverage": q_vocab_coverage,
         # non-SQL-expressible (rows-only; see each docstring). Each
         # got its one-time driver rows+schema recording in r5/r6; the
         # driver harness errors (`no_oracle`) rather than certifying
