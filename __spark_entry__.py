@@ -3860,9 +3860,11 @@ tot AS (
   FROM db
 ),
 nd AS (
-  SELECT SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS n1,
-         SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS n0
-  FROM (SELECT DISTINCT doc_id, y FROM db)
+  -- prior counts labeled non-NULL-text docs (zero-gram docs
+  -- included): the label is prior evidence even without grams
+  SELECT SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n1,
+         SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS n0
+  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
 ),
 w AS (
   SELECT CAST(bk AS INT) AS bucket, {w_micro} AS weight_micro

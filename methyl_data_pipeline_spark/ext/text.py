@@ -912,7 +912,10 @@ def bigram_logprob(
     Output: ``(id_col, n_tokens, mean_logprob)`` per non-NULL-text
     doc. Tokenization follows :func:`words` (the ``unigram_logprob``
     contract, including the empty-string token of whitespace-only
-    docs).
+    docs). Growth probe (``tools/scale_probe.py --lm-growth``,
+    scrambled replicas = worst-case near-unique bigram vocabulary,
+    medians of 3, local[32]): 5k docs 1.12 s -> 50k docs 1.64 s —
+    **1.5x wall at 10x corpus**.
     """
     from methyl_data_pipeline_spark import cache
 
@@ -1663,21 +1666,46 @@ def train_quality_weights(
             F.col(label_col).cast("int").alias("_y"),
         )
     )
+    from methyl_data_pipeline_spark import cache
+
     feats = _doc_bucket_counts(df, text_col, id_col, buckets).join(
         labels, "_id"
     )
-    per_bucket = feats.groupBy("_b").agg(
-        F.sum(F.when(F.col("_y") == 1, F.col("_c")).otherwise(0)).alias("_c1"),
-        F.sum(F.when(F.col("_y") == 0, F.col("_c")).otherwise(0)).alias("_c0"),
+    # persisted: bounded by ``buckets`` (<= ~10^3 rows) and consumed by
+    # THREE branches (weights, gram totals, via totals the bias row) —
+    # without it the lazy DAG recomputes the corpus-sized gram explode
+    # per branch (measured r13 on the 10x replica via
+    # tools/scale_probe.py --lm-growth: 18.3 s three-pass -> 1.84 s
+    # single-pass, i.e. 1.5x wall at 10x corpus)
+    per_bucket = cache.track(
+        feats.groupBy("_b").agg(
+            F.sum(F.when(F.col("_y") == 1, F.col("_c")).otherwise(0)).alias(
+                "_c1"
+            ),
+            F.sum(F.when(F.col("_y") == 0, F.col("_c")).otherwise(0)).alias(
+                "_c0"
+            ),
+        )
     )
-    totals = labels.join(
-        feats.groupBy("_id").agg(F.sum("_c").alias("_n")), "_id"
+    # gram totals fold from the persisted bucket table (1024-row agg);
+    # the PRIOR's doc counts come from the labels frame alone — the
+    # prior therefore counts labeled non-NULL-text docs (including
+    # zero-gram docs), a deliberate contract: a doc with no grams
+    # still carries its class label as prior evidence
+    tot = per_bucket.agg(
+        F.sum("_c1").alias("_t1"), F.sum("_c0").alias("_t0")
+    )
+    nd = df.filter(F.col(text_col).isNotNull()).filter(
+        F.col(label_col).isNotNull()
     ).agg(
-        F.sum(F.when(F.col("_y") == 1, F.col("_n")).otherwise(0)).alias("_t1"),
-        F.sum(F.when(F.col("_y") == 0, F.col("_n")).otherwise(0)).alias("_t0"),
-        F.sum(F.when(F.col("_y") == 1, 1).otherwise(0)).alias("_n1"),
-        F.sum(F.when(F.col("_y") == 0, 1).otherwise(0)).alias("_n0"),
+        F.sum(
+            F.when(F.col(label_col).cast("int") == 1, 1).otherwise(0)
+        ).alias("_n1"),
+        F.sum(
+            F.when(F.col(label_col).cast("int") == 0, 1).otherwise(0)
+        ).alias("_n0"),
     )
+    totals = tot.crossJoin(nd)
     a, b = F.lit(float(alpha)), F.lit(float(alpha * buckets))
     w = F.round(
         F.log((F.col("_c1") + a) / (F.col("_t1") + b))

@@ -506,6 +506,52 @@ def normalize_cost(spark, runs: int, factors=(1, 10)) -> None:
             print(f"{f}x\t{norm}\t{t:.2f}")
 
 
+def lm_growth(spark, runs: int, factors=(1, 10)) -> None:
+    """r13 probe: ``bigram_logprob`` and ``train_quality_weights`` at
+    replica scale. The scrambled replicas are the WORST case for the
+    bigram model (near-every bigram is unique, so the model table
+    grows ~linearly with tokens — real corpora grow far slower); a
+    healthy shape shows wall tracking the model-fit shuffles, not
+    corpus^2. The NB trainer is a single bucket-keyed aggregate, so
+    its wall should track the token count ~linearly."""
+    from pyspark.sql import functions as F
+
+    from methyl_data_pipeline_spark.ext.text import (
+        bigram_logprob,
+        train_quality_weights,
+    )
+
+    def timed(fn):
+        ts = []
+        fn()  # warm
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        return ts[len(ts) // 2]
+
+    print("factor\tdocs\tbigram t(s)\ttrain t(s)")
+    base_lm = base_tr = None
+    for f in factors:
+        docs_path, _ = replicate(spark, f)
+        docs = spark.read.parquet(docs_path)
+        n = docs.count()
+        labeled = docs.withColumn(
+            "_gold", (F.col("doc_id") % 2 == 0).cast("int")
+        )
+        t_lm = timed(lambda: bigram_logprob(docs).count())
+        t_tr = timed(
+            lambda: train_quality_weights(labeled, "_gold").count()
+        )
+        base_lm = base_lm or t_lm
+        base_tr = base_tr or t_tr
+        print(
+            f"{f}x\t{n}\t{t_lm:.2f} ({t_lm / base_lm:.1f}x)"
+            f"\t{t_tr:.2f} ({t_tr / base_tr:.1f}x)"
+        )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=100)
@@ -539,6 +585,10 @@ def main() -> None:
         "--normalize-cost", action="store_true",
         help="line_dedup unicode-normalized keying vs default at "
         "1x/10x (r12)",
+    )
+    ap.add_argument(
+        "--lm-growth", action="store_true",
+        help="bigram_logprob + train_quality_weights at 1x/10x (r13)",
     )
     ap.add_argument("ops", nargs="*")
     args = ap.parse_args()
@@ -581,6 +631,10 @@ def main() -> None:
         return
     if args.normalize_cost:
         normalize_cost(spark, args.runs)
+        spark.stop()
+        return
+    if args.lm_growth:
+        lm_growth(spark, args.runs)
         spark.stop()
         return
     docs100, ev100 = replicate(spark, args.factor)
