@@ -483,6 +483,16 @@ EXTENDED = [
     "bpe_merges",
     "bpe_encode",
     "line_dedup",
+    # r12 additions (first benched r13)
+    "normalize_text",
+    "line_dedup_norm",
+    "url_dedup",
+    "quality_classifier",
+    "classifier_sweep",
+    # r13 additions
+    "classifier_train",
+    "classifier_eval",
+    "bigram_logprob",
 ]
 
 
