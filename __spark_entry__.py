@@ -6426,6 +6426,73 @@ FROM ranked ORDER BY doc_id
 """
 
 
+def q_perplexity_buckets_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail partitioning per language with the
+    BIGRAM LM scorer (perplexity_buckets(model='bigram'), r13 —
+    closer to CCNet's actual KenLM n-gram filter than the unigram
+    proxy; word-order-scrambled boilerplate now ranks into the tail).
+    Oracle: the bigram_logprob replay feeding the same tercile window
+    replay as perplexity_buckets."""
+    from methyl_data_pipeline_spark.ext.text import perplexity_buckets
+
+    docs = _t(spark, sf_dir, "documents")
+    out = perplexity_buckets(docs, part_col="lang", model="bigram")
+    return out.select(
+        "doc_id", "lang", _r(F.col("score")).alias("score"), "bucket"
+    ).orderBy("doc_id")
+
+
+SQL_PERPLEXITY_BUCKETS_BIGRAM = r"""
+WITH docs0 AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS wf
+  FROM documents WHERE text IS NOT NULL
+),
+toks AS (
+  SELECT doc_id,
+         unnest(list_concat(CAST([NULL] AS VARCHAR[]),
+                            wf[1:len(wf)-1])) AS prev,
+         unnest(wf) AS cur
+  FROM docs0
+),
+uni AS (SELECT cur, COUNT(*) AS cu FROM toks GROUP BY cur),
+totals AS (SELECT SUM(cu) AS total, COUNT(*) AS vocab FROM uni),
+unip AS (
+  SELECT cur, (cu + 0.5) / (total + 0.5 * vocab) AS pu FROM uni, totals
+),
+big AS (
+  SELECT prev, cur, COUNT(*) AS cb FROM toks
+  WHERE prev IS NOT NULL GROUP BY 1, 2
+),
+ctx AS (SELECT prev, SUM(cb) AS cc FROM big GROUP BY prev),
+logps AS (
+  SELECT t.doc_id,
+         ln(CASE WHEN t.prev IS NULL THEN u.pu
+                 ELSE 0.7 * b.cb / c.cc + (1.0 - 0.7) * u.pu
+            END) AS logp
+  FROM toks t
+  JOIN unip u USING (cur)
+  LEFT JOIN big b ON t.prev = b.prev AND t.cur = b.cur
+  LEFT JOIN ctx c ON t.prev = c.prev
+),
+scored AS (
+  SELECT doc_id, ROUND(AVG(logp) + 1e-9, 6) AS score
+  FROM logps GROUP BY doc_id
+),
+ranked AS (
+  SELECT s.doc_id, d.lang, s.score,
+         ROW_NUMBER() OVER (PARTITION BY d.lang
+                            ORDER BY s.score DESC, s.doc_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY d.lang) AS n
+  FROM scored s JOIN documents d USING (doc_id)
+)
+SELECT doc_id, lang, score,
+       CASE WHEN rn <= FLOOR(n / 3.0) THEN 'head'
+            WHEN rn <= FLOOR(2.0 * n / 3.0) THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM ranked ORDER BY doc_id
+"""
+
+
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-ingest dedup (ext.dedup.incremental_dedup): a new shard
     (doc_id >= 200) is deduped against the fingerprint ledger of the
@@ -7776,10 +7843,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #       newest driver green predates r11;
     #   (g) fill to 50 from the r11-newest tier, lowest green count
     #       first: minhash_recall (1 green), dsir_select +
-    #       semantic_dedup (2), budget_select (3, alphabetical).
+    #       semantic_dedup (2).
     # Rotated OUT vs r12: the whole r12-green window. Left for r14:
-    # the rest of the r11-newest 3-green tier (cohort_retention
-    # onward, alphabetical), then the 4/5/6-green r11 tiers - all
+    # the r11-newest 3-green tier (budget_select onward,
+    # alphabetical), then the 4/5/6-green r11 tiers - all
     # re-verified every round by tools/check_oracle.py on the sf0.01
     # and NULL fixtures.
     return {
@@ -7788,6 +7855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_train": q_classifier_train,
         "classifier_eval": q_classifier_eval,
         "bigram_logprob": q_bigram_logprob,
+        "perplexity_buckets_bigram": q_perplexity_buckets_bigram,
         # (b) changed r13 (chain gate/BH restructure; URL port/percent/ws rules)
         "methyl_pipeline_chain": q_methyl_pipeline_chain,
         "url_dedup": q_url_dedup,
@@ -7840,7 +7908,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_recall": q_minhash_recall,
         "dsir_select": q_dsir_select,
         "semantic_dedup": q_semantic_dedup,
-        "budget_select": q_budget_select,
         # ---- slot 51+ (re-verified every round by tools/check_oracle.py
         # on two fixtures even without a window slot) ----
         "agg_minmax": q_agg_minmax,
@@ -7850,6 +7917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_rank": q_bm25_rank,
         "bmiq_mstep_cert": q_bmiq_mstep_cert,
         "bmiq_prefix": q_bmiq_prefix,
+        "budget_select": q_budget_select,
         "bpe_encode": q_bpe_encode,
         "bpe_merges": q_bpe_merges,
         "chunk_documents": q_chunk_documents,
@@ -8051,6 +8119,7 @@ def oracle_sql() -> dict[str, str]:
         "classifier_train": _sql_classifier_train(),
         "classifier_eval": _sql_classifier_eval(),
         "bigram_logprob": SQL_BIGRAM_LOGPROB,
+        "perplexity_buckets_bigram": SQL_PERPLEXITY_BUCKETS_BIGRAM,
         # n_probe == n_centroids makes IVF exact — brute force IS the oracle
         "ivf_ann": SQL_EMBEDDING_COSINE,
         "events_windowed": SQL_EVENTS_WINDOWED,

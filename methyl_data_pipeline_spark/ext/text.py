@@ -1082,14 +1082,18 @@ def perplexity_buckets(
     id_col: str = "doc_id",
     part_col: str | None = None,
     smoothing: float = 0.5,
+    model: str = "unigram",
 ) -> DataFrame:
     """CCNet-style head/middle/tail partitioning: rank documents by
-    the unigram LM quality score (:func:`unigram_logprob`, the
-    engine's perplexity proxy) and split each partition (typically the
+    an LM quality score and split each partition (typically the
     language) into rank terciles — ``head`` = most corpus-typical
     (lowest perplexity), ``tail`` = least. The bucket is what CCNet
     feeds downstream sampling (keep head+middle, drop or downweight
-    tail).
+    tail). ``model`` picks the scorer: ``"unigram"``
+    (:func:`unigram_logprob`, the original proxy) or ``"bigram"``
+    (:func:`bigram_logprob`, r13 — closer to CCNet's actual KenLM
+    n-gram filter; word-order-scrambled boilerplate now ranks into
+    the tail where the unigram scorer could not see it).
 
     Determinism: the score is rounded to 6 dp BEFORE ranking so
     mathematically-equal documents are exactly tied in every engine,
@@ -1099,7 +1103,15 @@ def perplexity_buckets(
     """
     from pyspark.sql import Window
 
-    scored = unigram_logprob(df, text_col, id_col, smoothing)
+    if model == "unigram":
+        scored = unigram_logprob(df, text_col, id_col, smoothing)
+    elif model == "bigram":
+        scored = bigram_logprob(df, text_col, id_col, smoothing)
+    else:
+        raise ValueError(
+            f"perplexity_buckets: unknown model {model!r} "
+            "(expected 'unigram' or 'bigram')"
+        )
     if part_col is not None:
         scored = scored.join(
             F.broadcast(df.select(id_col, part_col).distinct()), id_col
