@@ -279,7 +279,11 @@ def _rerun_fresh(names: list[str]) -> dict | None:
             [sys.executable, os.path.abspath(__file__), "--rerun", ",".join(names)],
             capture_output=True,
             text=True,
-            timeout=int(os.environ.get("BENCH_RERUN_TIMEOUT", "1200")),
+            # r13: a 33-flag load-era storm needs more than 20 min to
+            # re-time (5 runs + warmups each); a timed-out rerun keeps
+            # EVERY flag as rerun_unavailable, which is strictly worse
+            # evidence than a slow rerun
+            timeout=int(os.environ.get("BENCH_RERUN_TIMEOUT", "3600")),
         )
     except Exception as exc:
         print(f"# adjudication rerun failed to launch: {exc}", file=sys.stderr)
@@ -577,7 +581,12 @@ def main() -> None:
     qs = entrymod.queries()
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir) and warm_dir != sf_dir:
-        for name in HEADLINE:
+        # EXTENDED warms too (r13): extended queries run only
+        # BENCH_RUNS_EXTENDED (3) timed samples, so one cold first
+        # sample carrying plan analysis + codegen JIT skews the median
+        # a third of the weight; measured first-run asymmetry reaches
+        # 20 s vs 5.5 s steady (stream_curate) on the heavier chains.
+        for name in HEADLINE + [q for q in EXTENDED if q in qs]:
             try:
                 qs[name](spark, warm_dir).count()
             except Exception as exc:  # keep benching even if warmup trips
