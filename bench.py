@@ -227,6 +227,54 @@ def adjudicate_flags(
     return sorted(confirmed), record
 
 
+def _loadavg() -> float | None:
+    """1-minute load average, None where /proc is unavailable."""
+    try:
+        with open("/proc/loadavg") as fh:
+            return float(fh.read().split()[0])
+    except Exception:
+        return None
+
+
+def wait_for_quiet(
+    threshold: float,
+    max_wait_s: float,
+    poll_s: float = 20.0,
+    _read=_loadavg,
+    _sleep=time.sleep,
+    _now=time.time,
+) -> dict:
+    """Never-bench-beside-load guard (VERDICT r13 #6): poll the 1-min
+    loadavg until it drops under ``threshold`` or ``max_wait_s``
+    elapses, and return the decision record for the details file.
+    Called ONLY before the session starts (our own contribution is ~0
+    then); mid-bench the box load IS us, so later blocks just snapshot.
+    Pure via the injected _read/_sleep/_now so the synthetic-load
+    pytest can trip it without a loaded box."""
+    start = _now()
+    first = _read()
+    la = first
+    polls = 1
+    while la is not None and la > threshold and (_now() - start) < max_wait_s:
+        _sleep(poll_s)
+        la = _read()
+        polls += 1
+    waited = round(_now() - start, 1)
+    verdict = (
+        "unreadable"
+        if la is None
+        else ("quiet" if la <= threshold else "proceeded_loaded")
+    )
+    return {
+        "threshold": threshold,
+        "initial_load": first,
+        "final_load": la,
+        "waited_s": waited,
+        "polls": polls,
+        "verdict": verdict,
+    }
+
+
 def _calibrate(spark, reps: int = 5) -> float:
     """Median seconds for a fixed CPU-bound, IO-free workload (2B
     xxhash64 folds across the default core count, ~1 s on this box) —
@@ -266,7 +314,7 @@ def _calibrate_scan(spark, sf_dir: str, reps: int = 5) -> float | None:
     return ts[len(ts) // 2]
 
 
-def _rerun_fresh(names: list[str]) -> dict | None:
+def _rerun_fresh(names: list[str], timeout_s: int | None = None) -> dict | None:
     """Re-time ``names`` in ONE fresh subprocess session (its own JVM,
     its own warmup) and return the rerun record {"rerun": {name:
     {"median", "spread", "rows"}}, "calibration_sec": float} — the
@@ -279,11 +327,15 @@ def _rerun_fresh(names: list[str]) -> dict | None:
             [sys.executable, os.path.abspath(__file__), "--rerun", ",".join(names)],
             capture_output=True,
             text=True,
-            # r13: a 33-flag load-era storm needs more than 20 min to
-            # re-time (5 runs + warmups each); a timed-out rerun keeps
-            # EVERY flag as rerun_unavailable, which is strictly worse
-            # evidence than a slow rerun
-            timeout=int(os.environ.get("BENCH_RERUN_TIMEOUT", "3600")),
+            # r14: the caller bounds the rerun by the REMAINING global
+            # deadline (the r13 3600s default is only a ceiling) — a
+            # long adjudication must never push the whole bench past
+            # the driver's budget again (VERDICT r13 #1)
+            timeout=(
+                timeout_s
+                if timeout_s is not None
+                else int(os.environ.get("BENCH_RERUN_TIMEOUT", "3600"))
+            ),
         )
     except Exception as exc:
         print(f"# adjudication rerun failed to launch: {exc}", file=sys.stderr)
@@ -567,6 +619,20 @@ def main() -> None:
     except ValueError:
         sf = 0.1
 
+    # Global wall-clock budget (VERDICT r13 #1): everything after the
+    # HEADLINE block is diagnostics — extended set, phase split,
+    # adjudication — and is truncated once the deadline passes so the
+    # process always exits rc=0 well inside the driver's window.
+    t_start = time.time()
+    deadline = t_start + float(os.environ.get("BENCH_DEADLINE_SEC", "2100"))
+    # Load guard (VERDICT r13 #6): before the JVM exists our own load
+    # contribution is ~0, so the raw 1-min loadavg is the neighbours'.
+    load_guard = wait_for_quiet(
+        threshold=float(os.environ.get("BENCH_LOAD_THRESHOLD", "8")),
+        max_wait_s=float(os.environ.get("BENCH_LOAD_MAX_WAIT", "600")),
+    )
+    print(f"# load guard: {load_guard}", file=sys.stderr)
+
     import __spark_entry__ as entrymod
     from methyl_data_pipeline_spark.session import get_session
 
@@ -655,10 +721,55 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # ---- DRIVER LINE, printed the moment the headline block is done
+    # (VERDICT r13 #1). r13's official record came back rc=124 /
+    # parsed-null because this line used to print only after ~53
+    # extended queries x 3 runs plus a <=3600s adjudication subprocess;
+    # everything below this point is diagnostics for the details file
+    # and must never gate the driver-facing result again. The
+    # regressions in this early line are the headline-only,
+    # pre-adjudication flags; the details file carries the full
+    # extended + adjudicated picture.
+    total = round(sum(timings.values()), 3) if not failures else None
+    prev_name, prev = _previous_timings()
+    prev_spreads, prev_spreads_ok = _previous_spreads(prev_name)
+    head_deltas = {
+        q: round(timings[q] / prev[q], 3)
+        for q in timings
+        if prev.get(q) and prev[q] > 0
+    }
+    head_regressions, _head_overlap = flag_regressions(
+        head_deltas, spread, prev_spreads, failures
+    )
+    driver_rec = _newest_round("BENCH_r*.json")
+    details_name = f"BENCH_DETAILS_r{(driver_rec[0] if driver_rec else 0) + 1:02d}.json"
+    out = {
+        "metric": "headline_query_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "runs_per_query": n_runs,
+        "sf": sf,
+        "regressions": head_regressions,
+        "failures": failures,
+        "details": details_name,
+    }
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1500:  # never exceed the driver's capture window
+        slim = dict(out)
+        slim["queries"] = {}
+        slim["note"] = f"query medians in {details_name}"
+        line = json.dumps(slim, separators=(",", ":"))
+    print(line, flush=True)
+
     extended: dict[str, float] = {}
     extended_spread: dict[str, list[float]] = {}
+    truncated: list[str] = []
     for name in EXTENDED:
         if name not in qs:
+            continue
+        if time.time() > deadline - 30:
+            truncated.append(name)
             continue
         try:
             samples, n = _time_query(name, n_runs_ext)
@@ -678,6 +789,8 @@ def main() -> None:
     # redaction + per-shingle Bloom test + fingerprint dedup) phases
     # separately — the regression machinery then sees which phase moved.
     try:
+        if time.time() > deadline - 30:
+            raise RuntimeError("deadline: phase split skipped")
         build_s, probe_s = [], []
         for _ in range(n_runs_ext):
             t0 = time.time()
@@ -698,12 +811,6 @@ def main() -> None:
     except Exception as exc:
         print(f"# stream_curate phase split failed: {exc}", file=sys.stderr)
 
-    # A crashed headline query must read as a failure, not a speedup:
-    # with any failure the total is meaningless (it sums only the
-    # survivors), so null it out and flag the failed names as
-    # regressions alongside the slow ones.
-    total = round(sum(timings.values()), 3) if not failures else None
-    prev_name, prev = _previous_timings()
     # VERDICT r6 #5: the regression flag covers the EXTENDED set too —
     # a 3.6x extended-query slowdown (r6 bloom_decontaminate) must trip
     # the flag, not ship silently.
@@ -716,7 +823,6 @@ def main() -> None:
     }
     all_spread = dict(extended_spread)
     all_spread.update(spread)
-    prev_spreads, prev_spreads_ok = _previous_spreads(prev_name)
     # phase-split pseudo-metrics (stream_curate_build/_probe) are
     # diagnostics, not queries: they cannot be rerun standalone and
     # their parent query carries the flag — exclude them from the
@@ -754,12 +860,25 @@ def main() -> None:
     if _session_ratios:
         cal_ratio = round(max(_session_ratios), 3)
     to_rerun = [q for q in regressions if q not in failures]
+    adjudication_skipped = None
+    remaining = deadline - time.time()
+    if to_rerun and remaining < 180:
+        # keep the flags (no evidence) but record WHY no rerun ran —
+        # rc=0 + a printed driver line beat a perfectly adjudicated
+        # record that never lands (VERDICT r13 #1)
+        adjudication_skipped = f"deadline: {round(remaining)}s remaining"
+        print(f"# adjudication skipped: {adjudication_skipped}", file=sys.stderr)
+        to_rerun = []
     if to_rerun and os.environ.get("BENCH_ADJUDICATE", "1") != "0":
         print(f"# adjudicating flags in fresh session: {to_rerun}", file=sys.stderr)
         # all timing is done — release this session's JVM so the fresh
         # rerun measures alone, not beside a 30 GB idle parent heap
         spark.stop()
-        rerun_rec = _rerun_fresh(to_rerun)
+        rerun_timeout = min(
+            int(os.environ.get("BENCH_RERUN_TIMEOUT", "3600")),
+            max(120, int(deadline - time.time() - 30)),
+        )
+        rerun_rec = _rerun_fresh(to_rerun, timeout_s=rerun_timeout)
         fresh = (rerun_rec or {}).get("rerun")
         prev_cpu, prev_scan = _previous_calibration(prev_name)
         # yardsticks must come from the SAME JVM as the fresh timings
@@ -788,10 +907,8 @@ def main() -> None:
             regressions, failures, fresh, prev, prev_spreads, adjudicate_ratio
         )
 
-    # Full record -> committed details file; stdout gets the compact
-    # line the driver can actually capture (VERDICT r6 #3).
-    driver_rec = _newest_round("BENCH_r*.json")
-    details_name = f"BENCH_DETAILS_r{(driver_rec[0] if driver_rec else 0) + 1:02d}.json"
+    # Full record -> committed details file (the driver line already
+    # printed right after the headline block).
     details = {
         "metric": "headline_query_total_sec",
         "value": total,
@@ -815,6 +932,12 @@ def main() -> None:
         "calibration_ratio_vs_prev": cal_ratio,
         "failures": failures,
         "prev": prev_name,
+        "load_guard": load_guard,
+        "deadline_sec": round(deadline - t_start, 1),
+        "wall_sec": round(time.time() - t_start, 1),
+        "extended_truncated": truncated,
+        "adjudication_skipped": adjudication_skipped,
+        "headline_regressions_in_driver_line": head_regressions,
     }
     here = os.path.dirname(os.path.abspath(__file__))
     details_path = os.path.join(here, details_name)
@@ -836,25 +959,7 @@ def main() -> None:
             details["supersedes_same_round"] = {"unreadable": True}
     with open(details_path, "w") as fh:
         json.dump(details, fh, indent=1, sort_keys=True)
-
-    out = {
-        "metric": "headline_query_total_sec",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "runs_per_query": n_runs,
-        "sf": sf,
-        "regressions": regressions,
-        "failures": failures,
-        "details": details_name,
-    }
-    line = json.dumps(out, separators=(",", ":"))
-    if len(line) > 1500:  # never exceed the driver's capture window
-        slim = dict(out)
-        slim["queries"] = {}
-        slim["note"] = f"query medians in {details_name}"
-        line = json.dumps(slim, separators=(",", ":"))
-    print(line)
+    print(f"# details written: {details_name}", file=sys.stderr)
     spark.stop()
 
 

@@ -245,3 +245,58 @@ def test_adjudication_hard_flag_survives_overlapping_spread():
     )
     assert kept == ["q"]
     assert rec["q"]["verdict"] == "confirmed"
+
+
+# ---- load guard (VERDICT r13 #6) -----------------------------------
+from bench import wait_for_quiet
+
+
+def test_load_guard_fires_under_synthetic_load():
+    # box reads loaded for 3 polls, then quiet: the guard must wait
+    # exactly through the loaded reads and report the quiet verdict
+    readings = iter([12.0, 11.0, 9.5, 2.0])
+    clock = {"t": 0.0}
+
+    def fake_sleep(s):
+        clock["t"] += s
+
+    regs = wait_for_quiet(
+        threshold=8.0,
+        max_wait_s=600.0,
+        poll_s=20.0,
+        _read=lambda: next(readings),
+        _sleep=fake_sleep,
+        _now=lambda: clock["t"],
+    )
+    assert regs["verdict"] == "quiet"
+    assert regs["initial_load"] == 12.0
+    assert regs["final_load"] == 2.0
+    assert regs["polls"] == 4
+    assert regs["waited_s"] == 60.0
+
+
+def test_load_guard_times_out_and_records_loaded_verdict():
+    clock = {"t": 0.0}
+
+    def fake_sleep(s):
+        clock["t"] += s
+
+    regs = wait_for_quiet(
+        threshold=8.0,
+        max_wait_s=100.0,
+        poll_s=40.0,
+        _read=lambda: 30.0,
+        _sleep=fake_sleep,
+        _now=lambda: clock["t"],
+    )
+    assert regs["verdict"] == "proceeded_loaded"
+    assert regs["final_load"] == 30.0
+    assert regs["waited_s"] >= 100.0
+
+
+def test_load_guard_unreadable_proc_is_not_a_blocker():
+    regs = wait_for_quiet(
+        threshold=8.0, max_wait_s=600.0, _read=lambda: None, _sleep=None, _now=lambda: 0.0
+    )
+    assert regs["verdict"] == "unreadable"
+    assert regs["polls"] == 1
