@@ -209,6 +209,14 @@ def sample_quality_gate(
     cannot push into a parquet scan anyway; use
     :func:`detp_retained_samples` on raw scans, where the collected
     id list becomes a scan-pushed predicate.
+
+    BREAKING (r13, flagged in ADVICE r13): the return type changed
+    from ``(DataFrame, DataFrame)`` (filtered fact, 1-row count frame)
+    to ``(DataFrame, str)``, and the filtered fact now carries the
+    injected ``_ns`` count column. Callers of the old form: pass the
+    returned frame straight to :func:`probe_quality_gate`, which
+    accepts the column-name string (this form) AND the old 1-row
+    DataFrame/int forms for ``n_samples``.
     """
     good = _good_samples(meth, threshold, detp_col).withColumn(
         "_ns", F.count(F.lit(1)).over(Window.partitionBy())

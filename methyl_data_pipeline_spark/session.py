@@ -30,6 +30,21 @@ ENGINE_CONF = {
 }
 
 
+def _default_driver_mem() -> str:
+    """Local-mode driver heap: half of detected physical RAM, capped
+    at 48g (the measured sweet spot on the 125 GiB dev box) and
+    floored at 2g. /proc unavailable -> conservative 4g."""
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemTotal:"):
+                    total_gib = int(line.split()[1]) / (1024 * 1024)
+                    return f"{max(2, min(48, int(total_gib // 2)))}g"
+    except Exception:
+        pass
+    return "4g"
+
+
 def get_session(
     app_name: str = "methyl_data_pipeline_spark",
     master: str | None = None,
@@ -64,9 +79,12 @@ def get_session(
         # the heap like a cluster would size its executors. On a real
         # cluster this branch never fires: the cluster master path gets
         # memory from spark-submit/executor conf as usual.
+        # Default: half of detected physical RAM, capped at 48g and
+        # floored at 2g (ADVICE r13: a hardcoded 48g invites OOM-kills
+        # on smaller hosts). SPARK_GRAFT_DRIVER_MEM overrides outright.
         builder = builder.config(
             "spark.driver.memory",
-            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_driver_mem()),
         )
     builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     builder = builder.config("spark.ui.enabled", "false")
