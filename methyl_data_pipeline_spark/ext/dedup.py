@@ -996,32 +996,67 @@ def simhash_hamming_pairs(
     thumb: pick bits/bands so ``2^(bits/bands)`` is at least
     ~n_docs/100.
     """
+    sigs = simhash(df, text_col, id_col, bits=bits)
+    return hamming_pairs(
+        sigs,
+        sig_col="simhash",
+        id_col=id_col,
+        bits=bits,
+        bands=bands,
+        max_hamming=max_hamming,
+        max_bucket=max_bucket,
+    )
+
+
+def hamming_pairs(
+    sigs: DataFrame,
+    sig_col: str,
+    id_col: str,
+    bits: int = 64,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket: int = 4096,
+) -> DataFrame:
+    """Pigeonhole-banded near-dup pairs over PRECOMPUTED integer
+    signatures — the signature-agnostic kernel behind
+    :func:`simhash_hamming_pairs` (text SimHash) and
+    ``multimodal.image_neardup`` (perceptual average-hash fingerprints,
+    VERDICT r13 #5). Lossless for ``max_hamming <= bands - 1``: a pair
+    within that many bit flips must agree exactly on at least one
+    band, so (band_idx, band_value) grouping is a candidate filter
+    with zero false negatives; candidates verify JVM-side with
+    ``bit_count(xor)``. Sizing and scale notes (band width vs corpus
+    size, mega-bucket guard) in :func:`simhash_hamming_pairs`.
+
+    Output: ``(id_a, id_b, hamming)`` with ``id_a < id_b``,
+    ``hamming <= max_hamming``.
+    """
     if not (0 <= max_hamming < bands):
         raise ValueError("banding is lossless only for max_hamming <= bands-1")
     if bits % bands:
         raise ValueError("bits must divide evenly into bands")
     width = bits // bands
     mask = (1 << width) - 1
-    sigs = simhash(df, text_col, id_col, bits=bits)
     band_cols = [
-        F.shiftright(F.col("simhash"), b * width)
+        F.shiftright(F.col(sig_col), b * width)
         .bitwiseAND(F.lit(mask))
         .alias(f"band_{b}")
         for b in range(bands)
     ]
-    melted = sigs.select(F.col(id_col), F.col("simhash"), *band_cols).unpivot(
-        ids=[id_col, "simhash"],
+    melted = sigs.select(F.col(id_col), F.col(sig_col), *band_cols).unpivot(
+        ids=[id_col, sig_col],
         values=[f"band_{b}" for b in range(bands)],
         variableColumnName="band_idx",
         valueColumnName="band_val",
     )
-    # persist="sized": the simhash signature scan (``bits`` aggregate
-    # passes per doc) is the expensive branch-recompute; caching the
-    # ~40 B/row melt wins 4.02 -> 3.13 s at sf0.1 (kernel docstring)
+    # persist="sized": the signature computation (e.g. simhash's
+    # ``bits`` aggregate passes per doc, or an image-decode UDF) is the
+    # expensive branch-recompute; caching the ~40 B/row melt wins
+    # 4.02 -> 3.13 s at sf0.1 (kernel docstring)
     pairs = bucket_pair_expand(
         melted,
         ["band_idx", "band_val"],
-        F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sim")),
+        F.struct(F.col(id_col).alias("id"), F.col(sig_col).alias("sim")),
         max_bucket=max_bucket,
         persist="sized",
     )

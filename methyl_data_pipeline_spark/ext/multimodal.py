@@ -442,3 +442,164 @@ def synthesize_video(
 
     ensure_importable(docs.sparkSession)
     return docs.select(id_col).mapInPandas(synth, MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image fingerprints (VERDICT r13 #5): average-hash near-dup
+# ---------------------------------------------------------------------------
+
+def synthesize_images(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic BMP fixture stream with PLANTED near-duplicates,
+    round-tripped through the REAL encoder (``ext.codecs.encode_bmp``)
+    so :func:`image_ahash` exercises decode -> grayscale -> downsample
+    -> threshold against known pixel values. Images are built from 64
+    blocks (an 8x8 grid) of constant intensity so the 8x8 average-hash
+    grid samples each block exactly; block values are closed-form in
+    ``doc_id`` alone (no text dependency — NULL-text docs get images
+    too), which is what lets the DuckDB oracle replay the whole chain.
+
+    Per doc: ``group = id // 4``, ``role = id % 4``,
+    ``base_j = (group*37 + j*11) % 200`` for block ``j`` in 0..63:
+
+    - role 0 — base image, 16x16 px (2x2-px blocks);
+    - role 1 — brightness variant: every block ``base_j + 40``
+      (uniform shift, no clipping: the mean shifts identically, so the
+      ahash is bit-identical — a planted hamming-0 near-dup);
+    - role 2 — resized + edited variant: 32x32 px (4x4-px blocks),
+      blocks 0 and 1 replaced by ``(base_j + 100) % 200`` — the ahash
+      is resolution-invariant under the nearest-neighbor grid, so the
+      pair lands at small hamming (the 2 edited bits plus any
+      blocks the shifted mean flips);
+    - role 3 — independent image: ``(group*101 + j*53 + 7) % 200``
+      (expected hamming ~32 vs everything — never a candidate).
+    """
+
+    def synth(batches):
+        import numpy as np
+
+        from methyl_data_pipeline_spark.ext.codecs import encode_bmp
+
+        j = np.arange(64, dtype=np.int64)
+        for pdf in batches:
+            rows = {"id": [], "modality": [], "mime": [], "n_bytes": [], "content": []}
+            for rid in pdf[id_col]:
+                rid = int(rid)
+                grp, role = rid // 4, rid % 4
+                base = (grp * 37 + j * 11) % 200
+                if role == 0:
+                    vals, px = base, 2
+                elif role == 1:
+                    vals, px = base + 40, 2
+                elif role == 2:
+                    vals = base.copy()
+                    vals[:2] = (base[:2] + 100) % 200
+                    px = 4
+                else:
+                    vals, px = (grp * 101 + j * 53 + 7) % 200, 2
+                size = 8 * px
+                blocks = vals.astype(np.uint8).reshape(8, 8)
+                gray = np.repeat(np.repeat(blocks, px, axis=0), px, axis=1)
+                rgb = np.repeat(gray[:, :, None], 3, axis=2).tobytes()
+                content = encode_bmp(size, size, rgb)
+                rows["id"].append(rid)
+                rows["modality"].append("image")
+                rows["mime"].append("image/bmp")
+                rows["n_bytes"].append(len(content))
+                rows["content"].append(content)
+            yield pd.DataFrame(rows)
+
+    from methyl_data_pipeline_spark.deploy import ensure_importable
+
+    ensure_importable(docs.sparkSession)
+    return docs.select(id_col).mapInPandas(synth, MEDIA_SCHEMA)
+
+
+def image_ahash(media: DataFrame, grid: int = 8) -> DataFrame:
+    """Perceptual average-hash fingerprint over BMP payloads: decode
+    (real struct parser), integer grayscale ``(r+g+b)//3``,
+    nearest-neighbor downsample to a ``grid x grid`` sample (the same
+    ``i*dim//grid`` index map as ``codecs.resize_nearest`` — so the
+    hash is resolution-invariant for block-constant images), then
+    threshold each sample at the grid mean and pack row-major into a
+    signed 64-bit int (bit ``k = i*grid + j``; bit set iff
+    ``grid² * v_k >= sum(v)`` — the integer-exact form of
+    ``v_k >= mean``, no float division anywhere, which is what makes
+    the fingerprint engine-portable to the SQL oracle).
+
+    One Arrow-batched ``mapInPandas`` pass (codec work is the
+    sanctioned Python tier); everything downstream
+    (:func:`image_neardup` banding + verify) is JVM-side. Non-BMP /
+    corrupt payloads yield NULL and are filtered — fingerprint only
+    what decodes. Output: ``(id, ahash)``.
+    """
+    if grid * grid > 64:
+        raise ValueError("grid*grid must fit a 64-bit fingerprint")
+    out_schema = "id long, ahash long"
+    nbits = grid * grid
+
+    def fingerprint(batches):
+        import numpy as np
+
+        from methyl_data_pipeline_spark.ext.codecs import decode_bmp
+
+        weights = (1 << np.arange(nbits, dtype=np.uint64)).astype(np.uint64)
+        for pdf in batches:
+            ids, hashes = [], []
+            for rid, content in zip(pdf["id"], pdf["content"]):
+                raw = bytes(content) if content is not None else b""
+                h = None
+                if raw[:2] == b"BM":
+                    try:
+                        w, ht, rgb = decode_bmp(raw)
+                        img = np.frombuffer(rgb, dtype=np.uint8).reshape(ht, w, 3)
+                        gray = img.astype(np.int64).sum(axis=2) // 3
+                        yi = (np.arange(grid) * ht // grid).clip(0, ht - 1)
+                        xi = (np.arange(grid) * w // grid).clip(0, w - 1)
+                        v = gray[yi][:, xi].reshape(-1)
+                        bits = (nbits * v >= v.sum()).astype(np.uint64)
+                        u = int((bits * weights).sum(dtype=np.uint64))
+                        h = u - (1 << 64) if u >= (1 << 63) else u
+                    except ValueError:
+                        h = None  # corrupt BMP: skip, don't kill the job
+                ids.append(int(rid))
+                hashes.append(h)
+            yield pd.DataFrame({"id": ids, "ahash": hashes})
+
+    from methyl_data_pipeline_spark.deploy import ensure_importable
+
+    ensure_importable(media.sparkSession)
+    return (
+        media.select("id", "content")
+        .mapInPandas(fingerprint, out_schema)
+        .filter(F.col("ahash").isNotNull())
+    )
+
+
+def image_neardup(
+    media: DataFrame,
+    grid: int = 8,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket: int = 4096,
+) -> DataFrame:
+    """Perceptual near-duplicate image pairs: :func:`image_ahash`
+    fingerprints fed through the LOSSLESS pigeonhole hamming kernel
+    (``dedup.hamming_pairs`` — the same banding `simhash_hamming_pairs`
+    uses, so every scale property carries over: one O(images x bands)
+    shuffle, mega-bucket triangle guard, ``bit_count(xor)`` JVM
+    verify; no all-pairs anywhere). Closes the text-only gap in the
+    dedup layer (VERDICT r13 #5): resized and brightness-shifted
+    re-encodes of the same image land at hamming 0-2 while unrelated
+    images sit near ``grid²/2``. Output ``(id_a, id_b, hamming)``.
+    """
+    from methyl_data_pipeline_spark.ext.dedup import hamming_pairs
+
+    return hamming_pairs(
+        image_ahash(media, grid=grid),
+        sig_col="ahash",
+        id_col="id",
+        bits=64,
+        bands=bands,
+        max_hamming=max_hamming,
+        max_bucket=max_bucket,
+    )
