@@ -8,8 +8,6 @@ SQL-expressible so the DuckDB oracle can replay it exactly.
 
 from __future__ import annotations
 
-import math
-
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
 from pyspark.sql.functions import pandas_udf
@@ -1657,9 +1655,11 @@ def train_quality_weights(
     map-side log-odds. At 100 TB the only corpus-sized work is the
     feature explode feeding the bucket aggregate's map-side partials.
     Labels: NULL-label docs are excluded; ``label_col`` is cast to
-    int (0/1); raises if either class is absent (checked lazily —
-    ``ln(0)`` would surface as NULL weights; callers wanting an eager
-    guard should validate counts).
+    int (0/1). A single-class input does NOT raise (the fit is fully
+    lazy — no eager count runs): ``ln(0)`` surfaces as a NULL
+    ``bucket = -1`` bias row and one-sided weights that pass
+    everything at cutoff 0. Callers wanting a hard guard should
+    validate class counts eagerly before calling (ADVICE r13).
 
     Returns a ``(bucket, weight)`` DataFrame matching
     :func:`hashed_weight_table`'s contract (plus the bucket = -1
@@ -1740,6 +1740,167 @@ def train_quality_weights(
     return weights.unionByName(bias_row)
 
 
+def train_lang_weights(
+    df: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 1024,
+    alpha: int = 1,
+) -> DataFrame:
+    """Multi-class Naive-Bayes head over the shared hashed
+    unigram+bigram bucket features (VERDICT r13 "what's missing" #2 —
+    the binary :func:`train_quality_weights` generalized to a lang-id
+    style classifier): per class ``l`` and bucket ``b``, the smoothed
+    log-likelihood ``w_lb = ln((c_lb + a)/(T_l + aB))``, stored
+    SPARSELY as ``delta_lb = w6_lb - floor6_l`` against the per-class
+    unseen-bucket floor ``floor_l = ln(a/(T_l + aB))`` — so scoring
+    never needs a dense (class x bucket) table:
+    ``score(d, l) = prior_l + n_grams(d) * floor_l +
+    sum_matched c_b * delta_lb`` is EXACTLY the NB posterior
+    log-probability (up to the class-independent evidence term),
+    including globally-unseen buckets (they contribute floor_l per
+    gram, which the ``n_grams * floor_l`` term covers).
+
+    All ln inputs are exact integer ratios and every stored value is
+    6-dp pre-rounded (the ``unigram_logprob`` cross-engine ln
+    precedent), so a SQL oracle replays the fit bit-for-bit.
+
+    Plan shape: one (class x bucket)-keyed aggregate of the gram
+    stream (map-side partials; output <= n_classes * buckets rows),
+    per-class totals folded from it and broadcast back — corpus-sized
+    work only in the gram explode, same 100 TB shape as the binary
+    trainer.
+
+    Returns one frame, two row kinds:
+    - ``bucket >= 0``: ``(lang, bucket, delta)`` sparse trained rows
+      (``floor``/``prior`` NULL);
+    - ``bucket = -1``: one per-class summary row carrying ``floor``
+      and ``prior`` (``delta`` 0.0).
+    """
+    if buckets < 2:
+        raise ValueError("train_lang_weights: buckets must be >= 2")
+    labeled = (
+        df.filter(F.col(text_col).isNotNull())
+        .filter(F.col(lang_col).isNotNull())
+        .select(F.col(id_col).alias("_id"), F.col(lang_col).alias("_lang"))
+    )
+    feats = _doc_bucket_counts(
+        df.filter(F.col(lang_col).isNotNull()), text_col, id_col, buckets
+    ).join(labeled, "_id")
+    per = feats.groupBy("_lang", "_b").agg(F.sum("_c").alias("_c"))
+    from methyl_data_pipeline_spark import cache
+
+    # the (class x bucket) table feeds both the sparse rows and the
+    # totals fold — persist so the gram scan runs once, not per branch
+    per = cache.track(per)
+    tot = per.groupBy("_lang").agg(F.sum("_c").alias("_t"))
+    nd = labeled.groupBy("_lang").agg(F.count(F.lit(1)).alias("_nl"))
+    ntot = labeled.agg(F.count(F.lit(1)).alias("_ntot"))
+    a, b = F.lit(float(alpha)), F.lit(float(alpha * buckets))
+    floor6 = F.round(
+        F.log(a / (F.col("_t") + b)) + F.lit(1e-9), 6
+    ) + F.lit(0.0)
+    w6 = F.round(
+        F.log((F.col("_c") + a) / (F.col("_t") + b)) + F.lit(1e-9), 6
+    ) + F.lit(0.0)
+    prior6 = F.round(
+        F.log(F.col("_nl") / F.col("_ntot").cast("double")) + F.lit(1e-9), 6
+    ) + F.lit(0.0)
+    sparse = per.join(F.broadcast(tot), "_lang").select(
+        F.col("_lang").alias("lang"),
+        F.col("_b").cast("int").alias("bucket"),
+        (w6 - floor6).alias("delta"),
+        F.lit(None).cast("double").alias("floor"),
+        F.lit(None).cast("double").alias("prior"),
+    )
+    summary = (
+        tot.join(nd, "_lang")
+        .crossJoin(F.broadcast(ntot))
+        .select(
+            F.col("_lang").alias("lang"),
+            F.lit(-1).alias("bucket"),
+            F.lit(0.0).alias("delta"),
+            floor6.alias("floor"),
+            prior6.alias("prior"),
+        )
+    )
+    return sparse.unionByName(summary)
+
+
+def lang_id_nb(
+    df: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 1024,
+) -> DataFrame:
+    """Score every non-NULL-text doc under a :func:`train_lang_weights`
+    table and emit the argmax class: ``score(d, l) = prior_l +
+    n_grams(d) * floor_l + sum c_b * delta_lb``; ties break to the
+    lexicographically smallest class (both engines). Zero-gram docs
+    score ``prior_l`` exactly (the class prior decides).
+
+    Plan: gram explode -> per-doc bucket collapse (the shared
+    featurizer), ONE broadcast join against the sparse trained rows
+    (<= classes x buckets, broadcastable by construction), a
+    (doc, class) aggregate, dense completion via a broadcast
+    cross-join with the class dimension, and a per-doc window argmax
+    — corpus-sized shuffles keyed by doc id only.
+
+    Output: ``(id_col, pred_lang, n_grams, score)``.
+    """
+    wb = F.broadcast(weights)
+    sparse = wb.filter(F.col("bucket") >= 0).select(
+        F.col("lang").alias("_lang"),
+        F.col("bucket").cast("long").alias("_b"),
+        F.col("delta").alias("_delta"),
+    )
+    langdim = wb.filter(F.col("bucket") == -1).select(
+        F.col("lang").alias("_lang"),
+        F.col("floor").alias("_floor"),
+        F.col("prior").alias("_prior"),
+    )
+    # ``buckets`` must equal the training-time bucket count — the
+    # featurizer's pmod hashing and the table's bucket VALUES have to
+    # agree or the broadcast join silently mismatches
+    dbc = _doc_bucket_counts(df, text_col, id_col, buckets)
+    partial = (
+        dbc.join(F.broadcast(sparse), "_b")
+        .groupBy("_id", "_lang")
+        .agg(F.sum(F.col("_c") * F.col("_delta")).alias("_part"))
+    )
+    ng = dbc.groupBy("_id").agg(F.sum("_c").cast("long").alias("n_grams"))
+    ids = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("_id"))
+        .join(ng, "_id", "left")
+        .withColumn("n_grams", F.coalesce("n_grams", F.lit(0)))
+    )
+    dense = ids.crossJoin(F.broadcast(langdim)).join(
+        partial, ["_id", "_lang"], "left"
+    )
+    score = (
+        F.col("_prior")
+        + F.col("n_grams") * F.col("_floor")
+        + F.coalesce("_part", F.lit(0.0))
+    )
+    w = Window.partitionBy("_id").orderBy(
+        F.desc("score"), F.asc("_lang")
+    )
+    return (
+        dense.withColumn("score", score)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_lang").alias("pred_lang"),
+            "n_grams",
+            "score",
+        )
+    )
+
+
 def quality_score_linear(
     df: DataFrame,
     weights: DataFrame,
@@ -1748,6 +1909,8 @@ def quality_score_linear(
     buckets: int = 4096,
     bias: float = 0.0,
     threshold: float = 0.0,
+    pooling: str = "mean",
+    bias_from_table: bool = False,
 ) -> DataFrame:
     """fastText-style linear quality classifier (VERDICT r11 #8;
     Joulin et al. 2016, "Bag of Tricks for Efficient Text
@@ -1766,18 +1929,34 @@ def quality_score_linear(
     100 TB shape as ``dsir_weights`` scoring. Buckets without a
     weight row score 0 (hash-bucket OOV).
 
+    Pooling geometries (VERDICT r13 #9 — both pinned by the
+    ``classifier_eval_sum`` oracle): ``pooling="mean"`` (default, the
+    fastText shape above) divides the dot product by the gram count —
+    right for an externally-calibrated weight table where document
+    length must not scale the evidence; ``pooling="sum"`` keeps the
+    raw ``bias + sum_b count[b] * w[b]`` — the EXACT Naive-Bayes
+    posterior log-odds geometry :func:`train_quality_weights`'s table
+    is derived in, where per-gram evidence accumulates and the class
+    prior enters at full strength. ``bias_from_table=True`` reads the
+    prior from the table's ``bucket = -1`` row (the row
+    ``train_quality_weights`` emits) LAZILY — a 1-row aggregate
+    broadcast into the plan, no driver action — instead of the
+    ``bias`` argument.
+
     Returns ``(id_col, n_grams, logit, quality_pass)`` for EVERY
-    non-NULL-text doc; zero-gram docs score ``bias`` exactly.
+    non-NULL-text doc; zero-gram docs score the bias exactly.
     """
     if buckets < 2:
         raise ValueError("quality_score_linear: buckets must be >= 2")
+    if pooling not in ("mean", "sum"):
+        raise ValueError("quality_score_linear: pooling must be 'mean' or 'sum'")
     wtab = weights.select(
         F.col("bucket").cast("long").alias("_b"),
         F.col("weight").cast("double").alias("_w"),
     )
     scored = (
         _doc_bucket_counts(df, text_col, id_col, buckets)
-        .join(F.broadcast(wtab), "_b", "left")
+        .join(F.broadcast(wtab.filter(F.col("_b") >= 0)), "_b", "left")
         .groupBy("_id")
         .agg(
             F.sum("_c").cast("long").alias("n_grams"),
@@ -1787,10 +1966,21 @@ def quality_score_linear(
     ids = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("_id")
     )
-    logit = F.lit(float(bias)) + F.when(
+    if bias_from_table:
+        # the bucket = -1 prior row, folded in as a broadcast 1-row
+        # frame (max over <=1 rows; 0.0 when the table carries none)
+        bias_frame = wtab.filter(F.col("_b") == -1).agg(
+            F.coalesce(F.max("_w"), F.lit(0.0)).alias("_bias")
+        )
+        ids = ids.crossJoin(F.broadcast(bias_frame))
+        bias_col = F.col("_bias")
+    else:
+        bias_col = F.lit(float(bias))
+    dot = F.when(
         F.coalesce("n_grams", F.lit(0)) > 0,
-        F.col("_dot") / F.col("n_grams"),
+        F.col("_dot") / F.col("n_grams") if pooling == "mean" else F.col("_dot"),
     ).otherwise(F.lit(0.0))
+    logit = bias_col + dot
     return ids.join(scored, "_id", "left").select(
         F.col("_id").alias(id_col),
         F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
