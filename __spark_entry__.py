@@ -4076,6 +4076,291 @@ SELECT f.model, n_docs, n_pass, tp, fp, fn,
 FROM fixed f JOIN best USING (model) ORDER BY model"""
 
 
+def q_classifier_eval_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pooling-geometry comparison for the trained NB table (VERDICT
+    r13 #9): the SAME weight table scored mean-pooled/bias-0 (the
+    fastText shape classifier_eval grades) vs sum-pooled with the
+    bucket=-1 prior row folded in lazily (the exact NB posterior
+    log-odds geometry the table is derived in,
+    quality_score_linear(pooling='sum', bias_from_table=True)).
+    Output: one confusion/PR/best-sweep-F1 row per geometry at the
+    micro-logit >= 0 cut, so the measurement the operator docstring
+    cites is pinned by the oracle rather than asserted."""
+    from methyl_data_pipeline_spark.ext.text import (
+        quality_score_linear,
+        threshold_sweep,
+        train_quality_weights,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    gold = docs.filter(F.col("lang").isNotNull()).select(
+        "doc_id", (F.col("lang") == "en").alias("_gold")
+    )
+    labeled = docs.withColumn("_gold", (F.col("lang") == "en").cast("int"))
+    wtab = train_quality_weights(labeled, "_gold", buckets=_QSL_BUCKETS)
+    configs = {
+        "mean_nobias": dict(pooling="mean"),
+        "sum_bias": dict(pooling="sum", bias_from_table=True),
+    }
+    rows = []
+    for model, kw in configs.items():
+        scored = quality_score_linear(docs, wtab, buckets=_QSL_BUCKETS, **kw)
+        j = scored.join(gold, "doc_id")
+        lm = _ri(F.col("logit"))
+        passed = lm >= 0
+        fixed = j.agg(
+            F.lit(model).alias("model"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(passed.cast("long")).cast("long").alias("n_pass"),
+            F.sum((passed & F.col("_gold")).cast("long")).cast("long").alias("tp"),
+            F.sum((passed & ~F.col("_gold")).cast("long")).cast("long").alias("fp"),
+            F.sum((~passed & F.col("_gold")).cast("long")).cast("long").alias("fn"),
+        )
+        fixed = fixed.select(
+            "*",
+            F.when(
+                F.col("tp") + F.col("fp") > 0,
+                F.round(
+                    F.col("tp") * 1000.0 / (F.col("tp") + F.col("fp")) + 1e-9
+                ),
+            )
+            .otherwise(0.0)
+            .cast("long")
+            .alias("precision_milli"),
+            F.when(
+                F.col("tp") + F.col("fn") > 0,
+                F.round(
+                    F.col("tp") * 1000.0 / (F.col("tp") + F.col("fn")) + 1e-9
+                ),
+            )
+            .otherwise(0.0)
+            .cast("long")
+            .alias("recall_milli"),
+        )
+        sweep = threshold_sweep(
+            j.select(_ri(F.col("logit"), scale=100).alias("score_c"), "_gold"),
+            "score_c",
+            "_gold",
+        )
+        best = sweep.agg(
+            F.max(
+                F.round(
+                    F.col("n_true_pos")
+                    * 2000.0
+                    / (F.col("n_kept") + F.col("n_pos_total"))
+                    + 1e-9
+                ).cast("long")
+            ).alias("best_f1_milli")
+        )
+        rows.append(fixed.crossJoin(F.broadcast(best)))
+    out = rows[0].unionByName(rows[1])
+    return out.orderBy("model")
+
+
+def _sql_classifier_eval_sum() -> str:
+    b = _QSL_BUCKETS
+    grams = (
+        "list_concat(wf, list_transform("
+        "generate_series(1, greatest(len(wf) - 1, 0)), "
+        "i -> wf[i] || ' ' || wf[i+1]))"
+    )
+    h = "('0x'||substr(md5(gram),1,15))::BIGINT"
+    nb_w = (
+        "ROUND(ln((c1 + 1.0)/(t1 + {b}.0))"
+        " - ln((c0 + 1.0)/(t0 + {b}.0)) + 1e-9, 6) + 0.0"
+    ).format(b=b)
+    return rf"""
+WITH docs0 AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                             x -> x <> '') AS wf
+  FROM documents WHERE text IS NOT NULL
+),
+g AS (SELECT doc_id, unnest({grams}) AS gram FROM docs0),
+db AS (
+  SELECT doc_id, {h} % {b} AS bk, COUNT(*) AS c FROM g GROUP BY 1, 2
+),
+gold AS (
+  SELECT doc_id, lang = 'en' AS _gold FROM documents WHERE lang IS NOT NULL
+),
+lab AS (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents WHERE lang IS NOT NULL
+),
+dbl AS (SELECT db.*, y FROM db JOIN lab USING (doc_id)),
+pb AS (
+  SELECT bk, SUM(CASE WHEN y = 1 THEN c ELSE 0 END) AS c1,
+         SUM(CASE WHEN y = 0 THEN c ELSE 0 END) AS c0
+  FROM dbl GROUP BY bk
+),
+tot AS (
+  SELECT SUM(CASE WHEN y = 1 THEN c ELSE 0 END) AS t1,
+         SUM(CASE WHEN y = 0 THEN c ELSE 0 END) AS t0
+  FROM dbl
+),
+nd AS (
+  SELECT SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n1,
+         SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS n0
+  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+),
+bias AS (SELECT ROUND(ln(n1 * 1.0) - ln(n0 * 1.0) + 1e-9, 6) + 0.0 AS bw FROM nd),
+wt AS (SELECT bk, {nb_w} AS w FROM pb, tot),
+sc AS (
+  SELECT doc_id, SUM(c) AS n_grams, SUM(c * COALESCE(w, 0.0)) AS dot
+  FROM db LEFT JOIN wt USING (bk) GROUP BY doc_id
+),
+all_docs AS (SELECT DISTINCT doc_id FROM documents WHERE text IS NOT NULL),
+per_doc AS (
+  SELECT 'mean_nobias' AS model, d.doc_id,
+         CAST(ROUND(((CASE WHEN COALESCE(n_grams, 0) > 0
+                           THEN dot / n_grams ELSE 0.0 END) + 1e-9)
+                    * 1000000) AS BIGINT) AS lm,
+         CAST(ROUND(((CASE WHEN COALESCE(n_grams, 0) > 0
+                           THEN dot / n_grams ELSE 0.0 END) + 1e-9)
+                    * 100) AS BIGINT) AS score_c
+  FROM all_docs d LEFT JOIN sc USING (doc_id)
+  UNION ALL
+  SELECT 'sum_bias', d.doc_id,
+         CAST(ROUND((bw + (CASE WHEN COALESCE(n_grams, 0) > 0
+                                THEN dot ELSE 0.0 END) + 1e-9)
+                    * 1000000) AS BIGINT),
+         CAST(ROUND((bw + (CASE WHEN COALESCE(n_grams, 0) > 0
+                                THEN dot ELSE 0.0 END) + 1e-9)
+                    * 100) AS BIGINT)
+  FROM all_docs d LEFT JOIN sc USING (doc_id), bias
+),
+jj AS (SELECT p.*, g._gold FROM per_doc p JOIN gold g USING (doc_id)),
+fixed AS (
+  SELECT model,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN lm >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+         CAST(SUM(CASE WHEN lm >= 0 AND _gold THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN lm >= 0 AND NOT _gold THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(SUM(CASE WHEN lm < 0 AND _gold THEN 1 ELSE 0 END) AS BIGINT) AS fn
+  FROM jj GROUP BY model
+),
+per_score AS (
+  SELECT model, score_c, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN _gold THEN 1 ELSE 0 END) AS BIGINT) AS np
+  FROM jj GROUP BY model, score_c
+),
+sweep AS (
+  SELECT model,
+         SUM(n) OVER w AS n_kept,
+         SUM(np) OVER w AS n_true_pos,
+         SUM(np) OVER (PARTITION BY model
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND UNBOUNDED FOLLOWING) AS n_pos_total
+  FROM per_score
+  WINDOW w AS (PARTITION BY model ORDER BY score_c DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+best AS (
+  SELECT model,
+         MAX(CAST(ROUND(n_true_pos * 2000.0 / (n_kept + n_pos_total)
+                        + 1e-9) AS BIGINT)) AS best_f1_milli
+  FROM sweep GROUP BY model
+)
+SELECT f.model, n_docs, n_pass, tp, fp, fn,
+       CAST(CASE WHEN tp + fp > 0
+                 THEN ROUND(tp * 1000.0 / (tp + fp) + 1e-9)
+                 ELSE 0.0 END AS BIGINT) AS precision_milli,
+       CAST(CASE WHEN tp + fn > 0
+                 THEN ROUND(tp * 1000.0 / (tp + fn) + 1e-9)
+                 ELSE 0.0 END AS BIGINT) AS recall_milli,
+       best_f1_milli
+FROM fixed f JOIN best USING (model) ORDER BY model"""
+
+
+def q_lang_id_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-class NB lang-id head (VERDICT r13 missing-capability #2,
+    ext.text.train_lang_weights + lang_id_nb): per-language smoothed
+    log-likelihoods over the shared hashed gram buckets, stored
+    sparsely against the per-class unseen-bucket floor, scored as the
+    exact NB posterior (prior + n_grams*floor + sum c*delta) with a
+    per-doc window argmax (ties to smallest lang). Self-trained on
+    the fixture's lang labels, scored over every non-NULL-text doc.
+    Oracle: full DuckDB replay of fit + sparse scoring + argmax."""
+    from methyl_data_pipeline_spark.ext.text import (
+        lang_id_nb,
+        train_lang_weights,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    w = train_lang_weights(docs, buckets=_QSL_BUCKETS)
+    out = lang_id_nb(docs, w, buckets=_QSL_BUCKETS)
+    return out.select(
+        "doc_id", "pred_lang", "n_grams", _ri(F.col("score")).alias("score_micro")
+    ).orderBy("doc_id")
+
+
+def _sql_lang_id_nb() -> str:
+    b = _QSL_BUCKETS
+    grams = (
+        "list_concat(wf, list_transform("
+        "generate_series(1, greatest(len(wf) - 1, 0)), "
+        "i -> wf[i] || ' ' || wf[i+1]))"
+    )
+    h = "('0x'||substr(md5(gram),1,15))::BIGINT"
+    return rf"""
+WITH docs0 AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS wf
+  FROM documents WHERE text IS NOT NULL
+),
+g AS (SELECT doc_id, unnest({grams}) AS gram FROM docs0),
+db AS (
+  SELECT doc_id, {h} % {b} AS bk, COUNT(*) AS c FROM g GROUP BY 1, 2
+),
+lab AS (SELECT doc_id, lang FROM docs0 WHERE lang IS NOT NULL),
+lb AS (
+  SELECT lang, bk, SUM(c) AS c
+  FROM db JOIN lab USING (doc_id) GROUP BY lang, bk
+),
+tl AS (SELECT lang, SUM(c) AS t FROM lb GROUP BY lang),
+nl AS (SELECT lang, COUNT(*) AS n_l FROM lab GROUP BY lang),
+ntot AS (SELECT COUNT(*) AS n_tot FROM lab),
+langdim AS (
+  SELECT tl.lang,
+         ROUND(ln(1.0 / (t + {b}.0)) + 1e-9, 6) + 0.0 AS floor6,
+         ROUND(ln(n_l / (SELECT n_tot FROM ntot) * 1.0) + 1e-9, 6) + 0.0
+           AS prior6
+  FROM tl JOIN nl USING (lang)
+),
+sparse AS (
+  SELECT lb.lang, lb.bk,
+         (ROUND(ln((lb.c + 1.0) / (t + {b}.0)) + 1e-9, 6) + 0.0)
+         - (ROUND(ln(1.0 / (t + {b}.0)) + 1e-9, 6) + 0.0) AS delta
+  FROM lb JOIN tl USING (lang)
+),
+ng AS (
+  SELECT d.doc_id, COALESCE(s.n_grams, 0) AS n_grams
+  FROM (SELECT DISTINCT doc_id FROM docs0) d
+  LEFT JOIN (SELECT doc_id, SUM(c) AS n_grams FROM db GROUP BY doc_id) s
+    USING (doc_id)
+),
+part AS (
+  SELECT db.doc_id, sparse.lang, SUM(db.c * sparse.delta) AS p
+  FROM db JOIN sparse ON db.bk = sparse.bk
+  GROUP BY db.doc_id, sparse.lang
+),
+dense AS (
+  SELECT ng.doc_id, l.lang, ng.n_grams,
+         l.prior6 + ng.n_grams * l.floor6 + COALESCE(part.p, 0.0) AS score
+  FROM ng CROSS JOIN langdim l
+  LEFT JOIN part ON part.doc_id = ng.doc_id AND part.lang = l.lang
+),
+ranked AS (
+  SELECT doc_id, lang, n_grams, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, lang ASC) AS rn
+  FROM dense
+)
+SELECT doc_id, lang AS pred_lang, CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(ROUND((score + 1e-9) * 1000000) AS BIGINT) AS score_micro
+FROM ranked WHERE rn = 1 ORDER BY doc_id"""
+
+
 _BPE_K = 8
 _BPE_ENC_K = 6
 
@@ -6345,6 +6630,98 @@ FROM f WHERE i % 2 = 0 ORDER BY doc_id, frame_idx
 """
 
 
+def q_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash fingerprints over REAL BMP bytes
+    (VERDICT r13 #5 — extends the dedup layer beyond text): each doc
+    becomes a block-constant BMP with planted brightness/resize/edit
+    variants (ext.multimodal.synthesize_images), then image_ahash
+    decodes the real pixel buffer, grayscales, 8x8 nearest-neighbor
+    downsamples, mean-thresholds, and packs a signed 64-bit
+    fingerprint — all integer arithmetic, so the oracle replays the
+    whole decode -> hash chain from the closed-form block formula."""
+    from methyl_data_pipeline_spark.ext.multimodal import (
+        image_ahash,
+        synthesize_images,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = image_ahash(synthesize_images(docs))
+    return out.select(F.col("id").alias("doc_id"), "ahash").orderBy("doc_id")
+
+
+# Block values replayed from the synthesize_images closed-form (role =
+# doc_id % 4: base / +40 brightness / 2-block edit / independent); bit
+# k set iff 64*v_k >= sum(v) (integer-exact mean threshold); signed
+# 64-bit packing with an explicit bit-63 sign term.
+SQL_IMAGE_AHASH_CORE = """
+ids AS (SELECT doc_id, doc_id // 4 AS grp, doc_id % 4 AS role FROM documents),
+blk AS (SELECT doc_id, grp, role,
+               unnest(generate_series(0, 63)) AS j FROM ids),
+val AS (
+  SELECT doc_id, j,
+    CASE role
+      WHEN 0 THEN (grp*37 + j*11) % 200
+      WHEN 1 THEN (grp*37 + j*11) % 200 + 40
+      WHEN 2 THEN CASE WHEN j < 2 THEN ((grp*37 + j*11) % 200 + 100) % 200
+                       ELSE (grp*37 + j*11) % 200 END
+      ELSE (grp*101 + j*53 + 7) % 200
+    END AS v
+  FROM blk
+),
+bits AS (
+  SELECT doc_id, j,
+         CASE WHEN 64*v >= SUM(v) OVER (PARTITION BY doc_id)
+              THEN 1 ELSE 0 END AS bit
+  FROM val
+),
+sig AS (
+  -- CAST: DuckDB SUM(BIGINT) widens to HUGEINT, which the comparator
+  -- renders as a float; the fingerprint must stay a signed 64-bit int
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN bit = 1 AND j < 63
+                    THEN CAST(1 AS BIGINT) << CAST(j AS INT)
+                  WHEN bit = 1 AND j = 63 THEN (-9223372036854775807 - 1)
+                  ELSE 0 END) AS BIGINT) AS ahash
+  FROM bits GROUP BY doc_id
+)
+"""
+
+SQL_IMAGE_AHASH = (
+    "WITH " + SQL_IMAGE_AHASH_CORE + "SELECT doc_id, ahash FROM sig ORDER BY doc_id"
+)
+
+
+def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate image pairs (VERDICT r13 #5):
+    average-hash fingerprints through the LOSSLESS pigeonhole hamming
+    banding (the simhash_hamming_pairs kernel, generalized) — planted
+    brightness variants land at hamming 0, resize+edit variants at
+    1-3, independents near 32. The oracle brute-forces all pairs with
+    bit_count(xor) <= 3, which the banded plan must reproduce exactly
+    (losslessness is the certificate, same as minhash_recall)."""
+    from methyl_data_pipeline_spark.ext.multimodal import (
+        image_neardup,
+        synthesize_images,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = image_neardup(synthesize_images(docs), max_hamming=3)
+    return out.orderBy("id_a", "id_b")
+
+
+SQL_IMAGE_NEARDUP = (
+    "WITH "
+    + SQL_IMAGE_AHASH_CORE
+    + """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+ORDER BY id_a, id_b
+"""
+)
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunking (ext.pack.chunk_documents,
     window=32/stride=24): the RAG / long-doc splitter as a pure 1:N
@@ -7826,195 +8203,191 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness records only the
-    # FIRST 50 entries in dict order. ROUND-13 WINDOW (standing policy,
-    # VERDICT r9 #2 / r10 #2 / r11 #1 / r12 #2): changed-first, then
-    # OLDEST newest-green first, then lowest green count. Composition:
-    #   (a) new in r13: classifier_train + classifier_eval (VERDICT
-    #       r12 #4 - in-engine NB training loop) and bigram_logprob
-    #       (#8 - interpolated bigram LM);
-    #   (b) changed in r13: methyl_pipeline_chain (sample-gate _ns
-    #       fold + windowed-BH tail, the r12 bench-flag fix) and
-    #       url_dedup (port/percent/whitespace canonicalization +
-    #       empty-canonical junk guard);
-    #   (c-f) the ENTIRE oracled newest<=r10 backlog (41 queries: the
-    #       r10-newest 4/5/6/8-green tiers) - this completes the r12
-    #       promise ("the rest of the r10-newest 4-green tier and the
-    #       5+-green r10 tier"); after this round NO oracled query's
-    #       newest driver green predates r11;
-    #   (g) fill to 50 from the r11-newest tier, lowest green count
-    #       first: minhash_recall (1 green), dsir_select +
-    #       semantic_dedup (2).
-    # Rotated OUT vs r12: the whole r12-green window. Left for r14:
-    # the r11-newest 3-green tier (budget_select onward,
-    # alphabetical), then the 4/5/6-green r11 tiers - all
+    # FIRST 50 entries in dict order. ROUND-14 WINDOW (standing policy,
+    # VERDICT r9 #2 / r10 #2 / r11 #1 / r12 #2 / r13 #4):
+    # changed-first, then OLDEST newest-green first, then lowest green
+    # count. Composition:
+    #   (a) new in r14: image_ahash + image_neardup (VERDICT r13 #5 -
+    #       perceptual average-hash fingerprints + lossless hamming
+    #       banding over real BMP bytes), classifier_eval_sum
+    #       (#9 - sum-pooled NB posterior vs mean-pooled geometry),
+    #       and lang_id_nb (missing-capability #2 - multi-class NB
+    #       lang-id head);
+    #   (b) changed in r14: classifier_eval / classifier_sweep /
+    #       quality_classifier (quality_score_linear grew
+    #       pooling/bias_from_table and a _b >= 0 table-hygiene
+    #       filter) and simhash_pairs / simhash64_pairs
+    #       (simhash_hamming_pairs re-based onto the extracted
+    #       hamming_pairs kernel);
+    #   (c) the ENTIRE oracled newest==r11 backlog (42 queries,
+    #       green-count ascending then alphabetical: the 2-green tier
+    #       through pricing_summary) - keeps the r13 promise; after
+    #       this round NO oracled query's newest driver green predates
+    #       r12.
+    # Rotated OUT vs r13: the whole r13-green window. Left for r15:
+    # the r12-newest 1-green tier (line_dedup_norm onward,
+    # alphabetical), then the 2/3/4/5-green r12 tiers - all
     # re-verified every round by tools/check_oracle.py on the sf0.01
     # and NULL fixtures.
     return {
-    # window 50 = 5 new/changed + 41 backlog + 4 r11 fill; tail 90
-        # (a) new r13 (VERDICT r12 #4 classifier training loop, #8 bigram LM)
-        "classifier_train": q_classifier_train,
+    # window 50 = 4 new + 5 changed + 41 r11 backlog (pricing_summary,
+    # the backlog's 8-green member, leads the tail); tail 102
+        "image_ahash": q_image_ahash,
+        "image_neardup": q_image_neardup,
+        "classifier_eval_sum": q_classifier_eval_sum,
+        "lang_id_nb": q_lang_id_nb,
         "classifier_eval": q_classifier_eval,
+        "classifier_sweep": q_classifier_sweep,
+        "quality_classifier": q_quality_classifier,
+        "simhash_pairs": q_simhash_pairs,
+        "simhash64_pairs": q_simhash64_pairs,
+        "corpus_report": q_corpus_report,
+        "moderated_f": q_moderated_f,
+        "outlier_mad": q_outlier_mad,
+        "budget_select": q_budget_select,
+        "cohort_retention": q_cohort_retention,
+        "column_digests": q_column_digests,
+        "domain_mix": q_domain_mix,
+        "exact_substring": q_exact_substring,
+        "funnel": q_funnel,
+        "incremental_neardup": q_incremental_neardup,
+        "length_batches": q_length_batches,
+        "repetition_signals": q_repetition_signals,
+        "sequence_packing": q_sequence_packing,
+        "similarity_lsh": q_similarity_lsh,
+        "dedup_clusters": q_dedup_clusters,
+        "bh_grouped": q_bh_grouped,
+        "bloom_decontaminate": q_bloom_decontaminate,
+        "bmiq_mstep_cert": q_bmiq_mstep_cert,
+        "chunk_documents": q_chunk_documents,
+        "combat_converged": q_combat_converged,
+        "combat_twostep": q_combat_twostep,
+        "decontaminate": q_decontaminate,
+        "dmr_regions": q_dmr_regions,
+        "hot_ngrams": q_hot_ngrams,
+        "incremental_dedup": q_incremental_dedup,
+        "pca_eigen_cert": q_pca_eigen_cert,
+        "perplexity_buckets": q_perplexity_buckets,
+        "pii_redact": q_pii_redact,
+        "quality_filter": q_quality_filter,
+        "quantile_normalize": q_quantile_normalize,
+        "sample_stratified": q_sample_stratified,
+        "sketch_cert": q_sketch_cert,
+        "snapshot_diff": q_snapshot_diff,
+        "stream_interval_join": q_stream_interval_join,
+        "unigram_logprob": q_unigram_logprob,
+        "bmiq_prefix": q_bmiq_prefix,
+        "combat_cov_prefix": q_combat_cov_prefix,
+        "dedup_best": q_dedup_best,
+        "events_sliding": q_events_sliding,
+        "frame_sample": q_frame_sample,
+        "segment_dedup": q_segment_dedup,
+        # ---- slot 51+ (re-verified every round by tools/check_oracle.py
+        # on two fixtures even without a window slot; pricing_summary
+        # leads the tail — it ceded its window slot to lang_id_nb as
+        # the backlog's highest-green-count member, 8 greens) ----
+        "pricing_summary": q_pricing_summary,
+        "agg_minmax": q_agg_minmax,
+        "asof_join": q_asof_join,
+        "bh_adjust": q_bh_adjust,
+        "bh_adjust_scalable": q_bh_adjust_scalable,
         "bigram_logprob": q_bigram_logprob,
-        "perplexity_buckets_bigram": q_perplexity_buckets_bigram,
-        # (b) changed r13 (chain gate/BH restructure; URL port/percent/ws rules)
-        "methyl_pipeline_chain": q_methyl_pipeline_chain,
-        "url_dedup": q_url_dedup,
-        # (c) the ENTIRE oracled newest<=r10 backlog - 4-green r10 tier
+        "bm25_rank": q_bm25_rank,
+        "bmiq_normalize": q_bmiq,
+        "bpe_encode": q_bpe_encode,
+        "bpe_merges": q_bpe_merges,
+        "classifier_train": q_classifier_train,
+        "clean_text": q_clean_text,
         "collect_list": q_collect_list,
+        "combat_correction": q_combat,
+        "combat_covariates": q_combat_covariates,
+        "combat_onestep": q_combat_onestep,
+        "combat_priors": q_combat_priors,
+        "containment_pairs": q_containment_pairs,
+        "contract_report": q_contract_report,
+        "corpus_pipeline": q_corpus_pipeline,
+        "curation_pipeline": q_curation_pipeline,
+        "dedup_distinct": q_dedup_distinct,
+        "dsir_select": q_dsir_select,
+        "ecdf_percent_rank": q_ecdf,
         "embedding_cosine_topk": q_embedding_cosine_topk,
+        "embedding_drift": q_embedding_drift,
+        "embedding_neardup": q_embedding_neardup,
         "events_windowed": q_events_windowed,
         "fingerprint_dedup": q_fingerprint_dedup,
+        "hash_split": q_hash_split,
+        "health_report": q_health_report,
         "heatmap_prep": q_heatmap_prep,
+        "histogram": q_histogram,
+        "ivf_ann": q_ivf_ann,
+        "ivf_ann_approx": q_ivf_ann_approx,
         "join_chain": q_join_chain,
+        "join_full_outer": q_join_full_outer,
         "kde_density": q_kde_density,
         "lang_id": q_lang_id,
+        "lang_id_ngram": q_lang_id_ngram,
+        "layout_cert": q_layout_cert,
+        "line_dedup": q_line_dedup,
+        "line_dedup_norm": q_line_dedup_norm,
+        "mds_coords": q_mds,
+        "melt_part": q_melt,
+        "meth_complete_probes": q_meth_complete_probes,
+        "meth_contrasts": q_meth_contrasts,
+        "meth_group_delta": q_meth_group_delta,
+        "meth_moderated_t": q_meth_moderated_t,
+        "meth_qc_detp": q_meth_qc_detp,
+        "meth_variance_topk": q_meth_variance_topk,
+        "methyl_pipeline_chain": q_methyl_pipeline_chain,
+        "minhash_pairs": q_minhash_pairs,
+        "minhash_recall": q_minhash_recall,
+        "minhash_recall_salted": q_minhash_recall_salted,
+        "minhash_signatures": q_minhash_signatures,
+        "mixture_sample": q_mixture_sample,
+        "multimodal_features": q_multimodal_features,
+        "ngram_jaccard": q_ngram_jaccard,
+        "normalize_text": q_normalize_text,
+        "pca_gram": q_pca_gram,
+        "pca_scores": q_pca,
+        "perplexity_buckets_bigram": q_perplexity_buckets_bigram,
+        "pipeline_end_to_end": q_pipeline_end_to_end,
+        "pivot_events": q_pivot,
+        "poobah_ecdf": q_poobah_ecdf,
+        "quant_recall": q_quant_recall,
+        "quantiles": q_quantiles,
+        "quantize_embeddings": q_quantize_embeddings,
         "range_join": q_range_join,
         "rename_lookup": q_rename_lookup,
         "rollup_counts": q_rollup,
         "running_window": q_running_window,
+        "sample_corr": q_sample_corr,
         "sample_projection": q_sample_projection,
         "scalar_math": q_scalar_math,
-        "sessionize": q_sessionize,
-        "string_funcs": q_string_funcs,
-        "text_quality": q_text_quality,
-        "text_tokens": q_text_tokens,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "topk_per_group": q_topk_per_group,
-        "winnowing": q_winnowing,
-        # (d) 5-green r10 tiers
-        "combat_onestep": q_combat_onestep,
-        "contract_report": q_contract_report,
-        "curation_pipeline": q_curation_pipeline,
-        "hash_split": q_hash_split,
-        "lang_id_ngram": q_lang_id_ngram,
-        "meth_complete_probes": q_meth_complete_probes,
-        "meth_group_delta": q_meth_group_delta,
-        "meth_qc_detp": q_meth_qc_detp,
-        "mixture_sample": q_mixture_sample,
-        "pca_gram": q_pca_gram,
-        "sample_corr": q_sample_corr,
-        # (e) 6-green r10 tier
-        "bh_adjust": q_bh_adjust,
-        "combat_priors": q_combat_priors,
-        # (f) 8-green r10 tier
-        "bh_adjust_scalable": q_bh_adjust_scalable,
-        "health_report": q_health_report,
-        "meth_contrasts": q_meth_contrasts,
-        "meth_moderated_t": q_meth_moderated_t,
-        "meth_variance_topk": q_meth_variance_topk,
-        "multimodal_features": q_multimodal_features,
-        "poobah_ecdf": q_poobah_ecdf,
-        # (g) r11-newest fill (lowest green counts first)
-        "minhash_recall": q_minhash_recall,
-        "dsir_select": q_dsir_select,
         "semantic_dedup": q_semantic_dedup,
-        # ---- slot 51+ (re-verified every round by tools/check_oracle.py
-        # on two fixtures even without a window slot) ----
-        "agg_minmax": q_agg_minmax,
-        "asof_join": q_asof_join,
-        "bh_grouped": q_bh_grouped,
-        "bloom_decontaminate": q_bloom_decontaminate,
-        "bm25_rank": q_bm25_rank,
-        "bmiq_mstep_cert": q_bmiq_mstep_cert,
-        "bmiq_prefix": q_bmiq_prefix,
-        "budget_select": q_budget_select,
-        "bpe_encode": q_bpe_encode,
-        "bpe_merges": q_bpe_merges,
-        "chunk_documents": q_chunk_documents,
-        "classifier_sweep": q_classifier_sweep,
-        "clean_text": q_clean_text,
-        "cohort_retention": q_cohort_retention,
-        "column_digests": q_column_digests,
-        "combat_converged": q_combat_converged,
-        "combat_cov_prefix": q_combat_cov_prefix,
-        "combat_twostep": q_combat_twostep,
-        "containment_pairs": q_containment_pairs,
-        "corpus_pipeline": q_corpus_pipeline,
-        "corpus_report": q_corpus_report,
-        "decontaminate": q_decontaminate,
-        "dedup_best": q_dedup_best,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_distinct": q_dedup_distinct,
-        "dmr_regions": q_dmr_regions,
-        "domain_mix": q_domain_mix,
-        "ecdf_percent_rank": q_ecdf,
-        "embedding_drift": q_embedding_drift,
-        "embedding_neardup": q_embedding_neardup,
-        "events_sliding": q_events_sliding,
-        "exact_substring": q_exact_substring,
-        "frame_sample": q_frame_sample,
-        "funnel": q_funnel,
-        "histogram": q_histogram,
-        "hot_ngrams": q_hot_ngrams,
-        "incremental_dedup": q_incremental_dedup,
-        "incremental_neardup": q_incremental_neardup,
-        "ivf_ann": q_ivf_ann,
-        "join_full_outer": q_join_full_outer,
-        "layout_cert": q_layout_cert,
-        "length_batches": q_length_batches,
-        "line_dedup": q_line_dedup,
-        "line_dedup_norm": q_line_dedup_norm,
-        "melt_part": q_melt,
-        "minhash_pairs": q_minhash_pairs,
-        "minhash_recall_salted": q_minhash_recall_salted,
-        "minhash_signatures": q_minhash_signatures,
-        "moderated_f": q_moderated_f,
-        "ngram_jaccard": q_ngram_jaccard,
-        "normalize_text": q_normalize_text,
-        "outlier_mad": q_outlier_mad,
-        "pca_eigen_cert": q_pca_eigen_cert,
-        "perplexity_buckets": q_perplexity_buckets,
-        "pii_redact": q_pii_redact,
-        "pivot_events": q_pivot,
-        "pricing_summary": q_pricing_summary,
-        "quality_classifier": q_quality_classifier,
-        "quality_filter": q_quality_filter,
-        "quant_recall": q_quant_recall,
-        "quantile_normalize": q_quantile_normalize,
-        "quantiles": q_quantiles,
-        "quantize_embeddings": q_quantize_embeddings,
-        "repetition_signals": q_repetition_signals,
-        "sample_stratified": q_sample_stratified,
-        "segment_dedup": q_segment_dedup,
         "semi_anti_membership": q_semi_anti,
-        "sequence_packing": q_sequence_packing,
+        "sessionize": q_sessionize,
         "set_ops": q_set_ops,
         "simhash": q_simhash,
-        "simhash64_pairs": q_simhash64_pairs,
-        "simhash_pairs": q_simhash_pairs,
-        "similarity_lsh": q_similarity_lsh,
-        "sketch_cert": q_sketch_cert,
         "skew_report": q_skew_report,
-        "snapshot_diff": q_snapshot_diff,
         "source_token_cap": q_source_token_cap,
         "split_contamination": q_split_contamination,
         "split_leakage": q_split_leakage,
         "stream_curate": q_stream_curate,
-        "stream_interval_join": q_stream_interval_join,
+        "string_funcs": q_string_funcs,
         "temperature_sample": q_temperature_sample,
+        "text_quality": q_text_quality,
+        "text_tokens": q_text_tokens,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "threshold_sweep": q_threshold_sweep,
         "top_revenue_orders": q_top_revenue_orders,
+        "topk_per_group": q_topk_per_group,
         "two_level_adapted": q_two_level_adapted,
         "two_level_fitted": q_two_level_fitted,
         "two_level_probe": q_two_level_probe,
         "two_level_recall": q_two_level_recall,
-        "unigram_logprob": q_unigram_logprob,
         "union_halves": q_union_halves,
+        "url_dedup": q_url_dedup,
         "vocab_coverage": q_vocab_coverage,
-        # non-SQL-expressible (rows-only; see each docstring). Each
-        # got its one-time driver rows+schema recording in r5/r6; the
-        # driver harness errors (`no_oracle`) rather than certifying
-        # them, so they stay out of the graded window permanently -
-        # their value-level evidence is the deterministic certificate
-        # queries (pca_gram/pca_eigen_cert, combat_*, bmiq_*,
-        # methyl_pipeline_chain), all oracled and green.
-        "pca_scores": q_pca,
-        "mds_coords": q_mds,
-        "bmiq_normalize": q_bmiq,
-        "combat_covariates": q_combat_covariates,
-        "ivf_ann_approx": q_ivf_ann_approx,
-        "pipeline_end_to_end": q_pipeline_end_to_end,
-        "combat_correction": q_combat,
+        "winnowing": q_winnowing,
     }
 
 
@@ -8120,6 +8493,10 @@ def oracle_sql() -> dict[str, str]:
         "classifier_eval": _sql_classifier_eval(),
         "bigram_logprob": SQL_BIGRAM_LOGPROB,
         "perplexity_buckets_bigram": SQL_PERPLEXITY_BUCKETS_BIGRAM,
+        "image_ahash": SQL_IMAGE_AHASH,
+        "image_neardup": SQL_IMAGE_NEARDUP,
+        "classifier_eval_sum": _sql_classifier_eval_sum(),
+        "lang_id_nb": _sql_lang_id_nb(),
         # n_probe == n_centroids makes IVF exact — brute force IS the oracle
         "ivf_ann": SQL_EMBEDDING_COSINE,
         "events_windowed": SQL_EVENTS_WINDOWED,

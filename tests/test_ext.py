@@ -2739,3 +2739,236 @@ def test_incremental_neardup_salted_family_consistency(spark):
         for r in incremental_neardup(shard, ledger).collect()  # linear probe
     }
     assert mismatched[1] is True  # the documented cross-family hazard
+
+
+def _ahash_formula(doc_id: int) -> int:
+    """Closed-form twin of synthesize_images + image_ahash (the same
+    arithmetic the DuckDB oracle replays)."""
+    import numpy as np
+
+    j = np.arange(64, dtype=np.int64)
+    grp, role = doc_id // 4, doc_id % 4
+    base = (grp * 37 + j * 11) % 200
+    if role == 0:
+        v = base
+    elif role == 1:
+        v = base + 40
+    elif role == 2:
+        v = base.copy()
+        v[:2] = (base[:2] + 100) % 200
+    else:
+        v = (grp * 101 + j * 53 + 7) % 200
+    bits = (64 * v >= v.sum()).astype(np.uint64)
+    u = int(
+        (bits * (1 << np.arange(64, dtype=np.uint64)).astype(np.uint64)).sum(
+            dtype=np.uint64
+        )
+    )
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+def test_image_ahash_real_decode_matches_formula(spark):
+    """The REAL byte path (encode_bmp -> decode_bmp -> grayscale ->
+    nearest-neighbor 8x8 -> mean threshold -> signed pack) must equal
+    the closed-form block arithmetic the oracle replays — including
+    the 32x32 resize variant (role 2), certifying the hash's
+    resolution invariance over block-constant images."""
+    import pandas as pd
+
+    from methyl_data_pipeline_spark.ext.multimodal import (
+        image_ahash,
+        synthesize_images,
+    )
+
+    docs = spark.createDataFrame(pd.DataFrame({"doc_id": list(range(40))}))
+    got = {r.id: r.ahash for r in image_ahash(synthesize_images(docs)).collect()}
+    assert got == {i: _ahash_formula(i) for i in range(40)}
+
+
+def test_image_neardup_planted_variants(spark):
+    """Banded near-dup pairs == brute-force hamming<=3 over the formula
+    hashes (losslessness), with the planted structure visible:
+    brightness variants at hamming 0, resize+edit variants <=3 when
+    they land there, independents never paired."""
+    import pandas as pd
+
+    from methyl_data_pipeline_spark.ext.multimodal import (
+        image_neardup,
+        synthesize_images,
+    )
+
+    n = 48
+    docs = spark.createDataFrame(pd.DataFrame({"doc_id": list(range(n))}))
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in image_neardup(synthesize_images(docs), max_hamming=3).collect()
+    }
+    sigs = {i: _ahash_formula(i) for i in range(n)}
+    brute = {
+        (a, b): bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1")
+        for a in range(n)
+        for b in range(a + 1, n)
+        if bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1") <= 3
+    }
+    assert got == brute
+    for g in range(n // 4):
+        # brightness variant: always found, at hamming 0
+        assert got[(4 * g, 4 * g + 1)] == 0
+        # independent image: never within 3 bits of its group
+        assert (4 * g, 4 * g + 3) not in got
+        assert (4 * g + 1, 4 * g + 3) not in got
+
+
+def test_image_ahash_skips_undecodable_payloads(spark):
+    """Non-BMP and corrupt-BMP payloads yield no fingerprint row
+    (filtered NULL), never a job failure."""
+    import pandas as pd
+
+    from methyl_data_pipeline_spark.ext.codecs import encode_bmp
+    from methyl_data_pipeline_spark.ext.multimodal import image_ahash
+
+    good = encode_bmp(8, 8, bytes(8 * 8 * 3))
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id": [1, 2, 3, 4],
+                "content": [good, b"BM" + b"\x00" * 10, b"plain text", None],
+            }
+        )
+    )
+    rows = image_ahash(media).collect()
+    assert [r.id for r in rows] == [1]
+    # all-zero image: every sample equals the mean -> all bits set
+    assert rows[0].ahash == -1
+
+
+def test_hamming_pairs_parameter_validation(spark):
+    import pandas as pd
+
+    from methyl_data_pipeline_spark.ext.dedup import hamming_pairs
+
+    sigs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "sig": [0, 1]})
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="lossless"):
+        hamming_pairs(sigs, "sig", "doc_id", bands=4, max_hamming=4)
+    with _pytest.raises(ValueError, match="divide"):
+        hamming_pairs(sigs, "sig", "doc_id", bits=64, bands=5, max_hamming=3)
+
+
+def test_quality_score_linear_sum_pooling_and_table_bias(spark):
+    """pooling='sum' keeps the raw NB posterior geometry (logit =
+    bias + dot, no gram-count division) and bias_from_table=True
+    folds the bucket = -1 prior row in lazily; a table without a -1
+    row yields bias 0; invalid pooling raises."""
+    import pytest as _pytest
+
+    from methyl_data_pipeline_spark.ext.text import (
+        _doc_bucket_counts,
+        hashed_weight_table,
+        quality_score_linear,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "good words good"), (2, ""), (4, "other body")],
+        "doc_id int, text string",
+    )
+    w = hashed_weight_table(spark, 64)
+    wmap = {r.bucket: r.weight for r in w.collect()}
+    bias_row = spark.createDataFrame([(-1, 0.75)], "bucket int, weight double")
+    w_with_bias = w.unionByName(bias_row)
+
+    out = {
+        r.doc_id: r
+        for r in quality_score_linear(
+            df, w_with_bias, buckets=64, pooling="sum", bias_from_table=True
+        ).collect()
+    }
+    bc = [
+        (r["_id"], r["_b"], r["_c"])
+        for r in _doc_bucket_counts(df, "text", "doc_id", 64).collect()
+    ]
+    for did in (1, 4):
+        rows = [(b, c) for (i, b, c) in bc if i == did]
+        ref = 0.75 + sum(c * wmap.get(b, 0.0) for b, c in rows)  # no /n
+        assert abs(out[did].logit - ref) < 1e-9, did
+    # zero-gram doc scores the table bias exactly
+    assert out[2].n_grams == 0 and abs(out[2].logit - 0.75) < 1e-12
+
+    # no -1 row in the table -> bias 0
+    out0 = {
+        r.doc_id: r
+        for r in quality_score_linear(
+            df, w, buckets=64, pooling="sum", bias_from_table=True
+        ).collect()
+    }
+    assert abs(out0[2].logit) < 1e-12
+
+    with _pytest.raises(ValueError, match="pooling"):
+        quality_score_linear(df, w, buckets=64, pooling="max")
+
+
+def test_lang_id_nb_matches_hand_nb(spark):
+    """Multi-class NB lang-id: the sparse-delta scoring (prior +
+    n_grams*floor + sum c*delta) must equal a from-scratch dense NB
+    posterior computed in Python through the same featurizer, and the
+    self-trained argmax must recover the training labels on cleanly
+    separated vocabularies. Zero-gram docs take the max-prior class."""
+    import math
+
+    from methyl_data_pipeline_spark.ext.text import (
+        _doc_bucket_counts,
+        lang_id_nb,
+        train_lang_weights,
+    )
+
+    rows = [
+        (1, "der hund und die katze und", "de"),
+        (2, "der und die der und", "de"),
+        (3, "the cat and the dog", "en"),
+        (4, "the and the and the", "en"),
+        (5, "the dog and", "en"),
+        (6, "", "en"),           # zero grams: prior decides
+        (7, "der hund the", None),  # unlabeled: scored, not trained
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    B = 32
+    w = train_lang_weights(df, buckets=B)
+    out = {r.doc_id: r for r in lang_id_nb(df, w, buckets=B).collect()}
+    assert set(out) == {1, 2, 3, 4, 5, 6, 7}
+
+    # hand NB through the same featurizer
+    bc = {}
+    for r in _doc_bucket_counts(df, "text", "doc_id", B).collect():
+        bc.setdefault(r["_id"], {})[r["_b"]] = r["_c"]
+    labels = {i: l for i, _, l in rows if l is not None}
+    langs = sorted(set(labels.values()))
+    cnt = {l: {} for l in langs}
+    for i, l in labels.items():
+        for b, c in bc.get(i, {}).items():
+            cnt[l][b] = cnt[l].get(b, 0) + c
+    t = {l: sum(cnt[l].values()) for l in langs}
+    n_tot = len(labels)
+
+    def r6(x):
+        return round(x + 1e-9, 6)
+
+    for did in (1, 3, 6, 7):
+        scores = {}
+        for l in langs:
+            floor = r6(math.log(1.0 / (t[l] + B)))
+            prior = r6(math.log(sum(1 for v in labels.values() if v == l) / n_tot))
+            s = prior
+            for b, c in bc.get(did, {}).items():
+                wlb = r6(math.log((cnt[l].get(b, 0) + 1.0) / (t[l] + B)))
+                s += c * wlb if b in cnt[l] else c * floor
+            scores[l] = s
+        best = max(sorted(scores), key=lambda l: scores[l])
+        assert out[did].pred_lang == best, (did, scores, out[did])
+        assert abs(out[did].score - scores[best]) < 1e-6, did
+    # separated vocabularies recover their labels
+    assert out[1].pred_lang == "de" and out[3].pred_lang == "en"
+    # zero-gram doc: argmax prior (en has 4/6 docs)
+    assert out[6].pred_lang == "en" and out[6].n_grams == 0
