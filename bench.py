@@ -103,6 +103,14 @@ REGRESSION_FLAG = 1.3
 # (a corrupted/outlier calibration must not whitewash a real 2x+
 # regression); the raw ratio is always recorded
 CAL_RATIO_CAP = 2.0
+# Above this calibration ratio the rerun box is not "drifted", it is
+# BROKEN (r14 measured an adjudication rerun at cpu 3.2x / scan 42x
+# inside an interference window — classifier_eval spread [7.7, 154] s).
+# A "confirmed" verdict from such a box is not evidence: the flag is
+# kept but labeled rerun_degraded so nobody reads it as a real
+# code-regression confirmation. Clears (still inside the capped
+# envelope even on the broken box) remain trustworthy.
+DEGRADED_RERUN_RATIO = 2.5
 # VERDICT r7 #4: the hard 1.3x flag let a 1.30x dmr_regions drift sail
 # through one tick under the line. Below it, a softer test: a query
 # moving more than SPREAD_FLAG x whose min/max spread is DISJOINT from
@@ -209,6 +217,7 @@ def adjudicate_flags(
 
             raw_still = still_regressed(1.0)
             cal_still = still_regressed(scale)
+            degraded_box = bool(cal_ratio) and float(cal_ratio) > DEGRADED_RERUN_RATIO
             entry.update(
                 fresh_median=fm,
                 fresh_spread=fs,
@@ -216,11 +225,13 @@ def adjudicate_flags(
                 prev_spread=prev_sp,
                 cal_scale=round(scale, 3),
                 verdict=(
-                    "confirmed"
+                    ("rerun_degraded" if degraded_box else "confirmed")
                     if cal_still
                     else ("machine_noise" if raw_still else "noise")
                 ),
             )
+            if degraded_box:
+                entry["rerun_cal_ratio"] = round(float(cal_ratio), 3)
             if cal_still:
                 confirmed.add(q)
         record[q] = entry
@@ -273,6 +284,54 @@ def wait_for_quiet(
         "polls": polls,
         "verdict": verdict,
     }
+
+
+def _canary(spark) -> float:
+    """One fixed ~0.2 s CPU-bound probe (xxhash folds across all
+    cores): the instantaneous effective-compute yardstick. Unlike
+    loadavg — which this box's interference mode does NOT move
+    coherently (r14 measured an 8-minute window of 20-40x query
+    slowdown with guest CPU 93% idle, 1 running task, steal ~4%:
+    hypervisor-level stalls invisible to every /proc counter) — a
+    canary measures the thing the timed queries actually depend on.
+    """
+    n = spark.sparkContext.defaultParallelism
+    t0 = time.time()
+    # pmod keeps the sum far from long overflow under ANSI mode
+    spark.range(0, 400_000_000, 1, n).selectExpr(
+        "sum(pmod(xxhash64(id), 1048576))"
+    ).collect()
+    return time.time() - t0
+
+
+def canary_guard(
+    spark,
+    ref: float,
+    deadline: float,
+    factor: float = 2.0,
+    poll_s: float = 20.0,
+    events: list | None = None,
+    label: str = "",
+) -> bool:
+    """Block until the canary runs within ``factor`` x ``ref`` (box
+    healthy) or the deadline nears. Returns True if healthy, False if
+    it gave up (proceed anyway; the caller records it). Every degraded
+    probe is appended to ``events`` for the details record."""
+    while True:
+        c = _canary(spark)
+        if c <= factor * ref:
+            return True
+        if events is not None:
+            events.append(
+                {"at": label, "canary_sec": round(c, 3), "ref": round(ref, 3)}
+            )
+        print(
+            f"# canary degraded at {label}: {c:.2f}s vs ref {ref:.2f}s — waiting",
+            file=sys.stderr,
+        )
+        if time.time() + poll_s > deadline - 60:
+            return False
+        time.sleep(poll_s)
 
 
 def _calibrate(spark, reps: int = 5) -> float:
@@ -399,11 +458,23 @@ def rerun_main(names: list[str]) -> None:
         file=sys.stderr,
     )
     reps = max(1, int(os.environ.get("BENCH_RERUN_RUNS", "5")))
+    canary_factor = float(os.environ.get("BENCH_CANARY_FACTOR", "2.0"))
+    canary_ref = min(_canary(spark) for _ in range(3))
+    rerun_deadline = time.time() + float(
+        os.environ.get("BENCH_RERUN_GUARD_BUDGET", "600")
+    )
     out: dict[str, object] = {}
     for name in names:
         if name not in qs:
             out[name] = "unknown query"
             continue
+        canary_guard(
+            spark,
+            canary_ref,
+            rerun_deadline,
+            factor=canary_factor,
+            label=f"rerun:{name}",
+        )
         try:
             samples: list[float] = []
             n_rows = 0
@@ -647,12 +718,17 @@ def main() -> None:
     qs = entrymod.queries()
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir) and warm_dir != sf_dir:
-        # EXTENDED warms too (r13): extended queries run only
-        # BENCH_RUNS_EXTENDED (3) timed samples, so one cold first
-        # sample carrying plan analysis + codegen JIT skews the median
-        # a third of the weight; measured first-run asymmetry reaches
-        # 20 s vs 5.5 s steady (stream_curate) on the heavier chains.
-        for name in HEADLINE + [q for q in EXTENDED if q in qs]:
+        # HEADLINE ONLY here. r13 warmed the extended set in this same
+        # pre-headline loop (c5d638d) and the first full run of that
+        # order (r14) measured the headline block 29.3 s vs the 22.5 s
+        # record at EQUAL calibration, with fresh-session adjudication
+        # clearing every flag (minhash_pairs in-session 7.0 s vs fresh
+        # 2.78 s): ~53 extra warmup queries of JIT/heap/AQE state
+        # polluted the headline JVM. The extended warmup now runs
+        # AFTER the headline block (below), so headline medians stay
+        # comparable round-over-round and extended queries still avoid
+        # the cold-first-sample skew (20 s vs 5.5 s, stream_curate).
+        for name in HEADLINE:
             try:
                 qs[name](spark, warm_dir).count()
             except Exception as exc:  # keep benching even if warmup trips
@@ -700,18 +776,67 @@ def main() -> None:
             cache.release_all()
         return samples, n_rows
 
+    # Canary reference (best of 3): the healthy-box effective-compute
+    # yardstick every guard below compares against. See _canary for
+    # why loadavg cannot stand in on this box.
+    canary_factor = float(os.environ.get("BENCH_CANARY_FACTOR", "2.0"))
+    canary_ref = min(_canary(spark) for _ in range(3))
+    print(f"# canary ref: {canary_ref:.3f}s", file=sys.stderr)
+    canary_events: list = []
+    canary_retries: dict[str, dict] = {}
+
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     failures: list[str] = []
     for name in HEADLINE:
-        try:
-            samples, n = _time_query(name, n_runs)
-        except Exception as exc:
-            # a crashed query must not take the whole bench down — the
-            # driver needs the JSON line either way; failures are
-            # visible in the output for the round record
-            print(f"# {name} FAILED: {exc}", file=sys.stderr)
-            failures.append(name)
+        samples = None
+        for attempt in (0, 1):
+            healthy = canary_guard(
+                spark,
+                canary_ref,
+                deadline,
+                factor=canary_factor,
+                events=canary_events,
+                label=f"pre:{name}",
+            )
+            try:
+                samples, n = _time_query(name, n_runs)
+            except Exception as exc:
+                # a crashed query must not take the whole bench down —
+                # the driver needs the JSON line either way; failures
+                # are visible in the output for the round record
+                print(f"# {name} FAILED: {exc}", file=sys.stderr)
+                failures.append(name)
+                samples = None
+                break
+            # a clean pre-guard is not enough: r14 measured an
+            # interference window ARRIVING mid-block (minhash_pairs
+            # rep at 191 s beside a 2.8 s fresh median). If the box
+            # reads degraded right after the runs, the medians are
+            # suspect — discard and re-time once the canary recovers.
+            post = _canary(spark)
+            if post <= canary_factor * canary_ref:
+                break
+            canary_events.append(
+                {
+                    "at": f"post:{name}",
+                    "canary_sec": round(post, 3),
+                    "ref": round(canary_ref, 3),
+                }
+            )
+            if attempt == 0 and healthy and time.time() < deadline - 180:
+                canary_retries[name] = {
+                    "discarded_median": round(_median(samples), 3)
+                }
+                print(
+                    f"# {name}: canary degraded after the runs "
+                    f"({post:.2f}s vs ref {canary_ref:.2f}s) — "
+                    f"discarding and re-timing",
+                    file=sys.stderr,
+                )
+                continue
+            break
+        if samples is None:
             continue
         timings[name] = round(_median(samples), 3)
         spread[name] = [round(min(samples), 3), round(max(samples), 3)]
@@ -762,6 +887,19 @@ def main() -> None:
         line = json.dumps(slim, separators=(",", ":"))
     print(line, flush=True)
 
+    # Extended warmup, AFTER the headline block (see the headline
+    # warmup comment): JIT the extended plans at sf0.001 so their 3
+    # timed samples are steady-state, without contaminating the
+    # headline JVM.
+    if os.path.isdir(warm_dir) and warm_dir != sf_dir:
+        for name in EXTENDED:
+            if name not in qs or time.time() > deadline - 30:
+                continue
+            try:
+                qs[name](spark, warm_dir).count()
+            except Exception as exc:
+                print(f"# extended warmup {name} failed: {exc}", file=sys.stderr)
+
     extended: dict[str, float] = {}
     extended_spread: dict[str, list[float]] = {}
     truncated: list[str] = []
@@ -771,6 +909,14 @@ def main() -> None:
         if time.time() > deadline - 30:
             truncated.append(name)
             continue
+        canary_guard(
+            spark,
+            canary_ref,
+            deadline,
+            factor=canary_factor,
+            events=canary_events,
+            label=f"pre:{name}",
+        )
         try:
             samples, n = _time_query(name, n_runs_ext)
         except Exception as exc:
@@ -933,6 +1079,9 @@ def main() -> None:
         "failures": failures,
         "prev": prev_name,
         "load_guard": load_guard,
+        "canary_ref_sec": round(canary_ref, 3),
+        "canary_events": canary_events,
+        "canary_retries": canary_retries,
         "deadline_sec": round(deadline - t_start, 1),
         "wall_sec": round(time.time() - t_start, 1),
         "extended_truncated": truncated,

@@ -300,3 +300,31 @@ def test_load_guard_unreadable_proc_is_not_a_blocker():
     )
     assert regs["verdict"] == "unreadable"
     assert regs["polls"] == 1
+
+
+def test_adjudication_degraded_rerun_box_cannot_confirm():
+    """A rerun whose own calibration shows a >2.5x degraded box (the
+    r14 interference window: cpu 3.2x, scan 42x) keeps the flag but
+    labels it rerun_degraded, never confirmed — broken-box timings are
+    not code-regression evidence. Clears stay clears."""
+    from bench import adjudicate_flags
+
+    fresh = {
+        "slow_q": {"median": 79.4, "spread": [7.7, 154.2]},
+        "fine_q": {"median": 1.1, "spread": [1.0, 1.2]},
+    }
+    prev = {"slow_q": 4.5, "fine_q": 1.0}
+    kept, rec = adjudicate_flags(
+        ["slow_q", "fine_q"], [], fresh, prev, {}, cal_ratio=41.6
+    )
+    assert kept == ["slow_q"]
+    assert rec["slow_q"]["verdict"] == "rerun_degraded"
+    assert rec["slow_q"]["rerun_cal_ratio"] == 41.6
+    # scaled by the cap (2.0), 1.1/1.0 is inside the envelope -> clear
+    assert rec["fine_q"]["verdict"] in ("noise", "machine_noise")
+
+    # same fresh numbers on a HEALTHY box -> a real confirmation
+    kept2, rec2 = adjudicate_flags(
+        ["slow_q"], [], fresh, prev, {}, cal_ratio=1.1
+    )
+    assert rec2["slow_q"]["verdict"] == "confirmed"
