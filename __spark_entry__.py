@@ -4271,6 +4271,98 @@ SELECT f.model, n_docs, n_pass, tp, fp, fn,
 FROM fixed f JOIN best USING (model) ORDER BY model"""
 
 
+def q_audio_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual audio fingerprints over REAL PCM WAV bytes (the
+    audio member of the r14 perceptual-dedup family): each doc becomes
+    a 64-window window-constant clip with planted volume/edit variants
+    through the real encoder (ext.multimodal.synthesize_audio), then
+    audio_ahash RIFF-parses the bytes, recovers exact int16 samples,
+    mean-thresholds per-window energies (integer-exact) and packs a
+    signed 64-bit fingerprint — the oracle replays the whole decode ->
+    hash chain from the closed-form amplitude formula."""
+    from methyl_data_pipeline_spark.ext.multimodal import (
+        audio_ahash,
+        synthesize_audio,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = audio_ahash(synthesize_audio(docs))
+    return out.select(F.col("id").alias("doc_id"), "ahash").orderBy("doc_id")
+
+
+SQL_AUDIO_AHASH_CORE = """
+ids AS (SELECT doc_id, doc_id // 4 AS grp, doc_id % 4 AS role FROM documents),
+blk AS (SELECT doc_id, grp, role,
+               unnest(generate_series(0, 63)) AS j FROM ids),
+amp AS (
+  SELECT doc_id, j,
+    CASE role
+      WHEN 0 THEN 2*(((grp+1)*(j+7)*977 + grp*13) % 12000) + 200
+      WHEN 1 THEN (2*(((grp+1)*(j+7)*977 + grp*13) % 12000) + 200) // 2
+      WHEN 2 THEN CASE WHEN j < 2
+        THEN 2*(((2*(((grp+1)*(j+7)*977 + grp*13) % 12000) + 200) // 2
+                 + 2000) % 12000) + 200
+        ELSE 2*(((grp+1)*(j+7)*977 + grp*13) % 12000) + 200 END
+      ELSE 2*(((grp+3)*(j+11)*1013 + grp*29 + 5) % 12000) + 200
+    END AS a
+  FROM blk
+),
+bits AS (
+  -- window energy = 8 samples x constant amplitude = 8*a; the 8
+  -- cancels from both threshold sides but is kept for fidelity to
+  -- the decoded-bytes arithmetic the engine actually performs
+  SELECT doc_id, j,
+         CASE WHEN 64*(8*a) >= SUM(8*a) OVER (PARTITION BY doc_id)
+              THEN 1 ELSE 0 END AS bit
+  FROM amp
+),
+sig AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN bit = 1 AND j < 63
+                    THEN CAST(1 AS BIGINT) << CAST(j AS INT)
+                  WHEN bit = 1 AND j = 63 THEN (-9223372036854775807 - 1)
+                  ELSE 0 END) AS BIGINT) AS ahash
+  FROM bits GROUP BY doc_id
+)
+"""
+
+SQL_AUDIO_AHASH = (
+    "WITH " + SQL_AUDIO_AHASH_CORE + "SELECT doc_id, ahash FROM sig ORDER BY doc_id"
+)
+
+
+def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate audio pairs: energy fingerprints
+    through the same lossless pigeonhole hamming kernel as
+    image_neardup — volume-halved variants land at hamming 0, 2-window
+    edits at 0-4, independents at >= 7 (the multiplicative group
+    mixing in the fixture exists precisely so mean-thresholding's
+    translation-invariance can't collide unrelated clips; see the
+    synthesize_audio docstring). Oracle: brute-force
+    bit_count(xor) <= 3 over the replayed fingerprints."""
+    from methyl_data_pipeline_spark.ext.multimodal import (
+        audio_neardup,
+        synthesize_audio,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = audio_neardup(synthesize_audio(docs), max_hamming=3)
+    return out.orderBy("id_a", "id_b")
+
+
+SQL_AUDIO_NEARDUP = (
+    "WITH "
+    + SQL_AUDIO_AHASH_CORE
+    + """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+ORDER BY id_a, id_b
+"""
+)
+
+
 def q_lang_id_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-class NB lang-id head (VERDICT r13 missing-capability #2,
     ext.text.train_lang_weights + lang_id_nb): per-language smoothed
@@ -8211,8 +8303,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #       perceptual average-hash fingerprints + lossless hamming
     #       banding over real BMP bytes), classifier_eval_sum
     #       (#9 - sum-pooled NB posterior vs mean-pooled geometry),
-    #       and lang_id_nb (missing-capability #2 - multi-class NB
-    #       lang-id head);
+    #       lang_id_nb (missing-capability #2 - multi-class NB
+    #       lang-id head), and audio_ahash + audio_neardup (the
+    #       audio member of the perceptual-dedup family);
     #   (b) changed in r14: classifier_eval / classifier_sweep /
     #       quality_classifier (quality_score_linear grew
     #       pooling/bias_from_table and a _b >= 0 table-hygiene
@@ -8230,12 +8323,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # re-verified every round by tools/check_oracle.py on the sf0.01
     # and NULL fixtures.
     return {
-    # window 50 = 4 new + 5 changed + 41 r11 backlog (pricing_summary,
-    # the backlog's 8-green member, leads the tail); tail 102
+    # window 50 = 6 new + 5 changed + 39 r11 backlog (pricing_summary,
+    # frame_sample, segment_dedup - the backlog's highest-green
+    # members - lead the tail); tail 104
         "image_ahash": q_image_ahash,
         "image_neardup": q_image_neardup,
         "classifier_eval_sum": q_classifier_eval_sum,
         "lang_id_nb": q_lang_id_nb,
+        "audio_ahash": q_audio_ahash,
+        "audio_neardup": q_audio_neardup,
         "classifier_eval": q_classifier_eval,
         "classifier_sweep": q_classifier_sweep,
         "quality_classifier": q_quality_classifier,
@@ -8280,13 +8376,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "combat_cov_prefix": q_combat_cov_prefix,
         "dedup_best": q_dedup_best,
         "events_sliding": q_events_sliding,
+        # ---- slot 51+ (re-verified every round by tools/check_oracle.py
+        # on two fixtures even without a window slot; pricing_summary /
+        # frame_sample / segment_dedup lead the tail — they ceded their
+        # window slots to lang_id_nb / audio_ahash / audio_neardup as
+        # the backlog's highest-green-count members) ----
+        "pricing_summary": q_pricing_summary,
         "frame_sample": q_frame_sample,
         "segment_dedup": q_segment_dedup,
-        # ---- slot 51+ (re-verified every round by tools/check_oracle.py
-        # on two fixtures even without a window slot; pricing_summary
-        # leads the tail — it ceded its window slot to lang_id_nb as
-        # the backlog's highest-green-count member, 8 greens) ----
-        "pricing_summary": q_pricing_summary,
         "agg_minmax": q_agg_minmax,
         "asof_join": q_asof_join,
         "bh_adjust": q_bh_adjust,
@@ -8497,6 +8594,8 @@ def oracle_sql() -> dict[str, str]:
         "image_neardup": SQL_IMAGE_NEARDUP,
         "classifier_eval_sum": _sql_classifier_eval_sum(),
         "lang_id_nb": _sql_lang_id_nb(),
+        "audio_ahash": SQL_AUDIO_AHASH,
+        "audio_neardup": SQL_AUDIO_NEARDUP,
         # n_probe == n_centroids makes IVF exact — brute force IS the oracle
         "ivf_ann": SQL_EMBEDDING_COSINE,
         "events_windowed": SQL_EVENTS_WINDOWED,

@@ -591,6 +591,18 @@ def image_neardup(
     dedup layer (VERDICT r13 #5): resized and brightness-shifted
     re-encodes of the same image land at hamming 0-2 while unrelated
     images sit near ``grid²/2``. Output ``(id_a, id_b, hamming)``.
+
+    SCALE HYGIENE (measured, r14 10x probe): pairs within an
+    IDENTICAL-fingerprint family are all-pairs by definition, so on a
+    corpus with large exact-dup families the output is quadratic in
+    family size regardless of banding (a ~2500-member family is ~3M
+    pairs in one bucket — OOMed a 16 GiB probe JVM). Collapse first:
+    ``hamming_pairs(collapse_exact_fingerprints(image_ahash(m))
+    .select("ahash", "id"), "ahash", "id")`` and join families back
+    by fingerprint when member-level pairs are needed. The collapsed
+    form measured 4.80 s -> 18.39 s at 1x -> 10x corpus (slope 3.8x,
+    sublinear: the collapse absorbs the growing dup families;
+    tools/scale_probe.py image_neardup).
     """
     from methyl_data_pipeline_spark.ext.dedup import hamming_pairs
 
@@ -602,4 +614,172 @@ def image_neardup(
         bands=bands,
         max_hamming=max_hamming,
         max_bucket=max_bucket,
+    )
+
+
+def synthesize_audio(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic PCM-WAV fixture stream with PLANTED near-dups,
+    through the REAL encoder — the audio twin of
+    :func:`synthesize_images`. Each doc is 512 samples (64 windows x 8
+    samples) of window-constant amplitude, closed-form in ``doc_id``:
+
+    ``group = id // 4``, ``role = id % 4``,
+    ``base_j = 2*(((group+1)*(j+7)*977 + group*13) % 12000) + 200``
+    (EVEN, so the volume-halved variant divides exactly;
+    MULTIPLICATIVE group mixing, deliberately — an additive pattern
+    ``(group*c1 + j*c2) % M`` makes every group a translation of every
+    other, and mean-thresholding is translation-invariant, so
+    unrelated clips collided at hamming 0 under the first design;
+    measured fix: independents now sit at min hamming 7, sampled
+    cross-group collisions 3/9180):
+
+    - role 0 — base clip;
+    - role 1 — volume-halved: ``base_j // 2`` (uniform gain change —
+      the energy pattern is identical, so the ahash matches at
+      hamming 0);
+    - role 2 — edit variant: windows 0 and 1 replaced by
+      ``2*((base_j//2 + 2000) % 12000) + 200`` (measured hamming 0-4
+      for ~95% of groups);
+    - role 3 — independent clip:
+      ``2*(((group+3)*(j+11)*1013 + group*29 + 5) % 12000) + 200``.
+    """
+
+    def synth(batches):
+        import numpy as np
+
+        from methyl_data_pipeline_spark.ext.codecs import encode_wav
+
+        j = np.arange(64, dtype=np.int64)
+        for pdf in batches:
+            rows = {"id": [], "modality": [], "mime": [], "n_bytes": [], "content": []}
+            for rid in pdf[id_col]:
+                rid = int(rid)
+                grp, role = rid // 4, rid % 4
+                base = 2 * (((grp + 1) * (j + 7) * 977 + grp * 13) % 12000) + 200
+                if role == 0:
+                    amps = base
+                elif role == 1:
+                    amps = base // 2
+                elif role == 2:
+                    amps = base.copy()
+                    amps[:2] = 2 * ((base[:2] // 2 + 2000) % 12000) + 200
+                else:
+                    amps = 2 * (((grp + 3) * (j + 11) * 1013 + grp * 29 + 5) % 12000) + 200
+                samples = np.repeat(amps, 8) / 32767.0
+                content = encode_wav(16_000, samples, bits=16)
+                rows["id"].append(rid)
+                rows["modality"].append("audio")
+                rows["mime"].append("audio/wav")
+                rows["n_bytes"].append(len(content))
+                rows["content"].append(content)
+            yield pd.DataFrame(rows)
+
+    from methyl_data_pipeline_spark.deploy import ensure_importable
+
+    ensure_importable(docs.sparkSession)
+    return docs.select(id_col).mapInPandas(synth, MEDIA_SCHEMA)
+
+
+def audio_ahash(media: DataFrame, windows: int = 64) -> DataFrame:
+    """Perceptual audio fingerprint over PCM WAV payloads: decode (real
+    RIFF parser), recover exact int16 samples (``round(x * 32768)`` —
+    the decoder normalizes by 32768), split into ``windows`` equal
+    windows, per-window ENERGY ``e_w = sum |v|`` (integer), threshold
+    each window at the clip mean (integer-exact:
+    ``windows * e_w >= sum(e)``), and pack into a signed 64-bit int —
+    gain changes rescale every window together, so volume variants
+    hash identically, the same invariance brightness has under
+    :func:`image_ahash`. One Arrow-batched ``mapInPandas``; non-WAV /
+    corrupt payloads yield NULL and are filtered.
+
+    Output: ``(id, ahash)`` — feed to ``dedup.hamming_pairs`` or
+    :func:`audio_neardup`.
+    """
+    if windows > 64:
+        raise ValueError("windows must fit a 64-bit fingerprint")
+    out_schema = "id long, ahash long"
+
+    def fingerprint(batches):
+        import numpy as np
+
+        from methyl_data_pipeline_spark.ext.codecs import decode_wav
+
+        weights = (1 << np.arange(windows, dtype=np.uint64)).astype(np.uint64)
+        for pdf in batches:
+            ids, hashes = [], []
+            for rid, content in zip(pdf["id"], pdf["content"]):
+                raw = bytes(content) if content is not None else b""
+                h = None
+                if raw[:4] == b"RIFF":
+                    try:
+                        _rate, x = decode_wav(raw)
+                        v = np.abs(np.round(x * 32768.0).astype(np.int64))
+                        n = len(v) // windows * windows
+                        if n == 0:
+                            raise ValueError("clip shorter than the window grid")
+                        e = v[:n].reshape(windows, -1).sum(axis=1)
+                        bits = (windows * e >= e.sum()).astype(np.uint64)
+                        u = int((bits * weights).sum(dtype=np.uint64))
+                        h = u - (1 << 64) if u >= (1 << 63) else u
+                    except ValueError:
+                        h = None  # corrupt WAV: skip, don't kill the job
+                ids.append(int(rid))
+                hashes.append(h)
+            yield pd.DataFrame({"id": ids, "ahash": hashes})
+
+    from methyl_data_pipeline_spark.deploy import ensure_importable
+
+    ensure_importable(media.sparkSession)
+    return (
+        media.select("id", "content")
+        .mapInPandas(fingerprint, out_schema)
+        .filter(F.col("ahash").isNotNull())
+    )
+
+
+def audio_neardup(
+    media: DataFrame,
+    windows: int = 64,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket: int = 4096,
+) -> DataFrame:
+    """Perceptual near-duplicate audio pairs: :func:`audio_ahash`
+    energy fingerprints through the same LOSSLESS pigeonhole hamming
+    kernel as :func:`image_neardup` / ``simhash_hamming_pairs`` —
+    volume-changed re-encodes land at hamming 0, small edits at 1-3,
+    unrelated clips near ``windows/2``. Output ``(id_a, id_b,
+    hamming)``."""
+    from methyl_data_pipeline_spark.ext.dedup import hamming_pairs
+
+    return hamming_pairs(
+        audio_ahash(media, windows=windows),
+        sig_col="ahash",
+        id_col="id",
+        bits=64,
+        bands=bands,
+        max_hamming=max_hamming,
+        max_bucket=max_bucket,
+    )
+
+
+def collapse_exact_fingerprints(sigs: DataFrame, sig_col: str = "ahash", id_col: str = "id") -> DataFrame:
+    """Collapse identical perceptual fingerprints to one representative
+    (min id) with a member count — the mandatory pre-step before
+    hamming banding on corpora with large exact-dup families. Pairs
+    WITHIN an identical family are implied by the family itself
+    (hamming 0, all-pairs = C(n,2)), so materializing them is
+    quadratic waste: the r14 10x scale probe measured the banding
+    kernel OOMing a 16 GiB JVM on ~2500-member identical families
+    (~3M pair structs per bucket) when fed raw fingerprints, while the
+    collapsed representatives stream through unchanged. One
+    fingerprint-keyed shuffle, output <= distinct signatures.
+
+    Output: ``(sig_col, id_col, n_members)`` — feed to
+    ``dedup.hamming_pairs``; join families back by fingerprint when
+    member-level pairs are genuinely needed.
+    """
+    return sigs.groupBy(sig_col).agg(
+        F.min(id_col).alias(id_col),
+        F.count(F.lit(1)).cast("long").alias("n_members"),
     )

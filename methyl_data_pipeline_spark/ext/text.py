@@ -1846,7 +1846,11 @@ def lang_id_nb(
     (<= classes x buckets, broadcastable by construction), a
     (doc, class) aggregate, dense completion via a broadcast
     cross-join with the class dimension, and a per-doc window argmax
-    — corpus-sized shuffles keyed by doc id only.
+    — corpus-sized shuffles keyed by doc id only. The argmax lowers to
+    WindowGroupLimit (rank-1 pushdown), so no per-doc sort
+    materializes. Measured fit+score at 1x -> 10x corpus:
+    4.42 s -> 24.22 s (slope 5.5x on 10x data;
+    tools/scale_probe.py lang_id_nb).
 
     Output: ``(id_col, pred_lang, n_grams, score)``.
     """
@@ -1942,6 +1946,16 @@ def quality_score_linear(
     ``train_quality_weights`` emits) LAZILY — a 1-row aggregate
     broadcast into the plan, no driver action — instead of the
     ``bias`` argument.
+
+    MEASURED (r14, sf0.01 lang=='en' pseudo-gold, the
+    ``classifier_eval_sum`` oracle): at the fixed cutoff 0 the
+    mean-pooled geometry edges out sum+prior (F1 .798 vs .784 — the
+    prior pushes 15 borderline docs under the cut: P .813/R .757 vs
+    .798/.798); at each geometry's own best sweep threshold the order
+    flips by a hair (best-F1 .817 sum vs .813 mean). Neither
+    dominates: pick sum+prior when downstream consumes calibrated NB
+    posteriors, mean when a length-invariant score feeds a fixed
+    cutoff.
 
     Returns ``(id_col, n_grams, logit, quality_pass)`` for EVERY
     non-NULL-text doc; zero-gram docs score the bias exactly.

@@ -2972,3 +2972,87 @@ def test_lang_id_nb_matches_hand_nb(spark):
     assert out[1].pred_lang == "de" and out[3].pred_lang == "en"
     # zero-gram doc: argmax prior (en has 4/6 docs)
     assert out[6].pred_lang == "en" and out[6].n_grams == 0
+
+
+def _audio_ahash_formula(doc_id: int) -> int:
+    """Closed-form twin of synthesize_audio + audio_ahash."""
+    import numpy as np
+
+    j = np.arange(64, dtype=np.int64)
+    grp, role = doc_id // 4, doc_id % 4
+    base = 2 * (((grp + 1) * (j + 7) * 977 + grp * 13) % 12000) + 200
+    if role == 0:
+        amps = base
+    elif role == 1:
+        amps = base // 2
+    elif role == 2:
+        amps = base.copy()
+        amps[:2] = 2 * ((base[:2] // 2 + 2000) % 12000) + 200
+    else:
+        amps = 2 * (((grp + 3) * (j + 11) * 1013 + grp * 29 + 5) % 12000) + 200
+    e = 8 * amps
+    bits = (64 * e >= e.sum()).astype(np.uint64)
+    u = int(
+        (bits * (1 << np.arange(64, dtype=np.uint64)).astype(np.uint64)).sum(
+            dtype=np.uint64
+        )
+    )
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+def test_audio_ahash_real_decode_matches_formula(spark):
+    """The real byte path (encode_wav round-trip -> RIFF parse -> exact
+    int16 recovery -> window energies -> integer mean threshold ->
+    signed pack) must equal the closed-form amplitude arithmetic the
+    oracle replays."""
+    import pandas as pd
+
+    from methyl_data_pipeline_spark.ext.multimodal import (
+        audio_ahash,
+        synthesize_audio,
+    )
+
+    docs = spark.createDataFrame(pd.DataFrame({"doc_id": list(range(40))}))
+    got = {r.id: r.ahash for r in audio_ahash(synthesize_audio(docs)).collect()}
+    assert got == {i: _audio_ahash_formula(i) for i in range(40)}
+
+
+def test_audio_neardup_planted_variants_and_collapse(spark):
+    """Banded audio pairs == brute-force hamming<=3; volume-halved
+    variants at hamming 0, independents never paired with their group;
+    collapse_exact_fingerprints elects min-id representatives with
+    member counts."""
+    import pandas as pd
+
+    from methyl_data_pipeline_spark.ext.multimodal import (
+        audio_ahash,
+        audio_neardup,
+        collapse_exact_fingerprints,
+        synthesize_audio,
+    )
+
+    n = 48
+    docs = spark.createDataFrame(pd.DataFrame({"doc_id": list(range(n))}))
+    media = synthesize_audio(docs)
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in audio_neardup(media, max_hamming=3).collect()
+    }
+    sigs = {i: _audio_ahash_formula(i) for i in range(n)}
+    brute = {
+        (a, b): bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1")
+        for a in range(n)
+        for b in range(a + 1, n)
+        if bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1") <= 3
+    }
+    assert got == brute
+    for g in range(n // 4):
+        assert got[(4 * g, 4 * g + 1)] == 0  # volume-halved twin
+        assert (4 * g, 4 * g + 3) not in got  # independent clip
+
+    reps = collapse_exact_fingerprints(audio_ahash(media)).collect()
+    by_sig = {r.ahash: r for r in reps}
+    # each group's role-0/role-1 identical pair collapses to min id
+    for g in range(n // 4):
+        fam = by_sig[sigs[4 * g]]
+        assert fam.id == 4 * g and fam.n_members >= 2

@@ -155,7 +155,45 @@ def build_ops(spark, docs_path: str, ev_path: str, factor: int):
             "score",
             cap=50_000 * factor,
         ).count(),
+        # r14: perceptual image near-dup. The id remap keeps the
+        # role = id % 4 plant (1e7 % 4 == 0) and the fixture's base
+        # pattern cycles every 200 groups, so replicas ADD identical-
+        # fingerprint families — the heavy-dup load that exercises the
+        # banding kernel's mega-bucket triangle guard (route exact
+        # dups through dedup_exact first in production, per the
+        # simhash docstring hygiene note).
+        "image_neardup": lambda: _image_neardup_op(docs),
+        # r14: multi-class NB lang-id — fit + sparse scoring + argmax;
+        # corpus-sized work only in the gram explode on both sides
+        "lang_id_nb": lambda: _lang_id_nb_op(docs),
     }
+
+
+def _image_neardup_op(docs):
+    # the production shape: collapse identical fingerprints to
+    # representatives BEFORE banding (pairs within an identical family
+    # are implied; materializing them is quadratic in family size —
+    # the raw-fingerprint form OOMed a 16 GiB JVM at 10x on the
+    # fixture's ~2500-member identical families)
+    from methyl_data_pipeline_spark.ext.dedup import hamming_pairs
+    from methyl_data_pipeline_spark.ext.multimodal import (
+        collapse_exact_fingerprints,
+        image_ahash,
+        synthesize_images,
+    )
+
+    reps = collapse_exact_fingerprints(image_ahash(synthesize_images(docs)))
+    return hamming_pairs(reps.select("ahash", "id"), "ahash", "id").count()
+
+
+def _lang_id_nb_op(docs):
+    from methyl_data_pipeline_spark.ext.text import (
+        lang_id_nb,
+        train_lang_weights,
+    )
+
+    w = train_lang_weights(docs, buckets=1024)
+    return lang_id_nb(docs, w, buckets=1024).count()
 
 
 def ledger_growth(spark, runs: int, factors=(1, 10, 100)) -> None:
