@@ -620,6 +620,12 @@ EXTENDED = [
     "classifier_train",
     "classifier_eval",
     "bigram_logprob",
+    # r14 additions
+    "image_ahash",
+    "image_neardup",
+    "audio_neardup",
+    "classifier_eval_sum",
+    "lang_id_nb",
 ]
 
 
