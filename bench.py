@@ -624,6 +624,7 @@ EXTENDED = [
     "image_ahash",
     "image_neardup",
     "audio_neardup",
+    "video_neardup",
     "classifier_eval_sum",
     "lang_id_nb",
 ]

@@ -763,6 +763,205 @@ def audio_neardup(
     )
 
 
+def synthesize_videos(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic AVI fixture stream with PLANTED near-duplicates
+    through the REAL encoders (``encode_avi`` over ``encode_bmp``
+    frames) — the video twin of :func:`synthesize_images` /
+    :func:`synthesize_audio`. Each clip is 64 (or 128, role 1)
+    constant-gray BMP frames whose luminance is closed-form in
+    ``doc_id`` alone, which is what lets the DuckDB oracle replay the
+    whole container-parse -> frame-decode -> hash chain:
+
+    ``group = id // 4``, ``role = id % 4``, frame ``f`` in 0..63,
+    ``base_f = (((group+1)*(f+7)*977 + group*13) % 223) + 16``
+    (MULTIPLICATIVE group mixing for the same reason as
+    :func:`synthesize_audio`: mean-thresholding is translation- and
+    scale-invariant, so an additive pattern would collide unrelated
+    clips at hamming 0; measured with this form: in-group independents
+    sit at min hamming 10, sampled cross-group collisions 28/19951):
+
+    - role 0 — base clip: 64 frames, 4x4 px, luminance ``base_f``;
+    - role 1 — downsized + retimed variant: every frame duplicated
+      (128 frames, so the nearest-neighbor frame sampler must pick
+      every other frame) at 2x2 px (so per-frame totals rescale
+      uniformly) — both invariances compose to a bit-identical hash,
+      a planted hamming-0 near-dup;
+    - role 2 — edit variant: frames 0 and 1 replaced by
+      ``((base_f//2 + 61) % 223) + 16`` (measured hamming 0-3 for all
+      of 300 probed groups);
+    - role 3 — independent clip:
+      ``(((group+3)*(f+11)*1013 + group*29 + 5) % 223) + 16``.
+    """
+
+    def synth(batches):
+        import numpy as np
+
+        from methyl_data_pipeline_spark.ext.codecs import encode_avi, encode_bmp
+
+        f = np.arange(64, dtype=np.int64)
+        for pdf in batches:
+            rows = {"id": [], "modality": [], "mime": [], "n_bytes": [], "content": []}
+            for rid in pdf[id_col]:
+                rid = int(rid)
+                grp, role = rid // 4, rid % 4
+                base = (((grp + 1) * (f + 7) * 977 + grp * 13) % 223) + 16
+                if role == 2:
+                    lum = base.copy()
+                    lum[:2] = ((base[:2] // 2 + 61) % 223) + 16
+                elif role == 3:
+                    lum = (((grp + 3) * (f + 11) * 1013 + grp * 29 + 5) % 223) + 16
+                else:
+                    lum = base
+                px = 2 if role == 1 else 4
+                frames = [
+                    encode_bmp(px, px, bytes([int(v)]) * (px * px * 3)) for v in lum
+                ]
+                if role == 1:
+                    frames = [fr for fr in frames for _ in (0, 1)]
+                content = encode_avi(frames, fps=30.0)
+                rows["id"].append(rid)
+                rows["modality"].append("video")
+                rows["mime"].append("video/avi")
+                rows["n_bytes"].append(len(content))
+                rows["content"].append(content)
+            yield pd.DataFrame(rows)
+
+    from methyl_data_pipeline_spark.deploy import ensure_importable
+
+    ensure_importable(docs.sparkSession)
+    return docs.select(id_col).mapInPandas(synth, MEDIA_SCHEMA)
+
+
+def video_ahash(media: DataFrame, frames: int = 64) -> DataFrame:
+    """Perceptual temporal average-hash over AVI payloads: parse the
+    RIFF container (real chunk walker), sample ``frames`` frames with
+    the same nearest-neighbor index map every resize in this codebase
+    uses (``i*n_frames//frames`` — so a retimed clip with duplicated
+    frames hashes identically), BMP-decode each sampled frame to its
+    integer grayscale TOTAL ``e_f = sum((r+g+b)//3)``, threshold each
+    frame at the clip mean (integer-exact: ``frames * e_f >= sum(e)``,
+    no float division), and pack row-major into a signed 64-bit int.
+    Uniform spatial rescales multiply every ``e_f`` by the same pixel
+    count and uniform brightness gain rescales every frame together,
+    so downsized and gain-adjusted re-encodes hash identically — the
+    video analogue of :func:`image_ahash`'s resolution invariance and
+    :func:`audio_ahash`'s volume invariance.
+
+    One Arrow-batched ``mapInPandas`` (codec work is the sanctioned
+    Python tier); non-AVI / frameless / undecodable-frame payloads
+    yield NULL and are filtered. Output: ``(id, ahash)``.
+    """
+    if frames > 64:
+        raise ValueError("frames must fit a 64-bit fingerprint")
+    out_schema = "id long, ahash long"
+
+    def fingerprint(batches):
+        import struct
+
+        import numpy as np
+
+        from methyl_data_pipeline_spark.ext.codecs import decode_avi, decode_bmp
+
+        weights = (1 << np.arange(frames, dtype=np.uint64)).astype(np.uint64)
+
+        def frame_totals(sampled: list[bytes]) -> "np.ndarray":
+            """Integer grayscale total per frame. Fast path: a clip's
+            frames normally share one BMP geometry, so decode the
+            header once and sum the whole frame stack in a few numpy
+            ops instead of 64 tiny per-frame decodes (the per-frame
+            loop dominated the 1x probe at ~1.5 ms/clip); any geometry
+            or header deviation falls back to the per-frame decoder,
+            whose output this path matches bit-for-bit (channel order
+            and row direction don't change a per-pixel (r+g+b)//3)."""
+            head = sampled[0]
+            w, ht, _ = decode_bmp(head)  # validates frame 0, raises on corrupt
+            (pixel_offset,) = struct.unpack_from("<I", head, 10)
+            bpp = struct.unpack_from("<H", head, 28)[0]
+            n_ch = bpp // 8
+            stride = (w * n_ch + 3) // 4 * 4
+            L = len(head)
+            if all(
+                len(p) == L and p[:pixel_offset] == head[:pixel_offset]
+                for p in sampled
+            ):
+                stack = np.frombuffer(b"".join(sampled), dtype=np.uint8).reshape(
+                    len(sampled), L
+                )
+                px = stack[:, pixel_offset : pixel_offset + stride * ht]
+                rows = px.reshape(len(sampled), ht, stride)[:, :, : w * n_ch]
+                chan = rows.reshape(len(sampled), ht, w, n_ch)[:, :, :, :3]
+                tri = chan.astype(np.int64).sum(axis=3)
+                return (tri // 3).sum(axis=(1, 2))
+            e = np.empty(len(sampled), dtype=np.int64)
+            for k, p in enumerate(sampled):
+                fw, fh, rgb = decode_bmp(p)
+                img = np.frombuffer(rgb, dtype=np.uint8)
+                gray = img.reshape(-1, 3).astype(np.int64).sum(axis=1) // 3
+                e[k] = int(gray.sum())
+            return e
+
+        for pdf in batches:
+            ids, hashes = [], []
+            for rid, content in zip(pdf["id"], pdf["content"]):
+                raw = bytes(content) if content is not None else b""
+                h = None
+                if raw[:4] == b"RIFF":
+                    try:
+                        _fps, payloads = decode_avi(raw)
+                        if not payloads:
+                            raise ValueError("no frames in container")
+                        fi = (
+                            (np.arange(frames, dtype=np.int64) * len(payloads))
+                            // frames
+                        ).clip(0, len(payloads) - 1)
+                        e = frame_totals([payloads[int(i)] for i in fi])
+                        bits = (frames * e >= e.sum()).astype(np.uint64)
+                        u = int((bits * weights).sum(dtype=np.uint64))
+                        h = u - (1 << 64) if u >= (1 << 63) else u
+                    except ValueError:
+                        h = None  # corrupt AVI/frame: skip, don't kill the job
+                ids.append(int(rid))
+                hashes.append(h)
+            yield pd.DataFrame({"id": ids, "ahash": hashes})
+
+    from methyl_data_pipeline_spark.deploy import ensure_importable
+
+    ensure_importable(media.sparkSession)
+    return (
+        media.select("id", "content")
+        .mapInPandas(fingerprint, out_schema)
+        .filter(F.col("ahash").isNotNull())
+    )
+
+
+def video_neardup(
+    media: DataFrame,
+    frames: int = 64,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket: int = 4096,
+) -> DataFrame:
+    """Perceptual near-duplicate video pairs: :func:`video_ahash`
+    temporal fingerprints through the same LOSSLESS pigeonhole hamming
+    kernel as :func:`image_neardup` / :func:`audio_neardup` — retimed
+    and downsized re-encodes land at hamming 0, short edits at 1-3,
+    unrelated clips near ``frames/2``. Same scale hygiene as the other
+    two: collapse exact fingerprint families first on corpora with
+    large exact-dup families (see :func:`collapse_exact_fingerprints`).
+    Output ``(id_a, id_b, hamming)``."""
+    from methyl_data_pipeline_spark.ext.dedup import hamming_pairs
+
+    return hamming_pairs(
+        video_ahash(media, frames=frames),
+        sig_col="ahash",
+        id_col="id",
+        bits=64,
+        bands=bands,
+        max_hamming=max_hamming,
+        max_bucket=max_bucket,
+    )
+
+
 def collapse_exact_fingerprints(sigs: DataFrame, sig_col: str = "ahash", id_col: str = "id") -> DataFrame:
     """Collapse identical perceptual fingerprints to one representative
     (min id) with a member count — the mandatory pre-step before

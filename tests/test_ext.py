@@ -3056,3 +3056,111 @@ def test_audio_neardup_planted_variants_and_collapse(spark):
     for g in range(n // 4):
         fam = by_sig[sigs[4 * g]]
         assert fam.id == 4 * g and fam.n_members >= 2
+
+
+def _video_ahash_formula(doc_id: int) -> int:
+    """Closed-form twin of synthesize_videos + video_ahash (the same
+    arithmetic the DuckDB oracle replays). Pixel-count factors cancel
+    from both threshold sides, so the formula works on luminance
+    directly — which is also why role 1's 2x2 downsize is hash-exact."""
+    import numpy as np
+
+    f = np.arange(64, dtype=np.int64)
+    grp, role = doc_id // 4, doc_id % 4
+    base = (((grp + 1) * (f + 7) * 977 + grp * 13) % 223) + 16
+    if role == 2:
+        v = base.copy()
+        v[:2] = ((base[:2] // 2 + 61) % 223) + 16
+    elif role == 3:
+        v = (((grp + 3) * (f + 11) * 1013 + grp * 29 + 5) % 223) + 16
+    else:
+        v = base
+    bits = (64 * v >= v.sum()).astype(np.uint64)
+    u = int(
+        (bits * (1 << np.arange(64, dtype=np.uint64)).astype(np.uint64)).sum(
+            dtype=np.uint64
+        )
+    )
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+def test_video_ahash_real_decode_matches_formula(spark):
+    """The real byte path (encode_bmp frames -> encode_avi -> RIFF walk
+    -> nearest-neighbor frame sampling -> BMP decode -> grayscale
+    totals -> integer mean threshold -> signed pack) must equal the
+    closed-form luminance arithmetic the oracle replays — including
+    role 1's 128-frame 2x2-px variant, certifying BOTH the retime
+    invariance (the sampler picks every other duplicated frame) and
+    the spatial-rescale invariance (uniform pixel-count factors cancel
+    at the threshold)."""
+    import pandas as pd
+
+    from methyl_data_pipeline_spark.ext.multimodal import (
+        synthesize_videos,
+        video_ahash,
+    )
+
+    docs = spark.createDataFrame(pd.DataFrame({"doc_id": list(range(40))}))
+    got = {r.id: r.ahash for r in video_ahash(synthesize_videos(docs)).collect()}
+    assert got == {i: _video_ahash_formula(i) for i in range(40)}
+
+
+def test_video_neardup_planted_variants(spark):
+    """Banded video pairs == brute-force hamming<=3 over the formula
+    hashes; downsized+retimed twins at hamming 0, 2-frame edits <=3,
+    independents never paired with their group."""
+    import pandas as pd
+
+    from methyl_data_pipeline_spark.ext.multimodal import (
+        synthesize_videos,
+        video_neardup,
+    )
+
+    n = 48
+    docs = spark.createDataFrame(pd.DataFrame({"doc_id": list(range(n))}))
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in video_neardup(synthesize_videos(docs), max_hamming=3).collect()
+    }
+    sigs = {i: _video_ahash_formula(i) for i in range(n)}
+    brute = {
+        (a, b): bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1")
+        for a in range(n)
+        for b in range(a + 1, n)
+        if bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1") <= 3
+    }
+    assert got == brute
+    for g in range(n // 4):
+        assert got[(4 * g, 4 * g + 1)] == 0  # downsized + retimed twin
+        assert got[(4 * g, 4 * g + 2)] <= 3  # 2-frame edit variant
+        assert (4 * g, 4 * g + 3) not in got  # independent clip
+
+
+def test_video_ahash_skips_undecodable_payloads(spark):
+    """Non-AVI payloads, frameless containers, and containers whose
+    frames are not BMPs all yield no fingerprint row (filtered NULL),
+    never a job failure."""
+    import pandas as pd
+
+    from methyl_data_pipeline_spark.ext.codecs import encode_avi, encode_bmp
+    from methyl_data_pipeline_spark.ext.multimodal import video_ahash
+
+    good = encode_avi([encode_bmp(2, 2, bytes(2 * 2 * 3))] * 4)
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id": [1, 2, 3, 4, 5],
+                "content": [
+                    good,
+                    encode_avi([]),  # frameless container
+                    encode_avi([b"not a bmp"] * 3),  # non-BMP frames
+                    b"plain text",
+                    None,
+                ],
+            }
+        )
+    )
+    rows = video_ahash(media).collect()
+    assert [r.id for r in rows] == [1]
+    # all-black constant clip: every frame equals the mean -> all bits set
+    assert rows[0].ahash == -1

@@ -163,6 +163,10 @@ def build_ops(spark, docs_path: str, ev_path: str, factor: int):
         # dups through dedup_exact first in production, per the
         # simhash docstring hygiene note).
         "image_neardup": lambda: _image_neardup_op(docs),
+        # r14: perceptual video near-dup, same collapse-first hygiene
+        # (the retime/downsize twins are hamming-0 identical, so every
+        # replica grows exact-fingerprint families here too)
+        "video_neardup": lambda: _video_neardup_op(docs),
         # r14: multi-class NB lang-id — fit + sparse scoring + argmax;
         # corpus-sized work only in the gram explode on both sides
         "lang_id_nb": lambda: _lang_id_nb_op(docs),
@@ -183,6 +187,20 @@ def _image_neardup_op(docs):
     )
 
     reps = collapse_exact_fingerprints(image_ahash(synthesize_images(docs)))
+    return hamming_pairs(reps.select("ahash", "id"), "ahash", "id").count()
+
+
+def _video_neardup_op(docs):
+    # production shape, same reasoning as _image_neardup_op: collapse
+    # identical temporal fingerprints to representatives before banding
+    from methyl_data_pipeline_spark.ext.dedup import hamming_pairs
+    from methyl_data_pipeline_spark.ext.multimodal import (
+        collapse_exact_fingerprints,
+        synthesize_videos,
+        video_ahash,
+    )
+
+    reps = collapse_exact_fingerprints(video_ahash(synthesize_videos(docs)))
     return hamming_pairs(reps.select("ahash", "id"), "ahash", "id").count()
 
 
