@@ -4363,6 +4363,363 @@ ORDER BY id_a, id_b
 )
 
 
+def q_video_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual temporal fingerprints over REAL AVI bytes (the video
+    member of the r14 perceptual-dedup family, completing it: image +
+    audio + video): each doc becomes a 64-frame constant-gray clip
+    with planted downsize/retime/edit variants through the real
+    encoders (ext.multimodal.synthesize_videos), then video_ahash
+    walks the RIFF container, nearest-neighbor-samples 64 frames,
+    BMP-decodes each to its integer grayscale total, mean-thresholds
+    (integer-exact) and packs a signed 64-bit fingerprint — the oracle
+    replays the whole container-parse -> frame-decode -> hash chain
+    from the closed-form luminance formula."""
+    from methyl_data_pipeline_spark.ext.multimodal import (
+        synthesize_videos,
+        video_ahash,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = video_ahash(synthesize_videos(docs))
+    return out.select(F.col("id").alias("doc_id"), "ahash").orderBy("doc_id")
+
+
+SQL_VIDEO_AHASH_CORE = """
+ids AS (SELECT doc_id, doc_id // 4 AS grp, doc_id % 4 AS role FROM documents),
+blk AS (SELECT doc_id, grp, role,
+               unnest(generate_series(0, 63)) AS f FROM ids),
+lum AS (
+  SELECT doc_id, f,
+    CASE role
+      WHEN 2 THEN CASE WHEN f < 2
+        THEN ((((((grp+1)*(f+7)*977 + grp*13) % 223) + 16) // 2 + 61) % 223)
+             + 16
+        ELSE (((grp+1)*(f+7)*977 + grp*13) % 223) + 16 END
+      WHEN 3 THEN (((grp+3)*(f+11)*1013 + grp*29 + 5) % 223) + 16
+      ELSE (((grp+1)*(f+7)*977 + grp*13) % 223) + 16
+    END AS v
+  FROM blk
+),
+bits AS (
+  -- frame energy = pixel count x constant luminance; the pixel-count
+  -- factor (16 for the 4x4 roles, 4 for role 1's 2x2 downsize) is
+  -- uniform within a clip and cancels from both threshold sides, so
+  -- the oracle thresholds luminance directly — the same cancellation
+  -- that makes the engine's hash invariant to uniform rescales
+  SELECT doc_id, f,
+         CASE WHEN 64*v >= SUM(v) OVER (PARTITION BY doc_id)
+              THEN 1 ELSE 0 END AS bit
+  FROM lum
+),
+sig AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN bit = 1 AND f < 63
+                    THEN CAST(1 AS BIGINT) << CAST(f AS INT)
+                  WHEN bit = 1 AND f = 63 THEN (-9223372036854775807 - 1)
+                  ELSE 0 END) AS BIGINT) AS ahash
+  FROM bits GROUP BY doc_id
+)
+"""
+
+SQL_VIDEO_AHASH = (
+    "WITH " + SQL_VIDEO_AHASH_CORE + "SELECT doc_id, ahash FROM sig ORDER BY doc_id"
+)
+
+
+def q_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate video pairs: temporal fingerprints
+    through the same lossless pigeonhole hamming kernel as
+    image_neardup / audio_neardup — downsized+retimed twins land at
+    hamming 0 (both invariances compose), 2-frame edits at 0-3,
+    independents at >= 10 in-group (multiplicative group mixing, see
+    the synthesize_videos docstring). Oracle: brute-force
+    bit_count(xor) <= 3 over the replayed fingerprints."""
+    from methyl_data_pipeline_spark.ext.multimodal import (
+        synthesize_videos,
+        video_neardup,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = video_neardup(synthesize_videos(docs), max_hamming=3)
+    return out.orderBy("id_a", "id_b")
+
+
+SQL_VIDEO_NEARDUP = (
+    "WITH "
+    + SQL_VIDEO_AHASH_CORE
+    + """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+ORDER BY id_a, id_b
+"""
+)
+
+
+def q_ccnet_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed CCNet pipeline (plans.ccnet.run_ccnet_pipeline,
+    Wenzek et al. 2020) — URL dedup -> normalized line dedup ->
+    NB lang-id -> bigram-LM head/middle/tail buckets, every stage the
+    already-certified standalone operator, now certified AS A CHAIN:
+    each stage consumes the previous stage's actual output (lang-id
+    fits on the LINE-DEDUPED text; the LM fits on the stage-0/1
+    SURVIVORS only), so the oracle replays the full four-stage
+    composition end to end. Crawl metadata is planted
+    engine-neutrally: every doc gets a URL (a %10==6 variant-twin
+    stripe canonicalizing onto its %10==0 partner, a NULL stripe at
+    %97==7 pinning the drop contract, unique URLs elsewhere) and
+    every 3rd doc the shared boilerplate footer the line stage must
+    scrub."""
+    from methyl_data_pipeline_spark.plans.ccnet import run_ccnet_pipeline
+
+    docs = _t(spark, sf_dir, "documents")
+    m6 = (F.col("doc_id") - 6).cast("string")
+    ms = F.col("doc_id").cast("string")
+    url = (
+        F.when(F.col("doc_id") % 97 == 7, F.lit(None).cast("string"))
+        .when(
+            F.col("doc_id") % 10 == 6,
+            F.concat(F.lit("HTTP://WWW.Example.com/p/"), m6, F.lit("/?a=1&b=2")),
+        )
+        .when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(F.lit("https://example.com/p/"), ms, F.lit("?b=2&a=1")),
+        )
+        .otherwise(
+            F.concat(F.lit("https://example.com/d/"), ms, F.lit("?x=1"))
+        )
+    )
+    text = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.col("text"), F.lit("\n" + _LINEDEDUP_FOOTER)),
+    ).otherwise(F.col("text"))
+    corpus = docs.select("doc_id", url.alias("url"), text.alias("text"), "lang")
+    out = run_ccnet_pipeline(corpus, buckets=_QSL_BUCKETS)
+    return out.select(
+        "doc_id",
+        "pred_lang",
+        "n_lines",
+        "n_removed",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        _r(F.col("score")).alias("score"),
+        "bucket",
+    ).orderBy("doc_id")
+
+
+def _sql_ccnet_pipeline() -> str:
+    b = _QSL_BUCKETS
+    grams = (
+        "list_concat(wf, list_transform("
+        "generate_series(1, greatest(len(wf) - 1, 0)), "
+        "i -> wf[i] || ' ' || wf[i+1]))"
+    )
+    h = "('0x'||substr(md5(gram),1,15))::BIGINT"
+    src = "chr(160)||chr(8199)||chr(8239)||chr(8203)||chr(8204)||chr(8205)||chr(8288)||chr(65279)"
+    nt = f"nfc_normalize(translate(ln, {src}, '   '))"
+    norm = rf"regexp_replace(lower(trim({nt})), '\s+', ' ', 'g')"
+    return rf"""
+WITH urlc AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 97 = 7 THEN NULL
+              WHEN doc_id % 10 = 6 THEN 'HTTP://WWW.Example.com/p/' || (doc_id - 6) || '/?a=1&b=2'
+              WHEN doc_id % 10 = 0 THEN 'https://example.com/p/' || doc_id || '?b=2&a=1'
+              ELSE 'https://example.com/d/' || doc_id || '?x=1' END AS url
+  FROM documents
+),
+uws AS (
+  SELECT doc_id, regexp_replace(url, '\s', '', 'g') AS u0
+  FROM urlc WHERE url IS NOT NULL
+),
+udec AS (
+  SELECT doc_id,
+         parts[1] || COALESCE(array_to_string(list_transform(parts[2:], t ->
+           CASE WHEN regexp_matches(upper(substr(t,1,2)), '^(2[DE]|3[0-9]|4[1-9A-F]|5[0-9A]|5F|6[1-9A-F]|7[0-9A]|7E)$')
+                THEN decode(unhex(upper(substr(t,1,2)))) || substr(t,3)
+                WHEN regexp_matches(upper(substr(t,1,2)), '^[0-9A-F]{{2}}$')
+                THEN '%' || upper(substr(t,1,2)) || substr(t,3)
+                ELSE '%' || t END), ''), '') AS u
+  FROM (SELECT doc_id, string_split(u0, '%') AS parts FROM uws)
+),
+upeel AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(u, '#.*$', ''),
+                        '(?i)^https?://', '') AS u
+  FROM udec
+),
+uparts AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(lower(regexp_extract(u, '^[^/?]*')),
+                                       '^www\.', ''), ':(80|443)$', '') AS host,
+         regexp_replace(u, '^[^/?]*', '') AS rest
+  FROM upeel
+),
+ucanon AS (
+  SELECT doc_id,
+         host || regexp_replace(regexp_extract(rest, '^[^?]*'), '/+$', '')
+              || CASE WHEN qs <> '' THEN '?' || qs ELSE '' END AS canonical_url
+  FROM (SELECT doc_id, host, rest,
+               array_to_string(
+                 list_sort(list_filter(
+                   string_split(regexp_replace(rest, '^[^?]*\??', ''), '&'),
+                   x -> x <> '')), '&') AS qs
+        FROM uparts)
+),
+keep0 AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY canonical_url) AS rep
+    FROM ucanon WHERE canonical_url <> '')
+  WHERE doc_id = rep
+),
+corpus1 AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % 3 = 0
+              THEN d.text || chr(10) || '{_LINEDEDUP_FOOTER}'
+              ELSE d.text END AS text,
+         d.lang
+  FROM documents d JOIN keep0 USING (doc_id)
+),
+lines AS (
+  SELECT doc_id, i, ws[i] AS ln
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ws
+        FROM corpus1 WHERE text IS NOT NULL),
+       UNNEST(generate_series(1, len(ws))) AS t(i)
+),
+keyed AS (
+  SELECT doc_id, i, ln,
+         CASE WHEN trim({nt}) <> ''
+              THEN ('0x' || substr(md5({norm}), 1, 15))::BIGINT END AS k
+  FROM lines
+),
+dupk AS (
+  SELECT k
+  FROM (SELECT k, COUNT(DISTINCT doc_id) AS dfc
+        FROM keyed WHERE k IS NOT NULL GROUP BY k)
+  WHERE dfc >= 2
+),
+marked AS (
+  SELECT ky.doc_id, ky.i, ky.ln, d.k IS NOT NULL AS dup
+  FROM keyed ky LEFT JOIN dupk d USING (k)
+),
+ld AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         COALESCE(array_to_string(list(ln ORDER BY i) FILTER (WHERE NOT dup),
+                                  chr(10)), '') AS text
+  FROM marked GROUP BY doc_id
+),
+clean AS (
+  SELECT ld.doc_id, ld.n_lines, ld.n_removed, ld.text, c.lang
+  FROM ld JOIN corpus1 c USING (doc_id)
+  WHERE trim(ld.text) <> ''
+),
+nbdocs AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS wf
+  FROM clean
+),
+g AS (SELECT doc_id, unnest({grams}) AS gram FROM nbdocs),
+db AS (
+  SELECT doc_id, {h} % {b} AS bk, COUNT(*) AS c FROM g GROUP BY 1, 2
+),
+lab AS (SELECT doc_id, lang FROM nbdocs WHERE lang IS NOT NULL),
+lb AS (
+  SELECT lang, bk, SUM(c) AS c
+  FROM db JOIN lab USING (doc_id) GROUP BY lang, bk
+),
+tl AS (SELECT lang, SUM(c) AS t FROM lb GROUP BY lang),
+nl AS (SELECT lang, COUNT(*) AS n_l FROM lab GROUP BY lang),
+ntot AS (SELECT COUNT(*) AS n_tot FROM lab),
+langdim AS (
+  SELECT tl.lang,
+         ROUND(ln(1.0 / (t + {b}.0)) + 1e-9, 6) + 0.0 AS floor6,
+         ROUND(ln(n_l / (SELECT n_tot FROM ntot) * 1.0) + 1e-9, 6) + 0.0
+           AS prior6
+  FROM tl JOIN nl USING (lang)
+),
+sparse AS (
+  SELECT lb.lang, lb.bk,
+         (ROUND(ln((lb.c + 1.0) / (t + {b}.0)) + 1e-9, 6) + 0.0)
+         - (ROUND(ln(1.0 / (t + {b}.0)) + 1e-9, 6) + 0.0) AS delta
+  FROM lb JOIN tl USING (lang)
+),
+ng AS (
+  SELECT d.doc_id, COALESCE(s.n_grams, 0) AS n_grams
+  FROM (SELECT DISTINCT doc_id FROM nbdocs) d
+  LEFT JOIN (SELECT doc_id, SUM(c) AS n_grams FROM db GROUP BY doc_id) s
+    USING (doc_id)
+),
+part AS (
+  SELECT db.doc_id, sparse.lang, SUM(db.c * sparse.delta) AS p
+  FROM db JOIN sparse ON db.bk = sparse.bk
+  GROUP BY db.doc_id, sparse.lang
+),
+dense AS (
+  SELECT ng.doc_id, l.lang,
+         l.prior6 + ng.n_grams * l.floor6 + COALESCE(part.p, 0.0) AS score
+  FROM ng CROSS JOIN langdim l
+  LEFT JOIN part ON part.doc_id = ng.doc_id AND part.lang = l.lang
+),
+nbrank AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, lang ASC) AS rn
+  FROM dense
+),
+pred AS (SELECT doc_id, lang AS pred_lang FROM nbrank WHERE rn = 1),
+lmdocs AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS wf
+  FROM clean
+),
+toks AS (
+  SELECT doc_id,
+         unnest(list_concat(CAST([NULL] AS VARCHAR[]),
+                            wf[1:len(wf)-1])) AS prev,
+         unnest(wf) AS cur
+  FROM lmdocs
+),
+uni AS (SELECT cur, COUNT(*) AS cu FROM toks GROUP BY cur),
+totals AS (SELECT SUM(cu) AS total, COUNT(*) AS vocab FROM uni),
+unip AS (
+  SELECT cur, (cu + 0.5) / (total + 0.5 * vocab) AS pu FROM uni, totals
+),
+big AS (
+  SELECT prev, cur, COUNT(*) AS cb FROM toks
+  WHERE prev IS NOT NULL GROUP BY 1, 2
+),
+ctx AS (SELECT prev, SUM(cb) AS cc FROM big GROUP BY prev),
+logps AS (
+  SELECT t.doc_id,
+         ln(CASE WHEN t.prev IS NULL THEN u.pu
+                 ELSE 0.7 * b.cb / c.cc + (1.0 - 0.7) * u.pu
+            END) AS logp
+  FROM toks t
+  JOIN unip u USING (cur)
+  LEFT JOIN big b ON t.prev = b.prev AND t.cur = b.cur
+  LEFT JOIN ctx c ON t.prev = c.prev
+),
+scored AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         ROUND(AVG(logp) + 1e-9, 6) AS score
+  FROM logps GROUP BY doc_id
+),
+lmrank AS (
+  SELECT s.doc_id, p.pred_lang, s.n_tokens, s.score,
+         ROW_NUMBER() OVER (PARTITION BY p.pred_lang
+                            ORDER BY s.score DESC, s.doc_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY p.pred_lang) AS n
+  FROM scored s JOIN pred p USING (doc_id)
+)
+SELECT r.doc_id, r.pred_lang, c.n_lines, c.n_removed, r.n_tokens, r.score,
+       CASE WHEN r.rn <= FLOOR(r.n / 3.0) THEN 'head'
+            WHEN r.rn <= FLOOR(2.0 * r.n / 3.0) THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM lmrank r JOIN clean c USING (doc_id)
+ORDER BY r.doc_id"""
+
+
 def q_lang_id_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-class NB lang-id head (VERDICT r13 missing-capability #2,
     ext.text.train_lang_weights + lang_id_nb): per-language smoothed
@@ -8304,34 +8661,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #       banding over real BMP bytes), classifier_eval_sum
     #       (#9 - sum-pooled NB posterior vs mean-pooled geometry),
     #       lang_id_nb (missing-capability #2 - multi-class NB
-    #       lang-id head), and audio_ahash + audio_neardup (the
-    #       audio member of the perceptual-dedup family);
+    #       lang-id head), audio_ahash + audio_neardup, and
+    #       video_ahash + video_neardup (temporal average-hash over
+    #       real AVI containers - completes the perceptual family:
+    #       image + audio + video);
     #   (b) changed in r14: classifier_eval / classifier_sweep /
     #       quality_classifier (quality_score_linear grew
     #       pooling/bias_from_table and a _b >= 0 table-hygiene
     #       filter) and simhash_pairs / simhash64_pairs
     #       (simhash_hamming_pairs re-based onto the extracted
     #       hamming_pairs kernel);
-    #   (c) the ENTIRE oracled newest==r11 backlog (42 queries,
-    #       green-count ascending then alphabetical: the 2-green tier
-    #       through pricing_summary) - keeps the r13 promise; after
-    #       this round NO oracled query's newest driver green predates
-    #       r12.
+    #   (c) the oracled newest==r11 backlog (green-count ascending
+    #       then alphabetical: the 2-green tier through
+    #       pricing_summary) - keeps the r13 promise; after this round
+    #       NO oracled query's newest driver green predates r12.
     # Rotated OUT vs r13: the whole r13-green window. Left for r15:
-    # the r12-newest 1-green tier (line_dedup_norm onward,
-    # alphabetical), then the 2/3/4/5-green r12 tiers - all
-    # re-verified every round by tools/check_oracle.py on the sf0.01
-    # and NULL fixtures.
+    # dedup_best + events_sliding (r11-newest backlog members that
+    # ceded their slots to the late-r14 video pair), then the
+    # r12-newest 1-green tier (line_dedup_norm onward, alphabetical),
+    # then the 2/3/4/5-green r12 tiers - all re-verified every round
+    # by tools/check_oracle.py on the sf0.01 and NULL fixtures.
     return {
-    # window 50 = 6 new + 5 changed + 39 r11 backlog (pricing_summary,
+    # window 50 = 8 new + 5 changed + 37 r11 backlog (pricing_summary,
     # frame_sample, segment_dedup - the backlog's highest-green
-    # members - lead the tail); tail 104
+    # members - lead the tail); tail 106
         "image_ahash": q_image_ahash,
         "image_neardup": q_image_neardup,
         "classifier_eval_sum": q_classifier_eval_sum,
         "lang_id_nb": q_lang_id_nb,
         "audio_ahash": q_audio_ahash,
         "audio_neardup": q_audio_neardup,
+        "video_ahash": q_video_ahash,
+        "video_neardup": q_video_neardup,
+        "ccnet_pipeline": q_ccnet_pipeline,
         "classifier_eval": q_classifier_eval,
         "classifier_sweep": q_classifier_sweep,
         "quality_classifier": q_quality_classifier,
@@ -8377,9 +8739,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_best": q_dedup_best,
         "events_sliding": q_events_sliding,
         # ---- slot 51+ (re-verified every round by tools/check_oracle.py
-        # on two fixtures even without a window slot; pricing_summary /
-        # frame_sample / segment_dedup lead the tail — they ceded their
-        # window slots to lang_id_nb / audio_ahash / audio_neardup as
+        # on two fixtures even without a window slot; dedup_best /
+        # events_sliding sit just past the cut — displaced by the
+        # late-r14 video pair, first in line for r15 — followed by
+        # pricing_summary / frame_sample / segment_dedup, which ceded
+        # their slots to lang_id_nb / audio_ahash / audio_neardup as
         # the backlog's highest-green-count members) ----
         "pricing_summary": q_pricing_summary,
         "frame_sample": q_frame_sample,
@@ -8596,6 +8960,9 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_nb": _sql_lang_id_nb(),
         "audio_ahash": SQL_AUDIO_AHASH,
         "audio_neardup": SQL_AUDIO_NEARDUP,
+        "video_ahash": SQL_VIDEO_AHASH,
+        "video_neardup": SQL_VIDEO_NEARDUP,
+        "ccnet_pipeline": _sql_ccnet_pipeline(),
         # n_probe == n_centroids makes IVF exact — brute force IS the oracle
         "ivf_ann": SQL_EMBEDDING_COSINE,
         "events_windowed": SQL_EVENTS_WINDOWED,

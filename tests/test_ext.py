@@ -3164,3 +3164,41 @@ def test_video_ahash_skips_undecodable_payloads(spark):
     assert [r.id for r in rows] == [1]
     # all-black constant clip: every frame equals the mean -> all bits set
     assert rows[0].ahash == -1
+
+
+def test_ccnet_pipeline_composition(spark):
+    """The four CCNet stages chained (plans.ccnet.run_ccnet_pipeline):
+    URL dedup drops the canonical twin and the NULL-url doc; line
+    dedup scrubs the cross-doc footer and evicts the doc that was ALL
+    boilerplate; the NB lang-id head (fit on the labeled survivors'
+    line-deduped text) labels the unlabeled doc by gram overlap; the
+    bigram buckets tercile within each predicted language."""
+    from methyl_data_pipeline_spark.plans.ccnet import run_ccnet_pipeline
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "https://a.com/x?b=2&a=1", "the cat sat here\nshared footer line", "en"),
+            (2, "HTTP://WWW.A.com/x/?a=1&b=2", "irrelevant dup", "en"),  # canonical twin of 1
+            (3, "https://a.com/y", "shared footer line", "fr"),  # all boilerplate -> empty
+            (4, None, "never seen", "en"),  # NULL url -> dropped at stage 0
+            (5, "https://a.com/z", "the cat sat there\nshared footer line", None),
+            (6, "https://a.com/w", "le chat est ici", "fr"),
+            (7, "https://a.com/v", "le chat est la", "fr"),
+        ],
+        "doc_id long, url string, text string, lang string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in run_ccnet_pipeline(corpus, buckets=64).collect()}
+    assert set(out) == {1, 5, 6, 7}
+    # the shared footer was scrubbed from every carrier
+    assert out[1]["n_lines"] == 2 and out[1]["n_removed"] == 1
+    assert out[5]["n_removed"] == 1
+    assert out[6]["n_removed"] == 0
+    # the unlabeled doc classifies into the gram-overlapping class
+    assert out[5]["pred_lang"] == "en"
+    assert out[1]["pred_lang"] == "en"
+    assert out[6]["pred_lang"] == "fr" and out[7]["pred_lang"] == "fr"
+    # terciles within each predicted language: n=2 -> one middle, one tail
+    assert {out[1]["bucket"], out[5]["bucket"]} == {"middle", "tail"}
+    assert {out[6]["bucket"], out[7]["bucket"]} == {"middle", "tail"}
+    # token counts come from the LINE-DEDUPED text (footer excluded)
+    assert out[1]["n_tokens"] == 4
