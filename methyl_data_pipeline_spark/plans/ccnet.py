@@ -43,13 +43,30 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from methyl_data_pipeline_spark import cache
 from methyl_data_pipeline_spark.ext.dedup import line_dedup, url_dedup
 from methyl_data_pipeline_spark.ext.text import (
     lang_id_nb,
     perplexity_buckets,
     train_lang_weights,
 )
+
+
+def _cut(df: DataFrame, reliable: bool) -> DataFrame:
+    """Materialize ``df`` and TRUNCATE its lineage (the ext.graph
+    pattern). A plain ``persist()`` is not enough here: every
+    downstream reference re-inlines the cached frame's full logical
+    subtree, and this pipeline references its reuse points so many
+    times (lang-id fit + score, LM stream + model broadcasts, tercile
+    part map, final stats join) that the composed physical plan
+    measured 991 exchanges / 288 broadcast joins — ~30 s of pure
+    Catalyst analysis before the first task. Checkpointing collapses
+    each reference to a block scan. ``reliable=True`` writes to the
+    configured checkpoint dir (survives executor loss — required
+    under dynamic allocation); the default keeps executor-local
+    blocks, the right trade on a stable cluster."""
+    if reliable:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
 
 
 def run_ccnet_pipeline(
@@ -60,6 +77,7 @@ def run_ccnet_pipeline(
     label_col: str = "lang",
     buckets: int = 1024,
     min_df: int = 2,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Run the four CCNet stages over ``docs`` (which must carry
     ``url_col``, ``text_col``, and — on at least some rows — a
@@ -79,24 +97,25 @@ def run_ccnet_pipeline(
     ld = line_dedup(
         stage0, min_df=min_df, text_col=text_col, id_col=id_col, normalize=True
     )
-    # persisted: the line-deduped frame feeds the lang-id fit, the
+    # reuse point 1: the line-deduped frame feeds the lang-id fit, the
     # lang-id scoring pass, the bigram LM fit+score, and the final
-    # stats join — without it the line scan re-runs four times
-    clean = cache.track(ld.filter(F.trim(F.col(text_col)) != ""))
+    # stats join — materialized once, lineage cut (see _cut)
+    clean = _cut(
+        ld.filter(F.trim(F.col(text_col)) != ""), reliable_checkpoint
+    )
 
     labeled = clean.join(docs.select(id_col, label_col), id_col, "left")
     w = train_lang_weights(
         labeled, lang_col=label_col, text_col=text_col, id_col=id_col, buckets=buckets
     )
-    # persisted: the NB fit + score + argmax subtree otherwise
-    # re-executes under every downstream reference — the bigram LM's
-    # token-stream materialization AND the tercile window's broadcast
-    # part_col distinct both consume pred (measured: the uncached form
-    # ran the fit 3x and pushed the sf0.01 chain past 80 s)
-    pred = cache.track(
+    # reuse point 2: the NB fit + score + argmax subtree is consumed by
+    # the LM token-stream materialization, the tercile window's
+    # broadcast part_col distinct, and the ranked join
+    pred = _cut(
         lang_id_nb(clean, w, text_col=text_col, id_col=id_col, buckets=buckets).select(
             id_col, "pred_lang"
-        )
+        ),
+        reliable_checkpoint,
     )
 
     scored_in = clean.join(pred, id_col, "inner")
