@@ -627,6 +627,7 @@ EXTENDED = [
     "video_neardup",
     "classifier_eval_sum",
     "lang_id_nb",
+    "ccnet_pipeline",
 ]
 
 

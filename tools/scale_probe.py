@@ -170,6 +170,10 @@ def build_ops(spark, docs_path: str, ev_path: str, factor: int):
         # r14: multi-class NB lang-id — fit + sparse scoring + argmax;
         # corpus-sized work only in the gram explode on both sides
         "lang_id_nb": lambda: _lang_id_nb_op(docs),
+        # r14: the composed CCNet chain (url dedup -> line dedup ->
+        # lang-id -> bigram terciles) — growth should track the line
+        # scan + model fits, never corpus^2
+        "ccnet_pipeline": lambda: _ccnet_op(docs),
     }
 
 
@@ -202,6 +206,35 @@ def _video_neardup_op(docs):
 
     reps = collapse_exact_fingerprints(video_ahash(synthesize_videos(docs)))
     return hamming_pairs(reps.select("ahash", "id"), "ahash", "id").count()
+
+
+def _ccnet_op(docs):
+    # unique URL per doc with a 10% twin stripe + the shared footer —
+    # the ccnet_pipeline query's plant, scaled to the replica ids
+    from pyspark.sql import functions as F
+
+    from methyl_data_pipeline_spark.plans.ccnet import run_ccnet_pipeline
+
+    m6 = (F.col("doc_id") - 6).cast("string")
+    ms = F.col("doc_id").cast("string")
+    url = (
+        F.when(F.col("doc_id") % 97 == 7, F.lit(None).cast("string"))
+        .when(
+            F.col("doc_id") % 10 == 6,
+            F.concat(F.lit("HTTP://WWW.Example.com/p/"), m6, F.lit("/?a=1&b=2")),
+        )
+        .when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(F.lit("https://example.com/p/"), ms, F.lit("?b=2&a=1")),
+        )
+        .otherwise(F.concat(F.lit("https://example.com/d/"), ms, F.lit("?x=1")))
+    )
+    text = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.col("text"), F.lit("\nsubscribe to our newsletter for updates")),
+    ).otherwise(F.col("text"))
+    corpus = docs.select("doc_id", url.alias("url"), text.alias("text"), "lang")
+    return run_ccnet_pipeline(corpus, buckets=1024).count()
 
 
 def _lang_id_nb_op(docs):
