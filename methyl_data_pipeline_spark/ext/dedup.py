@@ -583,7 +583,11 @@ def ngram_jaccard_pairs(
         )
     )
     inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
-    union = F.size(F.array_union("_sh_a", "_sh_b"))
+    # |A ∪ B| = |A| + |B| - |A ∩ B| exactly (both sides are
+    # array_distinct arrays): same integer as size(array_union(...)),
+    # without allocating and hashing a merged array per pair (guide
+    # §1.2 per-task work; the minhash_band_recall precedent)
+    union = F.size("_sh_a") + F.size("_sh_b") - inter
     return (
         paired.withColumn("jaccard", (inter / union).cast("double"))
         .filter(F.col("jaccard") >= threshold)
@@ -775,11 +779,21 @@ def minhash_band_recall(
     if sample is not None:
         base = base.orderBy(id_col).limit(int(sample))
 
-    sets = _spread(base, id_col).select(
-        F.col(id_col).alias("_id"),
-        F.array_distinct(
-            F.transform(shingles(text_col, shingle_n), lambda s: md5_long(s))
-        ).alias("_sh"),
+    from methyl_data_pipeline_spark import cache as _cache
+
+    # Persisted: ``sets`` is consumed THREE times (postings explode,
+    # and both sides of the exact-Jaccard array join) — uncached, the
+    # per-shingle md5 pipeline re-runs per branch (guide §2.4;
+    # measured r14: minhash_recall 9.9 -> 7.4 s single-run). Rows are
+    # (id, distinct-shingle-hash array) — sample-sized by the
+    # certificate's contract, so the cache is bounded even at scale.
+    sets = _cache.track(
+        _spread(base, id_col).select(
+            F.col(id_col).alias("_id"),
+            F.array_distinct(
+                F.transform(shingles(text_col, shingle_n), lambda s: md5_long(s))
+            ).alias("_sh"),
+        )
     )
     postings = sets.select("_id", F.explode("_sh").alias("_g"))
     shared = bucket_pair_expand(
@@ -794,8 +808,13 @@ def minhash_band_recall(
     )
     sh_a = sets.select(F.col("_id").alias("_pa"), F.col("_sh").alias("_sha"))
     sh_b = sets.select(F.col("_id").alias("_pb"), F.col("_sh").alias("_shb"))
+    # |A ∪ B| = |A| + |B| - |A ∩ B| for the DISTINCT arrays ``sets``
+    # builds — identical integer to size(array_union(...)), at half
+    # the per-pair array work (array_union allocates and hashes a
+    # merged array per pair; the sizes are O(1) reads — guide §1.2
+    # per-task work). The intersect remains the one array op.
     inter = F.size(F.array_intersect("_sha", "_shb"))
-    union = F.size(F.array_union("_sha", "_shb"))
+    union = F.size("_sha") + F.size("_shb") - inter
     exact = (
         cand_sets.join(sh_a, "_pa")
         .join(sh_b, "_pb")
@@ -1667,9 +1686,20 @@ def containment_pairs(
     hashed = F.transform(
         shingles(text_col, shingle_n), lambda s: md5_long(s)
     )
-    base = _spread(df.filter(F.col(text_col).isNotNull()), id_col).select(
-        F.col(id_col).alias("_id"),
-        F.array_distinct(hashed).alias("_sh"),
+    from methyl_data_pipeline_spark import cache as _cache
+
+    # Persisted: ``base`` is consumed THREE times (postings explode and
+    # both id-keyed sides of the exact verify join) — uncached, the
+    # corpus shingle+md5 pipeline re-runs per branch (guide §2.4; the
+    # same reuse fix as minhash_band_recall). Rows are (id,
+    # distinct-gram-hash array) — one ~800 B long-array per doc.
+    # r14 A/B at sf0.1: bench-neutral (4.47 vs 4.40 s medians of 5);
+    # kept for the 3x recompute the lazy form pays at corpus scale.
+    base = _cache.track(
+        _spread(df.filter(F.col(text_col).isNotNull()), id_col).select(
+            F.col(id_col).alias("_id"),
+            F.array_distinct(hashed).alias("_sh"),
+        )
     )
     postings = base.select(
         "_id", F.explode("_sh").alias("_g")

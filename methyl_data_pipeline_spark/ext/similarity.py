@@ -1116,13 +1116,27 @@ def semantic_dedup(
             )
         assigned = join_refine(rows, cent_df, F.col("_c1") == F.col("owner"))
 
-    keyed = assigned.select(
-        id_col,
-        "_v",
-        F.col("_m.i").cast("int").alias("_cell"),
-        F.col("_m.d").alias("_dist"),
-        *carry,
-    ).withColumn("_nrm", _norm(F.col("_v")))
+    # Persisted (cache.track, released by the harness after the
+    # dependent action): ``keyed`` is consumed by BOTH the pair
+    # expansion (whose small/big branches each re-evaluate their
+    # upstream) and the members election below — without it the
+    # O(n*k*d) assignment fold above runs three times per call
+    # (guide §2.4/§5; measured r14: semantic_dedup 19 -> 12 jobs,
+    # two_level_recall 38 -> 25 jobs, wall ~0.6x). The cached rows are
+    # (id, vec, cell, dist, nrm) — corpus-sized but spillable, the
+    # same recompute-vs-store trade bucket_pair_expand's "sized" mode
+    # documents for SimHash.
+    from methyl_data_pipeline_spark import cache as _cache
+
+    keyed = _cache.track(
+        assigned.select(
+            id_col,
+            "_v",
+            F.col("_m.i").cast("int").alias("_cell"),
+            F.col("_m.d").alias("_dist"),
+            *carry,
+        ).withColumn("_nrm", _norm(F.col("_v")))
+    )
 
     pairs = bucket_pair_expand(
         keyed,

@@ -1717,7 +1717,11 @@ def train_quality_weights(
             F.when(F.col(label_col).cast("int") == 0, 1).otherwise(0)
         ).alias("_n0"),
     )
-    totals = tot.crossJoin(nd)
+    # Persisted: the 1-row totals frame feeds BOTH output branches
+    # (per-bucket weights and the bias row) and ``nd`` inside it is a
+    # full corpus scan — uncached, each branch of the union re-runs
+    # that scan (no subtree CSE across union branches; guide §2.4).
+    totals = cache.track(tot.crossJoin(nd))
     a, b = F.lit(float(alpha)), F.lit(float(alpha * buckets))
     w = F.round(
         F.log((F.col("_c1") + a) / (F.col("_t1") + b))
@@ -1867,7 +1871,14 @@ def lang_id_nb(
     )
     # ``buckets`` must equal the training-time bucket count — the
     # featurizer's pmod hashing and the table's bucket VALUES have to
-    # agree or the broadcast join silently mismatches
+    # agree or the broadcast join silently mismatches.
+    # dbc feeds two branches (per-class partials + per-doc gram
+    # totals) but is deliberately NOT persisted: an r14 A/B (medians
+    # of 5, sf0.1) measured the cached form SLOWER (6.5 vs 5.3 s) —
+    # the two consumers are cheap map pipelines and the cache fill
+    # serializes them behind a materialization barrier (guide §5:
+    # persist only when recompute beats the memory pressure; here it
+    # does not).
     dbc = _doc_bucket_counts(df, text_col, id_col, buckets)
     partial = (
         dbc.join(F.broadcast(sparse), "_b")
@@ -2363,8 +2374,16 @@ def bpe_encode(
     # when(size(wds) > 0, wds) which evaluated the tokenizer twice
     # per row and benched a confirmed ~1.4x regression on the word
     # stream; the coalesce to ("", 0) is free by comparison.
+    from methyl_data_pipeline_spark import cache
+
     wds = F.filter(words(F.col(text_col)), lambda x: x != "")
-    base = (
+    # Persisted: the exploded word stream feeds BOTH the distinct-word
+    # vocab and the encode join — uncached, the corpus tokenize runs
+    # twice (guide §2.4). Rows are (id, pos, word) — token-stream-sized
+    # but narrow, and the default storage level spills to disk rather
+    # than evicting under pressure. r14 A/B (medians of 5, sf0.1):
+    # cached 6.30 s vs lazy 6.85 s.
+    base = cache.track(
         df.filter(F.col(text_col).isNotNull())
         .select(F.col(id_col), F.posexplode_outer(wds).alias("_i", "_w"))
         .select(

@@ -65,8 +65,17 @@ def curate(
     from methyl_data_pipeline_spark.ext.text import md5_long
 
     # quality verdict is a pure Column expression — filter inline, no
-    # self-semi-join against a verdict projection (halves the doc scan)
-    kept = docs.filter(quality_reject_reasons(text_col=text_col) == F.lit(""))
+    # self-semi-join against a verdict projection (halves the doc scan).
+    # _spread first: the gate + normalize regex chain below is the
+    # dominant CPU cost of the plan, and a single-file local scan would
+    # evaluate it on ONE core (guide §2.5 input skew — repartition
+    # right after the read; the tiny id-keyed shuffle is repaid at the
+    # cache fill, which otherwise serializes)
+    from methyl_data_pipeline_spark.ext.dedup import _spread
+
+    kept = _spread(docs, id_col).filter(
+        quality_reject_reasons(text_col=text_col) == F.lit("")
+    )
     # normalize ONCE: redaction + lower/trim/whitespace-collapse + the
     # word split are materialized into the persisted frame, so the
     # three downstream consumers (shingle explode, dedup key, token

@@ -180,7 +180,17 @@ def gram_matrix(
     driver-side NumPy; everything here is plain relational algebra —
     which is what makes PCA's heavy lifting oracle-checkable the same
     way ``combat_priors`` anchors ComBat's EB fit."""
-    centered = _centered(long_df, value_col, key_col, sample_col, scale)
+    from methyl_data_pipeline_spark import cache
+
+    # Persisted: both sides of the probe-keyed self-join consume the
+    # centered frame — uncached, the per-probe stats aggregate and the
+    # centering join evaluate once PER SIDE (r14 plan read: the full
+    # stats Exchange appears twice, no ReusedExchange). Rows are
+    # (key, sample, value) — fact-sized but 3 narrow columns, the
+    # standard reuse-vs-recompute trade (guide §5).
+    centered = cache.track(
+        _centered(long_df, value_col, key_col, sample_col, scale)
+    )
     a = centered.select(
         key_col, F.col(sample_col).alias("s1"), F.col("_vc").alias("_v1")
     )
