@@ -407,6 +407,13 @@ def bucket_pair_expand(
     )
     if persist == "sized":
         sized = cache.track(sized)
+        # NOT eagerly filled, on measurement: the small/big branches
+        # do race to populate this cache in one union job (block-level
+        # dedup makes the loser cheap), and an eager count() barrier
+        # measured NEUTRAL-to-SLOWER at sf0.1 (simhash64 4.02 s eager
+        # vs 3.42 s lazy, image_neardup 2.56 vs 2.40 — medians of 5):
+        # the extra scheduling round-trip costs more wall than the
+        # duplicated executor-seconds, which idle cores absorb.
 
     small = (
         sized.filter((F.col("_bsz") >= 2) & (F.col("_bsz") <= max_bucket))

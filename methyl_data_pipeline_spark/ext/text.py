@@ -1567,6 +1567,12 @@ def _doc_bucket_counts(
     the shared featurizer of :func:`dsir_weights` and
     :func:`quality_score_linear`; external SQL computes identical
     buckets."""
+    # NO _spread here, on measurement (r14 interleaved A/B, 3 runs
+    # each arm, same session): repartitioning before the gram explode
+    # was a wash at sf0.1 (lang_id_nb 5.21 vs 5.31 s, classifier_eval
+    # 4.23 vs 3.98 s) — the featurizer's map-side partial agg bounds
+    # the serial scan stage's output, and at cluster scale the
+    # repartition would add a corpus-sized shuffle of raw text.
     base = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("_id"), _dsir_grams(text_col).alias("_g")
     )

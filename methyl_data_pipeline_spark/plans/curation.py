@@ -66,14 +66,17 @@ def curate(
 
     # quality verdict is a pure Column expression — filter inline, no
     # self-semi-join against a verdict projection (halves the doc scan).
-    # _spread first: the gate + normalize regex chain below is the
-    # dominant CPU cost of the plan, and a single-file local scan would
-    # evaluate it on ONE core (guide §2.5 input skew — repartition
-    # right after the read; the tiny id-keyed shuffle is repaid at the
-    # cache fill, which otherwise serializes)
+    # _spread + persist first: the gate + normalize regex chain below
+    # is the dominant CPU cost of the plan, and a single-file local
+    # scan would evaluate it on ONE core (guide §2.5 input skew —
+    # repartition right after the read). The persist is the pushdown
+    # BARRIER, not a reuse cache: Catalyst pushes the deterministic
+    # gate predicate back through a bare repartition exchange onto the
+    # 1-partition scan (measured on curate_batch_twin: 4.3 s in one
+    # task); filters do not cross an InMemoryRelation.
     from methyl_data_pipeline_spark.ext.dedup import _spread
 
-    kept = _spread(docs, id_col).filter(
+    kept = cache.track(_spread(docs, id_col)).filter(
         quality_reject_reasons(text_col=text_col) == F.lit("")
     )
     # normalize ONCE: redaction + lower/trim/whitespace-collapse + the

@@ -477,16 +477,23 @@ def curate_batch_twin(
     """
     from pyspark.sql import Window
 
+    from methyl_data_pipeline_spark import cache
     from methyl_data_pipeline_spark.ext.dedup import _spread
 
-    # spread the input first (batch path only — the stream twin's
-    # micro-batches arrive pre-partitioned by the source): the
-    # quality/redaction/Bloom projection is the dominant per-row cost
-    # of this chain, and a single-file local scan would run it on ONE
-    # core (guide §2.5 input skew: repartition right after the read;
-    # measured r14: 4.3 s -> ~1 s at sf0.1, tasks 11 -> 43)
+    # spread AND materialize the input first (batch path only — the
+    # stream twin's micro-batches arrive pre-partitioned by the
+    # source): the quality/redaction/Bloom chain is the dominant
+    # per-row cost here, and a single-file local scan runs it on ONE
+    # core (guide §2.5 input skew — repartition right after the read).
+    # The persist is the pushdown barrier, not a reuse cache: a bare
+    # repartition is NOT enough, because Catalyst pushes the
+    # deterministic gate predicate back through the exchange onto the
+    # 1-partition scan (r14 stage read: 4.3 s in one task below the
+    # Exchange); filters do not cross an InMemoryRelation, so the gate
+    # evaluates on the redistributed partitions.
+    spread = cache.track(_spread(docs, id_col))
     red = _curate_projection(
-        _spread(docs, id_col), bloom_words, text_col, id_col, [], ngram_n, m_bits, k
+        spread, bloom_words, text_col, id_col, [], ngram_n, m_bits, k
     )
     w = Window.partitionBy("fingerprint").orderBy(id_col)
     return (
