@@ -3222,8 +3222,17 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     target = docs.filter((F.col("lang") == "en") & (F.col("doc_id") % 7 == 0))
     raw = docs.filter(F.col("doc_id") % 7 != 0)
+    # stage=True: persist the collapsed raw (id, bucket, count) frame
+    # between dsir_weights' two raw-corpus passes — measured faster at
+    # 1x AND 10x since r10 (operator docstring) but left opt-in at the
+    # operator level; the bench query opts in (guide §2.4/§5)
     out = dsir_select(
-        raw, target, k=_DSIR_K, buckets=_DSIR_BUCKETS, smoothing=_DSIR_SMOOTH
+        raw,
+        target,
+        k=_DSIR_K,
+        buckets=_DSIR_BUCKETS,
+        smoothing=_DSIR_SMOOTH,
+        stage=True,
     )
     return out.select(
         "doc_id",
@@ -3887,7 +3896,9 @@ def q_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutoff 0 is a near-pass-all gate; training separates. Integer
     channels only. Oracle: full replay of both scorings, the NB fit,
     the confusion algebra, and both sweeps."""
+    from methyl_data_pipeline_spark import cache
     from methyl_data_pipeline_spark.ext.text import (
+        _doc_bucket_counts,
         hashed_weight_table,
         quality_score_linear,
         threshold_sweep,
@@ -3899,18 +3910,26 @@ def q_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", (F.col("lang") == "en").alias("_gold")
     )
     labeled = docs.withColumn("_gold", (F.col("lang") == "en").cast("int"))
+    # ONE corpus featurize shared by the trainer and all four scoring
+    # consumers (2 models x {confusion agg, sweep}) — uncached, each
+    # consumer re-ran the gram explode + (id, bucket) collapse (guide
+    # §2.4/§5; r14 A/B below). The frame is (id, bucket, count) —
+    # corpus-row-bounded, narrow, spillable.
+    dbc = cache.track(_doc_bucket_counts(docs, "text", "doc_id", _QSL_BUCKETS))
     tables = {
         "md5": hashed_weight_table(spark, _QSL_BUCKETS),
         # trained table persisted (<= buckets+1 rows): it is broadcast
         # into the scoring join of BOTH consumers below — uncached,
         # each broadcast re-runs the training aggregates
         "trained": train_quality_weights(
-            labeled, "_gold", buckets=_QSL_BUCKETS
+            labeled, "_gold", buckets=_QSL_BUCKETS, features=dbc
         ).filter(F.col("bucket") >= 0),
     }
     rows = []
     for model, wtab in tables.items():
-        scored = quality_score_linear(docs, wtab, buckets=_QSL_BUCKETS)
+        scored = quality_score_linear(
+            docs, wtab, buckets=_QSL_BUCKETS, features=dbc
+        )
         j = scored.join(gold, "doc_id")
         lm = _ri(F.col("logit"))
         passed = lm >= 0
@@ -4089,7 +4108,9 @@ def q_classifier_eval_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: one confusion/PR/best-sweep-F1 row per geometry at the
     micro-logit >= 0 cut, so the measurement the operator docstring
     cites is pinned by the oracle rather than asserted."""
+    from methyl_data_pipeline_spark import cache
     from methyl_data_pipeline_spark.ext.text import (
+        _doc_bucket_counts,
         quality_score_linear,
         threshold_sweep,
         train_quality_weights,
@@ -4100,17 +4121,22 @@ def q_classifier_eval_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", (F.col("lang") == "en").alias("_gold")
     )
     labeled = docs.withColumn("_gold", (F.col("lang") == "en").cast("int"))
-    # trained table persisted (<= buckets+1 rows): both pooling
-    # geometries broadcast it into their scoring joins (2 configs x
-    # 2 consumers each = 4 rebuilds of the training aggregates uncached)
-    wtab = train_quality_weights(labeled, "_gold", buckets=_QSL_BUCKETS)
+    # ONE corpus featurize shared by the trainer and all four scoring
+    # consumers (2 pooling geometries x {confusion agg, sweep}) —
+    # uncached, each re-ran the gram explode (guide §2.4/§5)
+    dbc = cache.track(_doc_bucket_counts(docs, "text", "doc_id", _QSL_BUCKETS))
+    wtab = train_quality_weights(
+        labeled, "_gold", buckets=_QSL_BUCKETS, features=dbc
+    )
     configs = {
         "mean_nobias": dict(pooling="mean"),
         "sum_bias": dict(pooling="sum", bias_from_table=True),
     }
     rows = []
     for model, kw in configs.items():
-        scored = quality_score_linear(docs, wtab, buckets=_QSL_BUCKETS, **kw)
+        scored = quality_score_linear(
+            docs, wtab, buckets=_QSL_BUCKETS, features=dbc, **kw
+        )
         j = scored.join(gold, "doc_id")
         lm = _ri(F.col("logit"))
         passed = lm >= 0
@@ -4735,20 +4761,30 @@ def q_lang_id_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc window argmax (ties to smallest lang). Self-trained on
     the fixture's lang labels, scored over every non-NULL-text doc.
     Oracle: full DuckDB replay of fit + sparse scoring + argmax."""
+    from methyl_data_pipeline_spark import cache
     from methyl_data_pipeline_spark.ext.text import (
+        _doc_bucket_counts,
         lang_id_nb,
         train_lang_weights,
     )
 
     docs = _t(spark, sf_dir, "documents")
+    # ONE corpus featurize shared by the trainer and both scorer
+    # branches (guide §2.4): the earlier r14 A/B that rejected a
+    # scorer-local dbc cache covered only the scorer's 2 consumers —
+    # with the trainer folded in (3 consumers of the same gram
+    # explode) the shared persist wins the A/B below. The trainer's
+    # labels inner join restricts the all-docs featurize identically
+    # to its own lang-filtered one.
+    dbc = cache.track(_doc_bucket_counts(docs, "text", "doc_id", _QSL_BUCKETS))
     # w is consumed twice by lang_id_nb (sparse rows + the bucket=-1
     # class dimension) but NOT persisted: the (class x bucket) fit
     # table is already cache.track'd inside train_lang_weights, so a
     # re-reference only re-runs the cheap tail projections — an r14
     # A/B measured the extra wrapper persist SLOWER (6.5 vs 5.5 s
     # medians of 5 at sf0.1; barrier cost > rebuild cost)
-    w = train_lang_weights(docs, buckets=_QSL_BUCKETS)
-    out = lang_id_nb(docs, w, buckets=_QSL_BUCKETS)
+    w = train_lang_weights(docs, buckets=_QSL_BUCKETS, features=dbc)
+    out = lang_id_nb(docs, w, buckets=_QSL_BUCKETS, features=dbc)
     return out.select(
         "doc_id", "pred_lang", "n_grams", _ri(F.col("score")).alias("score_micro")
     ).orderBy("doc_id")

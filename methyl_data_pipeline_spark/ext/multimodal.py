@@ -206,7 +206,12 @@ def synthesize_media(
     from methyl_data_pipeline_spark.deploy import ensure_importable
 
     ensure_importable(docs.sparkSession)
-    return docs.select(id_col, text_col).mapInPandas(synth, MEDIA_SCHEMA)
+    # _spread before the Python stage (guide §2.5) — see synthesize_images
+    from methyl_data_pipeline_spark.ext.dedup import _spread
+
+    return _spread(docs.select(id_col, text_col), id_col).mapInPandas(
+        synth, MEDIA_SCHEMA
+    )
 
 
 def _digest_bytes(raw: bytes, n: int, salt: bytes = b"") -> bytes:
@@ -441,7 +446,16 @@ def synthesize_video(
     from methyl_data_pipeline_spark.deploy import ensure_importable
 
     ensure_importable(docs.sparkSession)
-    return docs.select(id_col).mapInPandas(synth, MEDIA_SCHEMA)
+    # _spread before the Python stage (guide §2.5): a single parquet
+    # file scans as ONE partition locally, which would run the whole
+    # per-row codec loop serially in one task; the id-only shuffle is
+    # tiny next to the encode work it parallelizes (r14 A/B in
+    # OPTIMIZATION_r14.md, same move as the curate gate)
+    from methyl_data_pipeline_spark.ext.dedup import _spread
+
+    return _spread(docs.select(id_col), id_col).mapInPandas(
+        synth, MEDIA_SCHEMA
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -511,7 +525,16 @@ def synthesize_images(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     from methyl_data_pipeline_spark.deploy import ensure_importable
 
     ensure_importable(docs.sparkSession)
-    return docs.select(id_col).mapInPandas(synth, MEDIA_SCHEMA)
+    # _spread before the Python stage (guide §2.5): a single parquet
+    # file scans as ONE partition locally, which would run the whole
+    # per-row codec loop serially in one task; the id-only shuffle is
+    # tiny next to the encode work it parallelizes (r14 A/B in
+    # OPTIMIZATION_r14.md, same move as the curate gate)
+    from methyl_data_pipeline_spark.ext.dedup import _spread
+
+    return _spread(docs.select(id_col), id_col).mapInPandas(
+        synth, MEDIA_SCHEMA
+    )
 
 
 def image_ahash(media: DataFrame, grid: int = 8) -> DataFrame:
@@ -677,7 +700,16 @@ def synthesize_audio(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     from methyl_data_pipeline_spark.deploy import ensure_importable
 
     ensure_importable(docs.sparkSession)
-    return docs.select(id_col).mapInPandas(synth, MEDIA_SCHEMA)
+    # _spread before the Python stage (guide §2.5): a single parquet
+    # file scans as ONE partition locally, which would run the whole
+    # per-row codec loop serially in one task; the id-only shuffle is
+    # tiny next to the encode work it parallelizes (r14 A/B in
+    # OPTIMIZATION_r14.md, same move as the curate gate)
+    from methyl_data_pipeline_spark.ext.dedup import _spread
+
+    return _spread(docs.select(id_col), id_col).mapInPandas(
+        synth, MEDIA_SCHEMA
+    )
 
 
 def audio_ahash(media: DataFrame, windows: int = 64) -> DataFrame:
@@ -829,7 +861,16 @@ def synthesize_videos(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     from methyl_data_pipeline_spark.deploy import ensure_importable
 
     ensure_importable(docs.sparkSession)
-    return docs.select(id_col).mapInPandas(synth, MEDIA_SCHEMA)
+    # _spread before the Python stage (guide §2.5): a single parquet
+    # file scans as ONE partition locally, which would run the whole
+    # per-row codec loop serially in one task; the id-only shuffle is
+    # tiny next to the encode work it parallelizes (r14 A/B in
+    # OPTIMIZATION_r14.md, same move as the curate gate)
+    from methyl_data_pipeline_spark.ext.dedup import _spread
+
+    return _spread(docs.select(id_col), id_col).mapInPandas(
+        synth, MEDIA_SCHEMA
+    )
 
 
 def video_ahash(media: DataFrame, frames: int = 64) -> DataFrame:

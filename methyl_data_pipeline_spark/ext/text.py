@@ -1608,6 +1608,7 @@ def train_quality_weights(
     id_col: str = "doc_id",
     buckets: int = 1024,
     alpha: int = 1,
+    features: DataFrame | None = None,
 ) -> DataFrame:
     """In-engine training for :func:`quality_score_linear`'s weight
     table (VERDICT r12 #4 — closes the loop the md5
@@ -1667,6 +1668,15 @@ def train_quality_weights(
     everything at cutoff 0. Callers wanting a hard guard should
     validate class counts eagerly before calling (ADVICE r13).
 
+    ``features`` (optional, guide §2.4): a precomputed
+    ``_doc_bucket_counts(df, text_col, id_col, buckets)`` frame —
+    typically one the caller ``cache.track``'d so trainer AND scorer
+    share ONE corpus featurize instead of each re-running the gram
+    explode. The labels inner join below applies the label filter, so
+    passing the all-docs featurize is exact. Must come from the same
+    ``df``/``text_col``/``id_col``/``buckets`` or the fit silently
+    diverges.
+
     Returns a ``(bucket, weight)`` DataFrame matching
     :func:`hashed_weight_table`'s contract (plus the bucket = -1
     bias row). Buckets unseen in EITHER class still get a row (the
@@ -1686,9 +1696,9 @@ def train_quality_weights(
     )
     from methyl_data_pipeline_spark import cache
 
-    feats = _doc_bucket_counts(df, text_col, id_col, buckets).join(
-        labels, "_id"
-    )
+    if features is None:
+        features = _doc_bucket_counts(df, text_col, id_col, buckets)
+    feats = features.join(labels, "_id")
     # persisted: bounded by ``buckets`` (<= ~10^3 rows) and consumed by
     # THREE branches (weights, gram totals, via totals the bias row) —
     # without it the lazy DAG recomputes the corpus-sized gram explode
@@ -1757,6 +1767,7 @@ def train_lang_weights(
     id_col: str = "doc_id",
     buckets: int = 1024,
     alpha: int = 1,
+    features: DataFrame | None = None,
 ) -> DataFrame:
     """Multi-class Naive-Bayes head over the shared hashed
     unigram+bigram bucket features (VERDICT r13 "what's missing" #2 —
@@ -1787,6 +1798,13 @@ def train_lang_weights(
       (``floor``/``prior`` NULL);
     - ``bucket = -1``: one per-class summary row carrying ``floor``
       and ``prior`` (``delta`` 0.0).
+
+    ``features`` (optional, guide §2.4): a precomputed
+    ``_doc_bucket_counts(df, text_col, id_col, buckets)`` frame over
+    the UNFILTERED corpus — the labels inner join below restricts to
+    labeled docs, so the fit is identical while a ``cache.track``'d
+    featurize is shared with the :func:`lang_id_nb` scorer instead of
+    re-running the gram explode per consumer.
     """
     if buckets < 2:
         raise ValueError("train_lang_weights: buckets must be >= 2")
@@ -1795,9 +1813,11 @@ def train_lang_weights(
         .filter(F.col(lang_col).isNotNull())
         .select(F.col(id_col).alias("_id"), F.col(lang_col).alias("_lang"))
     )
-    feats = _doc_bucket_counts(
-        df.filter(F.col(lang_col).isNotNull()), text_col, id_col, buckets
-    ).join(labeled, "_id")
+    if features is None:
+        features = _doc_bucket_counts(
+            df.filter(F.col(lang_col).isNotNull()), text_col, id_col, buckets
+        )
+    feats = features.join(labeled, "_id")
     per = feats.groupBy("_lang", "_b").agg(F.sum("_c").alias("_c"))
     from methyl_data_pipeline_spark import cache
 
@@ -1844,6 +1864,7 @@ def lang_id_nb(
     text_col: str = "text",
     id_col: str = "doc_id",
     buckets: int = 1024,
+    features: DataFrame | None = None,
 ) -> DataFrame:
     """Score every non-NULL-text doc under a :func:`train_lang_weights`
     table and emit the argmax class: ``score(d, l) = prior_l +
@@ -1879,13 +1900,19 @@ def lang_id_nb(
     # featurizer's pmod hashing and the table's bucket VALUES have to
     # agree or the broadcast join silently mismatches.
     # dbc feeds two branches (per-class partials + per-doc gram
-    # totals) but is deliberately NOT persisted: an r14 A/B (medians
-    # of 5, sf0.1) measured the cached form SLOWER (6.5 vs 5.3 s) —
-    # the two consumers are cheap map pipelines and the cache fill
-    # serializes them behind a materialization barrier (guide §5:
-    # persist only when recompute beats the memory pressure; here it
-    # does not).
-    dbc = _doc_bucket_counts(df, text_col, id_col, buckets)
+    # totals) but this function does NOT persist it itself: an r14 A/B
+    # (medians of 5, sf0.1) measured a scorer-local cache SLOWER (6.5
+    # vs 5.3 s) — the two consumers are cheap map pipelines and the
+    # cache fill serializes them behind a materialization barrier
+    # (guide §5). Callers that ALSO train on the same corpus pass a
+    # shared ``features`` frame instead (3+ consumers flips the trade;
+    # the q_lang_id_nb A/B measured the shared cached featurize
+    # faster).
+    dbc = (
+        features
+        if features is not None
+        else _doc_bucket_counts(df, text_col, id_col, buckets)
+    )
     partial = (
         dbc.join(F.broadcast(sparse), "_b")
         .groupBy("_id", "_lang")
@@ -1932,6 +1959,7 @@ def quality_score_linear(
     threshold: float = 0.0,
     pooling: str = "mean",
     bias_from_table: bool = False,
+    features: DataFrame | None = None,
 ) -> DataFrame:
     """fastText-style linear quality classifier (VERDICT r11 #8;
     Joulin et al. 2016, "Bag of Tricks for Efficient Text
@@ -1974,6 +2002,13 @@ def quality_score_linear(
     posteriors, mean when a length-invariant score feeds a fixed
     cutoff.
 
+    ``features`` (optional, guide §2.4): a precomputed
+    ``_doc_bucket_counts(df, text_col, id_col, buckets)`` frame —
+    pass a ``cache.track``'d one when several scorings (multiple
+    weight tables or pooling geometries) evaluate the same corpus, so
+    the gram explode runs once instead of once per scoring consumer.
+    Must come from the same ``df``/``text_col``/``id_col``/``buckets``.
+
     Returns ``(id_col, n_grams, logit, quality_pass)`` for EVERY
     non-NULL-text doc; zero-gram docs score the bias exactly.
     """
@@ -1985,8 +2020,10 @@ def quality_score_linear(
         F.col("bucket").cast("long").alias("_b"),
         F.col("weight").cast("double").alias("_w"),
     )
+    if features is None:
+        features = _doc_bucket_counts(df, text_col, id_col, buckets)
     scored = (
-        _doc_bucket_counts(df, text_col, id_col, buckets)
+        features
         .join(F.broadcast(wtab.filter(F.col("_b") >= 0)), "_b", "left")
         .groupBy("_id")
         .agg(
@@ -2137,6 +2174,7 @@ def dsir_select(
     temperature: float = 1.0,
     seed: str = "dsir",
     score_round: int = 6,
+    stage: bool = False,
 ) -> DataFrame:
     """DSIR selection via deterministic Gumbel top-k: keep the ``k``
     raw docs with the largest ``log_weight / temperature + Gumbel``
@@ -2152,13 +2190,18 @@ def dsir_select(
     docs, sel_rank 1..k by descending key. The top-k runs as
     ``TakeOrderedAndProject`` (orderBy + limit — per-partition heaps,
     no single-task corpus funnel); only the k survivors pass through
-    the rank window.
+    the rank window. ``stage`` passes through to
+    :func:`dsir_weights` (persist the collapsed raw feature frame
+    between its two passes — measured faster at 1x AND 10x, see that
+    docstring for the cache-vs-rescan trade).
     """
     if k < 1:
         raise ValueError("dsir_select: k must be >= 1")
     if temperature <= 0:
         raise ValueError("dsir_select: temperature must be > 0")
-    w = dsir_weights(raw, target, text_col, id_col, buckets, smoothing)
+    w = dsir_weights(
+        raw, target, text_col, id_col, buckets, smoothing, stage=stage
+    )
     m = 1 << 20
     u = (
         F.pmod(md5_long(F.col(id_col).cast("string"), salt=seed), F.lit(m))
