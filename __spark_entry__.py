@@ -3930,6 +3930,13 @@ def q_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored = quality_score_linear(
             docs, wtab, buckets=_QSL_BUCKETS, features=dbc
         )
+        # NO persist of the scored frame, on measurement (VERDICT r14
+        # #5 suggested it; the r15 A/B said no — medians of 5, sf0.1:
+        # 4.52 s lazy vs 4.58 s with a per-model (logit, _gold) cache.
+        # The two consumers are a 1-row agg and the sweep — both cheap
+        # map+agg pipelines over the already-persisted dbc, and the
+        # cache fill serializes them behind a materialization barrier,
+        # the same trade r14 measured on lang_id_nb's wrapper).
         j = scored.join(gold, "doc_id")
         lm = _ri(F.col("logit"))
         passed = lm >= 0
@@ -4137,6 +4144,13 @@ def q_classifier_eval_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored = quality_score_linear(
             docs, wtab, buckets=_QSL_BUCKETS, features=dbc, **kw
         )
+        # NO persist of the scored frame, on measurement (VERDICT r14
+        # #5 suggested it for this query's 50-job profile; the r15 A/B
+        # said no — medians of 5, sf0.1: 4.50 s lazy vs 5.24 s with a
+        # per-geometry (logit, _gold) cache. Jobs did drop 50 -> 38,
+        # but the fill barrier serializes the confusion agg and the
+        # sweep, which uncached run as cheap map+agg pipelines over
+        # the persisted dbc — wall is what counts (guide §1.2).
         j = scored.join(gold, "doc_id")
         lm = _ri(F.col("logit"))
         passed = lm >= 0

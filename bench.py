@@ -1118,6 +1118,14 @@ def main() -> None:
         json.dump(details, fh, indent=1, sort_keys=True)
     print(f"# details written: {details_name}", file=sys.stderr)
     spark.stop()
+    # VERDICT r14 #2: the early driver line (printed right after the
+    # headline block) is pushed out of the driver's ~2000-char tail
+    # capture by the extended/adjudication diagnostics that follow it
+    # (r13 AND r14 both came back ``parsed: null``). Re-print the SAME
+    # compact line as the LAST stdout line, after the details file is
+    # written and the session is stopped, so a tail capture always
+    # parses it; the early print stays for captures that read the head.
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

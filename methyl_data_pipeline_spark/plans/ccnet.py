@@ -111,16 +111,39 @@ def run_ccnet_pipeline(
     )
 
     labeled = clean.join(docs.select(id_col, label_col), id_col, "left")
+    # ONE corpus featurize shared by the lang-id trainer and both
+    # scorer branches (VERDICT r14 #3; guide §2.4): unshared, the gram
+    # explode + (id, bucket) collapse over the line-deduped text ran
+    # THREE times — train_lang_weights' internal featurize plus
+    # lang_id_nb's per-class partials and per-doc gram totals. The
+    # frame is (_id, _b, _c): corpus-row-bounded and narrow. Passing
+    # the all-docs featurize is exact for the trainer (its labels
+    # inner join applies the label filter; operator docstring
+    # contract). Shared via _cut, NOT cache.track, for the same
+    # reason as the pipeline's other reuse points (see _cut): a
+    # cache.track'd InMemoryRelation here re-inlines into the trainer
+    # broadcast + both scorer branches and measured erratic
+    # first-run stalls (12-118 s); the checkpointed share is stable.
+    # Interleaved A/B (same session, 3 steady-state pairs, sf0.1):
+    # none 10.9/11.1/11.4 s vs shared 9.3/10.0/8.5 s.
+    from methyl_data_pipeline_spark.ext.text import _doc_bucket_counts
+
+    dbc = _cut(
+        _doc_bucket_counts(clean, text_col, id_col, buckets),
+        reliable_checkpoint,
+    )
     w = train_lang_weights(
-        labeled, lang_col=label_col, text_col=text_col, id_col=id_col, buckets=buckets
+        labeled, lang_col=label_col, text_col=text_col, id_col=id_col,
+        buckets=buckets, features=dbc,
     )
     # reuse point 2: the NB fit + score + argmax subtree is consumed by
     # the LM token-stream materialization, the tercile window's
     # broadcast part_col distinct, and the ranked join
     pred = _cut(
-        lang_id_nb(clean, w, text_col=text_col, id_col=id_col, buckets=buckets).select(
-            id_col, "pred_lang"
-        ),
+        lang_id_nb(
+            clean, w, text_col=text_col, id_col=id_col, buckets=buckets,
+            features=dbc,
+        ).select(id_col, "pred_lang"),
         reliable_checkpoint,
     )
 

