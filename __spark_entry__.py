@@ -3222,17 +3222,19 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     target = docs.filter((F.col("lang") == "en") & (F.col("doc_id") % 7 == 0))
     raw = docs.filter(F.col("doc_id") % 7 != 0)
-    # stage=True: persist the collapsed raw (id, bucket, count) frame
-    # between dsir_weights' two raw-corpus passes — measured faster at
-    # 1x AND 10x since r10 (operator docstring) but left opt-in at the
-    # operator level; the bench query opts in (guide §2.4/§5)
+    # stage=False (VERDICT r14 #7 — the r14 stage=True opt-in measured
+    # SLOWER on the driver, 2.63 -> 3.40 s, and the r15 interleaved
+    # quiet-session A/B confirmed it in all 4 pairs: lazy 2.45-3.48 s
+    # vs staged 3.26-4.06 s at sf0.1. The staged persist's fill
+    # barrier costs more wall than the second raw-corpus pass it
+    # saves at bench scale; the operator keeps the opt-in for cluster
+    # callers where the raw re-scan dominates.)
     out = dsir_select(
         raw,
         target,
         k=_DSIR_K,
         buckets=_DSIR_BUCKETS,
         smoothing=_DSIR_SMOOTH,
-        stage=True,
     )
     return out.select(
         "doc_id",

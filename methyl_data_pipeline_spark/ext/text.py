@@ -2424,6 +2424,7 @@ def bpe_encode(
     # per row and benched a confirmed ~1.4x regression on the word
     # stream; the coalesce to ("", 0) is free by comparison.
     from methyl_data_pipeline_spark import cache
+    from methyl_data_pipeline_spark.ext.dedup import _spread
 
     wds = F.filter(words(F.col(text_col)), lambda x: x != "")
     # Persisted: the exploded word stream feeds BOTH the distinct-word
@@ -2432,8 +2433,17 @@ def bpe_encode(
     # but narrow, and the default storage level spills to disk rather
     # than evicting under pressure. r14 A/B (medians of 5, sf0.1):
     # cached 6.30 s vs lazy 6.85 s.
+    # _spread first (guide §2.5; r15): a single-file local scan runs
+    # the tokenize explode + the cache fill on ONE core — the output
+    # is token-stream-sized, so the serial stage is the plan's widest
+    # write. The text-notnull filter still pushes to the scan (cheap);
+    # the Generate stays above the exchange. Interleaved A/B (r15,
+    # same session, merges+encode chain, 3 pairs, sf0.1): spread
+    # 7.6/8.5/8.9 s vs bare 8.2/12.6/10.8 s — spread won every pair.
+    # (bpe_merges keeps NO spread: its word-frequency groupBy bounds
+    # the serial stage's output map-side, measured in r14.)
     base = cache.track(
-        df.filter(F.col(text_col).isNotNull())
+        _spread(df.filter(F.col(text_col).isNotNull()), id_col)
         .select(F.col(id_col), F.posexplode_outer(wds).alias("_i", "_w"))
         .select(
             id_col,
