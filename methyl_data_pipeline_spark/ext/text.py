@@ -1559,6 +1559,21 @@ def _dsir_grams(text_col: str) -> Column:
     )[0]
 
 
+def _check_features_frame(features: DataFrame, caller: str) -> DataFrame:
+    """Loud-failure guard for the shared ``features=`` hook (ADVICE
+    r14): the frame is joined blindly on ``_id``/``_b``, so a frame
+    with the wrong shape (or a raw docs frame passed by mistake) would
+    silently produce a diverged fit/score. Validates the column
+    contract only — the bucket count and source df cannot be checked
+    cheaply and remain documented caller obligations."""
+    if set(features.columns) != {"_id", "_b", "_c"}:
+        raise ValueError(
+            f"{caller}: features= must be a _doc_bucket_counts frame "
+            f"with columns {{_id, _b, _c}}, got {features.columns}"
+        )
+    return features
+
+
 def _doc_bucket_counts(
     df: DataFrame, text_col: str, id_col: str, buckets: int
 ) -> DataFrame:
